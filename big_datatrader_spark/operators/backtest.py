@@ -1,0 +1,233 @@
+"""Backtest pipelines — the reference's three "queries" (SURVEY.md §2.12).
+
+1. Evenly Spaced Buys (reference main.py:366-390): fully relational here —
+   stride signals -> ordered limit -> share expression -> aggregate. The
+   reference's per-row ``dask.delayed`` variant ("Parallel Delayed
+   Trades", main.py:448-486) computes the identical result; its per-row
+   task graph dissolves into the column expression ``per_trade / close``,
+   so both strategies are THIS function (partition-count invariance is
+   asserted in tests, porting the reference's own benchmark oracle,
+   main.py:600-618).
+
+2. Moving Average Crossover (reference main.py:392-446): a sequential
+   stateful fold — trade i depends on the budget left by trades < i, so
+   it is not expressible as a window function. Implemented as an exact
+   pandas kernel applied per symbol via ``applyInPandas`` (Arrow-batched,
+   parallel across symbols; SURVEY.md §2.10 U2). At 100 TB the
+   parallelism unit is the symbol — each series fold is inherently
+   sequential, which is true of the semantics, not the engine.
+
+All functions take a generic tick table: (symbol, time-ordered rows,
+price column). The reference's single-CSV world is the degenerate
+single-symbol case.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .signals import with_stride_signals
+
+
+def evenly_spaced_backtest(df: DataFrame, *,
+                           symbol_col: str,
+                           order_col: str,
+                           price_col: str,
+                           budget: float = 10_000.0,
+                           per_trade: float = 1_000.0,
+                           max_trades: int | None = None) -> DataFrame:
+    """Per-symbol evenly-spaced-buys backtest, pure DataFrame ops.
+
+    Semantics (reference main.py:349-390):
+      step        = max(n_rows // max_trades, 1) if max_trades else 10
+      buys        = rows at 0-based positions 0, step, 2*step, ...
+      k           = min(n_buys, max_trades or budget//per_trade,
+                        budget // per_trade)
+      invested    = k * per_trade
+      shares      = sum(per_trade / price) over the k earliest buys
+      final_value = (budget - invested) + shares * last_price
+      roi         = (final_value - budget) / budget * 100
+    A symbol with no buy rows returns (budget, 0.0) (main.py:378-379).
+
+    Output: symbol, n_buys, trades_executed, total_invested, sum_shares,
+    final_price, final_value, roi — one row per symbol.
+    """
+    eff_max = int(max_trades) if max_trades is not None \
+        else int(budget // per_trade)
+    cap = int(budget // per_trade)
+
+    sig = with_stride_signals(df, [symbol_col], [order_col],
+                              max_trades=max_trades)
+
+    w_buy = Window.partitionBy(symbol_col).orderBy(order_col)
+    w_all = (Window.partitionBy(symbol_col).orderBy(order_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    buys = (
+        sig.filter(F.col("buy_signal"))
+        .withColumn("buy_rn", F.row_number().over(w_buy))
+        .withColumn("n_buys", F.count(F.lit(1)).over(w_all))
+        .withColumn("k", F.least(F.col("n_buys"),
+                                 F.lit(eff_max), F.lit(cap)))
+    )
+    taken = buys.filter(F.col("buy_rn") <= F.col("k"))
+    per_symbol_buys = taken.groupBy(symbol_col).agg(
+        F.sum(F.lit(per_trade) / F.col(price_col)).alias("sum_shares"),
+        F.count(F.lit(1)).alias("trades_executed"),
+        F.max("n_buys").alias("n_buys"),
+    )
+    # last price of the FULL series (reference main.py:383 uses gdf, the
+    # unfiltered frame) — max_by keeps this a single hash aggregate, no
+    # extra window pass.
+    finals = df.groupBy(symbol_col).agg(
+        F.max_by(F.col(price_col), F.col(order_col)).alias("final_price"))
+
+    res = finals.join(per_symbol_buys, on=symbol_col, how="left")
+    invested = F.col("trades_executed") * F.lit(per_trade)
+    final_value = F.when(
+        F.col("trades_executed").isNull(), F.lit(float(budget))
+    ).otherwise(
+        (F.lit(float(budget)) - invested)
+        + F.col("sum_shares") * F.col("final_price")
+    )
+    return (
+        res.withColumn("n_buys", F.coalesce("n_buys", F.lit(0)))
+        .withColumn("trades_executed",
+                    F.coalesce("trades_executed", F.lit(0)))
+        .withColumn("total_invested",
+                    F.col("trades_executed") * F.lit(per_trade))
+        .withColumn("sum_shares", F.coalesce("sum_shares", F.lit(0.0)))
+        .withColumn("final_value", final_value)
+        .withColumn(
+            "roi",
+            (F.col("final_value") - F.lit(float(budget)))
+            / F.lit(float(budget)) * 100.0)
+        .select(symbol_col, "n_buys", "trades_executed", "total_invested",
+                "sum_shares", "final_price", "final_value", "roi")
+    )
+
+
+def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
+                    budget: float, per_trade: float,
+                    max_trades: int | None):
+    """Exact re-expression of the reference state machine
+    (main.py:398-439): golden cross buys (budget-gated), death cross
+    sells, forced close of an open position at the final price."""
+    pdf = pdf.sort_values(order_col).reset_index(drop=True)
+    close = pdf[price_col].astype("float64")
+    short_ma = close.rolling(window=5, min_periods=1).mean()
+    long_ma = close.rolling(window=20, min_periods=1).mean()
+
+    cash = float(budget)
+    in_position = False
+    entry_price = 0.0
+    trades = 0
+    positions: list[dict] = []
+
+    for i in range(1, len(pdf)):
+        if max_trades is not None and trades >= max_trades:
+            break
+        prev_s, prev_l = short_ma.iloc[i - 1], long_ma.iloc[i - 1]
+        curr_s, curr_l = short_ma.iloc[i], long_ma.iloc[i]
+        price = close.iloc[i]
+        if not in_position and prev_s <= prev_l and curr_s > curr_l:
+            if cash >= per_trade:
+                in_position = True
+                entry_price = price
+                trades += 1
+                positions.append({
+                    "entry_date": pdf[order_col].iloc[i],
+                    "entry_price": price,
+                    "exit_date": None, "exit_price": None,
+                })
+                cash -= per_trade
+        elif in_position and prev_s >= prev_l and curr_s < curr_l:
+            in_position = False
+            cash += (per_trade / entry_price) * price
+            positions[-1]["exit_date"] = pdf[order_col].iloc[i]
+            positions[-1]["exit_price"] = price
+
+    if in_position and len(pdf):
+        price = close.iloc[-1]
+        cash += (per_trade / entry_price) * price
+        positions[-1]["exit_date"] = pdf[order_col].iloc[-1]
+        positions[-1]["exit_price"] = price
+
+    roi = (cash - budget) / budget * 100.0 if budget else 0.0
+    return cash, roi, positions
+
+
+def ma_crossover_backtest(df: DataFrame, *,
+                          symbol_col: str,
+                          order_col: str,
+                          price_col: str,
+                          budget: float = 10_000.0,
+                          per_trade: float = 1_000.0,
+                          max_trades: int | None = None,
+                          emit: str = "summary") -> DataFrame:
+    """Per-symbol MA(5/20)-crossover backtest via applyInPandas (U2).
+
+    emit='summary'   -> (symbol, n_trades, final_value, roi)
+    emit='positions' -> (symbol, entry_date, entry_price, exit_date,
+                         exit_price) — exit fields null only if the group
+                         was empty-guarded (forced close otherwise,
+                         reference main.py:432-439).
+    """
+    if emit not in ("summary", "positions"):
+        raise ValueError("emit must be 'summary' or 'positions'")
+
+    sym_field = df.schema[symbol_col]
+
+    if emit == "summary":
+        out_schema = (f"`{symbol_col}` {sym_field.dataType.simpleString()}, "
+                      "n_trades long, final_value double, roi double")
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cash, roi, positions = _crossover_fold(
+                pdf, price_col, order_col, budget, per_trade, max_trades)
+            return pd.DataFrame({
+                symbol_col: [key[0]], "n_trades": [len(positions)],
+                "final_value": [cash], "roi": [roi],
+            })
+    else:
+        ts_type = df.schema[order_col].dataType.simpleString()
+        out_schema = (f"`{symbol_col}` {sym_field.dataType.simpleString()}, "
+                      f"entry_date {ts_type}, entry_price double, "
+                      f"exit_date {ts_type}, exit_price double")
+
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            _, _, positions = _crossover_fold(
+                pdf, price_col, order_col, budget, per_trade, max_trades)
+            if not positions:
+                return pd.DataFrame(columns=[
+                    symbol_col, "entry_date", "entry_price",
+                    "exit_date", "exit_price"])
+            out = pd.DataFrame(positions)
+            out.insert(0, symbol_col, key[0])
+            return out
+
+    # Project before the shuffle: only the columns the kernel reads cross
+    # the wire (column pruning does not reach inside applyInPandas).
+    slim = df.select(symbol_col, order_col, price_col)
+    return slim.groupBy(symbol_col).applyInPandas(run, schema=out_schema)
+
+
+def partition_invariant(df_builder, partitions: Sequence[int] = (1, 2, 4, 8, 16)):
+    """Port of the reference's benchmark oracle (main.py:590-619): the
+    same query at several partition counts must agree. Returns the list
+    of (n_partitions, rows) for the caller to assert on."""
+    outs = []
+    for p in partitions:
+        rows = df_builder(p).collect()
+        outs.append((p, sorted(map(tuple, rows))))
+    return outs
+
+
+def shares_expression(per_trade: float, price_col: str = "close"):
+    """U1 (reference main.py:467-471): the per-row delayed task collapses
+    to a column expression."""
+    return F.lit(float(per_trade)) / F.col(price_col)

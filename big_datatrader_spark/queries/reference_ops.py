@@ -1,0 +1,330 @@
+"""Reference-surface operators (SURVEY.md §2) as named queries.
+
+Tick-table mapping (FIXTURES.md §B): the ``events`` table stands in for
+the reference's OHLCV series — ``ts`` -> time, ``value`` -> close,
+``user_id`` -> symbol (the reference's single-CSV world is the
+one-symbol degenerate case; per-key windows are the 100 TB-safe shape,
+SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.backtest import evenly_spaced_backtest
+from ..operators.filters import apply_json_filter, time_range
+from ..operators.indicators import with_crossover_signals, with_rolling_mean
+from ..operators.signals import with_stride_signals
+from ..sources.parquet_source import table
+from . import query
+
+BUDGET = 10_000.0
+PER_TRADE = 1_000.0
+
+_R = 6  # shared rounding for float outputs (fp-noise insurance, §7.4)
+
+
+def _ticks(spark, sf_dir):
+    return table(spark, sf_dir, "events").select("user_id", "ts", "value",
+                                                 "event_id")
+
+
+# ---------------------------------------------------------------------------
+# F1: inclusive date-range filter (reference main.py:318-320)
+
+@query(
+    "date_range_filter",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="F1 inclusive-both-ends time-range filter (main.py:318-320)",
+)
+def date_range_filter(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return time_range(
+        ev, "2024-01-10 00:00:00", "2024-01-20 00:00:00", col="ts"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# F3: JSON filter-spec compiler (reference main.py:265-289)
+
+@query(
+    "json_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value > 5 AND value < 50 AND event_type = 'click'
+    """,
+    doc="F3 JSON {col:{gt/lt/eq:v}} predicate compiler (main.py:265-289)",
+)
+def json_filter(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    spec = '{"value": {"gt": 5, "lt": 50}, "event_type": {"eq": "click"}}'
+    return apply_json_filter(ev, spec).select(
+        "event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# W4 + O3: stride (evenly spaced) signals (reference main.py:349-360)
+
+@query(
+    "stride_signals",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           10 AS step,
+           ((row_number() OVER (PARTITION BY user_id ORDER BY ts)) - 1)
+               % 10 = 0 AS buy_signal
+    FROM events
+    """,
+    doc="W4 stride buy signals, default step 10 (main.py:349-360)",
+)
+def stride_signals(spark, sf_dir):
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"])
+    return sig.select(
+        "event_id", "user_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.col("step").cast("long").alias("step"),
+        "buy_signal")
+
+
+@query(
+    "stride_signals_derived_step",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             GREATEST(count(*) OVER (PARTITION BY user_id) // 7, 1) AS step
+      FROM events
+    )
+    SELECT event_id, user_id, rn, step, (rn - 1) % step = 0 AS buy_signal
+    FROM base
+    """,
+    doc="W4 stride with step = max(n_rows // max_trades, 1), "
+        "max_trades=7 (main.py:354-357)",
+)
+def stride_signals_derived_step(spark, sf_dir):
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"],
+                              max_trades=7)
+    return sig.select(
+        "event_id", "user_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.col("step").cast("long").alias("step"),
+        "buy_signal")
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: rolling means (reference main.py:403-404)
+
+@query(
+    "rolling_ma",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS short_ma,
+           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS long_ma
+    FROM events
+    """,
+    doc="W1/W2 trailing rolling means 5/20, min_periods=1 "
+        "(main.py:403-404)",
+)
+def rolling_ma(spark, sf_dir):
+    df = _ticks(spark, sf_dir)
+    df = with_rolling_mean(df, "value", 5, ["user_id"], ["ts"], "short_ma")
+    df = with_rolling_mean(df, "value", 20, ["user_id"], ["ts"], "long_ma")
+    return df.select(
+        "event_id", "user_id", "ts",
+        F.round("short_ma", _R).alias("short_ma"),
+        F.round("long_ma", _R).alias("long_ma"))
+
+
+# ---------------------------------------------------------------------------
+# W3: lag crossover signals (reference main.py:409-423)
+
+@query(
+    "crossover_signals",
+    oracle="""
+    WITH ma AS (
+      SELECT event_id, user_id, ts,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS short_ma,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS long_ma
+      FROM events
+    ), lagged AS (
+      SELECT event_id, user_id, ts, short_ma, long_ma,
+             lag(short_ma) OVER (PARTITION BY user_id ORDER BY ts) AS ps,
+             lag(long_ma) OVER (PARTITION BY user_id ORDER BY ts) AS pl
+      FROM ma
+    )
+    SELECT event_id, user_id, ts,
+           COALESCE(ps <= pl AND short_ma > long_ma, FALSE) AS golden_cross,
+           COALESCE(ps >= pl AND short_ma < long_ma, FALSE) AS death_cross
+    FROM lagged
+    """,
+    doc="W3 golden/death cross via lag (main.py:409-423)",
+)
+def crossover_signals(spark, sf_dir):
+    df = _ticks(spark, sf_dir)
+    df = with_rolling_mean(df, "value", 5, ["user_id"], ["ts"], "short_ma")
+    df = with_rolling_mean(df, "value", 20, ["user_id"], ["ts"], "long_ma")
+    df = with_crossover_signals(df, "short_ma", "long_ma",
+                                ["user_id"], ["ts"])
+    return df.select("event_id", "user_id", "ts",
+                     "golden_cross", "death_cross")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2: ordered limit / top-k earliest buys (reference main.py:380-381)
+
+@query(
+    "topk_earliest_buys",
+    oracle="""
+    WITH sig AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value
+    FROM sig WHERE (rn - 1) % 10 = 0
+    ORDER BY ts, event_id
+    LIMIT 100
+    """,
+    doc="O2 ordered limit over buy rows -> TakeOrderedAndProject "
+        "(main.py:380-381)",
+)
+def topk_earliest_buys(spark, sf_dir):
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"])
+    return (
+        sig.filter(F.col("buy_signal"))
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 pipeline 1+3: evenly spaced buys backtest (main.py:366-390,
+# 448-486 — the parallel variant computes the identical result)
+
+_EVENLY_ORACLE_DEFAULT = """
+WITH sig AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), buys AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS buy_rn,
+         count(*) OVER (PARTITION BY user_id) AS n_buys
+  FROM sig WHERE (rn - 1) % 10 = 0
+), agg AS (
+  SELECT user_id, sum(1000.0 / value) AS sum_shares,
+         count(*) AS trades_executed, max(n_buys) AS n_buys
+  FROM buys WHERE buy_rn <= LEAST(n_buys, 10)
+  GROUP BY user_id
+), finals AS (
+  SELECT user_id, max_by(value, ts) AS final_price
+  FROM events GROUP BY user_id
+)
+SELECT f.user_id AS user_id,
+       COALESCE(a.n_buys, 0) AS n_buys,
+       COALESCE(a.trades_executed, 0) AS trades_executed,
+       CAST(COALESCE(a.trades_executed, 0) * 1000.0 AS DOUBLE)
+           AS total_invested,
+       ROUND(CAST(COALESCE(a.sum_shares, 0.0) AS DOUBLE), 6) AS sum_shares,
+       ROUND(CAST(f.final_price AS DOUBLE), 6) AS final_price,
+       ROUND(CAST(CASE WHEN a.trades_executed IS NULL THEN 10000.0
+             ELSE 10000.0 - a.trades_executed * 1000.0
+                  + a.sum_shares * f.final_price END AS DOUBLE), 6)
+           AS final_value,
+       ROUND(CAST((CASE WHEN a.trades_executed IS NULL THEN 10000.0
+             ELSE 10000.0 - a.trades_executed * 1000.0
+                  + a.sum_shares * f.final_price END - 10000.0)
+             / 10000.0 * 100.0 AS DOUBLE), 6) AS roi
+FROM finals f LEFT JOIN agg a USING (user_id)
+"""
+
+
+def _rounded_backtest(df):
+    return df.select(
+        "user_id",
+        F.col("n_buys").cast("long").alias("n_buys"),
+        F.col("trades_executed").cast("long").alias("trades_executed"),
+        F.col("total_invested").cast("double").alias("total_invested"),
+        F.round("sum_shares", _R).alias("sum_shares"),
+        F.round("final_price", _R).alias("final_price"),
+        F.round("final_value", _R).alias("final_value"),
+        F.round("roi", _R).alias("roi"),
+    )
+
+
+@query(
+    "evenly_spaced_backtest",
+    oracle=_EVENLY_ORACLE_DEFAULT,
+    doc="§2.12 pipeline 1/3: per-symbol evenly-spaced-buys backtest "
+        "(main.py:366-390; parallel variant main.py:448-486)",
+    bench=True,
+)
+def evenly_spaced_backtest_q(spark, sf_dir):
+    res = evenly_spaced_backtest(
+        _ticks(spark, sf_dir), symbol_col="user_id", order_col="ts",
+        price_col="value", budget=BUDGET, per_trade=PER_TRADE)
+    return _rounded_backtest(res)
+
+
+_EVENLY_ORACLE_MAXTRADES = """
+WITH base AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         GREATEST(count(*) OVER (PARTITION BY user_id) // 5, 1) AS step
+  FROM events
+), buys AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS buy_rn,
+         count(*) OVER (PARTITION BY user_id) AS n_buys
+  FROM base WHERE (rn - 1) % step = 0
+), agg AS (
+  SELECT user_id, sum(1000.0 / value) AS sum_shares,
+         count(*) AS trades_executed, max(n_buys) AS n_buys
+  FROM buys WHERE buy_rn <= LEAST(n_buys, 5)
+  GROUP BY user_id
+), finals AS (
+  SELECT user_id, max_by(value, ts) AS final_price
+  FROM events GROUP BY user_id
+)
+SELECT f.user_id AS user_id,
+       COALESCE(a.n_buys, 0) AS n_buys,
+       COALESCE(a.trades_executed, 0) AS trades_executed,
+       CAST(COALESCE(a.trades_executed, 0) * 1000.0 AS DOUBLE)
+           AS total_invested,
+       ROUND(CAST(COALESCE(a.sum_shares, 0.0) AS DOUBLE), 6) AS sum_shares,
+       ROUND(CAST(f.final_price AS DOUBLE), 6) AS final_price,
+       ROUND(CAST(CASE WHEN a.trades_executed IS NULL THEN 10000.0
+             ELSE 10000.0 - a.trades_executed * 1000.0
+                  + a.sum_shares * f.final_price END AS DOUBLE), 6)
+           AS final_value,
+       ROUND(CAST((CASE WHEN a.trades_executed IS NULL THEN 10000.0
+             ELSE 10000.0 - a.trades_executed * 1000.0
+                  + a.sum_shares * f.final_price END - 10000.0)
+             / 10000.0 * 100.0 AS DOUBLE), 6) AS roi
+FROM finals f LEFT JOIN agg a USING (user_id)
+"""
+
+
+@query(
+    "evenly_spaced_backtest_maxtrades",
+    oracle=_EVENLY_ORACLE_MAXTRADES,
+    doc="evenly-spaced backtest with explicit max_trades=5 -> derived "
+        "step (main.py:354-357, 372-373)",
+)
+def evenly_spaced_backtest_maxtrades_q(spark, sf_dir):
+    res = evenly_spaced_backtest(
+        _ticks(spark, sf_dir), symbol_col="user_id", order_col="ts",
+        price_col="value", budget=BUDGET, per_trade=PER_TRADE,
+        max_trades=5)
+    return _rounded_backtest(res)
