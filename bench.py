@@ -1,0 +1,57 @@
+"""Benchmark harness (driver contract + reference X5, main.py:590-619).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timed region: full query wall-clock (plan build -> action complete),
+stated explicitly because the reference timed only its share computation
+(main.py:472-475; SURVEY.md §6). Each query's action is a count-ish
+materialization of the full result (collect on small results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_datatrader_spark.queries import load_registry  # noqa: E402
+from big_datatrader_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    reg = load_registry()
+    names = sorted(n for n, q in reg.items() if q.bench)
+    spark = get_spark("bdt-bench")
+
+    # one warm-up pass on the smallest SF so JVM/codegen/Python-worker
+    # startup doesn't pollute per-query numbers
+    for n in names:
+        reg[n].spark_fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        reg[n].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline query suite wall-clock at sf" + sf,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,8 +75,12 @@ def evenly_spaced_backtest(df: DataFrame, *,
                                  F.lit(eff_max), F.lit(cap)))
     )
     taken = buys.filter(F.col("buy_rn") <= F.col("k"))
+    # try_divide: a zero price yields NULL (skipped by sum) on BOTH Spark
+    # and DuckDB — ANSI Spark would throw instead. (The pandas reference
+    # would produce inf here; divergence only for worthless assets.)
     per_symbol_buys = taken.groupBy(symbol_col).agg(
-        F.sum(F.lit(per_trade) / F.col(price_col)).alias("sum_shares"),
+        F.sum(F.try_divide(F.lit(per_trade), F.col(price_col)))
+         .alias("sum_shares"),
         F.count(F.lit(1)).alias("trades_executed"),
         F.max("n_buys").alias("n_buys"),
     )
@@ -118,9 +122,14 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
     (main.py:398-439): golden cross buys (budget-gated), death cross
     sells, forced close of an open position at the final price."""
     pdf = pdf.sort_values(order_col).reset_index(drop=True)
-    close = pdf[price_col].astype("float64")
-    short_ma = close.rolling(window=5, min_periods=1).mean()
-    long_ma = close.rolling(window=20, min_periods=1).mean()
+    close_s = pdf[price_col].astype("float64")
+    # numpy views: the fold touches every row, and pandas scalar .iloc is
+    # ~50x slower than ndarray indexing — this loop is the per-group hot
+    # path at scale.
+    close = close_s.to_numpy()
+    short_ma = close_s.rolling(window=5, min_periods=1).mean().to_numpy()
+    long_ma = close_s.rolling(window=20, min_periods=1).mean().to_numpy()
+    times = pdf[order_col].to_numpy()
 
     cash = float(budget)
     in_position = False
@@ -128,19 +137,19 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
     trades = 0
     positions: list[dict] = []
 
-    for i in range(1, len(pdf)):
+    for i in range(1, len(close)):
         if max_trades is not None and trades >= max_trades:
             break
-        prev_s, prev_l = short_ma.iloc[i - 1], long_ma.iloc[i - 1]
-        curr_s, curr_l = short_ma.iloc[i], long_ma.iloc[i]
-        price = close.iloc[i]
+        prev_s, prev_l = short_ma[i - 1], long_ma[i - 1]
+        curr_s, curr_l = short_ma[i], long_ma[i]
+        price = close[i]
         if not in_position and prev_s <= prev_l and curr_s > curr_l:
             if cash >= per_trade:
                 in_position = True
                 entry_price = price
                 trades += 1
                 positions.append({
-                    "entry_date": pdf[order_col].iloc[i],
+                    "entry_date": times[i],
                     "entry_price": price,
                     "exit_date": None, "exit_price": None,
                 })
@@ -148,13 +157,13 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
         elif in_position and prev_s >= prev_l and curr_s < curr_l:
             in_position = False
             cash += (per_trade / entry_price) * price
-            positions[-1]["exit_date"] = pdf[order_col].iloc[i]
+            positions[-1]["exit_date"] = times[i]
             positions[-1]["exit_price"] = price
 
-    if in_position and len(pdf):
-        price = close.iloc[-1]
+    if in_position and len(close):
+        price = close[-1]
         cash += (per_trade / entry_price) * price
-        positions[-1]["exit_date"] = pdf[order_col].iloc[-1]
+        positions[-1]["exit_date"] = times[-1]
         positions[-1]["exit_price"] = price
 
     roi = (cash - budget) / budget * 100.0 if budget else 0.0
@@ -230,4 +239,4 @@ def partition_invariant(df_builder, partitions: Sequence[int] = (1, 2, 4, 8, 16)
 def shares_expression(per_trade: float, price_col: str = "close"):
     """U1 (reference main.py:467-471): the per-row delayed task collapses
     to a column expression."""
-    return F.lit(float(per_trade)) / F.col(price_col)
+    return F.try_divide(F.lit(float(per_trade)), F.col(price_col))

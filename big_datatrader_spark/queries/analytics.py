@@ -1,1 +1,474 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Star-schema capability layer (SURVEY.md §2.3/2.4/2.6/2.7 engine
+notes): grouped aggregation, joins of every flavor, ranking windows, set
+ops, rollups, as-of joins. The reference's single-table model never
+needed these, but "same capabilities as the reference" for an analytics
+engine means the full relational surface; these queries are the
+driver-facing proof, each with a DuckDB oracle.
+
+Scale notes applied throughout:
+- dimension tables are broadcast (``F.broadcast``) so fact-table joins
+  never shuffle the big side;
+- aggregates are expressed declaratively -> Catalyst does partial
+  (map-side) aggregation before the exchange;
+- every LIMIT sits under a deterministic ORDER BY and compiles to
+  TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..operators.backtest import ma_crossover_backtest
+from ..sources.parquet_source import table
+from . import query
+
+_R = 6
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: whole-fact grouped aggregation (A1-A5 generalized)
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS sum_disc_price,
+           ROUND(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+               AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
+           ROUND(CAST(avg(l_extendedprice) AS DOUBLE), 6) AS avg_price,
+           ROUND(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="grouped aggregation over the fact table (TPC-H Q1 shape)",
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00")
+                  .cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2)
+             .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
+            F.round(F.avg("l_discount"), _R).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way join, grouped agg, deterministic top-k
+
+@query(
+    "q3_top_unshipped_orders",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="broadcast dim join + grouped agg + TakeOrderedAndProject top-k "
+        "(TPC-H Q3 shape)",
+    bench=True,
+)
+def q3_top_unshipped_orders(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way join through the full snowflake
+
+@query(
+    "q5_supplier_volume_by_nation",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    doc="6-way snowflake join, dims broadcast (TPC-H Q5 shape)",
+    bench=True,
+)
+def q5_supplier_volume_by_nation(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation),
+              supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking window: top-N per group
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice, rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="per-group top-N via ranking window",
+)
+def top_orders_per_customer(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) aggregation per key
+
+@query(
+    "running_total_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS running_value
+    FROM events
+    """,
+    doc="cumulative sum window per key",
+)
+def running_total_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.sum("value").over(w), _R).alias("running_value"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7 engine note)
+
+@query(
+    "set_ops_high_value_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT (distinct) of two key sets",
+)
+def set_ops_high_value_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000).select("c_custkey")
+    ords = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return cust.intersect(ords)
+
+
+@query(
+    "set_ops_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    doc="EXCEPT (distinct) — customers with no large order",
+)
+def set_ops_except(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    big = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey"))
+    return cust.exceptAll(big).distinct()
+
+
+@query(
+    "union_distinct_event_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE value > 90
+    """,
+    doc="UNION (distinct) of two selections",
+)
+def union_distinct_event_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("value") > 90).select("user_id")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+
+@query(
+    "semi_join_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+    """,
+    doc="left-semi join (EXISTS)",
+)
+def semi_join_customers_with_urgent_orders(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey,
+                     "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_parts_no_bulk_orders",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 45)
+    """,
+    doc="left-anti join (NOT EXISTS): parts never ordered in bulk",
+)
+def anti_join_parts_no_bulk_orders(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45).select("l_partkey")
+    return part.join(li, part.p_partkey == li.l_partkey,
+                     "left_anti").select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates + multi-agg
+
+@query(
+    "segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           count(DISTINCT c_nationkey) AS n_nations,
+           ROUND(CAST(avg(c_acctbal) AS DOUBLE), 6) AS avg_acctbal,
+           ROUND(CAST(min(c_acctbal) AS DOUBLE), 6) AS min_acctbal,
+           ROUND(CAST(max(c_acctbal) AS DOUBLE), 6) AS max_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="grouped multi-aggregate incl. count distinct",
+)
+def segment_stats(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.avg("c_acctbal"), _R).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), _R).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), _R).alias("max_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (hierarchical subtotals)
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (engine capability beyond reference)",
+)
+def rollup_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket rollup (hypertable-style continuous aggregate)
+
+@query(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="time-bucketed rollup (hypertable continuous-aggregate shape)",
+)
+def hourly_event_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), _R).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (the classic time-series operator Spark lacks natively)
+
+@query(
+    "asof_join_purchase_to_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS last_click_ts,
+           ROUND(c.value, 6) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: each purchase matched to the user's most recent "
+        "click at-or-before it; implemented shuffle-once via "
+        "union + last(ignorenulls) window, not a range cross join",
+)
+def asof_join_purchase_to_click(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(0).alias("side"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(1).alias("side"))
+    # One sort per user over the union; the carried-forward click is the
+    # as-of match. Inclusive (>=) semantics: at equal ts the click sorts
+    # first (side 0 < 1), so it is visible to the purchase row.
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = clicks.unionByName(purchases)
+    return (
+        merged
+        .withColumn("last_click_ts",
+                    F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value",
+                    F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(F.col("p_event_id").alias("event_id"), "user_id", "ts",
+                "last_click_ts",
+                F.round("last_click_value", _R).alias("last_click_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 pipeline 2: MA-crossover backtest (U2 — the one genuinely
+# non-SQL-expressible operator: the budget gate makes trade i depend on
+# all prior trades; driver records the weaker rows-only check,
+# correctness is pinned by golden tests against an independent
+# reimplementation in tests/test_backtest.py)
+
+@query(
+    "ma_crossover_backtest",
+    oracle=None,
+    doc="§2.12 pipeline 2: per-symbol MA(5/20) crossover backtest via "
+        "applyInPandas (reference main.py:392-446); sequential stateful "
+        "fold, parallel across symbols",
+    bench=True,
+)
+def ma_crossover_backtest_q(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    res = ma_crossover_backtest(
+        ev, symbol_col="user_id", order_col="ts", price_col="value",
+        budget=10_000.0, per_trade=1_000.0)
+    return res.select(
+        "user_id", F.col("n_trades").cast("long").alias("n_trades"),
+        F.round("final_value", _R).alias("final_value"),
+        F.round("roi", _R).alias("roi"))
+
+
+@query(
+    "ma_crossover_positions",
+    oracle=None,
+    doc="positions table emitted by the crossover backtest "
+        "(entry/exit pairs incl. forced final close, main.py:419-439)",
+)
+def ma_crossover_positions_q(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    pos = ma_crossover_backtest(
+        ev, symbol_col="user_id", order_col="ts", price_col="value",
+        budget=10_000.0, per_trade=1_000.0, emit="positions")
+    return pos.select(
+        "user_id", "entry_date",
+        F.round("entry_price", _R).alias("entry_price"),
+        "exit_date", F.round("exit_price", _R).alias("exit_price"))
