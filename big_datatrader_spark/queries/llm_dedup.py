@@ -1,1 +1,192 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Dedup queries over the documents/embeddings tables: the dedup ladder
+(exact -> n-gram Jaccard -> MinHash+LSH -> SimHash -> embedding cosine).
+
+Every hash in the ladder is md5-derived (functions/dedup.h60), so the
+DuckDB oracles reproduce the Spark results bit-for-bit:
+  spark : CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT)
+  duckdb: CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dedup as DD
+from ..functions import similarity as SIM
+from ..sources.parquet_source import table
+from . import query
+
+# ---- DuckDB oracle snippets (tokens / shingles / h60) --------------------
+
+_TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
+         "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+         "t -> lower(t)) END")
+
+# distinct word trigram shingles; short docs -> single full-text shingle
+_SHINGLES = ("CASE WHEN len(t) >= 3 THEN list_distinct(list_transform("
+             "range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))"
+             " ELSE [array_to_string(t, ' ')] END")
+
+
+def _h60(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+NUM_HASHES, BANDS = 12, 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on content fingerprint; keeps min id "
+        "per group (one shuffle of 16-byte keys, never of bodies)",
+)
+def dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+          >= 0.8
+    """,
+    doc="exact n-gram (word-trigram) Jaccard near-dup pairs via "
+        "inverted-index shingle join — no all-pairs product",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def _minhash_sig_sql() -> str:
+    mins = []
+    for j in range(NUM_HASHES):
+        seeded = f"'{j}:' || s"
+        mins.append(f"list_min(list_transform(sh, s -> {_h60(seeded)}))")
+    return "[" + ", ".join(mins) + "]"
+
+
+def _band_struct_sql() -> str:
+    bands = []
+    for bi in range(BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{bi * ROWS_PER_BAND + ri + 1}] AS VARCHAR)"
+            for ri in range(ROWS_PER_BAND))
+        bands.append(f"{{'band': {bi}, 'bucket': md5({parts})}}")
+    return "[" + ", ".join(bands) + "]"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM shing),
+    bandrows AS (
+      SELECT doc_id, sig, unnest({_band_struct_sql()},
+                                 recursive := true)
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_filter(range(1, {NUM_HASHES + 1}),
+                 i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+                 / {NUM_HASHES}.0, 6) AS est_jaccard
+    FROM cand
+    WHERE CAST(len(list_filter(range(1, {NUM_HASHES + 1}),
+          i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {NUM_HASHES}.0 >= 0.5
+    """,
+    doc=f"MinHash({NUM_HASHES})+LSH({BANDS} bands) near-dup candidates "
+        "with estimated Jaccard — the all-pairs-free dedup path at "
+        "corpus scale",
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {b}) & 1 = 1))"
+            f" - len(th) > 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    hashes AS (SELECT doc_id,
+                      list_transform(t, x -> {_h60('x')}) AS th
+               FROM toks),
+    sh AS (SELECT doc_id, {_simhash_sql(32)} AS sh FROM hashes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 2
+    """,
+    doc="32-bit SimHash near-dup pairs (hamming <= 2); majority vote "
+        "per bit over token hashes",
+)
+def dedup_simhash(spark, sf_dir):
+    return DD.simhash_pairs(
+        table(spark, sf_dir, "documents"), bits=32, max_hamming=2)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))), 6)
+               AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]))) >= 0.4
+    """,
+    doc="embedding-cosine near-dup pairs, blocked on label so the join "
+        "is per-block rather than all-pairs",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return SIM.embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"),
+        block_col="label", threshold=0.4)

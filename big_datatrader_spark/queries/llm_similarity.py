@@ -1,1 +1,87 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Similarity-search queries over the embeddings table: brute-force
+cosine top-k (exact baseline, full oracle) and the LSH-bucketed variant
+(approximate scale path — rows-only check; recall is property-tested in
+tests/test_similarity.py against the brute-force result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import similarity as SIM
+from ..sources.parquet_source import table
+from . import query
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+K = 5
+DIM = 64
+PLANES = 4
+
+_COS = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(q.embedding::DOUBLE[],"
+        " q.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.embedding::DOUBLE[],"
+        " c.embedding::DOUBLE[])))")
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS}, 6) AS cosine_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+    doc="exact cosine top-k: broadcast query set x partitioned corpus, "
+        "dot products via zip_with/aggregate (JVM-side); ranking on "
+        "rounded similarity for cross-engine determinism",
+    bench=True,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    return SIM.brute_force_topk(
+        table(spark, sf_dir, "embeddings"),
+        query_ids=QUERY_IDS, k=K)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,
+    doc=f"approximate top-k via {PLANES}-plane random-hyperplane LSH "
+        "bucketing (md5-derived deterministic planes); candidates only "
+        "from the query's bucket — the corpus-scale path. Recall vs "
+        "brute force is property-tested.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    return SIM.lsh_topk(
+        table(spark, sf_dir, "embeddings"),
+        dim=DIM, query_ids=QUERY_IDS, k=K, planes=PLANES)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS l2,
+           ROUND(list_sum(embedding::DOUBLE[]), 6) AS comp_sum
+    FROM embeddings
+    """,
+    doc="vector-column arithmetic via higher-order functions (norms, "
+        "component sums) — the building blocks of similarity ops",
+)
+def embedding_norms(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    v = SIM.as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id", "label",
+        F.round(SIM.norm(v), 6).alias("l2"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("comp_sum"),
+    )

@@ -1,1 +1,169 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Text-analysis queries over the documents table (north-star LLM-data
+operators): token stats, quality scoring, language ID, fingerprinting.
+
+Shared tokenization convention (functions/text.py): tokens =
+lowercased ``\\s+`` split of trim(text); empty text -> empty array. The
+DuckDB oracles reproduce the convention with list lambdas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.parquet_source import table
+from . import query
+
+_R = 6
+
+# oracle snippet: the tokens expression (DuckDB dialect)
+_TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
+         "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+         "t -> lower(t)) END")
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS t
+                  FROM documents)
+    SELECT doc_id, n_chars,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x)))
+                 AS DOUBLE) / len(t), 6) AS avg_token_len,
+           ROUND(CAST(len(list_filter(t,
+                 x -> list_contains({_sw_list('en')}, x))) AS DOUBLE)
+                 / len(t), 6) AS stopword_ratio
+    FROM toks
+    """,
+    doc="token counting + lexical stats, all JVM-side array functions",
+    bench=True,
+)
+def text_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long")
+         .alias("n_distinct_tokens"),
+        F.round(TX.avg_token_len(toks), _R).alias("avg_token_len"),
+        F.round(F.try_divide(
+            TX.stopword_hits(toks, "en").cast("double"),
+            F.size(toks).cast("double")), _R).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    scored AS (
+      SELECT doc_id,
+             0.5 * LEAST(length(text) / 500.0, 1.0)
+             + 0.5 * LEAST(COALESCE(
+                   CAST(len(list_filter(t,
+                       x -> list_contains({_sw_list('en')}, x)))
+                   AS DOUBLE) / len(t), 0.0) * 5.0, 1.0) AS q
+      FROM toks)
+    SELECT doc_id, ROUND(q, 6) AS quality, q > 0.5 AS is_quality
+    FROM scored
+    """,
+    doc="deterministic quality heuristic (length + stopword density) — "
+        "the cheap pre-filter stage of an LLM data pipeline",
+)
+def text_quality_score(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(q, _R).alias("quality"),
+        (q > 0.5).alias("is_quality"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             {", ".join(
+                 f"len(list_filter(t, x -> list_contains("
+                 f"{_sw_list(lang)}, x))) AS hits_{lang}"
+                 for lang in TX.LANGS)}
+      FROM toks)
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(hits_en, hits_es, hits_fr, hits_de,
+                              hits_zh) = 0 THEN 'und'
+                {" ".join(
+                    f"WHEN hits_{lang} = GREATEST(hits_en, hits_es, "
+                    f"hits_fr, hits_de, hits_zh) THEN '{lang}'"
+                    for lang in TX.LANGS)}
+           END AS pred_lang,
+           {", ".join(f"CAST(hits_{lang} AS BIGINT) AS hits_{lang}"
+                      for lang in TX.LANGS)}
+    FROM hits
+    """,
+    doc="stopword-inventory language ID heuristic (n-gram-free variant); "
+        "ties break in fixed language order",
+)
+def lang_id(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    scores = TX.lang_scores(toks)
+    return docs.select(
+        "doc_id", "lang",
+        TX.predicted_lang(toks).alias("pred_lang"),
+        *[scores[lang].cast("long").alias(f"hits_{lang}")
+          for lang in TX.LANGS],
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents
+    """,
+    doc="content fingerprint (md5 of canonicalized text) — the exact-"
+        "dedup key — plus byte length",
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "token_count_bpe_ish",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+           END AS ws_tokens
+    FROM documents
+    """,
+    doc="pre-tokenizer-style token count (letter/digit runs + single "
+        "punctuation) next to the whitespace count",
+)
+def token_count_bpe_ish(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_ish_token_count(F.col("text")).cast("long")
+          .alias("bpe_ish_tokens"),
+        TX.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+    )

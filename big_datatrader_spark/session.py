@@ -41,7 +41,12 @@ def _cpus() -> int:
 
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs idempotently (cheap; call per query)."""
-    for k, v in RUNTIME_CONFS.items():
+    # Size the shuffle fan-out to the machine instead of Spark's default
+    # 200 (AQE coalesces down, but the driver-provided session would
+    # otherwise schedule 200 tasks per exchange on a 32-core box).
+    confs = {**RUNTIME_CONFS,
+             "spark.sql.shuffle.partitions": str(_cpus())}
+    for k, v in confs.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)

@@ -1,0 +1,77 @@
+"""Structured Streaming variants of the batch pipeline (engine
+capability beyond the strictly-batch reference; SURVEY.md §2.9).
+
+The events table replayed as a file stream: explicit schema (never
+inferred — a streaming source cannot re-scan), event-time watermark for
+late data, tumbling-window aggregation. ``availableNow`` drains all
+existing files and stops, which makes the streaming result comparable
+to (and oracle-checked against) the batch rollup.
+
+At scale the same code runs against a Kafka source with
+``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` bounding batch size and
+the watermark bounding state; the aggregation state lives in the state
+store, partitioned by group key.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..session import ensure_confs
+
+# Explicit source schema: ts is int64 nanoseconds at rest (see
+# sources/parquet_source._NANOS_TS_COLS).
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def hourly_rollup_stream(df: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type with a 2-hour
+    watermark (late rows beyond it are dropped once state advances)."""
+    return (
+        df.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(result: DataFrame, spark: SparkSession,
+                         timeout_sec: int = 120) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink; return the
+    materialized result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

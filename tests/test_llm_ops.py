@@ -1,0 +1,120 @@
+"""LLM-data-pipeline operators: dedup ladder, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_datatrader_spark.functions import dedup as DD
+from big_datatrader_spark.functions import multimodal as MM
+from big_datatrader_spark.functions import similarity as SIM
+from big_datatrader_spark.functions import text as TX
+from big_datatrader_spark.sources.parquet_source import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content here entirely unrelated"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, ""),
+        ],
+        "doc_id long, text string")
+
+
+def test_tokens_empty_text(spark, docs):
+    out = docs.select(F.size(TX.tokens(F.col("text"))).alias("n")).collect()
+    assert [r.n for r in out] == [9, 9, 6, 9, 0]
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["fp"]: r for r in DD.exact_dedup(docs).collect()}
+    dup_groups = [g for g in groups.values() if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_doc_id"] == 1
+    assert dup_groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in DD.ngram_jaccard_pairs(
+                 docs, n=3, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup (one word differs)
+    assert not any({3} & {a, b} for a, b in pairs)  # unrelated doc absent
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in DD.minhash_lsh_pairs(
+                 docs, num_hashes=12, bands=4, threshold=0.5).collect()}
+    assert pairs.get((1, 4)) == 1.0
+    assert not any({3} & {a, b} for a, b in pairs)
+
+
+def test_simhash_identical_and_different(docs):
+    sh = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", DD.simhash(TX.tokens(F.col("text")), 32).alias("sh")
+    ).collect()}
+    assert sh[1] == sh[4]  # identical docs, identical simhash
+    assert sh[1] != sh[3]  # unrelated docs differ
+    assert sh[5] == 0  # empty doc: all votes 0, no bits set
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
+    emb = table(spark, sf001, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = SIM.brute_force_topk(emb, query_ids=qids, k=5).collect()
+    lsh = SIM.lsh_topk(emb, dim=64, query_ids=qids, k=5,
+                       planes=4).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every LSH hit must carry the true cosine (subset of scored pairs),
+    # and aggregate recall must be nontrivial
+    hits = sum(len(bf_sets[q] & lsh_sets.get(q, set())) for q in qids)
+    assert hits >= 3, f"LSH recall too low: {hits}/25"
+    # determinism: second run identical
+    lsh2 = SIM.lsh_topk(emb, dim=64, query_ids=qids, k=5,
+                        planes=4).collect()
+    assert sorted(map(tuple, lsh)) == sorted(map(tuple, lsh2))
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "el perro y la casa de los gatos"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.pred for r in df.select(
+        "doc_id",
+        TX.predicted_lang(TX.tokens(F.col("text"))).alias("pred")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_multimodal_feature_stub(spark):
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "")],
+                               "doc_id long, text string")
+    media = MM.with_binary_content(df)
+    feats = {r.doc_id: r for r in MM.extract_features(media).collect()}
+    assert feats[1].n_bytes == 8
+    assert feats[1].decode_ok
+    assert len(feats[1].feature) == MM.FEATURE_DIM
+    # deterministic fake decode: mean of byte chunks
+    assert feats[1].feature[0] == float(ord("a"))
+    assert feats[2].n_bytes == 0
+    assert feats[2].feature == [0.0] * MM.FEATURE_DIM
+
+
+def test_multimodal_strict_decode_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"payload", strict=True)

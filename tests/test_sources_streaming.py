@@ -1,0 +1,79 @@
+"""CSV source/sink (S1-S4) and the Structured Streaming rollup."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_datatrader_spark.sources.csv_source import (
+    discover_csv_files, read_ohlcv_csv)
+from big_datatrader_spark.sources.sinks import write_csv
+from big_datatrader_spark.streaming.pipeline import (
+    events_stream, hourly_rollup_stream, run_stream_to_memory)
+
+
+def _write_ohlcv(tmp_path, name, rows):
+    p = tmp_path / name
+    with open(p, "w") as f:
+        f.write("time,open,high,low,close,volume\n")
+        for r in rows:
+            f.write(",".join(map(str, r)) + "\n")
+    return str(p)
+
+
+def test_read_ohlcv_csv_schema_and_epoch_ms(spark, tmp_path):
+    # epoch ms (reference README.md:21): 2024-01-01T00:00:00Z
+    _write_ohlcv(tmp_path, "btcusd_1m.csv", [
+        (1704067200000, 1.0, 2.0, 0.5, 1.5, 100.0),
+        (1704067260000, 1.5, 2.5, 1.0, 2.0, 50.0),
+    ])
+    df = read_ohlcv_csv(spark, str(tmp_path / "*.csv"))
+    rows = df.orderBy("time").collect()
+    assert [f.name for f in df.schema.fields] == [
+        "time", "open", "high", "low", "close", "volume", "src_file"]
+    assert str(df.schema["time"].dataType) == "TimestampType()"
+    assert rows[0].time.isoformat().startswith("2024-01-01T00:00:00")
+    assert rows[1].close == 2.0
+
+
+def test_filename_contains_filter(spark, tmp_path):
+    _write_ohlcv(tmp_path, "BTCUSD.csv",
+                 [(1704067200000, 1, 1, 1, 1, 1)])
+    _write_ohlcv(tmp_path, "ethusd.csv",
+                 [(1704067200000, 2, 2, 2, 2, 2)])
+    df = read_ohlcv_csv(spark, str(tmp_path / "*.csv"),
+                        filename_contains="btc")
+    assert df.count() == 1  # case-insensitive (reference main.py:216)
+
+
+def test_discover_csv_files(spark, tmp_path):
+    _write_ohlcv(tmp_path, "a.csv", [(1704067200000, 1, 1, 1, 1, 1)])
+    _write_ohlcv(tmp_path, "b.csv", [(1704067200000, 1, 1, 1, 1, 1)])
+    files = discover_csv_files(spark, str(tmp_path)).collect()
+    assert len(files) == 2
+    assert all(f.bytes > 0 for f in files)
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 2.5, "x")], "id long, v double, s string")
+    out = os.path.join(str(tmp_path), "out")
+    write_csv(df.withColumn("trade_amount", F.col("v") * 2),
+              out, single_file=True)
+    back = spark.read.option("header", "true").csv(out)
+    row = back.collect()[0]
+    assert row.s == "x" and float(row.trade_amount) == 5.0
+
+
+def test_streaming_rollup_equals_batch(spark, sf0001):
+    stream_df = run_stream_to_memory(
+        hourly_rollup_stream(events_stream(spark, sf0001)), spark)
+    got = sorted(map(tuple, stream_df.collect()))
+    from big_datatrader_spark.sources.parquet_source import table
+    ev = table(spark, sf0001, "events")
+    batch = sorted(map(tuple, (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    ).collect()))
+    assert got == batch
