@@ -55,7 +55,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int) -> DataFrame:
-    return df.select(
+    # Repartition by doc id BEFORE the shingle projection: higher-order
+    # tokenize/shingle lambdas run interpreted, and the documents source
+    # is a single small file -> one task would compute every doc's
+    # shingles serially. One narrow shuffle buys full-core parallelism.
+    return df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"))
 
@@ -96,13 +100,38 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
 def minhash_signature(toks: Column, num_hashes: int,
                       shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values over n-gram shingles,
-    hash_j(s) = h60(j || ':' || s)."""
+    hash_j(s) = h60(j || ':' || s).
+
+    Column-expression form (used for small/inline cases and as the
+    semantic spec). The table-level pipeline below
+    (``minhash_signatures``) computes the same thing via
+    explode + flat hash projections + groupBy: flat md5 projections are
+    whole-stage-codegen'd, while lambda bodies inside higher-order
+    functions run interpreted — measured >10x difference at 5k docs.
+    """
     sh = shingles(toks, shingle_n)
     return F.array(*[
         F.array_min(F.transform(
             sh, lambda s: h60(F.concat(F.lit(f"{j}:"), s))))
         for j in range(num_hashes)
     ])
+
+
+def minhash_signatures(df: DataFrame, *, text_col: str, id_col: str,
+                       num_hashes: int, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>) via the codegen-friendly plan:
+    explode shingles -> num_hashes md5 columns -> min-aggregate by doc.
+    One shuffle (the groupBy), everything else pipelined in codegen."""
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    hashed = sh.select(
+        "doc_id",
+        *[h60(F.concat(F.lit(f"{j}:"), F.col("s"))).alias(f"h{j}")
+          for j in range(num_hashes)])
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)])
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
@@ -119,10 +148,8 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature(tokens(F.col(text_col)), num_hashes,
-                          shingle_n).alias("sig"))
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                              num_hashes=num_hashes, shingle_n=shingle_n)
     band_rows = sigs.select(
         "doc_id", "sig",
         F.explode(F.array(*[

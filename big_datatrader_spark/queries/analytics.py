@@ -383,6 +383,53 @@ def hourly_event_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CUBE grouping sets
+
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           ROUND(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over two dimensions",
+)
+def cube_order_stats(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated) per group
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+           ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated percentiles per group (Spark percentile == "
+        "DuckDB quantile_cont); at 100 TB swap to approx_percentile "
+        "with a documented error bound",
+)
+def value_percentiles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), _R).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), _R).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), _R).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (the classic time-series operator Spark lacks natively)
 
 @query(

@@ -316,6 +316,39 @@ FROM finals f LEFT JOIN agg a USING (user_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# S4: results-export table (reference main.py:515-534): all buy rows plus
+# computed trade_amount / shares columns. The CSV sink itself is
+# sources/sinks.write_csv (tested in tests/test_sources_streaming.py);
+# this query is the exported relation.
+
+@query(
+    "export_buy_rows",
+    oracle="""
+    WITH sig AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           1000.0 AS trade_amount,
+           ROUND(1000.0 / nullif(value, 0.0), 6) AS shares
+    FROM sig WHERE (rn - 1) % 10 = 0
+    """,
+    doc="S4 export table: buy rows + trade_amount/shares computed "
+        "columns (main.py:526-528)",
+)
+def export_buy_rows(spark, sf_dir):
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"])
+    return (
+        sig.filter(F.col("buy_signal"))
+        .select("event_id", "user_id", "ts", "value",
+                F.lit(1000.0).alias("trade_amount"),
+                F.round(F.try_divide(F.lit(1000.0), F.col("value")), _R)
+                 .alias("shares"))
+    )
+
+
 @query(
     "evenly_spaced_backtest_maxtrades",
     oracle=_EVENLY_ORACLE_MAXTRADES,

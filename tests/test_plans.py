@@ -1,0 +1,76 @@
+"""Physical-plan properties: the 100 TB design rules as assertions.
+
+A query that is correct but mis-planned (unpruned scan, shuffled dim
+join, global sort under a limit) passes value checks at sf0.01 and
+falls over at scale — these tests pin the plans we actually want.
+"""
+
+from pyspark.sql import functions as F
+
+from big_datatrader_spark.plans.explain import (
+    num_exchanges, scan_read_columns, physical_plan, uses_broadcast_join,
+    uses_top_k)
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+
+
+def test_q1_scan_prunes_columns_and_pushes_filter(spark, sf001):
+    df = REG["q1_pricing_summary"].spark_fn(spark, sf001)
+    scans = scan_read_columns(df)
+    assert len(scans) == 1
+    # 7 referenced columns out of 11 — the scan must not read the rest
+    assert set(scans[0]) == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate"}
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in physical_plan(df) \
+        or "LessThanOrEqual(l_shipdate" in physical_plan(df)
+
+
+def test_q3_uses_broadcast_joins(spark, sf001):
+    df = REG["q3_top_unshipped_orders"].spark_fn(spark, sf001)
+    assert uses_broadcast_join(df)
+    assert uses_top_k(df)  # ordered limit -> distributed top-k
+
+
+def test_q5_snowflake_broadcasts_all_dims(spark, sf001):
+    df = REG["q5_supplier_volume_by_nation"].spark_fn(spark, sf001)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # only the fact-side join + final agg may shuffle
+    assert num_exchanges(df) <= 3
+
+
+def test_rolling_ma_single_exchange(spark, sf001):
+    """Both rolling windows share (partition, order) -> ONE shuffle."""
+    df = REG["rolling_ma"].spark_fn(spark, sf001)
+    assert num_exchanges(df) == 1
+
+
+def test_stride_and_backtest_bounded_exchanges(spark, sf001):
+    # stride signals: one exchange for the shared window spec
+    sig = REG["stride_signals"].spark_fn(spark, sf001)
+    assert num_exchanges(sig) == 1
+
+
+def test_topk_is_take_ordered(spark, sf001):
+    df = REG["topk_earliest_buys"].spark_fn(spark, sf001)
+    assert uses_top_k(df)
+
+
+def test_date_filter_pushed_to_parquet(spark, sf001):
+    ev = table(spark, sf001, "events")
+    df = ev.filter(F.col("value") > 50).select("event_id", "value")
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and "GreaterThan(value,50" in plan
+    # projection pruned into the scan
+    assert scan_read_columns(df) == [["event_id", "value"]]
+
+
+def test_asof_join_single_shuffle(spark, sf001):
+    """The as-of union+window implementation must cost one exchange,
+    not a range cross join."""
+    df = REG["asof_join_purchase_to_click"].spark_fn(spark, sf001)
+    assert num_exchanges(df) <= 2  # union repartition + window
+    assert "CartesianProduct" not in physical_plan(df)
