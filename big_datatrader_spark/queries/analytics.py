@@ -479,6 +479,195 @@ def asof_join_purchase_to_click(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Simple filter-aggregate (TPC-H Q6 shape): the pushdown showcase —
+# every predicate reaches the parquet scan, the agg is one partial+final
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="filter-heavy whole-table aggregate (TPC-H Q6 shape); all four "
+        "predicates push into the parquet scan",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+             .cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")
+               .cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * F.col("l_discount")), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation / pivot shape (TPC-H Q12 flavor)
+
+@query(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           ROUND(CAST(COALESCE(sum(value)
+                 FILTER (event_type = 'purchase'), 0.0) AS DOUBLE), 6)
+               AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot via conditional aggregation (count/sum FILTER) — the "
+        "shuffle-free way to widen by category",
+)
+def event_type_pivot(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+        F.round(F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         F.col("value"))), F.lit(0.0)), 6)
+         .alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Promo-share (TPC-H Q14 shape): conditional numerator over a join
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6)
+               AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="conditional-numerator ratio over a broadcast join "
+        "(TPC-H Q14 shape)",
+)
+def q14_promo_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00")
+           .cast("timestamp")))
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0))) / F.sum(rev), 6)
+            .alias("promo_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery shape: orders larger than their customer's average
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH avgs AS (
+      SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+      FROM orders GROUP BY 1)
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           ROUND(CAST(cust_avg AS DOUBLE), 6) AS cust_avg
+    FROM orders JOIN avgs ON o_custkey = k
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+    doc="correlated-scalar-subquery shape, decorrelated into an "
+        "aggregate + join (what Catalyst does to EXISTS/IN too)",
+)
+def orders_above_customer_avg(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        orders.join(avgs, orders.o_custkey == avgs.k)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("cust_avg", 6).alias("cust_avg"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization: the classic event-stream operator
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT event_id, user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30-min inactivity): lag + cumulative "
+        "flag sum + grouped bounds, one window partitioning throughout",
+)
+def sessionize_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    # microsecond-exact gap compare (unix_timestamp truncates to seconds
+    # and would disagree with the oracle's interval comparison on
+    # fractional-second gaps)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
+           > 1800 * 1_000_000),
+        1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id",
+                 F.col("session_id").cast("long").alias("session_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 pipeline 2: MA-crossover backtest (U2 — the one genuinely
 # non-SQL-expressible operator: the budget gate makes trade i depend on
 # all prior trades; driver records the weaker rows-only check,

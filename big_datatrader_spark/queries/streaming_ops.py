@@ -5,8 +5,11 @@ identical to the batch rollup, which is exactly what the oracle checks.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..streaming.pipeline import (
-    events_stream, hourly_rollup_stream, run_stream_to_memory)
+    events_stream, hourly_rollup_stream, run_stream_to_memory,
+    running_position_stream)
 from . import query
 
 
@@ -25,3 +28,20 @@ from . import query
 def streaming_hourly_rollup(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     return run_stream_to_memory(hourly_rollup_stream(stream), spark)
+
+
+@query(
+    "streaming_running_position",
+    oracle=None,
+    doc="custom stateful streaming operator (applyInPandasWithState): "
+        "per-user running position with state across micro-batches — "
+        "the streaming analog of the U2 backtest fold; batch "
+        "equivalence is pytest-checked (fp order differs, so no "
+        "hash oracle)",
+)
+def streaming_running_position(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        running_position_stream(stream), spark, output_mode="update")
+    return out.select("user_id", "n_events",
+                      F.round("position", 6).alias("position"))

@@ -57,15 +57,56 @@ def hourly_rollup_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def running_position_stream(df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running position (cumulative purchase value minus cumulative
+    error penalty), state carried across micro-batches.
+
+    This is the streaming analog of the backtest fold (U2): per-key
+    sequential state, parallel across keys, state bounded by key
+    cardinality (GroupState timeout would evict idle users in a
+    production deployment).
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+    import pandas as pd
+
+    out_schema = ("user_id long, n_events long, position double")
+    state_schema = "n long, pos double"
+
+    def update(key, pdfs, state: GroupState):
+        n, pos = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            for et, v in zip(pdf["event_type"], pdf["value"]):
+                n += 1
+                if et == "purchase":
+                    pos += float(v)
+                elif et == "error":
+                    pos -= 0.1 * float(v)
+        state.update((n, pos))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "position": [pos]})
+
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            update, outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_stream_to_memory(result: DataFrame, spark: SparkSession,
-                         timeout_sec: int = 120) -> DataFrame:
+                         timeout_sec: int = 120,
+                         output_mode: str = "complete") -> DataFrame:
     """Drain the stream with availableNow into a memory sink; return the
     materialized result as a batch DataFrame."""
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

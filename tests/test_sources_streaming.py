@@ -64,6 +64,28 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert row.s == "x" and float(row.trade_amount) == 5.0
 
 
+def test_streaming_running_position_equals_batch(spark, sf0001):
+    from big_datatrader_spark.sources.parquet_source import table
+    from big_datatrader_spark.streaming.pipeline import (
+        running_position_stream)
+    out = run_stream_to_memory(
+        running_position_stream(events_stream(spark, sf0001)), spark,
+        output_mode="update")
+    got = {r.user_id: (r.n_events, r.position) for r in out.collect()}
+    ev = table(spark, sf0001, "events")
+    exp = {r.user_id: (r.n, r.pos) for r in ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.coalesce(F.sum(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))), F.lit(0.0))
+         - 0.1 * F.coalesce(F.sum(F.when(F.col("event_type") == "error",
+                                         F.col("value"))), F.lit(0.0))
+         ).alias("pos")).collect()}
+    assert set(got) == set(exp)
+    for uid in got:
+        assert got[uid][0] == exp[uid][0], uid
+        assert abs(got[uid][1] - exp[uid][1]) < 1e-6, uid
+
+
 def test_streaming_rollup_equals_batch(spark, sf0001):
     stream_df = run_stream_to_memory(
         hourly_rollup_stream(events_stream(spark, sf0001)), spark)
