@@ -32,13 +32,15 @@ def h60(col: Column) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; a doc shorter than n tokens yields
-    its single full-text shingle."""
+    its single full-text shingle; an empty doc yields no shingles."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), k - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     short = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(k >= n, grams).otherwise(short))
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(
+        F.when(k == 0, empty).when(k >= n, grams).otherwise(short))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -55,13 +57,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int) -> DataFrame:
-    # Repartition by doc id BEFORE the shingle projection: higher-order
-    # tokenize/shingle lambdas run interpreted, and the documents source
-    # is a single small file -> one task would compute every doc's
-    # shingles serially. One narrow shuffle buys full-core parallelism.
-    return df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("s"))
+    """(doc_id, s): DISTINCT n-gram shingles, one row each.
+
+    posexplode + lead-window formulation instead of exploding the
+    ``shingles()`` array column: lambda bodies in higher-order functions
+    run interpreted and dominated the dedup wall-clock (7.7s of 12.8s at
+    5k docs); window lead/concat_ws stays inside whole-stage codegen.
+    The window shuffle also spreads single-file sources across cores.
+
+    Matches ``shingles()``: docs with 1..n-1 tokens yield their single
+    full-text shingle (concat_ws skips the null leads); empty docs yield
+    no rows.
+    """
+    from pyspark.sql import Window
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)])
+    return (
+        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
+        .withColumn("s", gram)
+        .filter((F.col("pos") + n <= F.col("n_tok"))
+                | ((F.col("n_tok") < n) & (F.col("pos") == 0)))
+        .select("doc_id", "s")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",

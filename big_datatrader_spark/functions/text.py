@@ -28,10 +28,16 @@ LANGS = list(STOPWORDS)
 
 
 def tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens; empty/blank text -> empty array."""
-    t = F.trim(text)
+    """Lowercased whitespace tokens; empty/blank text -> empty array.
+
+    Lowercases the whole string BEFORE splitting (equivalent — case
+    mapping never produces whitespace) so no per-token lambda is needed:
+    higher-order-function bodies run interpreted and measurably drag
+    tokenization-heavy pipelines.
+    """
+    t = F.trim(F.lower(text))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.transform(F.split(t, r"\s+"), lambda x: F.lower(x)))
+        F.split(t, r"\s+"))
 
 
 def token_count(text: Column) -> Column:

@@ -614,6 +614,109 @@ def orders_above_customer_avg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W5/W6: first/last values per series (reference main.py:383, 420, 437)
+
+@query(
+    "last_tick_per_user",
+    oracle="""
+    SELECT user_id,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           ROUND(min_by(value, ts), 6) AS first_value,
+           ROUND(max_by(value, ts), 6) AS last_value,
+           count(*) AS n_ticks
+    FROM events GROUP BY user_id
+    """,
+    doc="W5/W6 first/last row values per series via min_by/max_by — "
+        "single hash aggregate, no window sort",
+)
+def last_tick_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.min_by("value", "ts"), 6).alias("first_value"),
+        F.round(F.max_by("value", "ts"), 6).alias("last_value"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING over a join (TPC-H Q18 shape)
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(CAST(b.total_qty AS DOUBLE), 2) AS total_qty
+    FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+    doc="grouped HAVING feeding a join (TPC-H Q18 shape); the aggregate "
+        "side shrinks before the join, never after",
+)
+def q18_large_orders(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round(F.col("total_qty").cast("double"), 2)
+                 .alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-revenue ranking (TPC-H Q10 shape)
+
+@query(
+    "q10_top_return_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                 AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="returned-item revenue per customer, deterministic top-20 "
+        "(TPC-H Q10 shape)",
+)
+def q10_top_return_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gap-based sessionization: the classic event-stream operator
 
 @query(

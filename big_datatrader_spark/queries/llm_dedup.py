@@ -22,8 +22,10 @@ _TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
          "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
          "t -> lower(t)) END")
 
-# distinct word trigram shingles; short docs -> single full-text shingle
-_SHINGLES = ("CASE WHEN len(t) >= 3 THEN list_distinct(list_transform("
+# distinct word trigram shingles; short docs -> single full-text
+# shingle; empty docs -> none
+_SHINGLES = ("CASE WHEN len(t) = 0 THEN []::VARCHAR[] "
+             "WHEN len(t) >= 3 THEN list_distinct(list_transform("
              "range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))"
              " ELSE [array_to_string(t, ' ')] END")
 

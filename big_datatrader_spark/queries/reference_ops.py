@@ -76,7 +76,7 @@ def json_filter(spark, sf_dir):
     oracle="""
     SELECT event_id, user_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
-           10 AS step,
+           CAST(10 AS BIGINT) AS step,
            ((row_number() OVER (PARTITION BY user_id ORDER BY ts)) - 1)
                % 10 = 0 AS buy_signal
     FROM events
@@ -331,8 +331,8 @@ FROM finals f LEFT JOIN agg a USING (user_id)
       FROM events
     )
     SELECT event_id, user_id, ts, value,
-           1000.0 AS trade_amount,
-           ROUND(1000.0 / nullif(value, 0.0), 6) AS shares
+           CAST(1000.0 AS DOUBLE) AS trade_amount,
+           ROUND(CAST(1000.0 AS DOUBLE) / nullif(value, 0.0), 6) AS shares
     FROM sig WHERE (rn - 1) % 10 = 0
     """,
     doc="S4 export table: buy rows + trade_amount/shares computed "
