@@ -170,6 +170,50 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
     return cash, roi, positions
 
 
+def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
+                           per_trade: float, max_trades: int | None):
+    """Fold over CROSS-EVENT rows only (columns: __ts, __price, __g,
+    __last_price, __last_ts). State changes only at cross events, so
+    iterating events is exactly equivalent to the reference's every-row
+    loop — including the max_trades break, which can only trip before an
+    event — while shipping ~1% of the rows to Python."""
+    pdf = pdf.sort_values("__ts")
+    cash = float(budget)
+    in_position = False
+    entry_price = 0.0
+    trades = 0
+    positions: list[dict] = []
+
+    for ts, price, golden in zip(pdf["__ts"].to_numpy(),
+                                 pdf["__price"].to_numpy(),
+                                 pdf["__g"].to_numpy()):
+        if pd.isna(ts):
+            continue  # right-join placeholder: symbol with no events
+        if max_trades is not None and trades >= max_trades:
+            break
+        if golden and not in_position and cash >= per_trade:
+            in_position = True
+            entry_price = price
+            trades += 1
+            positions.append({"entry_date": ts, "entry_price": price,
+                              "exit_date": None, "exit_price": None})
+            cash -= per_trade
+        elif (not golden) and in_position:
+            in_position = False
+            cash += (per_trade / entry_price) * price
+            positions[-1]["exit_date"] = ts
+            positions[-1]["exit_price"] = price
+
+    if in_position and len(pdf):
+        price = float(pdf["__last_price"].iloc[0])
+        cash += (per_trade / entry_price) * price
+        positions[-1]["exit_date"] = pdf["__last_ts"].iloc[0]
+        positions[-1]["exit_price"] = price
+
+    roi = (cash - budget) / budget * 100.0 if budget else 0.0
+    return cash, roi, positions
+
+
 def ma_crossover_backtest(df: DataFrame, *,
                           symbol_col: str,
                           order_col: str,
@@ -177,40 +221,82 @@ def ma_crossover_backtest(df: DataFrame, *,
                           budget: float = 10_000.0,
                           per_trade: float = 1_000.0,
                           max_trades: int | None = None,
-                          emit: str = "summary") -> DataFrame:
-    """Per-symbol MA(5/20)-crossover backtest via applyInPandas (U2).
+                          emit: str = "summary",
+                          mode: str = "compressed") -> DataFrame:
+    """Per-symbol MA(5/20)-crossover backtest (U2).
 
     emit='summary'   -> (symbol, n_trades, final_value, roi)
     emit='positions' -> (symbol, entry_date, entry_price, exit_date,
                          exit_price) — exit fields null only if the group
                          was empty-guarded (forced close otherwise,
                          reference main.py:432-439).
+
+    mode='compressed' (default): rolling means + cross detection run
+    JVM-side (window functions); only cross-event rows reach the Python
+    fold. State changes only at events, so results are identical to
+    mode='full' (cross-validated in tests) — but the Python-side work is
+    proportional to the number of CROSSES, not rows. At 100 TB this is
+    the difference between a fold over ~1% of the data and Arrow-
+    shipping every tick.
+    mode='full': the whole series goes to an exact pandas kernel
+    (rolling means computed in pandas) — the literal transcription of
+    the reference semantics, kept as the cross-validation baseline.
     """
     if emit not in ("summary", "positions"):
         raise ValueError("emit must be 'summary' or 'positions'")
+    if mode not in ("compressed", "full"):
+        raise ValueError("mode must be 'compressed' or 'full'")
 
     sym_field = df.schema[symbol_col]
+    ts_type = df.schema[order_col].dataType.simpleString()
+
+    if mode == "compressed":
+        from .indicators import with_crossover_signals, with_rolling_mean
+        slim = df.select(F.col(symbol_col),
+                         F.col(order_col).alias("__ts"),
+                         F.col(price_col).alias("__price"))
+        ma = with_rolling_mean(slim, "__price", 5, [symbol_col],
+                               ["__ts"], "__s")
+        ma = with_rolling_mean(ma, "__price", 20, [symbol_col],
+                               ["__ts"], "__l")
+        cx = with_crossover_signals(ma, "__s", "__l", [symbol_col],
+                                    ["__ts"], "__g", "__d")
+        events = cx.filter(F.col("__g") | F.col("__d")).select(
+            symbol_col, "__ts", "__price", "__g")
+        last = df.groupBy(symbol_col).agg(
+            F.max_by(F.col(price_col), F.col(order_col))
+             .alias("__last_price"),
+            F.max(order_col).alias("__last_ts"))
+        # right join: symbols with no cross events still emit a row
+        grouped_src = events.join(last, on=symbol_col, how="right")
+
+        def fold(pdf):
+            return _crossover_fold_events(pdf, budget, per_trade,
+                                          max_trades)
+    else:
+        grouped_src = df.select(symbol_col, order_col, price_col)
+
+        def fold(pdf):
+            return _crossover_fold(pdf, price_col, order_col, budget,
+                                   per_trade, max_trades)
 
     if emit == "summary":
         out_schema = (f"`{symbol_col}` {sym_field.dataType.simpleString()}, "
                       "n_trades long, final_value double, roi double")
 
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            cash, roi, positions = _crossover_fold(
-                pdf, price_col, order_col, budget, per_trade, max_trades)
+            cash, roi, positions = fold(pdf)
             return pd.DataFrame({
                 symbol_col: [key[0]], "n_trades": [len(positions)],
                 "final_value": [cash], "roi": [roi],
             })
     else:
-        ts_type = df.schema[order_col].dataType.simpleString()
         out_schema = (f"`{symbol_col}` {sym_field.dataType.simpleString()}, "
                       f"entry_date {ts_type}, entry_price double, "
                       f"exit_date {ts_type}, exit_price double")
 
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            _, _, positions = _crossover_fold(
-                pdf, price_col, order_col, budget, per_trade, max_trades)
+            _, _, positions = fold(pdf)
             if not positions:
                 return pd.DataFrame(columns=[
                     symbol_col, "entry_date", "entry_price",
@@ -219,10 +305,10 @@ def ma_crossover_backtest(df: DataFrame, *,
             out.insert(0, symbol_col, key[0])
             return out
 
-    # Project before the shuffle: only the columns the kernel reads cross
-    # the wire (column pruning does not reach inside applyInPandas).
-    slim = df.select(symbol_col, order_col, price_col)
-    return slim.groupBy(symbol_col).applyInPandas(run, schema=out_schema)
+    # Only the columns the kernel reads cross the shuffle (column
+    # pruning does not reach inside applyInPandas).
+    return grouped_src.groupBy(symbol_col).applyInPandas(
+        run, schema=out_schema)
 
 
 def partition_invariant(df_builder, partitions: Sequence[int] = (1, 2, 4, 8, 16)):

@@ -97,6 +97,34 @@ def test_evenly_spaced_max_trades_matches_golden(ticks, ticks_pdf):
         assert got[uid] == pytest.approx(fv, rel=1e-12), uid
 
 
+def test_ma_crossover_compressed_equals_full(ticks):
+    """The event-compressed path (JVM cross detection, Python fold over
+    events only) must reproduce the full-series kernel exactly."""
+    kw = dict(symbol_col="user_id", order_col="ts", price_col="value",
+              budget=BUDGET, per_trade=PER_TRADE)
+    full = sorted(map(tuple, ma_crossover_backtest(
+        ticks, mode="full", **kw).collect()))
+    comp = sorted(map(tuple, ma_crossover_backtest(
+        ticks, mode="compressed", **kw).collect()))
+    assert full == comp
+    # positions too, incl. forced final close rows
+    fullp = sorted(map(tuple, ma_crossover_backtest(
+        ticks, mode="full", emit="positions", **kw).collect()))
+    compp = sorted(map(tuple, ma_crossover_backtest(
+        ticks, mode="compressed", emit="positions", **kw).collect()))
+    assert fullp == compp
+
+
+def test_ma_crossover_compressed_max_trades(ticks):
+    kw = dict(symbol_col="user_id", order_col="ts", price_col="value",
+              budget=BUDGET, per_trade=PER_TRADE, max_trades=2)
+    full = sorted(map(tuple, ma_crossover_backtest(
+        ticks, mode="full", **kw).collect()))
+    comp = sorted(map(tuple, ma_crossover_backtest(
+        ticks, mode="compressed", **kw).collect()))
+    assert full == comp
+
+
 def test_ma_crossover_matches_golden(ticks, ticks_pdf):
     got = {r["user_id"]: (r["final_value"], r["roi"], r["n_trades"])
            for r in ma_crossover_backtest(
