@@ -430,6 +430,40 @@ def value_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sliding (overlapping) event-time windows
+
+@query(
+    "sliding_window_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS s0, event_type, value
+      FROM events),
+    expanded AS (
+      SELECT s0 AS wstart, event_type, value FROM b
+      UNION ALL
+      SELECT s0 - INTERVAL 30 MINUTE AS wstart, event_type, value FROM b)
+    SELECT wstart, event_type,
+           count(*) AS n_events,
+           ROUND(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="sliding 1h/30min event-time windows (each event lands in two "
+        "overlapping windows); oracle expands buckets by hand",
+)
+def sliding_window_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (the classic time-series operator Spark lacks natively)
 
 @query(

@@ -146,6 +146,33 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @query(
+    "token_frequencies",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    flat AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+    SELECT tok, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM flat GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 50
+    """,
+    doc="corpus token frequencies (explode -> groupBy -> deterministic "
+        "top-50): the word-count shape, plus document frequency",
+)
+def token_frequencies(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    flat = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    return (
+        flat.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(50)
+    )
+
+
+@query(
     "token_count_bpe_ish",
     oracle=r"""
     SELECT doc_id,

@@ -31,6 +31,24 @@ def streaming_hourly_rollup(spark, sf_dir):
 
 
 @query(
+    "streaming_distinct_user_types",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="streaming dedup via dropDuplicates on a watermarked stream "
+        "(availableNow drain == batch DISTINCT; state bounded by the "
+        "watermark in continuous operation)",
+)
+def streaming_distinct_user_types(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    deduped = (stream.withWatermark("ts", "2 hours")
+               .select("user_id", "event_type", "ts")
+               .dropDuplicates(["user_id", "event_type"])
+               .select("user_id", "event_type"))
+    return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+@query(
     "streaming_running_position",
     oracle=None,
     doc="custom stateful streaming operator (applyInPandasWithState): "

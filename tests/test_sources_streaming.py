@@ -64,6 +64,18 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert row.s == "x" and float(row.trade_amount) == 5.0
 
 
+def test_audit_log_sink(spark, tmp_path):
+    from big_datatrader_spark.sources.audit import log_run, read_audit
+    p = os.path.join(str(tmp_path), "audit")
+    log_run(spark, p, query_name="q1", rows=10, seconds=1.5, sf="0.01")
+    log_run(spark, p, query_name="q2", rows=20, seconds=0.5, sf="0.01",
+            status="error")
+    back = read_audit(spark, p)
+    rows = {r.query_name: r for r in back.collect()}
+    assert len(rows) == 2
+    assert rows["q1"].rows == 10 and rows["q2"].status == "error"
+
+
 def test_streaming_running_position_equals_batch(spark, sf0001):
     from big_datatrader_spark.sources.parquet_source import table
     from big_datatrader_spark.streaming.pipeline import (
