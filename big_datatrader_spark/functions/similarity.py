@@ -116,6 +116,53 @@ def lsh_topk(df: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def ivf_topk(df: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_ids: list[int],
+             k: int = 5, n_lists: int = 8,
+             n_probe: int = 2) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: the first ``n_lists`` vectors of the corpus serve
+    as deterministic centroids (a k-means fit would slot in here — the
+    assignment/search structure is identical). Every vector is assigned
+    to its nearest centroid; a query probes its ``n_probe`` nearest
+    lists. At corpus scale the corpus side is partitioned by list id, so
+    a probe touches n_probe/n_lists of the data instead of all of it.
+    """
+    base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cents = (base.filter(F.col(id_col) < n_lists)
+             .select(F.col(id_col).alias("list_id"),
+                     F.col("v").alias("cv")))
+    # assign every vector to its nearest centroid (broadcast centroids,
+    # one pass, no shuffle of the corpus)
+    assigned = (
+        base.join(F.broadcast(cents))
+        .withColumn("d", F.round(cosine("v", "cv"), 9))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.desc("d"),
+                                               F.asc("list_id"))))
+    )
+    corpus = assigned.filter(F.col("rk") == 1).select(
+        F.col(id_col).alias("neighbor_id"), "v", "list_id")
+    probes = assigned.filter(
+        F.col(id_col).isin(query_ids) & (F.col("rk") <= n_probe)
+    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+             "list_id")
+    cand = (
+        F.broadcast(probes).join(corpus, on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine("qv", "v"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              block_col: str | None = None,

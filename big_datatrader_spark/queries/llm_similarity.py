@@ -65,6 +65,20 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=None,
+    doc="approximate top-k via IVF: deterministic coarse centroids, "
+        "corpus partitioned by inverted list, queries probe their 2 "
+        "nearest lists — the partition-pruning ANN path at corpus "
+        "scale. Recall vs brute force is property-tested.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        query_ids=QUERY_IDS, k=K, n_lists=8, n_probe=2)
+
+
+@query(
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,

@@ -149,6 +149,33 @@ def test_ma_crossover_positions_close_out(ticks):
         assert r["entry_price"] > 0
 
 
+def test_backtest_over_ohlcv_csv(spark, tmp_path):
+    """Reference-native path end to end: OHLCV CSV (epoch-ms) -> declared
+    -schema scan -> single-symbol evenly-spaced backtest (the reference's
+    exact shape: one instrument, step 10, defaults)."""
+    import os
+    path = os.path.join(str(tmp_path), "btcusd.csv")
+    with open(path, "w") as f:
+        f.write("time,open,high,low,close,volume\n")
+        t0 = 1704067200000
+        for i in range(100):
+            px = 100.0 + i  # monotone price
+            f.write(f"{t0 + 60000*i},{px},{px+1},{px-1},{px},10\n")
+    from big_datatrader_spark.sources.csv_source import read_ohlcv_csv
+    from pyspark.sql import functions as F
+    ohlcv = read_ohlcv_csv(spark, path).withColumn("symbol", F.lit("BTC"))
+    res = evenly_spaced_backtest(
+        ohlcv, symbol_col="symbol", order_col="time", price_col="close",
+        budget=BUDGET, per_trade=PER_TRADE).collect()
+    assert len(res) == 1
+    r = res[0]
+    # buys at closes 100,110,...,190 (10 buys); final price 199
+    shares = sum(1000.0 / (100.0 + 10 * j) for j in range(10))
+    expected = (BUDGET - 10 * PER_TRADE) + shares * 199.0
+    assert r["final_value"] == pytest.approx(expected, rel=1e-12)
+    assert r["trades_executed"] == 10
+
+
 def test_partition_invariance(ticks):
     """Reference benchmark oracle (main.py:600-618): identical results
     for partition counts 1,2,4,8,16."""

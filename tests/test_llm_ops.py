@@ -86,6 +86,25 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
     assert sorted(map(tuple, lsh)) == sorted(map(tuple, lsh2))
 
 
+def test_ivf_topk_recall_and_determinism(spark, sf001):
+    emb = table(spark, sf001, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = SIM.brute_force_topk(emb, query_ids=qids, k=5).collect()
+    ivf = SIM.ivf_topk(emb, query_ids=qids, k=5, n_lists=8,
+                       n_probe=2).collect()
+    bf_sets, ivf_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ivf_sets) == set(qids)  # every query answered
+    hits = sum(len(bf_sets[q] & ivf_sets.get(q, set())) for q in qids)
+    assert hits >= 3, f"IVF recall too low: {hits}/25"
+    ivf2 = SIM.ivf_topk(emb, query_ids=qids, k=5, n_lists=8,
+                        n_probe=2).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+
 def test_lang_id_on_clear_text(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of the house"),

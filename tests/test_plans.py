@@ -59,6 +59,14 @@ def test_topk_is_take_ordered(spark, sf001):
     assert uses_top_k(df)
 
 
+def test_q6_all_predicates_pushed(spark, sf001):
+    df = REG["q6_forecast_revenue"].spark_fn(spark, sf001)
+    plan = physical_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ["l_shipdate", "l_discount", "LessThan(l_quantity,24"]:
+        assert frag in pushed, frag
+
+
 def test_date_filter_pushed_to_parquet(spark, sf001):
     ev = table(spark, sf001, "events")
     df = ev.filter(F.col("value") > 50).select("event_id", "value")
