@@ -172,11 +172,13 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
 
 def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
                            per_trade: float, max_trades: int | None):
-    """Fold over CROSS-EVENT rows only (columns: __ts, __price, __g,
-    __last_price, __last_ts). State changes only at cross events, so
-    iterating events is exactly equivalent to the reference's every-row
-    loop — including the max_trades break, which can only trip before an
-    event — while shipping ~1% of the rows to Python."""
+    """Fold over CROSS-EVENT rows plus each symbol's last-row sentinel
+    (columns: __ts, __price, __g, __d). State changes only at cross
+    events, so iterating events is exactly equivalent to the reference's
+    every-row loop — including the max_trades break, which can only trip
+    before an event — while shipping ~1% of the rows to Python. The
+    sentinel guarantees every symbol emits a row and provides the
+    forced-close price; it trades only if it is itself a cross row."""
     pdf = pdf.sort_values("__ts")
     cash = float(budget)
     in_position = False
@@ -184,11 +186,10 @@ def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
     trades = 0
     positions: list[dict] = []
 
-    for ts, price, golden in zip(pdf["__ts"].to_numpy(),
-                                 pdf["__price"].to_numpy(),
-                                 pdf["__g"].to_numpy()):
-        if pd.isna(ts):
-            continue  # right-join placeholder: symbol with no events
+    for ts, price, golden, death in zip(pdf["__ts"].to_numpy(),
+                                        pdf["__price"].to_numpy(),
+                                        pdf["__g"].to_numpy(),
+                                        pdf["__d"].to_numpy()):
         if max_trades is not None and trades >= max_trades:
             break
         if golden and not in_position and cash >= per_trade:
@@ -198,16 +199,18 @@ def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
             positions.append({"entry_date": ts, "entry_price": price,
                               "exit_date": None, "exit_price": None})
             cash -= per_trade
-        elif (not golden) and in_position:
+        elif death and in_position:
             in_position = False
             cash += (per_trade / entry_price) * price
             positions[-1]["exit_date"] = ts
             positions[-1]["exit_price"] = price
 
     if in_position and len(pdf):
-        price = float(pdf["__last_price"].iloc[0])
+        # the sentinel (rn == cnt) row is always present and last in ts
+        # order: the forced close of the reference (main.py:432-439)
+        price = float(pdf["__price"].iloc[-1])
         cash += (per_trade / entry_price) * price
-        positions[-1]["exit_date"] = pdf["__last_ts"].iloc[0]
+        positions[-1]["exit_date"] = pdf["__ts"].iloc[-1]
         positions[-1]["exit_price"] = price
 
     roi = (cash - budget) / budget * 100.0 if budget else 0.0
@@ -251,6 +254,7 @@ def ma_crossover_backtest(df: DataFrame, *,
     ts_type = df.schema[order_col].dataType.simpleString()
 
     if mode == "compressed":
+        from pyspark.sql import Window
         from .indicators import with_crossover_signals, with_rolling_mean
         slim = df.select(F.col(symbol_col),
                          F.col(order_col).alias("__ts"),
@@ -261,14 +265,20 @@ def ma_crossover_backtest(df: DataFrame, *,
                                ["__ts"], "__l")
         cx = with_crossover_signals(ma, "__s", "__l", [symbol_col],
                                     ["__ts"], "__g", "__d")
-        events = cx.filter(F.col("__g") | F.col("__d")).select(
-            symbol_col, "__ts", "__price", "__g")
-        last = df.groupBy(symbol_col).agg(
-            F.max_by(F.col(price_col), F.col(order_col))
-             .alias("__last_price"),
-            F.max(order_col).alias("__last_ts"))
-        # right join: symbols with no cross events still emit a row
-        grouped_src = events.join(last, on=symbol_col, how="right")
+        # same window spec as the means/lags -> still ONE exchange, ONE
+        # scan; the last row rides along as a sentinel so every symbol
+        # emits a row and the forced close needs no second scan/join
+        w = Window.partitionBy(symbol_col).orderBy("__ts")
+        w_all = (Window.partitionBy(symbol_col).orderBy("__ts")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        grouped_src = (
+            cx.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__cnt", F.count(F.lit(1)).over(w_all))
+            .filter(F.col("__g") | F.col("__d")
+                    | (F.col("__rn") == F.col("__cnt")))
+            .select(symbol_col, "__ts", "__price", "__g", "__d")
+        )
 
         def fold(pdf):
             return _crossover_fold_events(pdf, budget, per_trade,
