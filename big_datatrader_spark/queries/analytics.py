@@ -430,6 +430,48 @@ def value_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bucketed range join: clicks within +-10 minutes of each purchase
+
+@query(
+    "range_join_nearby_clicks",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS cts FROM events
+          WHERE event_type = 'click'),
+    hits AS (
+      SELECT p.event_id, count(*) AS n
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.ts - INTERVAL 10 MINUTE
+                     AND p.ts + INTERVAL 10 MINUTE
+      GROUP BY 1)
+    SELECT p.event_id, p.user_id, p.ts,
+           COALESCE(h.n, 0) AS n_nearby_clicks
+    FROM p LEFT JOIN hits h ON p.event_id = h.event_id
+    """,
+    doc="range (band) join via time-bucket quantization: equi-join on "
+        "(key, bucket +- 1) then exact band filter — a hash join doing "
+        "O(matches) work instead of an O(n*m) inequality join",
+)
+def range_join_nearby_clicks(spark, sf_dir):
+    from ..operators.range_join import range_join
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts"))
+    pairs = range_join(purchases, clicks, key="user_id",
+                       left_ts="ts", right_ts="cts", band_seconds=600)
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n"))
+    return (
+        purchases.join(counts, on="event_id", how="left")
+        .select("event_id", "user_id", "ts",
+                F.coalesce("n", F.lit(0)).alias("n_nearby_clicks"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding (overlapping) event-time windows
 
 @query(
