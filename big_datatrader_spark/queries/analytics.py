@@ -430,6 +430,177 @@ def value_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi join + grouped count
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="EXISTS semi join + grouped count (TPC-H Q4 shape)",
+)
+def q4_order_priority_check(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00")
+           .cast("timestamp")))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of counts (left join + double group)
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="count-of-counts distribution via left join + two grouped "
+        "aggregations (TPC-H Q13 shape)",
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: per-group average threshold subquery
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey AS tk, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2)
+               AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN thresholds ON l_partkey = tk
+    WHERE l_quantity < half_avg
+    """,
+    doc="correlated per-group average threshold, decorrelated into agg "
+        "+ join (TPC-H Q17 shape)",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.tk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctions (OR-pushdown)
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(CAST(sum(l_extendedprice * (1 - l_discount))
+               AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+    """,
+    doc="disjunction-of-conjunctions predicate over a broadcast join "
+        "(TPC-H Q19 shape); Catalyst extracts the common l_quantity "
+        "bounds for scan pushdown",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    cond1 = ((F.col("p_brand") == "Brand#1")
+             & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 30))
+    cond2 = ((F.col("p_brand") == "Brand#2")
+             & F.col("p_size").between(10, 30)
+             & F.col("l_quantity").between(10, 40))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: anti join + substring bucketing
+
+@query(
+    "q22_inactive_customers",
+    oracle="""
+    SELECT substring(c_name, 17, 2) AS name_digit,
+           count(*) AS n_customers,
+           ROUND(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >=
+                            TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+    doc="scalar subquery + anti join + substring bucketing "
+        "(TPC-H Q22 shape)",
+)
+def q22_inactive_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal")).collect()[0][0])
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00")
+        .cast("timestamp")).select("o_custkey")
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("name_digit"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed range join: clicks within +-10 minutes of each purchase
 
 @query(
