@@ -601,6 +601,168 @@ def q22_inactive_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair volume by year
+
+@query(
+    "q7_nation_pair_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           ROUND(CAST(sum(l_extendedprice * (1 - l_discount))
+                 AS DOUBLE), 2) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="bidirectional nation-pair trade volume by ship year "
+        "(TPC-H Q7 shape)",
+)
+def q7_nation_pair_volume(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate view + global-max scalar filter
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(CAST(sum(l_extendedprice * (1 - l_discount))
+                   AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="aggregate view + global-max scalar subquery (TPC-H Q15 shape); "
+        "comparison on the rounded total so engines agree on the argmax",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00")
+           .cast("timestamp")))
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("m"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(top),
+              F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-count per attribute combination
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (1, 5, 9, 14)
+    GROUP BY 1, 2, 3
+    """,
+    doc="distinct suppliers per part-attribute combination "
+        "(TPC-H Q16 shape)",
+)
+def q16_supplier_variety(spark, sf_dir):
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 5, 9, 14)).select(
+        "p_partkey", "p_brand", "p_type", "p_size")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax join-back: the most expensive lineitem per part
+
+@query(
+    "priciest_lineitem_per_part",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             ROUND(l_extendedprice, 2) AS l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY l_extendedprice DESC, l_orderkey,
+                          l_linenumber) AS rk
+      FROM lineitem)
+    SELECT l_partkey, l_orderkey, CAST(l_linenumber AS BIGINT)
+               AS l_linenumber, l_extendedprice
+    FROM ranked WHERE rk = 1
+    """,
+    doc="argmax row per group via deterministic ranking window "
+        "(rank-1 join-back shape)",
+)
+def priciest_lineitem_per_part(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"),
+        F.asc("l_linenumber"))
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_partkey", "l_orderkey",
+                F.col("l_linenumber").cast("long").alias("l_linenumber"),
+                F.round("l_extendedprice", 2).alias("l_extendedprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed range join: clicks within +-10 minutes of each purchase
 
 @query(
