@@ -763,6 +763,90 @@ def priciest_lineitem_per_part(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond ROLLUP/CUBE)
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="explicit GROUPING SETS: two independent single-column "
+        "aggregations in one pass",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return li.sparkSession.sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Date-part breakdown (C2-family scalar functions)
+
+@query(
+    "orders_by_quarter",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+           count(*) AS n_orders,
+           ROUND(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="date-part extraction (year/quarter) feeding a grouped rollup",
+)
+def orders_by_quarter(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function surface (C9/C10-family)
+
+@query(
+    "string_functions_showcase",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_type, ' ', '_') AS type_slug,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CASE WHEN contains(lower(p_name), 'a') THEN TRUE ELSE FALSE
+           END AS has_a
+    FROM part
+    """,
+    doc="scalar string surface: case, length, replace, substring, "
+        "concat, contains",
+)
+def string_functions_showcase(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))
+         .alias("type_slug"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lower("p_name").contains("a").alias("has_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed range join: clicks within +-10 minutes of each purchase
 
 @query(
