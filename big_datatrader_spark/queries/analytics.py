@@ -763,6 +763,64 @@ def priciest_lineitem_per_part(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Batch MERGE / upsert primitive (SCD-0 overwrite semantics)
+
+@query(
+    "upsert_customers_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS new_acctbal
+      FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT c.c_custkey, c.c_name,
+           ROUND(COALESCE(u.new_acctbal, c.c_acctbal), 2) AS c_acctbal,
+           u.new_acctbal IS NOT NULL AS was_updated
+    FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+    doc="MERGE/upsert expressed relationally: left join + coalesce "
+        "(the batch primitive under Delta/Iceberg MERGE INTO)",
+)
+def upsert_customers_merge(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("u_key"),
+        (F.col("c_acctbal") + 100.0).alias("new_acctbal"))
+    return (
+        cust.join(F.broadcast(updates),
+                  cust.c_custkey == updates.u_key, "left")
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.coalesce("new_acctbal", "c_acctbal"), 2)
+             .alias("c_acctbal"),
+            F.col("new_acctbal").isNotNull().alias("was_updated"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame (time-based, not row-count-based)
+
+@query(
+    "range_frame_hourly_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+               6) AS trailing_1h_avg
+    FROM events
+    """,
+    doc="RANGE window frame over event time (all rows in the trailing "
+        "hour, however many) vs the ROWS frames of W1/W2",
+)
+def range_frame_hourly_avg(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.avg("value").over(w), 6).alias("trailing_1h_avg"))
+
+
+# ---------------------------------------------------------------------------
 # Explicit GROUPING SETS (beyond ROLLUP/CUBE)
 
 @query(

@@ -9,6 +9,8 @@ SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import functions as F
 
 from ..operators.backtest import evenly_spaced_backtest
@@ -347,6 +349,38 @@ def export_buy_rows(spark, sf_dir):
                 F.round(F.try_divide(F.lit(1000.0), F.col("value")), _R)
                  .alias("shares"))
     )
+
+
+# ---------------------------------------------------------------------------
+# U1 kept as an explicit vectorized UDF for parity demonstration
+# (reference main.py:467-471 ran one dask task PER ROW; the idiomatic
+# Spark path is the column expression used everywhere else, but when a
+# UDF is genuinely needed this is the shape: Arrow-batched pandas_udf,
+# never row-at-a-time)
+
+@query(
+    "shares_vectorized_udf",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(1000.0 AS DOUBLE) / nullif(value, 0.0), 6)
+               AS shares
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="U1 as an Arrow-batched pandas_udf (parity demo; equals the "
+        "column expression, which is the hot-path form)",
+)
+def shares_vectorized_udf(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def shares_of(price: pd.Series) -> pd.Series:
+        return (1000.0 / price.replace(0.0, float("nan"))).round(6)
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    return ev.select("event_id", "user_id",
+                     shares_of(F.col("value")).alias("shares"))
 
 
 @query(
