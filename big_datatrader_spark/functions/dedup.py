@@ -207,6 +207,52 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def connected_components(pairs: DataFrame, *, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Cluster near-dup pairs into components via min-label propagation.
+
+    Iterative relational algorithm (the dedup-clustering step that turns
+    pairwise matches into keep/drop groups): every node starts labeled
+    with itself; each round adopts the minimum label among itself and
+    its neighbors; converges in <= diameter rounds. Each round is one
+    join + groupBy — at scale this is the standard large-graph CC
+    pattern (a la GraphX/connected-components-over-joins); the loop runs
+    on the driver but all data stays distributed.
+
+    Output: (doc_id, cluster_id = min doc id of the component), one row
+    per node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    ).localCheckpoint()
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u")))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), on="v")
+            .groupBy("u").agg(F.min("label").alias("nmin")))
+        new_labels = (
+            labels.join(neighbor_min, on="u", how="left")
+            .select("u", F.least(
+                F.col("label"),
+                F.coalesce("nmin", F.col("label"))).alias("label"))
+        ).localCheckpoint()  # truncate the lineage each round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="u")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1)
+            .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash(toks: Column, bits: int = 16) -> Column:
     """SimHash over token h60 hashes: bit b of the result is 1 iff more
     tokens have bit b set than unset.

@@ -166,6 +166,73 @@ def dedup_simhash(spark, sf_dir):
         table(spark, sf_dir, "documents"), bits=32, max_hamming=2)
 
 
+_JACCARD_PAIRS_SQL = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    jpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT doc_a, doc_b FROM jpairs
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+            >= 0.8)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM near
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM near),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+    SELECT u AS doc_id, LEAST(u, min(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+    doc="near-dup clustering: connected components over Jaccard>=0.8 "
+        "pairs via iterative min-label propagation (join+groupBy per "
+        "round); oracle uses a recursive-CTE transitive closure",
+)
+def dedup_clusters(spark, sf_dir):
+    pairs = DD.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    return DD.connected_components(pairs)
+
+
+@query(
+    "dedup_exact_kept",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_doc_id
+      FROM documents GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN groups g
+      ON md5(lower(trim(d.text))) = g.fp AND d.doc_id = g.keep_doc_id
+    """,
+    doc="exact dedup APPLIED: the cleaned corpus (one representative "
+        "row per content fingerprint, min doc_id wins)",
+)
+def dedup_exact_kept(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    groups = DD.exact_dedup(docs).select("fp", "keep_doc_id")
+    from ..functions.text import fingerprint
+    return (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .join(groups, on="fp")
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", "lang", "source")
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""

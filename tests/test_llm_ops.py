@@ -64,6 +64,16 @@ def test_simhash_identical_and_different(docs):
     assert sh[5] == 0  # empty doc: all votes 0, no bits set
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3, pair 10-11, isolated pair 20-21: three components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
     emb = table(spark, sf001, "embeddings")
     qids = [0, 1, 2, 3, 4]
