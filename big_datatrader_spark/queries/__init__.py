@@ -48,6 +48,7 @@ def load_registry() -> dict[str, Query]:
     """Import all query modules (registration happens at import)."""
     from . import reference_ops  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import tpch_extra  # noqa: F401
     from . import llm_text  # noqa: F401
     from . import llm_dedup  # noqa: F401
     from . import llm_similarity  # noqa: F401

@@ -82,3 +82,38 @@ def test_asof_join_single_shuffle(spark, sf001):
     df = REG["asof_join_purchase_to_click"].spark_fn(spark, sf001)
     assert num_exchanges(df) <= 2  # union repartition + window
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q2_decorrelated_no_cartesian(spark, sf001):
+    """The correlated min subquery must plan as a window over one
+    shuffle of the supply relation, with both dims broadcast."""
+    df = REG["q2_min_cost_supplier"].spark_fn(spark, sf001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert uses_top_k(df)
+
+
+def test_q8_broadcasts_every_dimension(spark, sf001):
+    """8-way snowflake: lineitem must be the only non-broadcast side
+    except the lineitem-orders fact join."""
+    df = REG["q8_market_share"].spark_fn(spark, sf001)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # fact scan reads only the 5 referenced lineitem columns
+    scans = scan_read_columns(df)
+    li_scan = [s for s in scans
+               if "l_extendedprice" in s or "l_discount" in s]
+    assert li_scan and set(li_scan[0]) <= {
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount"}
+
+
+def test_q21_single_fact_shuffle_key(spark, sf001):
+    """EXISTS/NOT-EXISTS decorrelation: per-order flags + join back
+    both hash on l_orderkey, so the exchange is reused (no second
+    full shuffle of lineitem on a different key)."""
+    df = REG["q21_waiting_suppliers"].spark_fn(spark, sf001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_top_k(df)
