@@ -49,6 +49,7 @@ def load_registry() -> dict[str, Query]:
     from . import reference_ops  # noqa: F401
     from . import analytics  # noqa: F401
     from . import tpch_extra  # noqa: F401
+    from . import scalar_surface  # noqa: F401
     from . import llm_text  # noqa: F401
     from . import llm_dedup  # noqa: F401
     from . import llm_similarity  # noqa: F401

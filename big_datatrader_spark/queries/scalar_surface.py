@@ -1,0 +1,222 @@
+"""Scalar / nested-type function surface: JSON extraction, array and
+map columns, higher-order functions, regex, math, and null handling.
+
+The reference's scalar surface stops at arithmetic + comparisons
+(SURVEY.md §2.8: no array/map/JSON column functions, no regex, no math
+beyond +-*/). A "same capabilities" engine exposes the rest of the
+standard analytics function surface; these queries prove each family
+against a DuckDB oracle on the driver's tables.
+
+Determinism conventions: arrays are always sorted before output; map
+entries are emitted as (sorted keys[], values-in-key-order[]) rather
+than a raw map (map iteration order is engine-defined); every float is
+rounded identically on both sides; HOF folds run over identically
+sorted arrays so the fp summation order is pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.parquet_source import table
+from . import query
+
+_R = 6
+
+
+# ---------------------------------------------------------------------------
+# JSON column functions (events.props is a JSON string {"k": int})
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_bucket,
+           count(*) AS n,
+           ROUND(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="JSON path extraction from a string column (get_json_object) "
+        "feeding a grouped aggregate",
+)
+def json_props_extract(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), _R).alias("avg_value"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array columns + higher-order functions
+
+@query(
+    "array_values_per_user",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, list(ROUND(value, 6) ORDER BY value) AS vals
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT user_id, vals,
+           CAST(len(vals) AS BIGINT) AS n_vals,
+           ROUND(list_aggregate(vals, 'sum'), 4) AS sum_vals,
+           ROUND(vals[1], 6) AS lo,
+           ROUND(vals[-1], 6) AS hi
+    FROM a ORDER BY user_id
+    """,
+    doc="array<double> column per group (collect_list + sort_array), "
+        "fold via the aggregate higher-order function, element_at; "
+        "the fold runs over the sorted array so fp order is pinned",
+)
+def array_values_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    vals = F.sort_array(F.collect_list(F.round("value", _R)))
+    return (
+        ev.groupBy("user_id").agg(vals.alias("vals"))
+        .select(
+            "user_id", "vals",
+            F.size("vals").cast("long").alias("n_vals"),
+            F.round(
+                F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x),
+                4).alias("sum_vals"),
+            F.round(F.element_at("vals", 1), _R).alias("lo"),
+            F.round(F.element_at("vals", -1), _R).alias("hi"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map columns (emitted as sorted key/value arrays for determinism)
+
+@query(
+    "map_event_type_counts",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS types,
+           list(n ORDER BY event_type) AS counts
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    doc="map<string,long> built with map_from_entries over sorted "
+        "entries, read back via map_keys/map_values",
+)
+def map_event_type_counts(spark, sf_dir):
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "n"))))
+    return (
+        per.groupBy("user_id").agg(m.alias("m"))
+        .select("user_id",
+                F.map_keys("m").alias("types"),
+                F.map_values("m").alias("counts"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex functions over the documents corpus
+
+@query(
+    "regex_doc_numbers",
+    oracle="""
+    SELECT doc_id,
+           NULLIF(regexp_extract(text, '[0-9]+'), '') AS first_num,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS n_nums,
+           CAST(regexp_matches(text, '^[A-Z]') AS BOOLEAN)
+               AS starts_upper
+    FROM documents ORDER BY doc_id
+    """,
+    doc="regexp_extract / regexp_count / rlike surface (patterns kept "
+        "to a Java-and-RE2-common subset)",
+)
+def regex_doc_numbers(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    first = F.regexp_extract("text", "[0-9]+", 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.when(first == "", None).otherwise(first).alias("first_num"),
+            F.regexp_count("text", F.lit("[0-9]+")).cast("long")
+            .alias("n_nums"),
+            F.col("text").rlike("^[A-Z]").alias("starts_upper"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math + null-handling surface
+
+@query(
+    "math_null_surface",
+    oracle="""
+    SELECT event_type,
+           sum(CASE WHEN NULLIF(value, 0.0) IS NULL THEN 1 ELSE 0 END)
+               AS zero_or_null_rows,
+           ROUND(avg(NULLIF(value, 0.0)), 6) AS avg_nonzero,
+           ROUND(sum(ln(1 + abs(value))), 4) AS sum_log1p,
+           ROUND(sum(sqrt(abs(value))), 4) AS sum_sqrt,
+           ROUND(sum(power(value / 100, 2)), 4) AS sum_sq,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+           CAST(sum(CAST(sign(value - 50) AS BIGINT)) AS BIGINT)
+               AS net_sign
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="math function surface (ln/sqrt/power/floor/sign) + null "
+        "handling (nullif feeding null-skipping avg); aggregates "
+        "rounded coarsely enough to absorb libm-vs-JVM last-ulp drift",
+)
+def math_null_surface(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    nz = F.nullif(v, F.lit(0.0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.when(nz.isNull(), 1).otherwise(0))
+            .alias("zero_or_null_rows"),
+            F.round(F.avg(nz), _R).alias("avg_nonzero"),
+            F.round(F.sum(F.log(1 + F.abs(v))), 4).alias("sum_log1p"),
+            F.round(F.sum(F.sqrt(F.abs(v))), 4).alias("sum_sqrt"),
+            F.round(F.sum(F.pow(v / 100, 2)), 4).alias("sum_sq"),
+            F.sum(F.floor(v).cast("bigint")).cast("bigint")
+            .alias("sum_floor"),
+            F.sum(F.signum(v - 50).cast("bigint")).cast("bigint")
+            .alias("net_sign"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (no exact oracle by construction: HLL /
+# KLL-sketch results are implementation-defined; tests/test_entry.py
+# bounds the relative error against the exact answer instead)
+
+@query(
+    "approx_aggregates",
+    oracle=None,
+    doc="approx_count_distinct (HyperLogLog++) and percentile_approx "
+        "per event_type — sketch outputs are engine-defined, so the "
+        "gate is rows-only plus an error-bound pytest",
+)
+def approx_aggregates(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000)
+            .alias("approx_median_value"))
+        .orderBy("event_type")
+    )

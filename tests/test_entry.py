@@ -30,3 +30,27 @@ def test_queries_run_at_sf0001(spark, sf0001):
     for name, fn in mod.queries().items():
         df = fn(spark, sf0001)
         assert df.limit(1).count() >= 0, name
+
+
+def test_approx_aggregates_error_bounds(spark, sf001):
+    """Sketch outputs have no exact oracle; bound the relative error
+    against the exact answers instead (HLL++ rsd default 5%;
+    percentile_approx at 10k accuracy is near-exact at this SF)."""
+    from pyspark.sql import functions as F
+    from big_datatrader_spark.queries import load_registry
+    from big_datatrader_spark.sources.parquet_source import table
+
+    approx = {r["event_type"]: r for r in
+              load_registry()["approx_aggregates"]
+              .spark_fn(spark, sf001).collect()}
+    exact = {r["event_type"]: r for r in
+             table(spark, sf001, "events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("users"),
+                  F.expr("percentile(value, 0.5)").alias("median"))
+             .collect()}
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap["approx_users"] - ex["users"]) <= 0.1 * ex["users"]
+        assert abs(ap["approx_median_value"] - ex["median"]) \
+            <= 0.05 * max(abs(ex["median"]), 1.0)
