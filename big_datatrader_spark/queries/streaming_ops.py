@@ -63,3 +63,54 @@ def streaming_running_position(spark, sf_dir):
         running_position_stream(stream), spark, output_mode="update")
     return out.select("user_id", "n_events",
                       F.round("position", 6).alias("position"))
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="stream-stream inner join: purchases matched to same-user "
+        "clicks at most 30 min earlier, both sides watermarked so the "
+        "join state is bounded in continuous operation; availableNow "
+        "drain == the batch self-join",
+)
+def streaming_click_purchase_join(spark, sf_dir):
+    # stream-stream join state costs scale with state partitions x
+    # micro-batches; at test scale pin them low for the drain (a real
+    # deployment sizes this to key cardinality, not cores)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return _click_purchase_join(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _click_purchase_join(spark, sf_dir):
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours"))
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr(
+            "INTERVAL 30 MINUTES")))
+    out = run_stream_to_memory(joined, spark, output_mode="append")
+    return out.select("user_id", "click_id", "purchase_id")
