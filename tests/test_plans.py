@@ -117,3 +117,19 @@ def test_q21_single_fact_shuffle_key(spark, sf001):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert uses_top_k(df)
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf001, tmp_path):
+    """100 TB rule: time/category-partitioned parquet layouts must show
+    partition pruning — a filter on the partition column becomes a
+    PartitionFilters entry, not a post-scan filter over all files."""
+    out = str(tmp_path / "events_by_type")
+    (table(spark, sf001, "events")
+     .write.partitionBy("event_type").mode("overwrite").parquet(out))
+    df = (spark.read.parquet(out)
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id", "value"))
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    n = df.count()
+    assert 0 < n < table(spark, sf001, "events").count()
