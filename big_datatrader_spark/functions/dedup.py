@@ -8,8 +8,9 @@ Design for 100 TB:
 - MinHash+LSH turns all-pairs O(n^2) into per-band equality joins: only
   documents sharing a band bucket are compared, which is the only
   all-pairs-free path at corpus scale;
-- SimHash pairs join on rotated prefix buckets rather than full cross
-  join when n is large (here n=500, the cross join is fine and exact);
+- SimHash pairs join on pigeonhole bit-segment buckets (hamming <= k
+  over b bits => exact agreement on one of k+1 disjoint segments), an
+  equi join rather than a cross product, same exact output;
 - everything is JVM-side expression work (md5 / higher-order array
   functions); hash values are md5-derived 60-bit ints so the DuckDB
   oracles can reproduce them bit-for-bit.
@@ -282,16 +283,45 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 16,
                   max_hamming: int = 3) -> DataFrame:
     """Pairs (a < b) whose simhash hamming distance <= max_hamming.
-    Exact all-pairs here (n is small); at scale, block on byte-rotated
-    prefixes first."""
+
+    Pigeonhole blocking (exact, no cross product): split the ``bits``-bit
+    simhash into ``max_hamming + 1`` disjoint bit segments. A pair within
+    hamming distance ``max_hamming`` differs in at most ``max_hamming``
+    segments, so it agrees EXACTLY on at least one segment — joining on
+    per-segment equality (an equi hash join) finds every qualifying pair;
+    the exact ``bit_count(xor)`` filter then removes false candidates.
+    Same output as the all-pairs formulation, O(n^2) -> O(sum of
+    per-bucket collisions).
+    """
+    nblocks = max_hamming + 1
+    if bits < nblocks:
+        raise ValueError("need bits >= max_hamming + 1 segments")
     sh = df.select(F.col(id_col).alias("doc_id"),
                    simhash(tokens(F.col(text_col)), bits).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
+    segs, off = [], 0
+    for i in range(nblocks):
+        width = (bits - off + (nblocks - i) - 1) // (nblocks - i)
+        segs.append(F.struct(
+            F.lit(i).alias("seg"),
+            F.shiftrightunsigned(F.col("sh"), off)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("key")))
+        off += width
+    seg_rows = (
+        sh.select("doc_id", "sh", F.explode(F.array(*segs)).alias("b"))
+        .select("doc_id", "sh", "b.seg", "b.key"))
+    a, b = seg_rows.alias("a"), seg_rows.alias("b")
+    cand = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"), "hamming")
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

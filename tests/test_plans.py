@@ -119,6 +119,16 @@ def test_q21_single_fact_shuffle_key(spark, sf001):
     assert uses_top_k(df)
 
 
+def test_simhash_blocking_no_cross_product(spark, sf001):
+    """Pigeonhole segment blocking must plan as an equi hash join —
+    an all-pairs CartesianProduct/BNL join is the 100 TB scale-killer
+    the blocking exists to avoid."""
+    df = REG["dedup_simhash"].spark_fn(spark, sf001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_partitioned_layout_prunes_partitions(spark, sf001, tmp_path):
     """100 TB rule: time/category-partitioned parquet layouts must show
     partition pruning — a filter on the partition column becomes a
