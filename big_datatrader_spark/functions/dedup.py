@@ -121,37 +121,62 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     )
 
 
+# MinHash permutation family: ONE md5 per shingle, then cheap integer
+# affine mixing per hash function — hash_j(s) = (a_j * h + b_j) mod p
+# with h = h60(s) mod p.  p = 2^31 - 1 (prime) keeps h and a_j under
+# 2^31, so a_j * h < 2^62 never overflows int64 — BIGINT arithmetic is
+# bit-identical in Spark and DuckDB, preserving the exact oracle.
+# (The previous family hashed md5(j || ':' || s) per j: num_hashes md5
+# calls per (doc, shingle) dominated dedup_minhash_lsh's wall-clock.)
+_MIX_P = 2147483647  # 2^31 - 1, prime
+
+
+def mix_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine-mix constants, identical on the
+    Spark side and inside the generated DuckDB oracle SQL."""
+    out, state = [], 41
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % _MIX_P
+        a = state or 1
+        state = (1103515245 * state + 12345) % _MIX_P
+        out.append((a, state))
+    return out
+
+
 def minhash_signature(toks: Column, num_hashes: int,
                       shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` minhash values over n-gram shingles,
-    hash_j(s) = h60(j || ':' || s).
+    hash_j(s) = (a_j * (h60(s) mod p) + b_j) mod p.
 
     Column-expression form (used for small/inline cases and as the
     semantic spec). The table-level pipeline below
     (``minhash_signatures``) computes the same thing via
-    explode + flat hash projections + groupBy: flat md5 projections are
+    explode + flat hash projections + groupBy: flat projections are
     whole-stage-codegen'd, while lambda bodies inside higher-order
     functions run interpreted — measured >10x difference at 5k docs.
     """
-    sh = shingles(toks, shingle_n)
+    hs = F.transform(shingles(toks, shingle_n), lambda s: h60(s) % _MIX_P)
     return F.array(*[
         F.array_min(F.transform(
-            sh, lambda s: h60(F.concat(F.lit(f"{j}:"), s))))
-        for j in range(num_hashes)
+            hs, lambda h: (F.lit(a) * h + F.lit(b)) % _MIX_P))
+        for a, b in mix_consts(num_hashes)
     ])
 
 
 def minhash_signatures(df: DataFrame, *, text_col: str, id_col: str,
                        num_hashes: int, shingle_n: int = 3) -> DataFrame:
     """(doc_id, sig array<long>) via the codegen-friendly plan:
-    explode shingles -> num_hashes md5 columns -> min-aggregate by doc.
-    One shuffle (the groupBy), everything else pipelined in codegen."""
+    explode shingles -> ONE md5 -> num_hashes affine-mix columns ->
+    min-aggregate by doc. One shuffle (the groupBy), everything else
+    pipelined in codegen."""
     sh = _doc_shingles(df, text_col, id_col, shingle_n)
     hashed = sh.select(
+        "doc_id", (h60(F.col("s")) % _MIX_P).alias("h"))
+    mixed = hashed.select(
         "doc_id",
-        *[h60(F.concat(F.lit(f"{j}:"), F.col("s"))).alias(f"h{j}")
-          for j in range(num_hashes)])
-    mins = hashed.groupBy("doc_id").agg(
+        *[((F.lit(a) * F.col("h") + F.lit(b)) % _MIX_P).alias(f"h{j}")
+          for j, (a, b) in enumerate(mix_consts(num_hashes))])
+    mins = mixed.groupBy("doc_id").agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)])
     return mins.select(
         "doc_id",

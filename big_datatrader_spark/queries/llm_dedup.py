@@ -83,10 +83,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_sig_sql() -> str:
-    mins = []
-    for j in range(NUM_HASHES):
-        seeded = f"'{j}:' || s"
-        mins.append(f"list_min(list_transform(sh, s -> {_h60(seeded)}))")
+    # mirrors functions/dedup.minhash_signatures: one h60 per shingle
+    # (reduced mod p), then per-family affine mixing — BIGINT arithmetic
+    # is bit-identical across engines
+    p = DD._MIX_P
+    mins = [
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p}))"
+        for a, b in DD.mix_consts(NUM_HASHES)]
     return "[" + ", ".join(mins) + "]"
 
 
@@ -105,7 +108,11 @@ def _band_struct_sql() -> str:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
-    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM shing),
+    hashes AS (SELECT doc_id,
+                      list_transform(sh, s -> {_h60('s')} % {DD._MIX_P})
+                        AS hs
+               FROM shing),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashes),
     bandrows AS (
       SELECT doc_id, sig, unnest({_band_struct_sql()},
                                  recursive := true)
