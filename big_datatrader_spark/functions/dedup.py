@@ -90,14 +90,27 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
 
     Inverted-index join on shingles: only pairs sharing >= 1 shingle are
     ever scored, so cost is sum over shingles of df(s)^2, not n^2 docs.
-    At corpus scale, cap hot shingles (df cutoff) or use minhash_lsh.
+
+    ``max_df`` caps hot shingles: a shingle appearing in more than
+    ``max_df`` documents (boilerplate headers, licence text) is dropped
+    BEFORE the self-join, bounding its contribution from df(s)^2 to 0.
+    Jaccard is then computed over the capped shingle universe on both
+    sides of the ratio, so the score stays self-consistent. The df count
+    is a window over ``s`` — the same key the self-join hashes on, so
+    the exchange is reused rather than added.
     """
+    from pyspark.sql import Window
     sh = _doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
+        sh = (sh.withColumn("df_s", dfs)
+              .filter(F.col("df_s") <= max_df).drop("df_s"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

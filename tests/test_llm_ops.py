@@ -47,6 +47,36 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any({3} & {a, b} for a, b in pairs)  # unrelated doc absent
 
 
+def test_ngram_jaccard_df_cutoff_bounds_boilerplate(spark):
+    """A boilerplate shingle shared by every doc must not reach the
+    self-join when max_df caps it: pairs that only overlap on the
+    boilerplate disappear, true near-dups survive, and the capped
+    inverted index drops the hot shingle's df^2 contribution."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique body text number {i} alpha beta")
+            for i in range(1, 41)]
+    rows += [(100, f"{boiler} the quick brown fox jumps high"),
+             (101, f"{boiler} the quick brown fox jumps high")]  # true dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = DD.ngram_jaccard_pairs(df, n=3, threshold=0.8, max_df=5)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in pairs  # true near-dup survives the cap
+    assert all(p == (100, 101) for p in pairs)  # boilerplate-only pairs gone
+
+    # the capped inverted index itself is bounded: no shingle with
+    # df > 5 reaches the join input
+    sh = DD._doc_shingles(df, "text", "doc_id", 3)
+    hot = (sh.groupBy("s").count().filter(F.col("count") > 5).count())
+    assert hot > 0  # fixture really is adversarial
+    from pyspark.sql import Window
+    sh_capped = (sh.withColumn(
+        "df_s", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df_s") <= 5))
+    assert (sh_capped.groupBy("s").count()
+            .filter(F.col("count") > 5).count()) == 0
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     pairs = {(r.doc_a, r.doc_b): r.est_jaccard
              for r in DD.minhash_lsh_pairs(
