@@ -196,6 +196,25 @@ def minhash_signatures(df: DataFrame, *, text_col: str, id_col: str,
         F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"))
 
 
+def band_rows(sigs: DataFrame, *, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig, band, bucket): one row per LSH band, bucket =
+    md5 of the band's minhash slice. This is the SIGNATURE-STORE layout
+    a persistent dedup pipeline writes: equality-joinable on
+    (band, bucket), carrying sig for the verify step."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(
+                    ",", *[F.element_at("sig", bi * rows + ri + 1)
+                           .cast("string") for ri in range(rows)]))
+                .alias("bucket"))
+            for bi in range(bands)])).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 12,
                       bands: int = 4, shingle_n: int = 3,
@@ -209,22 +228,11 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n)
-    band_rows = sigs.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws(
-                    ",", *[F.element_at("sig", bi * rows + ri + 1)
-                           .cast("string") for ri in range(rows)]))
-                .alias("bucket"))
-            for bi in range(bands)])).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    brows = band_rows(sigs, num_hashes=num_hashes, bands=bands)
 
-    a, b = band_rows.alias("a"), band_rows.alias("b")
+    a, b = brows.alias("a"), brows.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
@@ -362,4 +370,83 @@ def simhash_pairs(df: DataFrame, *, text_col: str = "text",
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def incremental_exact_dedup(batch: DataFrame, store: DataFrame, *,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """New-batch-vs-corpus exact dedup: verdict per incoming document.
+
+    The daily-ingest shape of a training-data pipeline: the corpus's
+    content fingerprints live in a persisted store relation; each new
+    batch is checked against the store AND within itself —
+      - ``drop_store``: fingerprint already in the corpus;
+      - ``drop_batch``: an earlier (min ``doc_id``) batch row has the
+        same fingerprint;
+      - ``keep``: first sighting — would be appended to the store.
+
+    Scale: only 16-byte fingerprints shuffle (one join keyed on fp plus
+    a min-window on the same key, so the exchange is reused); document
+    bodies never move.
+    """
+    from pyspark.sql import Window
+    bfp = batch.select(F.col(id_col).alias("doc_id"),
+                       fingerprint(F.col(text_col)).alias("fp"))
+    sfp = (store.select(fingerprint(F.col(text_col)).alias("fp"))
+           .distinct().withColumn("in_store", F.lit(True)))
+    first_in_batch = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        bfp.join(sfp, on="fp", how="left")
+        .withColumn("first_id", first_in_batch)
+        .select(
+            "doc_id",
+            F.when(F.col("in_store").isNotNull(), F.lit("drop_store"))
+            .when(F.col("doc_id") > F.col("first_id"),
+                  F.lit("drop_batch"))
+            .otherwise(F.lit("keep")).alias("verdict"))
+    )
+
+
+def incremental_minhash_matches(batch: DataFrame, store: DataFrame, *,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 12, bands: int = 4,
+                                shingle_n: int = 3,
+                                threshold: float = 0.5) -> DataFrame:
+    """New-batch-vs-corpus near-dup matches via the LSH signature store.
+
+    Joins the incoming batch's band rows against the corpus's persisted
+    band rows on (band, bucket) — the store is written once and only
+    appended to, so each ingest costs O(batch) band rows joined against
+    the bucket-partitioned store, never a whole-corpus self-join.
+
+    Output: (batch_doc, store_doc, est_jaccard) for every store document
+    whose estimated Jaccard >= threshold; an empty result means the
+    whole batch is novel.
+    """
+    def _bands(df: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                                  num_hashes=num_hashes,
+                                  shingle_n=shingle_n)
+        return band_rows(sigs, num_hashes=num_hashes, bands=bands)
+
+    nb, st = _bands(batch).alias("nb"), _bands(store).alias("st")
+    cand = (
+        nb.join(st, (F.col("nb.band") == F.col("st.band"))
+                & (F.col("nb.bucket") == F.col("st.bucket")))
+        .select(F.col("nb.doc_id").alias("batch_doc"),
+                F.col("st.doc_id").alias("store_doc"),
+                F.col("nb.sig").alias("sig_b"),
+                F.col("st.sig").alias("sig_s"))
+        .dropDuplicates(["batch_doc", "store_doc"])
+    )
+    est = F.size(F.filter(
+        F.zip_with("sig_b", "sig_s", lambda x, y: x == y),
+        lambda m: m)).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_doc", "store_doc",
+                F.round("est_jaccard", 6).alias("est_jaccard"))
     )

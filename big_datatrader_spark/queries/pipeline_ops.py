@@ -11,9 +11,94 @@ from pyspark.sql import functions as F
 from ..functions import dedup as DD
 from ..sources.parquet_source import table
 from . import query
-from .llm_dedup import _SHINGLES, _TOKS
+from .llm_dedup import (BANDS, NUM_HASHES, _SHINGLES, _TOKS,
+                        _band_struct_sql, _h60, _minhash_sig_sql)
 
 NGRAM_MAX_DF = 5
+
+# The incoming-batch-vs-corpus split used by the incremental dedup
+# queries: every 5th document is "today's ingest", the rest is the
+# already-deduped corpus whose signature store is persisted.
+_BATCH_SQL = "SELECT * FROM documents WHERE doc_id % 5 = 0"
+_STORE_SQL = "SELECT * FROM documents WHERE doc_id % 5 <> 0"
+
+
+def _split(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0))
+
+
+@query(
+    "incremental_dedup_exact",
+    oracle=f"""
+    WITH batch AS ({_BATCH_SQL}),
+    store AS ({_STORE_SQL}),
+    bfp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM batch),
+    sfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM store)
+    SELECT doc_id,
+           CASE WHEN fp IN (SELECT fp FROM sfp) THEN 'drop_store'
+                WHEN doc_id > min(doc_id) OVER (PARTITION BY fp)
+                  THEN 'drop_batch'
+                ELSE 'keep' END AS verdict
+    FROM bfp
+    """,
+    doc="incremental exact dedup: verdict (keep / drop_store / "
+        "drop_batch) per incoming document against a persisted "
+        "fingerprint store — the daily-ingest shape of a training-data "
+        "pipeline; only 16-byte fingerprints shuffle",
+)
+def incremental_dedup_exact(spark, sf_dir):
+    batch, store = _split(spark, sf_dir)
+    return DD.incremental_exact_dedup(batch, store)
+
+
+def _sig_chain_sql(rel: str, prefix: str) -> str:
+    """CTE chain rel -> band rows, mirroring minhash_signatures +
+    band_rows bit-for-bit (shared h60 + affine-mix arithmetic)."""
+    return f"""
+    {prefix}toks AS (SELECT doc_id, {_TOKS} AS t FROM {rel}),
+    {prefix}shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM {prefix}toks),
+    {prefix}hashes AS (SELECT doc_id,
+                    list_transform(sh, s -> {_h60('s')} % {DD._MIX_P})
+                      AS hs
+               FROM {prefix}shing),
+    {prefix}sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig
+                     FROM {prefix}hashes),
+    {prefix}bands AS (
+      SELECT doc_id, sig, unnest({_band_struct_sql()}, recursive := true)
+      FROM {prefix}sigs)"""
+
+
+@query(
+    "incremental_dedup_minhash",
+    oracle=f"""
+    WITH batch AS ({_BATCH_SQL}),
+    store AS ({_STORE_SQL}),
+    {_sig_chain_sql('batch', 'b')},
+    {_sig_chain_sql('store', 's')},
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS batch_doc, st.doc_id AS store_doc,
+             nb.sig AS sig_b, st.sig AS sig_s
+      FROM bbands nb JOIN sbands st
+        ON nb.band = st.band AND nb.bucket = st.bucket)
+    SELECT batch_doc, store_doc,
+           ROUND(CAST(len(list_filter(range(1, {NUM_HASHES + 1}),
+                 i -> sig_b[i] = sig_s[i])) AS DOUBLE)
+                 / {NUM_HASHES}.0, 6) AS est_jaccard
+    FROM cand
+    WHERE CAST(len(list_filter(range(1, {NUM_HASHES + 1}),
+          i -> sig_b[i] = sig_s[i])) AS DOUBLE) / {NUM_HASHES}.0 >= 0.5
+    """,
+    doc="incremental MinHash+LSH dedup: incoming batch's band rows "
+        "joined against the corpus's persisted signature store on "
+        "(band, bucket) — each ingest costs O(batch), never a "
+        "whole-corpus self-join",
+)
+def incremental_dedup_minhash(spark, sf_dir):
+    batch, store = _split(spark, sf_dir)
+    return DD.incremental_minhash_matches(
+        batch, store, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5)
 
 
 @query(

@@ -85,6 +85,38 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert not any({3} & {a, b} for a, b in pairs)
 
 
+def test_incremental_exact_dedup_verdicts(spark):
+    store = spark.createDataFrame(
+        [(1, "already ingested corpus document"),
+         (2, "another corpus document")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "already ingested corpus document"),   # dup of store
+         (11, "fresh new document body"),            # novel
+         (12, "fresh new document body"),            # dup within batch
+         (13, "Already  Ingested corpus document")], # not a dup (2 spaces)
+        "doc_id long, text string")
+    got = {r.doc_id: r.verdict
+           for r in DD.incremental_exact_dedup(batch, store).collect()}
+    assert got == {10: "drop_store", 11: "keep",
+                   12: "drop_batch", 13: "keep"}
+
+
+def test_incremental_minhash_matches_store(spark):
+    store = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated corpus text about spark engines")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (11, "entirely novel content with no overlap at all")],
+        "doc_id long, text string")
+    got = DD.incremental_minhash_matches(
+        batch, store, num_hashes=12, bands=4, threshold=0.5).collect()
+    assert {(r.batch_doc, r.store_doc) for r in got} == {(10, 1)}
+    assert got[0].est_jaccard == 1.0
+
+
 def test_simhash_identical_and_different(docs):
     sh = {r.doc_id: r.sh for r in docs.select(
         "doc_id", DD.simhash(TX.tokens(F.col("text")), 32).alias("sh")
