@@ -586,13 +586,17 @@ def q19_disjunctive_revenue(spark, sf_dir):
 )
 def q22_inactive_customers(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
+    # scalar subquery as a broadcast 1-row join (same pattern as q11/
+    # q15): keeps the whole query one lazy plan — no separate driver
+    # job materializing the average before the action
     avg_bal = (cust.filter(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal")).collect()[0][0])
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
     recent = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00")
         .cast("timestamp")).select("o_custkey")
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 17, 2).alias("name_digit"))
         .agg(F.count(F.lit(1)).alias("n_customers"),
