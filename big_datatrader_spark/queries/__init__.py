@@ -44,11 +44,44 @@ def query(name: str, oracle: str | None, *, doc: str = "",
     return wrap
 
 
-# Queries the driver's correctness gate verified in round 1
-# (CORRECTNESS_r01.json). The gate only checks the FIRST 50 registry
-# entries, so queries it has NOT yet seen are ordered first — across
-# rounds every query accumulates at least one green driver row.
-_DRIVER_VERIFIED = frozenset({
+# Round-3 window head: the driver's correctness gate only checks the
+# FIRST 50 registry entries, so order by evidence priority —
+# (1) the four queries whose r2 rows were red and are now fixed
+#     (HUGEINT CASTs; array/map outputs re-emitted as CSV scalars),
+# (2) the seven rows-only-by-design queries (re-evidence they run).
+_R3_HEAD = (
+    'q12_priority_lines', 'math_null_surface', 'array_values_per_user',
+    'map_event_type_counts',
+    'ma_crossover_backtest', 'ma_crossover_positions', 'ann_lsh_topk',
+    'ann_ivf_topk', 'approx_aggregates', 'multimodal_feature_extract',
+    'streaming_running_position',
+)
+
+# Queries verified green per round (CORRECTNESS_r01.json /
+# CORRECTNESS_r02.json). Never-verified (new) queries are ordered
+# before these, and r1-only greens (stale evidence) before r2 greens
+# (fresh), so every query keeps accumulating recent driver rows.
+_R2_GREEN = frozenset({
+    'q2_min_cost_supplier', 'q8_market_share', 'q9_profit_by_nation_year',
+    'q11_important_parts', 'q20_excess_suppliers', 'q21_waiting_suppliers',
+    'json_props_extract', 'regex_doc_numbers', 'text_token_stats',
+    'text_quality_score', 'lang_id', 'doc_fingerprint',
+    'token_frequencies', 'token_count_bpe_ish', 'dedup_exact',
+    'dedup_ngram_jaccard', 'dedup_minhash_lsh', 'dedup_simhash',
+    'dedup_clusters', 'dedup_exact_kept', 'dedup_embedding_cosine',
+    'ann_bruteforce_topk', 'embedding_norms', 'multimodal_binary_meta',
+    'streaming_hourly_rollup', 'streaming_distinct_user_types',
+    'streaming_click_purchase_join', 'sessionize_events',
+    'incremental_dedup_exact', 'incremental_dedup_minhash',
+    'dedup_ngram_jaccard_capped',
+    # r2-window repeats of r1 greens (fresh evidence)
+    'q1_pricing_summary', 'q3_top_unshipped_orders',
+    'q5_supplier_volume_by_nation', 'top_orders_per_customer',
+    'running_total_per_user', 'set_ops_high_value_customers',
+    'set_ops_except', 'union_distinct_event_users',
+})
+
+_R1_GREEN = frozenset({
     'anti_join_parts_no_bulk_orders', 'asof_join_purchase_to_click',
     'crossover_signals', 'cube_order_stats', 'date_range_filter',
     'evenly_spaced_backtest', 'evenly_spaced_backtest_maxtrades',
@@ -74,11 +107,14 @@ _DRIVER_VERIFIED = frozenset({
     'value_percentiles',
 })
 
+_DRIVER_VERIFIED = _R1_GREEN | _R2_GREEN
+
 
 def load_registry() -> dict[str, Query]:
     """Import all query modules (registration happens at import), then
-    order the registry so never-driver-verified queries come first (the
-    driver's 50-query correctness window is a prefix of this order)."""
+    order the registry so the driver's 50-query prefix window sees, in
+    order: the round-3 priority head (fixed + rows-only re-evidence),
+    never-driver-verified queries, then already-green queries."""
     from . import tpch_extra  # noqa: F401
     from . import scalar_surface  # noqa: F401
     from . import llm_text  # noqa: F401
@@ -89,10 +125,13 @@ def load_registry() -> dict[str, Query]:
     from . import analytics  # noqa: F401
     from . import pipeline_ops  # noqa: F401
     from . import reference_ops  # noqa: F401
-    ordered = {n: q for n, q in REGISTRY.items()
-               if n not in _DRIVER_VERIFIED}
+    ordered = {n: REGISTRY[n] for n in _R3_HEAD if n in REGISTRY}
     ordered.update((n, q) for n, q in REGISTRY.items()
-                   if n in _DRIVER_VERIFIED)
+                   if n not in _DRIVER_VERIFIED and n not in ordered)
+    ordered.update((n, q) for n, q in REGISTRY.items()  # stale r1 greens
+                   if n not in _R2_GREEN and n not in ordered)
+    ordered.update((n, q) for n, q in REGISTRY.items()
+                   if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY

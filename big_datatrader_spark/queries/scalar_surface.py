@@ -61,7 +61,11 @@ def json_props_extract(spark, sf_dir):
     WITH a AS (
       SELECT user_id, list(ROUND(value, 6) ORDER BY value) AS vals
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
-    SELECT user_id, vals,
+    SELECT user_id,
+           array_to_string(
+             list_transform(vals,
+               x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT) AS VARCHAR)),
+             ',') AS vals_csv,
            CAST(len(vals) AS BIGINT) AS n_vals,
            ROUND(list_aggregate(vals, 'sum'), 4) AS sum_vals,
            ROUND(vals[1], 6) AS lo,
@@ -70,16 +74,23 @@ def json_props_extract(spark, sf_dir):
     """,
     doc="array<double> column per group (collect_list + sort_array), "
         "fold via the aggregate higher-order function, element_at; "
-        "the fold runs over the sorted array so fp order is pinned",
+        "the fold runs over the sorted array so fp order is pinned. "
+        "The array itself is emitted as a CSV of integer micro-units "
+        "(a scalar the driver's canonicalizer can hash; float "
+        "formatting never enters the encoding)",
 )
 def array_values_per_user(spark, sf_dir):
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase")
     vals = F.sort_array(F.collect_list(F.round("value", _R)))
+    as_micro = F.transform(
+        "vals",
+        lambda x: F.round(x * 1000000).cast("bigint").cast("string"))
     return (
         ev.groupBy("user_id").agg(vals.alias("vals"))
         .select(
-            "user_id", "vals",
+            "user_id",
+            F.concat_ws(",", as_micro).alias("vals_csv"),
             F.size("vals").cast("long").alias("n_vals"),
             F.round(
                 F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x),
@@ -100,12 +111,16 @@ def array_values_per_user(spark, sf_dir):
       SELECT user_id, event_type, count(*) AS n
       FROM events GROUP BY 1, 2)
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS types,
-           list(n ORDER BY event_type) AS counts
+           array_to_string(list(event_type ORDER BY event_type), ',')
+               AS types_csv,
+           array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type),
+                           ',') AS counts_csv
     FROM per GROUP BY user_id ORDER BY user_id
     """,
     doc="map<string,long> built with map_from_entries over sorted "
-        "entries, read back via map_keys/map_values",
+        "entries, read back via map_keys/map_values; keys and values "
+        "are emitted as CSV scalars so the driver canonicalizer can "
+        "hash the row (raw array cells are unhashable in pandas)",
 )
 def map_event_type_counts(spark, sf_dir):
     per = (
@@ -118,8 +133,12 @@ def map_event_type_counts(spark, sf_dir):
     return (
         per.groupBy("user_id").agg(m.alias("m"))
         .select("user_id",
-                F.map_keys("m").alias("types"),
-                F.map_values("m").alias("counts"))
+                F.concat_ws(",", F.map_keys("m")).alias("types_csv"),
+                F.concat_ws(
+                    ",",
+                    F.transform(F.map_values("m"),
+                                lambda x: x.cast("string")))
+                .alias("counts_csv"))
         .orderBy("user_id")
     )
 
@@ -162,34 +181,46 @@ def regex_doc_numbers(spark, sf_dir):
     "math_null_surface",
     oracle="""
     SELECT event_type,
-           sum(CASE WHEN NULLIF(value, 0.0) IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN NULLIF(value, 0.0) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
                AS zero_or_null_rows,
            ROUND(avg(NULLIF(value, 0.0)), 6) AS avg_nonzero,
-           ROUND(sum(ln(1 + abs(value))), 4) AS sum_log1p,
-           ROUND(sum(sqrt(abs(value))), 4) AS sum_sqrt,
-           ROUND(sum(power(value / 100, 2)), 4) AS sum_sq,
+           CAST(sum(CAST(ROUND(ln(1 + abs(value)) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS sum_log1p,
+           CAST(sum(CAST(ROUND(sqrt(abs(value)) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS sum_sqrt,
+           CAST(sum(CAST(ROUND(power(value / 100, 2) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0 AS sum_sq,
            CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
            CAST(sum(CAST(sign(value - 50) AS BIGINT)) AS BIGINT)
                AS net_sign
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     doc="math function surface (ln/sqrt/power/floor/sign) + null "
-        "handling (nullif feeding null-skipping avg); aggregates "
-        "rounded coarsely enough to absorb libm-vs-JVM last-ulp drift",
+        "handling (nullif feeding null-skipping avg); per-row values "
+        "are rounded to 1e-4 units and summed as BIGINT so the total "
+        "is exact and independent of parallel summation order (the "
+        "q9/q11 integer-cents pattern)",
 )
 def math_null_surface(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     v = F.col("value")
     nz = F.nullif(v, F.lit(0.0))
+
+    def scaled_sum(expr):
+        # exact order-independent sum: round per-row to 1e-4 units,
+        # sum as BIGINT, rescale
+        return F.sum(F.round(expr * 10000).cast("bigint")) / 10000.0
+
     return (
         ev.groupBy("event_type")
         .agg(
             F.sum(F.when(nz.isNull(), 1).otherwise(0))
             .alias("zero_or_null_rows"),
             F.round(F.avg(nz), _R).alias("avg_nonzero"),
-            F.round(F.sum(F.log(1 + F.abs(v))), 4).alias("sum_log1p"),
-            F.round(F.sum(F.sqrt(F.abs(v))), 4).alias("sum_sqrt"),
-            F.round(F.sum(F.pow(v / 100, 2)), 4).alias("sum_sq"),
+            scaled_sum(F.log(1 + F.abs(v))).alias("sum_log1p"),
+            scaled_sum(F.sqrt(F.abs(v))).alias("sum_sqrt"),
+            scaled_sum(F.pow(v / 100, 2)).alias("sum_sq"),
             F.sum(F.floor(v).cast("bigint")).cast("bigint")
             .alias("sum_floor"),
             F.sum(F.signum(v - 50).cast("bigint")).cast("bigint")

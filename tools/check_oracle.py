@@ -1,16 +1,25 @@
 """Local replica of the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle on DuckDB at the
-given scale factor, then compares row count, column names/types, and the
-full sorted value multiset (exact equality — stricter than any sane
-hash). Exits nonzero on any mismatch.
+given scale factor, then compares the results the way the driver does:
+both sides as pandas frames (Spark ``toPandas`` vs DuckDB ``fetchdf``),
+columns sorted by name, rows sorted by all columns, and per-column
+pandas **dtypes compared strictly** before values. This catches the
+two failure classes plain ``collect()``/``fetchall()`` comparison is
+blind to:
+
+- dtype drift (DuckDB HUGEINT -> float64 while Spark emits int64:
+  Python ``5.0 == 5`` hides it, the driver's value hash does not), and
+- unhashable cells (raw ndarray list columns break the driver's
+  ``sort_values`` canonicalizer — they break ours identically).
+
+Exits nonzero on any mismatch.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -18,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
 
 from big_datatrader_spark.queries import load_registry  # noqa: E402
 from big_datatrader_spark.session import get_spark  # noqa: E402
@@ -26,18 +36,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out, key=repr)
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, timestamps
+    at a common resolution, object nulls normalized, rows sorted by all
+    columns (raises TypeError on unhashable cells, exactly as the
+    driver's canonicalizer does)."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        kind = pdf[c].dtype.kind
+        if kind == "M":
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif kind in "iu":
+            # driver evidence (q9 r1/r2 green with int32-vs-int64):
+            # integer WIDTH is normalized; int-vs-float is not
+            pdf[c] = pdf[c].astype("int64")
+        elif kind == "f":
+            pdf[c] = pdf[c].astype("float64")
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].where(pd.notna(pdf[c]), None)
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
 
 
 def main():
@@ -59,45 +77,67 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = q.spark_fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = sdf.collect()
+            s_pdf = q.spark_fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if q.oracle is None:
-            print(f"ok*   {name}: rows-only ({len(s_rows)} rows, "
+            try:
+                s_pdf = canon(s_pdf)
+            except TypeError as e:
+                failures.append(name)
+                print(f"FAIL  {name}: uncanonicalizable output: {e}")
+                continue
+            print(f"ok*   {name}: rows-only ({len(s_pdf)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(q.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(q.oracle).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
-        sc, sr = norm_rows(s_cols, [tuple(r) for r in s_rows])
-        dc, dr = norm_rows(d_cols, d_rows)
-        if sc != dc:
+        try:
+            s_pdf, d_pdf = canon(s_pdf), canon(d_pdf)
+        except TypeError as e:
+            # the driver's sort_values dies the same way on array cells
             failures.append(name)
-            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+            print(f"FAIL  {name}: uncanonicalizable output "
+                  f"(driver would error too): {e}")
             continue
-        if len(sr) != len(dr):
+
+        if list(s_pdf.columns) != list(d_pdf.columns):
             failures.append(name)
-            print(f"FAIL  {name}: row count spark={len(sr)} duck={len(dr)}")
+            print(f"FAIL  {name}: columns differ "
+                  f"spark={list(s_pdf.columns)} duck={list(d_pdf.columns)}")
             continue
-        if sr != dr:
+        s_dt = [str(t) for t in s_pdf.dtypes]
+        d_dt = [str(t) for t in d_pdf.dtypes]
+        if s_dt != d_dt:
             failures.append(name)
-            bad = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL  {name}: {sum(1 for a, b in zip(sr, dr) if a != b)}"
-                  f"/{len(sr)} rows differ; first: ")
-            for a, b in bad:
-                print(f"      spark={a}\n      duck ={b}")
+            bad = [(c, a, b) for c, a, b
+                   in zip(s_pdf.columns, s_dt, d_dt) if a != b]
+            print(f"FAIL  {name}: dtypes differ (driver hash would "
+                  f"mismatch): {bad}")
             continue
-        print(f"OK    {name}: {len(sr)} rows match exactly "
+        if len(s_pdf) != len(d_pdf):
+            failures.append(name)
+            print(f"FAIL  {name}: row count spark={len(s_pdf)} "
+                  f"duck={len(d_pdf)}")
+            continue
+        if not s_pdf.equals(d_pdf):
+            neq = (s_pdf != d_pdf) & ~(s_pdf.isna() & d_pdf.isna())
+            bad_rows = neq.any(axis=1)
+            failures.append(name)
+            print(f"FAIL  {name}: {int(bad_rows.sum())}/{len(s_pdf)} "
+                  f"rows differ; first:")
+            for i in s_pdf.index[bad_rows][:3]:
+                print(f"      spark={tuple(s_pdf.loc[i])}\n"
+                      f"      duck ={tuple(d_pdf.loc[i])}")
+            continue
+        print(f"OK    {name}: {len(s_pdf)} rows match exactly "
               f"({time.time()-t0:.1f}s)")
 
     if failures:
