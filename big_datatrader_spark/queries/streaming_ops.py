@@ -82,14 +82,11 @@ def streaming_running_position(spark, sf_dir):
 )
 def streaming_click_purchase_join(spark, sf_dir):
     # stream-stream join state costs scale with state partitions x
-    # micro-batches; at test scale pin them low for the drain (a real
-    # deployment sizes this to key cardinality, not cores)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return _click_purchase_join(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # micro-batches; at test scale they are pinned low for the drain (a
+    # real deployment sizes this to key cardinality, not cores). The
+    # pin lives on a cloned session (own SQLConf) so no globally
+    # visible conf is mutated — safe under concurrent queries.
+    return _click_purchase_join(spark.newSession(), sf_dir)
 
 
 def _click_purchase_join(spark, sf_dir):
@@ -112,5 +109,9 @@ def _click_purchase_join(spark, sf_dir):
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr(
             "INTERVAL 30 MINUTES")))
+    # state-store partition count is fixed at stream start from
+    # shuffle.partitions; set it after plan construction (events_stream's
+    # ensure_confs re-sizes it to core count) on this session only
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     out = run_stream_to_memory(joined, spark, output_mode="append")
     return out.select("user_id", "click_id", "purchase_id")

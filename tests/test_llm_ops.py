@@ -141,7 +141,7 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
     qids = [0, 1, 2, 3, 4]
     bf = SIM.brute_force_topk(emb, query_ids=qids, k=5).collect()
     lsh = SIM.lsh_topk(emb, dim=64, query_ids=qids, k=5,
-                       planes=4).collect()
+                       planes=4, tables=8).collect()
     bf_sets = {}
     for r in bf:
         bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -149,12 +149,20 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf001):
     for r in lsh:
         lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     # every LSH hit must carry the true cosine (subset of scored pairs),
-    # and aggregate recall must be nontrivial
+    # and multi-table union recall must be substantial (measured 21/25)
     hits = sum(len(bf_sets[q] & lsh_sets.get(q, set())) for q in qids)
-    assert hits >= 3, f"LSH recall too low: {hits}/25"
+    assert hits >= 15, f"LSH recall too low: {hits}/25"
+    # single-table recall must be strictly weaker or equal, nontrivial
+    lsh1 = SIM.lsh_topk(emb, dim=64, query_ids=qids, k=5,
+                        planes=4, tables=1).collect()
+    s1 = {}
+    for r in lsh1:
+        s1.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits1 = sum(len(bf_sets[q] & s1.get(q, set())) for q in qids)
+    assert 3 <= hits1 <= hits, f"single-table recall odd: {hits1}/25"
     # determinism: second run identical
     lsh2 = SIM.lsh_topk(emb, dim=64, query_ids=qids, k=5,
-                        planes=4).collect()
+                        planes=4, tables=8).collect()
     assert sorted(map(tuple, lsh)) == sorted(map(tuple, lsh2))
 
 
@@ -163,17 +171,18 @@ def test_ivf_topk_recall_and_determinism(spark, sf001):
     qids = [0, 1, 2, 3, 4]
     bf = SIM.brute_force_topk(emb, query_ids=qids, k=5).collect()
     ivf = SIM.ivf_topk(emb, query_ids=qids, k=5, n_lists=8,
-                       n_probe=2).collect()
+                       n_probe=2, fit_iters=3).collect()
     bf_sets, ivf_sets = {}, {}
     for r in bf:
         bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     for r in ivf:
         ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert set(ivf_sets) == set(qids)  # every query answered
+    # Lloyd-fitted centroids: measured 23/25 at sf0.001
     hits = sum(len(bf_sets[q] & ivf_sets.get(q, set())) for q in qids)
-    assert hits >= 3, f"IVF recall too low: {hits}/25"
+    assert hits >= 15, f"IVF recall too low: {hits}/25"
     ivf2 = SIM.ivf_topk(emb, query_ids=qids, k=5, n_lists=8,
-                        n_probe=2).collect()
+                        n_probe=2, fit_iters=3).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
 
 
