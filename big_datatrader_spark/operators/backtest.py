@@ -315,8 +315,49 @@ def ma_crossover_backtest(df: DataFrame, *,
             out.insert(0, symbol_col, key[0])
             return out
 
-    # Only the columns the kernel reads cross the shuffle (column
-    # pruning does not reach inside applyInPandas).
+    if mode == "compressed":
+        # The window stage already hash-partitioned by symbol and
+        # sorted by (symbol, ts), so whole partitions can go to Python
+        # as-is: mapInPandas keeps that layout (no second exchange in
+        # the plan) and amortizes the per-group pandas overhead — one
+        # Arrow transfer + one output frame per PARTITION instead of
+        # per symbol (1500 symbols at sf0.1: measured 3.2s -> ~0.7s).
+        # Hash partitioning guarantees a symbol never spans partitions.
+        if emit == "summary":
+            def run_parts(batches):
+                frames = [b for b in batches if len(b)]
+                if not frames:
+                    return
+                pdf = pd.concat(frames, ignore_index=True)
+                syms, n_trades, finals, rois = [], [], [], []
+                for sym, g in pdf.groupby(symbol_col, sort=False):
+                    cash, roi, positions = fold(g)
+                    syms.append(sym)
+                    n_trades.append(len(positions))
+                    finals.append(cash)
+                    rois.append(roi)
+                yield pd.DataFrame({
+                    symbol_col: syms, "n_trades": n_trades,
+                    "final_value": finals, "roi": rois})
+        else:
+            def run_parts(batches):
+                frames = [b for b in batches if len(b)]
+                if not frames:
+                    return
+                pdf = pd.concat(frames, ignore_index=True)
+                outs = []
+                for sym, g in pdf.groupby(symbol_col, sort=False):
+                    _, _, positions = fold(g)
+                    if positions:
+                        o = pd.DataFrame(positions)
+                        o.insert(0, symbol_col, sym)
+                        outs.append(o)
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+        return grouped_src.mapInPandas(run_parts, schema=out_schema)
+
+    # full mode: only the columns the kernel reads cross the shuffle
+    # (column pruning does not reach inside applyInPandas).
     return grouped_src.groupBy(symbol_col).applyInPandas(
         run, schema=out_schema)
 
