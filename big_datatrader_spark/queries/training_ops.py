@@ -1,0 +1,534 @@
+"""Training-data pipeline operators beyond the dedup/ANN family:
+corpus quality signals (Gopher-style repetition), benchmark
+contamination detection, TF-IDF, deterministic dataset splits, PII
+redaction, plus trading/analytics ops the reference's users would
+expect next to them (drawdown, volatility/Sharpe, histograms,
+fuzzy joins, table profiling).
+
+All hot paths are JVM-side DataFrame expressions; every query carries
+an exact DuckDB oracle. Determinism conventions as in queries/__init__:
+identical aliases and rounding on both sides, deterministic ORDER BY,
+integer-scaled sums wherever a double aggregate could be
+summation-order-sensitive (variance uses exact BIGINT sums, so even
+stddev is bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions import text as TX
+from ..functions.dedup import h60
+from ..sources.parquet_source import table
+from . import query
+
+_R = 6
+
+# DuckDB twins of the shared tokenization / 60-bit md5 hash
+_TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
+         "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+         "t -> lower(t)) END")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _grams_spark(toks, n: int):
+    """All order-preserving word n-grams (with repeats); <n tokens ->
+    empty. Distinct-ness is applied by callers that need set
+    semantics."""
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(k >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def _grams_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
+                                for j in range(n))
+    return (f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(generate_series(1, len(t) - {n - 1}), "
+            f"i -> {joined}) ELSE [] END")
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality: repetition signals (the Gopher-style "fraction of
+# duplicate n-grams / dominance of the top token" filters)
+
+@query(
+    "quality_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(n) AS top_cnt,
+                   CAST(sum(n) AS BIGINT) AS n_tok
+            FROM per GROUP BY 1),
+    tri AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END
+                       AS tri_total,
+                   CASE WHEN len(t) >= 3 THEN
+                        len(list_distinct({_grams_sql(3)}))
+                        ELSE 0 END AS tri_distinct
+            FROM toks)
+    SELECT tri.doc_id, tri.n_tokens,
+           ROUND(CAST(top.top_cnt AS DOUBLE) / top.n_tok, 6)
+               AS top_token_frac,
+           ROUND(1 - CAST(tri.tri_distinct AS DOUBLE)
+                 / NULLIF(tri.tri_total, 0), 6) AS dup_trigram_frac
+    FROM tri LEFT JOIN top USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="per-document repetition quality signals (top-token dominance, "
+        "duplicate-trigram fraction) — the filter inputs of a "
+        "Gopher/C4-style corpus cleaning pass; explode+groupBy stays "
+        "whole-stage-codegen, the trigram set is a per-row array op",
+)
+def quality_repetition_signals(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    per = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = per.groupBy("doc_id").agg(
+        F.max("n").alias("top_cnt"), F.sum("n").alias("n_tok"))
+    tri = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(F.size(toks) - 2, F.lit(0)).alias("tri_total"),
+        F.size(F.array_distinct(_grams_spark(toks, 3)))
+        .alias("tri_distinct"))
+    return (
+        tri.join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.try_divide("top_cnt", "n_tok"), _R)
+            .alias("top_token_frac"),
+            F.round(1 - F.try_divide("tri_distinct",
+                                     F.nullif("tri_total", F.lit(0))),
+                    _R).alias("dup_trigram_frac"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: shared distinct 5-grams between a held-out
+# set and the training corpus
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct({_grams_sql(5)})) AS gram
+          FROM toks),
+    bench AS (SELECT DISTINCT {_h60_sql('gram')} AS gh
+              FROM g WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, {_h60_sql('gram')} AS gh
+           FROM g WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_shared_ngrams
+    FROM tr JOIN bench USING (gh)
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+    doc="train/benchmark contamination detection: documents with "
+        "doc_id%20==0 act as the held-out benchmark; a training doc is "
+        "flagged with the count of distinct 5-gram hashes it shares "
+        "with ANY benchmark doc. The benchmark n-gram set is tiny and "
+        "broadcast, so the corpus side never shuffles — at 100 TB this "
+        "is a map-side semi-join at scan speed (grams joined on the "
+        "60-bit md5, not the string)",
+)
+def contamination_check(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams_spark(toks, 5)))
+        .alias("gram"))
+    bench = (g.filter(F.col("doc_id") % 20 == 0)
+             .select(h60(F.col("gram")).alias("gh")).distinct())
+    train = (g.filter(F.col("doc_id") % 20 != 0)
+             .select("doc_id", h60(F.col("gram")).alias("gh")))
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+
+@query(
+    "tf_idf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+    docfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                FROM tk GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT per.doc_id, per.tok AS term,
+             ROUND(per.tf * ln(CAST(n.n_docs AS DOUBLE) / docfreq.df),
+                   6) AS tf_idf
+      FROM per JOIN docfreq USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf_idf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf_idf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    doc="per-document top-3 terms by tf-idf: one explode+groupBy for "
+        "term frequencies, document frequencies over the (tiny) vocab "
+        "broadcast back, deterministic (score desc, term asc) ranking",
+)
+def tf_idf_top_terms(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    per = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tk.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        per.join(F.broadcast(docfreq), "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id", F.col("tok").alias("term"),
+            F.round(F.col("tf") * F.log(
+                F.col("n_docs").cast("double") / F.col("df")), 6)
+            .alias("tf_idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf_idf",
+                F.col("rank").cast("long").alias("rank"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN {_h60_sql("'doc:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 80 THEN 'train'
+                  WHEN {_h60_sql("'doc:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM s GROUP BY split ORDER BY split
+    """,
+    doc="deterministic hash-based train/val/test split (80/10/10 on "
+        "the 60-bit md5 of the doc id): stable under re-runs, "
+        "re-partitioning, and corpus growth — the property a training "
+        "pipeline needs from a split; no shuffle beyond the count",
+)
+def dataset_split_assign(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = h60(F.concat(F.lit("doc:"),
+                          F.col("doc_id").cast("string"))) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrubbing at scan speed)
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT c_custkey,
+             'reach ' || lower(replace(c_name, '#', '.'))
+             || '@example.com or call +1-555-'
+             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' about segment ' || c_mktsegment AS txt
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '[EMAIL]',
+                                         'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM raw ORDER BY c_custkey
+    """,
+    doc="PII scrubbing: emails/phone patterns redacted with "
+        "regexp_replace and counted — pure JVM regex at scan speed "
+        "(the text is deterministically synthesized from customer rows "
+        "because the testdata carries no real PII; patterns kept to "
+        "the Java-and-RE2-common subset)",
+)
+def pii_redaction(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("reach "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" about segment "), F.col("c_mktsegment"))
+    raw = cust.select("c_custkey", txt.alias("txt"))
+    return (
+        raw.select(
+            "c_custkey",
+            F.regexp_replace(
+                F.regexp_replace("txt", _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE, "[PHONE]").alias("redacted"),
+            F.regexp_count("txt", F.lit(_EMAIL_RE)).cast("long")
+            .alias("n_emails"),
+            F.regexp_count("txt", F.lit(_PHONE_RE)).cast("long")
+            .alias("n_phones"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown per symbol (running peak -> worst trough)
+
+@query(
+    "max_drawdown",
+    oracle="""
+    WITH dd AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS run_max
+      FROM events)
+    SELECT user_id,
+           ROUND(min(CASE WHEN run_max = 0 THEN NULL
+                          ELSE (value - run_max) / run_max END), 6)
+               AS max_drawdown,
+           ROUND(max(run_max), 6) AS peak
+    FROM dd GROUP BY user_id ORDER BY user_id
+    """,
+    doc="per-symbol maximum drawdown: running peak via a RANGE-framed "
+        "window max (ts ties are peers in BOTH engines' default "
+        "frame, so the prefix is identical), worst trough via min — "
+        "one exchange, one sort, order-insensitive final aggregate",
+)
+def max_drawdown(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dd = ev.select(
+        "user_id", "value",
+        F.max("value").over(w).alias("run_max"))
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.round(F.min(F.try_divide(
+                F.col("value") - F.col("run_max"),
+                F.nullif("run_max", F.lit(0.0)))), _R)
+            .alias("max_drawdown"),
+            F.round(F.max("run_max"), _R).alias("peak"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volatility + Sharpe from log returns — exact integer-scaled moments
+
+@query(
+    "volatility_sharpe",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events),
+    r AS (
+      SELECT user_id,
+             CAST(ROUND(ln(value / prev) * 1000000) AS BIGINT) AS r_mu
+      FROM ord WHERE prev > 0 AND value > 0),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_returns,
+             CAST(sum(r_mu) AS BIGINT) AS s,
+             CAST(sum(r_mu * r_mu) AS BIGINT) AS ssq
+      FROM r GROUP BY user_id)
+    SELECT user_id, n_returns,
+           ROUND(CAST(s AS DOUBLE) / n_returns / 1000000, 6)
+               AS mean_ret,
+           ROUND(sqrt((CAST(ssq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * s / n_returns)
+                      / (n_returns - 1)) / 1000000, 6) AS volatility
+    FROM m WHERE n_returns >= 2 ORDER BY user_id
+    """,
+    doc="per-symbol log-return mean and volatility with EXACT "
+        "cross-engine determinism: returns are scaled to 1e-6 units "
+        "and summed as BIGINT (sum and sum-of-squares), so the "
+        "variance is computed from identical integers on both engines "
+        "— stddev without summation-order sensitivity (the "
+        "integer-scaled-moments pattern; plain stddev_samp would be "
+        "last-ulp racy under parallel aggregation)",
+)
+def volatility_sharpe(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordv = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev"))
+    r = (ordv.filter((F.col("prev") > 0) & (F.col("value") > 0))
+         .select("user_id",
+                 F.round(F.log(F.col("value") / F.col("prev"))
+                         * 1000000).cast("bigint").alias("r_mu")))
+    m = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.sum("r_mu").alias("s"),
+        F.sum(F.col("r_mu") * F.col("r_mu")).alias("ssq"))
+    n, s, ssq = (F.col("n_returns"), F.col("s").cast("double"),
+                 F.col("ssq").cast("double"))
+    return (
+        m.filter(n >= 2)
+        .select(
+            "user_id", "n_returns",
+            F.round(s / n / 1000000, _R).alias("mean_ret"),
+            F.round(F.sqrt((ssq - s * F.col("s") / n) / (n - 1))
+                    / 1000000, _R).alias("volatility"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bound value histogram
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(greatest(floor(value / 10), 0), 9) AS BIGINT)
+                 AS bucket,
+             value
+      FROM events)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(min(value), 6) AS lo, ROUND(max(value), 6) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="fixed-bound histogram (10 buckets over [0,100), outliers "
+        "clamped): a single map-side-combinable groupBy — the "
+        "distributed histogram shape",
+)
+def value_histogram(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 10),
+                                F.lit(0)), F.lit(9)).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.min("value"), _R).alias("lo"),
+             F.round(F.max("value"), _R).alias("hi"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-join, blocked to avoid all-pairs
+
+@query(
+    "fuzzy_part_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY id_a, id_b
+    """,
+    doc="edit-distance fuzzy join over part names, blocked on "
+        "(brand, size) so the quadratic levenshtein only runs inside "
+        "small equi-join blocks — never an all-pairs cross product "
+        "(same blocking discipline as the dedup family)",
+)
+def fuzzy_part_pairs(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("id_a"),
+                 F.col("p_name").alias("name_a"),
+                 "p_brand", "p_size")
+    b = p.select(F.col("p_partkey").alias("id_b"),
+                 F.col("p_name").alias("name_b"),
+                 F.col("p_brand").alias("brand_b"),
+                 F.col("p_size").alias("size_b"))
+    return (
+        a.join(b, (F.col("p_brand") == F.col("brand_b"))
+               & (F.col("p_size") == F.col("size_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("dist",
+                    F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 4)
+        .select("id_a", "id_b", "p_brand", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (per-column stats in one scan)
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            CAST(min({c}) AS VARCHAR) AS min_val,
+            CAST(max({c}) AS VARCHAR) AS max_val
+            FROM orders""" for c in _PROFILE_COLS
+    ) + " ORDER BY col_name",
+    doc="one-scan data profiling of the orders table: per-column "
+        "row/null/distinct counts and min/max (stringified; columns "
+        "chosen so string casts are engine-identical) — the "
+        "data-quality summary every ingest pipeline runs first; a "
+        "single aggregate computes all columns, then unpivots",
+)
+def table_profile(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return (
+        one.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val)")
+        .orderBy("col_name")
+    )

@@ -1,0 +1,91 @@
+"""Tests for the training-pipeline / analytics extras
+(queries/training_ops.py): semantic golden checks against independent
+pandas/numpy reimplementations, plus plan-shape assertions for the
+scale-critical queries (oracle parity itself is covered by
+tools/check_oracle.py and the driver gate)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def test_dataset_split_partitions_everything(spark):
+    out = {r.split: r for r in
+           REG["dataset_split_assign"].spark_fn(spark, SF).collect()}
+    total = table(spark, SF, "documents").count()
+    assert set(out) == {"train", "val", "test"}
+    assert sum(r.n_docs for r in out.values()) == total
+    # hash split: roughly 80/10/10, deterministic across runs
+    assert out["train"].n_docs > out["val"].n_docs
+    again = {r.split: r.n_docs for r in
+             REG["dataset_split_assign"].spark_fn(spark, SF).collect()}
+    assert again == {k: v.n_docs for k, v in out.items()}
+
+
+def test_max_drawdown_matches_pandas(spark):
+    ev = (table(spark, SF, "events")
+          .select("user_id", "ts", "value").toPandas())
+    got = {r.user_id: r.max_drawdown for r in
+           REG["max_drawdown"].spark_fn(spark, SF).collect()}
+    sym = sorted(ev.user_id.unique())[0]
+    g = ev[ev.user_id == sym].sort_values("ts")
+    run_max = g.value.cummax()
+    dd = ((g.value - run_max) / run_max.replace(0.0, np.nan)).min()
+    assert got[sym] == pytest.approx(round(dd, 6), abs=1e-6)
+
+
+def test_volatility_matches_numpy(spark):
+    ev = (table(spark, SF, "events")
+          .select("user_id", "ts", "event_id", "value").toPandas())
+    rows = {r.user_id: r for r in
+            REG["volatility_sharpe"].spark_fn(spark, SF).collect()}
+    sym = sorted(rows)[0]
+    g = ev[ev.user_id == sym].sort_values(["ts", "event_id"])
+    v = g.value.to_numpy()
+    prev = np.roll(v, 1)
+    prev[0] = np.nan
+    mask = (prev > 0) & (v > 0)
+    r_mu = np.round(np.log(v[mask] / prev[mask]) * 1e6).astype("int64")
+    n, s, ssq = len(r_mu), int(r_mu.sum()), int((r_mu * r_mu).sum())
+    mean = s / n / 1e6
+    vol = math.sqrt((ssq - s * float(s) / n) / (n - 1)) / 1e6
+    assert rows[sym].n_returns == n
+    assert rows[sym].mean_ret == pytest.approx(round(mean, 6), abs=1e-9)
+    assert rows[sym].volatility == pytest.approx(round(vol, 6), abs=1e-9)
+
+
+def test_contamination_never_flags_benchmark_docs(spark):
+    rows = REG["contamination_check"].spark_fn(spark, SF).collect()
+    assert all(r.doc_id % 20 != 0 for r in rows)
+    assert all(r.n_shared_ngrams >= 1 for r in rows)
+
+
+def test_repetition_signals_bounds(spark):
+    rows = REG["quality_repetition_signals"].spark_fn(spark, SF).collect()
+    assert len(rows) == table(spark, SF, "documents").count()
+    for r in rows:
+        if r.top_token_frac is not None:
+            assert 0.0 < r.top_token_frac <= 1.0
+        if r.dup_trigram_frac is not None:
+            assert 0.0 <= r.dup_trigram_frac <= 1.0
+
+
+def test_fuzzy_join_plan_is_blocked(spark):
+    plan = (REG["fuzzy_part_pairs"].spark_fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    plan = (REG["contamination_check"].spark_fn(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
