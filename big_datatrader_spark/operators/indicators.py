@@ -54,3 +54,55 @@ def with_crossover_signals(df: DataFrame, short_col: str, long_col: str,
         df.withColumn(golden_col, F.coalesce(golden, F.lit(False)))
         .withColumn(death_col, F.coalesce(death, F.lit(False)))
     )
+
+
+def with_ewma(df: DataFrame, value_col: str,
+              partition_by: Sequence[str],
+              order_by: Sequence[str],
+              out_col: str = "ewma",
+              alpha: float = 0.2,
+              num_partitions: int | None = None) -> DataFrame:
+    """Exponential moving average, ``s_0 = x_0;
+    s_i = (1-alpha)*s_{i-1} + alpha*x_i``.
+
+    The recursion is inherently sequential per series — not expressible
+    as a Spark window function (the pow-rescaled cumulative-sum trick
+    overflows on long series). So: hash-repartition by the series key,
+    sort within partitions, and run an Arrow-batched mapInPandas kernel
+    that folds each group with the exact recursion (plain float ops, no
+    pandas ewm internals — the arithmetic is the spec, shared with the
+    recursive-CTE oracle). One exchange + one sort, whole partitions per
+    Python call — the same batched layout as the crossover backtest.
+    """
+    import pandas as pd
+
+    cols = list(df.columns)
+    keys = list(partition_by)
+    part = (df.repartition(num_partitions, *keys) if num_partitions
+            else df.repartition(*keys))
+    arranged = part.sortWithinPartitions(*keys, *order_by)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + f", `{out_col}` double"
+
+    def kernel(batches):
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        out = [0.0] * len(pdf)
+        x = pdf[value_col].to_numpy()
+        gids = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        prev_gid, s = None, 0.0
+        for i in range(len(pdf)):
+            xi = float(x[i])
+            if gids[i] != prev_gid:
+                s = xi
+                prev_gid = gids[i]
+            else:
+                s = (1.0 - alpha) * s + alpha * xi
+            out[i] = s
+        pdf[out_col] = out
+        yield pdf[cols + [out_col]]
+
+    return arranged.mapInPandas(kernel, schema=schema)

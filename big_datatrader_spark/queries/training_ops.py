@@ -532,3 +532,206 @@ def table_profile(spark, sf_dir):
             "(col_name, n_rows, n_null, n_distinct, min_val, max_val)")
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA indicator — sequential recursion, recursive-CTE oracle
+
+@query(
+    "ewma_indicator",
+    oracle="""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    ew AS (
+      SELECT user_id, rn, ts, event_id, value, value AS s
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts, o.event_id, o.value,
+             0.8 * ew.s + 0.2 * o.value
+      FROM ord o JOIN ew
+        ON o.user_id = ew.user_id AND o.rn = ew.rn + 1)
+    SELECT user_id, ts, event_id, ROUND(s, 6) AS ewma
+    FROM ew ORDER BY user_id, rn
+    """,
+    doc="exponential moving average (alpha=0.2) per symbol: an "
+        "inherently sequential recursion Spark windows cannot express "
+        "-> batched mapInPandas fold over hash-partitioned sorted "
+        "series (operators/indicators.py:with_ewma), oracled against "
+        "a DuckDB RECURSIVE CTE computing the identical float "
+        "recursion 0.8*s + 0.2*x",
+)
+def ewma_indicator(spark, sf_dir):
+    from ..operators.indicators import with_ewma
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    out = with_ewma(ev, "value", ["user_id"], ["ts", "event_id"],
+                    out_col="__ewma", alpha=0.2)
+    return (
+        out.select("user_id", "ts", "event_id",
+                   F.round("__ewma", _R).alias("ewma"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase progression
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL SELECT 2, 'click',
+             CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL SELECT 3, 'purchase',
+             CAST((SELECT count(*) FROM p) AS BIGINT))
+    ORDER BY stage
+    """,
+    doc="ordered funnel: users who viewed, then clicked strictly "
+        "after their first view, then purchased strictly after that "
+        "first qualifying click — each stage is a groupBy-min plus a "
+        "join against the (shrinking) prior stage",
+)
+def funnel_conversion(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(event_type, prior, prior_ts):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prior is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(prior, "user_id")
+            .filter(F.col("ts") > F.col(prior_ts))
+            .groupBy("user_id").agg(F.min("ts").alias("t"))
+        )
+
+    v = first_after("view", None, None).withColumnRenamed("t", "t_view")
+    c = (first_after("click", v, "t_view")
+         .withColumnRenamed("t", "t_click"))
+    p = first_after("purchase", c, "t_click")
+    stages = [("view", v), ("click", c), ("purchase", p)]
+    counts = None
+    for i, (name, df_stage) in enumerate(stages, start=1):
+        row = df_stage.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"))
+        counts = row if counts is None else counts.unionAll(row)
+    return counts.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS w
+      FROM events e JOIN firstw f ON e.user_id = f.user_id)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="weekly retention cohorts: users bucketed by ISO week of "
+        "first activity, counted in each subsequent active week "
+        "(both engines' date_trunc('week') starts Monday; the offset "
+        "is an exact day-difference divided by 7)",
+)
+def weekly_retention_cohorts(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(firstw, "user_id")
+        .select("user_id", "cohort_week",
+                F.date_trunc("week", F.col("ts")).alias("w"))
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("long")
+            .alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomalies — exact integer moments, per-symbol partition stats
+
+@query(
+    "zscore_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_mu
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, value,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(v_mu) OVER w AS BIGINT) AS sm,
+             CAST(sum(v_mu * v_mu) OVER w AS BIGINT) AS ssq
+      FROM s WINDOW w AS (PARTITION BY user_id))
+    SELECT user_id, event_id, ROUND(value, 6) AS value,
+           ROUND((value - CAST(sm AS DOUBLE) / n / 1000000)
+                 / (sqrt((CAST(ssq AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * sm / n) / (n - 1))
+                    / 1000000), 4) AS z
+    FROM m
+    WHERE n >= 2 AND abs(
+          (value - CAST(sm AS DOUBLE) / n / 1000000)
+          / (sqrt((CAST(ssq AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n)
+                  / (n - 1)) / 1000000)) > 3
+    ORDER BY user_id, event_id
+    """,
+    doc="per-symbol z-score outliers (|z| > 3) with the "
+        "integer-scaled-moments pattern over an unordered partition "
+        "window: mean/stddev come from exact BIGINT sums, so the "
+        "flagged set is bit-identical across engines and partition "
+        "layouts — no second scan, no join-back",
+)
+def zscore_anomalies(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v_mu = F.round(F.col("value") * 1000000).cast("bigint")
+    m = ev.select(
+        "user_id", "event_id", "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v_mu).over(w).alias("sm"),
+        F.sum(v_mu * v_mu).over(w).alias("ssq"))
+    n, sm, ssq = (F.col("n"), F.col("sm").cast("double"),
+                  F.col("ssq").cast("double"))
+    mean = sm / n / 1000000
+    std = F.sqrt((ssq - sm * F.col("sm") / n) / (n - 1)) / 1000000
+    z = F.try_divide(F.col("value") - mean, std)
+    return (
+        m.filter((n >= 2) & (F.abs(z) > 3))
+        .select("user_id", "event_id",
+                F.round("value", _R).alias("value"),
+                F.round(z, 4).alias("z"))
+        .orderBy("user_id", "event_id")
+    )

@@ -89,3 +89,41 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = (REG["contamination_check"].spark_fn(spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_matches_independent_recursion(spark):
+    from big_datatrader_spark.operators.indicators import with_ewma
+    ev = (table(spark, SF, "events")
+          .select("user_id", "ts", "event_id", "value"))
+    got = with_ewma(ev, "value", ["user_id"], ["ts", "event_id"],
+                    out_col="e", alpha=0.2).toPandas()
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    sym = pdf.user_id.iloc[0]
+    g = pdf[pdf.user_id == sym]
+    s, expect = None, []
+    for x in g.value:
+        s = float(x) if s is None else 0.8 * s + 0.2 * float(x)
+        expect.append(s)
+    got_sym = (got[got.user_id == sym]
+               .sort_values(["ts", "event_id"]).e.tolist())
+    assert got_sym == expect  # bit-identical recursion
+
+
+def test_funnel_stages_shrink(spark):
+    rows = sorted(REG["funnel_conversion"].spark_fn(spark, SF).collect(),
+                  key=lambda r: r.stage)
+    assert [r.event_type for r in rows] == ["view", "click", "purchase"]
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+
+
+def test_retention_cohort_week0_covers_all_users(spark):
+    rows = REG["weekly_retention_cohorts"].spark_fn(spark, SF).collect()
+    total = (table(spark, SF, "events")
+             .select("user_id").distinct().count())
+    week0 = sum(r.n_users for r in rows if r.week_offset == 0)
+    assert week0 == total  # every user is active in their cohort week
+
+
+def test_zscore_flags_are_extreme(spark):
+    flagged = REG["zscore_anomalies"].spark_fn(spark, SF).collect()
+    assert all(abs(r.z) > 3 for r in flagged)
