@@ -115,3 +115,25 @@ def _click_purchase_join(spark, sf_dir):
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     out = run_stream_to_memory(joined, spark, output_mode="append")
     return out.select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "streaming_exactly_once_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc="at-least-once -> exactly-once ingest dedup: the event stream "
+        "unioned with itself (simulating redelivery) deduped by "
+        "event_id via dropDuplicatesWithinWatermark — state for an id "
+        "is dropped once the watermark passes it, so continuous "
+        "operation holds bounded state; the availableNow drain equals "
+        "batch DISTINCT over the original (un-duplicated) events",
+)
+def streaming_exactly_once_dedup(spark, sf_dir):
+    redelivered = events_stream(spark, sf_dir).unionAll(
+        events_stream(spark, sf_dir))
+    deduped = (
+        redelivered.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type"))
+    return run_stream_to_memory(deduped, spark, output_mode="append")
