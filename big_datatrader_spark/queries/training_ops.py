@@ -735,3 +735,46 @@ def zscore_anomalies(spark, sf_dir):
                 F.round(z, 4).alias("z"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candle bars — deterministic open/close via lexicographic
+# struct min/max (ties on ts broken by event_id, never engine whim)
+
+@query(
+    "ohlc_bars",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_day,
+           ROUND((min(struct_pack(t := ts, e := event_id,
+                                  v := value))).v, 6) AS open,
+           ROUND((max(struct_pack(t := ts, e := event_id,
+                                  v := value))).v, 6) AS close,
+           ROUND(max(value), 6) AS high,
+           ROUND(min(value), 6) AS low,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="daily OHLC candles per symbol in ONE map-side-combinable "
+        "groupBy: open/close are min/max over (ts, event_id, value) "
+        "structs — lexicographic, so ts ties resolve identically on "
+        "every engine and partition layout (min_by/max_by leave ties "
+        "undefined); no window, no sort, no second scan",
+)
+def ohlc_bars(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("bar_day"))
+        .agg(F.round(F.min(tagged)["v"], _R).alias("open"),
+             F.round(F.max(tagged)["v"], _R).alias("close"),
+             F.round(F.max("value"), _R).alias("high"),
+             F.round(F.min("value"), _R).alias("low"),
+             F.count(F.lit(1)).alias("n_ticks"))
+        .orderBy("user_id", "bar_day")
+    )

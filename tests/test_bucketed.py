@@ -60,3 +60,26 @@ def test_bucketed_aggregation_skips_exchange(spark):
         assert got == want
     finally:
         drop_table(spark, ticks_t)
+
+
+def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout: a date filter must prune at the
+    directory level (PartitionFilters in the scan), not post-scan."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_by_day")
+    ev = (table(spark, SF, "events")
+          .withColumn("day", F.to_date("ts"))
+          .select("event_id", "user_id", "value", "day"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(
+        F.col("day") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the filter must appear among partition filters, not data filters
+    part_section = plan.split("PartitionFilters")[1].split(
+        "PushedFilters")[0]
+    assert "day" in part_section
+    want = ev.filter(F.col("day") == "2024-01-02").count()
+    assert back.count() == want and want > 0
