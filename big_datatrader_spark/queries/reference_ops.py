@@ -375,12 +375,17 @@ def shares_vectorized_udf(spark, sf_dir):
 
     @pandas_udf("double")
     def shares_of(price: pd.Series) -> pd.Series:
-        return (1000.0 / price.replace(0.0, float("nan"))).round(6)
+        # no rounding in the kernel: numpy rounds half-to-even while
+        # SQL ROUND is half-away-from-zero, which flips exact ties
+        # (1000/40.96 = 24.4140625 at sf0.1); the JVM-side F.round
+        # below matches the oracle on every tie
+        return 1000.0 / price.replace(0.0, float("nan"))
 
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase")
     return ev.select("event_id", "user_id",
-                     shares_of(F.col("value")).alias("shares"))
+                     F.round(shares_of(F.col("value")), 6)
+                     .alias("shares"))
 
 
 @query(

@@ -34,16 +34,29 @@ def _h60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def _grams_spark(toks, n: int):
-    """All order-preserving word n-grams (with repeats); <n tokens ->
-    empty. Distinct-ness is applied by callers that need set
-    semantics."""
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(k >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+def _gram_rows(docs, n: int):
+    """(doc_id, gram) rows: all order-preserving word n-grams (with
+    repeats); docs shorter than n tokens yield no rows.
+
+    posexplode + lead-window instead of a per-row transform/slice
+    lambda: higher-order-function bodies run interpreted and dominated
+    these queries' wall-clock (same finding as functions/dedup.py's
+    shingle builder); lead/concat_ws stays inside whole-stage codegen,
+    and the doc_id window shares its exchange with every downstream
+    per-doc aggregate."""
+    toks = TX.tokens(F.col("text"))
+    base = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", i).over(w) for i in range(1, n)])
+    return (
+        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
+        .withColumn("gram", gram)
+        .filter(F.col("pos") + n <= F.col("n_tok"))
+        .select("doc_id", "gram")
+    )
 
 
 def _grams_sql(n: int) -> str:
@@ -96,20 +109,19 @@ def quality_repetition_signals(spark, sf_dir):
     )
     top = per.groupBy("doc_id").agg(
         F.max("n").alias("top_cnt"), F.sum("n").alias("n_tok"))
-    tri = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.greatest(F.size(toks) - 2, F.lit(0)).alias("tri_total"),
-        F.size(F.array_distinct(_grams_spark(toks, 3)))
-        .alias("tri_distinct"))
+    tri = _gram_rows(docs, 3).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("tri_total"),
+        F.countDistinct("gram").alias("tri_distinct"))
     return (
-        tri.join(top, "doc_id", "left")
+        docs.select("doc_id",
+                    F.size(toks).cast("long").alias("n_tokens"))
+        .join(top, "doc_id", "left")
+        .join(tri, "doc_id", "left")
         .select(
             "doc_id", "n_tokens",
             F.round(F.try_divide("top_cnt", "n_tok"), _R)
             .alias("top_token_frac"),
-            F.round(1 - F.try_divide("tri_distinct",
-                                     F.nullif("tri_total", F.lit(0))),
+            F.round(1 - F.try_divide("tri_distinct", "tri_total"),
                     _R).alias("dup_trigram_frac"))
         .orderBy("doc_id")
     )
@@ -145,11 +157,7 @@ def quality_repetition_signals(spark, sf_dir):
 )
 def contamination_check(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    g = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_grams_spark(toks, 5)))
-        .alias("gram"))
+    g = _gram_rows(docs, 5).distinct()
     bench = (g.filter(F.col("doc_id") % 20 == 0)
              .select(h60(F.col("gram")).alias("gh")).distinct())
     train = (g.filter(F.col("doc_id") % 20 != 0)
