@@ -786,3 +786,132 @@ def ohlc_bars(spark, sf_dir):
              F.count(F.lit(1)).alias("n_ticks"))
         .orderBy("user_id", "bar_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample: hourly grid + forward fill (gap filling)
+
+@query(
+    "resample_forward_fill",
+    oracle="""
+    WITH per_hour AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             (max(struct_pack(t := ts, e := event_id, v := value))).v
+                 AS close
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS h0,
+             max(date_trunc('hour', ts)) AS h1
+      FROM events GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    j AS (
+      SELECT g.user_id, g.hour, p.close FROM grid g
+      LEFT JOIN per_hour p
+        ON g.user_id = p.user_id AND g.hour = p.hour)
+    SELECT user_id, hour,
+           ROUND(last_value(close IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS close,
+           CAST(close IS NULL AS BOOLEAN) AS is_gap
+    FROM j ORDER BY user_id, hour
+    """,
+    doc="hourly resample with forward fill: per-symbol dense hour grid "
+        "(sequence+explode — generated, never collected), left join of "
+        "the last tick per hour (struct-max, deterministic under ts "
+        "ties), gaps filled with last(ignorenulls) over a rows frame. "
+        "Grid generation and fill both partition by symbol — the "
+        "gap-filling shape stays one exchange at any scale",
+)
+def resample_forward_fill(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    per_hour = (ev.groupBy("user_id", hour.alias("hour"))
+                .agg(F.max(tagged)["v"].alias("close")))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+        .alias("hour"))
+    j = grid.join(per_hour, ["user_id", "hour"], "left")
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        j.select(
+            "user_id", "hour",
+            F.round(F.last("close", ignorenulls=True).over(w), _R)
+            .alias("close"),
+            F.col("close").isNull().alias("is_gap"))
+        .orderBy("user_id", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation — exact integer moments (deterministic corr)
+
+@query(
+    "autocorr_lag1",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS y,
+             lag(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS x
+      FROM events),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM ord WHERE x IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS autocorr
+    FROM m WHERE n >= 2 ORDER BY user_id
+    """,
+    doc="per-symbol lag-1 autocorrelation with the integer-scaled-"
+        "moments pattern: all six moments are exact BIGINT sums of "
+        "1e-6-unit values, the Pearson formula then runs on identical "
+        "integers in an identical expression on both engines — "
+        "correlation without any summation-order sensitivity",
+)
+def autocorr_lag1(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = F.round(F.col("value") * 1000000).cast("bigint")
+    ordv = ev.select("user_id", y.alias("y"),
+                     F.lag(y).over(w).alias("x"))
+    m = (ordv.filter(F.col("x").isNotNull())
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    n = F.col("n")
+    nd, sx, sy, sxx, syy, sxy = (n.cast("double"),
+                                 F.col("sx").cast("double"),
+                                 F.col("sy").cast("double"),
+                                 F.col("sxx"), F.col("syy"),
+                                 F.col("sxy"))
+    num = nd * sxy - sx * F.col("sy")
+    den = (F.sqrt(nd * sxx - sx * F.col("sx"))
+           * F.sqrt(nd * syy - sy * F.col("sy")))
+    return (
+        m.filter(n >= 2)
+        .select("user_id", n.alias("n_pairs"),
+                F.round(F.try_divide(num, den), _R).alias("autocorr"))
+        .orderBy("user_id")
+    )

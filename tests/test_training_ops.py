@@ -127,3 +127,25 @@ def test_retention_cohort_week0_covers_all_users(spark):
 def test_zscore_flags_are_extreme(spark):
     flagged = REG["zscore_anomalies"].spark_fn(spark, SF).collect()
     assert all(abs(r.z) > 3 for r in flagged)
+
+
+def test_resample_grid_is_dense_and_filled(spark):
+    rows = REG["resample_forward_fill"].spark_fn(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in list(by_user.items())[:5]:
+        rs.sort(key=lambda r: r.hour)
+        assert not rs[0].is_gap          # grid starts at a real tick
+        assert all(r.close is not None for r in rs)  # fully filled
+        deltas = {(b.hour - a.hour).total_seconds()
+                  for a, b in zip(rs, rs[1:])}
+        assert deltas <= {3600.0}        # dense hourly grid
+
+
+def test_autocorr_in_valid_range(spark):
+    rows = REG["autocorr_lag1"].spark_fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.autocorr is not None:
+            assert -1.0 <= r.autocorr <= 1.0
