@@ -915,3 +915,120 @@ def autocorr_lag1(spark, sf_dir):
                 F.round(F.try_divide(num, den), _R).alias("autocorr"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph — iterative joins, exact integer
+# arithmetic (bit-identical across engines and partitionings)
+
+_PR_ITERS = 3
+
+def _pagerank_oracle() -> str:
+    prelude = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    pr0 AS (
+      SELECT node, CAST(ROUND(1e9 / nn.n) AS BIGINT) AS pr_mu
+      FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(p.pr_mu // o.deg) AS BIGINT) AS s
+      FROM pr{i - 1} p
+      JOIN edges e ON p.node = e.src
+      JOIN outdeg o ON p.node = o.src
+      GROUP BY 1),
+    pr{i} AS (
+      SELECT n.node,
+             CAST(ROUND(0.15 * 1e9 / nn.n) AS BIGINT)
+             + (85 * COALESCE(c.s, 0)) // 100 AS pr_mu
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON n.node = c.node)""")
+    return (prelude + "," + ",".join(steps) + f"""
+    SELECT node AS part_key, pr_mu
+    FROM pr{_PR_ITERS}
+    ORDER BY pr_mu DESC, part_key LIMIT 100
+    """)
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank ({_PR_ITERS} iterations, d=0.85) over the part "
+        "co-purchase graph (parts sharing an order): the iterative-"
+        "algorithm shape — per iteration one join edges+scores, one "
+        "groupBy-sum, one left join back to nodes. All arithmetic is "
+        "integer (1e-9-unit scores, floor-div contributions), so "
+        "scores are bit-identical on any engine or partition layout; "
+        "the oracle unrolls the same iterations as chained CTEs. At "
+        "scale: scores are node-sized (tiny vs edges), edges partition "
+        "by src and the per-iteration shuffle is the groupBy(dst) — "
+        "the standard distributed PageRank cost model",
+)
+def pagerank_copurchase(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "k").filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ewd = edges.join(outdeg, "src")  # (src, dst, deg)
+
+    pr = (nodes.join(F.broadcast(nn))
+          .select("node", F.round(F.lit(1e9) / F.col("n"))
+                  .cast("bigint").alias("pr_mu")))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            pr.join(ewd, pr["node"] == ewd["src"])
+            .select("dst", F.expr("pr_mu DIV deg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s")))
+        pr = (
+            nodes.join(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.round(F.lit(0.15) * 1e9 / F.col("n")).cast("bigint")
+                 + F.expr("(85 * COALESCE(s, 0)) DIV 100"))
+                .alias("pr_mu")))
+    return (
+        pr.select(F.col("node").alias("part_key"), "pr_mu")
+        .orderBy(F.desc("pr_mu"), "part_key").limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform sample (hash-gated, reproducible anywhere)
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_h60_sql("'sample:' || CAST(doc_id AS VARCHAR)")}
+          % 1000 < 20
+    ORDER BY doc_id
+    """,
+    doc="2% uniform sample gated on the 60-bit md5 of the row id: "
+        "reproducible on any engine, stable under repartitioning and "
+        "appends (unlike TABLESAMPLE/rand-based sampling) — the "
+        "sampling primitive a training pipeline can audit",
+)
+def deterministic_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    gate = h60(F.concat(F.lit("sample:"),
+                        F.col("doc_id").cast("string"))) % 1000
+    return (docs.filter(gate < 20)
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id"))
