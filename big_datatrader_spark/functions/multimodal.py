@@ -93,3 +93,49 @@ def extract_features(df: DataFrame, *, id_col: str = "doc_id",
 
     slim = df.select(F.col(id_col), F.col(content_col))
     return slim.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_BYTES = 16
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_hash long, frame_len long"
+
+
+def sample_frames(df: DataFrame, *, id_col: str = "doc_id",
+                  content_col: str = "content",
+                  frame_bytes: int = FRAME_BYTES,
+                  stride: int = 4) -> DataFrame:
+    """Frame sampling over binary media payloads: the payload is cut
+    into fixed-size frames and every ``stride``-th frame is emitted
+    with a 60-bit md5 fingerprint — the video-keyframe-sampling shape
+    (decode itself stays behind ``decode_stub``; the fingerprint is
+    what dedup/contamination over media would join on).
+
+    One mapInPandas pass, no shuffle; the per-row fan-out happens
+    inside the Arrow batch.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes, lens = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                n_frames = (len(b) - 1) // frame_bytes + 1
+                for i in range(0, n_frames, stride):
+                    frame = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    h = int(hashlib.md5(frame).hexdigest()[:15], 16)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(h)
+                    lens.append(len(frame))
+            if ids:
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                })
+
+    slim = df.select(F.col(id_col), F.col(content_col))
+    return slim.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -51,3 +51,32 @@ def multimodal_feature_extract(spark, sf_dir):
          .alias("f_last"),
         "decode_ok",
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+                 0, (length(text) - 1) // 16, 4)) AS frame_idx
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(('0x' || substr(md5(
+               substr(text, frame_idx * 16 + 1, 16)), 1, 15))
+               AS BIGINT) AS frame_hash,
+           CAST(length(substr(text, frame_idx * 16 + 1, 16))
+               AS BIGINT) AS frame_len
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    doc="video-style frame sampling over binary payloads: 16-byte "
+        "frames, every 4th sampled, each fingerprinted with the 60-bit "
+        "md5 (what media dedup/contamination joins on). mapInPandas "
+        "fan-out inside the Arrow batch, no shuffle; the payloads are "
+        "ASCII so the oracle reproduces the byte slicing with string "
+        "ops and hashes the identical frames",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    media = MM.with_binary_content(table(spark, sf_dir, "documents"))
+    return (MM.sample_frames(media)
+            .orderBy("doc_id", "frame_idx"))

@@ -1032,3 +1032,70 @@ def deterministic_sample(spark, sf_dir):
     return (docs.filter(gate < 20)
             .select("doc_id", "lang", "source", "n_chars")
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Decile assignment (ntile) with a total order
+
+@query(
+    "ntile_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT value,
+             ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(value), 6) AS lo,
+           ROUND(max(value), 6) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+    doc="equal-count decile binning via ntile over a TOTAL order "
+        "(value, event_id) — remainder rows land in the lowest "
+        "buckets per the SQL standard on both engines, so bucket "
+        "boundaries are deterministic. The global sort is the cost: "
+        "at 100 TB use value_histogram (fixed bounds, one groupBy) or "
+        "approx percentiles instead; this query is the exact-rank "
+        "primitive for moderate cardinalities",
+)
+def ntile_deciles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    t = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.min("value"), _R).alias("lo"),
+             F.round(F.max("value"), _R).alias("hi"))
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL interface: the same engine surface through spark.sql
+
+@query(
+    "sql_revenue_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) / 100.0 AS revenue
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="the SQL-string interface: registered temp view + spark.sql "
+        "text (identical ANSI SQL runs on DuckDB as the oracle) — "
+        "evidence the engine's surface is usable from pure SQL, not "
+        "just the DataFrame API; integer-cents exact revenue",
+)
+def sql_revenue_by_priority(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bdt_orders_v")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue
+        FROM bdt_orders_v
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
