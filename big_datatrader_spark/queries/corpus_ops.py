@@ -1,0 +1,567 @@
+"""Corpus-pipeline operators, round-3 batch 2: the cleaning /
+sampling / packing stages a 100 TB training-data pipeline runs after
+signals are computed — a Gopher-style rule filter, cross-document
+repetition, chunk-level exact dedup (the Lee-et-al "deduplicating
+training data" shape), context-length sequence packing, stratified and
+mixture-rebalanced sampling — plus two graph/vector ops (degree-
+oriented triangle counting, exact k-means assignment).
+
+Everything is JVM-side DataFrame expressions; every query carries an
+exact DuckDB oracle. All fractions divide exact BIGINT sums, so the
+rounded doubles are bit-identical across engines (conventions of
+queries/__init__ and queries/training_ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions import text as TX
+from ..functions.dedup import h60
+from ..sources.parquet_source import table
+from . import query
+from .training_ops import _TOKS, _grams_sql, _gram_rows, _h60_sql
+
+_R = 6
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style rule filter: one explode+groupBy feeds every rule
+
+_QF_MIN_TOK, _QF_MAX_TOK = 20, 95
+_QF_MIN_WLEN, _QF_MAX_WLEN = 4.0, 5.0
+_QF_TOP_FRAC = 0.15
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    per AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+    st AS (SELECT doc_id,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(max(n) AS BIGINT) AS top_cnt,
+                  CAST(sum(n * len(tok)) AS BIGINT) AS n_tok_chars
+           FROM per GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_tok_chars AS DOUBLE) / n_tokens, {_R})
+               AS mean_word_len,
+           ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, {_R})
+               AS top_token_frac,
+           CASE WHEN n_tokens < {_QF_MIN_TOK} THEN 'too_short'
+                WHEN n_tokens > {_QF_MAX_TOK} THEN 'too_long'
+                WHEN CAST(n_tok_chars AS DOUBLE) / n_tokens
+                     < {_QF_MIN_WLEN}
+                     OR CAST(n_tok_chars AS DOUBLE) / n_tokens
+                        > {_QF_MAX_WLEN} THEN 'word_len'
+                WHEN CAST(top_cnt AS DOUBLE) / n_tokens
+                     >= {_QF_TOP_FRAC} THEN 'repetitive'
+                ELSE 'ok' END AS reason,
+           (n_tokens >= {_QF_MIN_TOK} AND n_tokens <= {_QF_MAX_TOK}
+            AND CAST(n_tok_chars AS DOUBLE) / n_tokens
+                >= {_QF_MIN_WLEN}
+            AND CAST(n_tok_chars AS DOUBLE) / n_tokens
+                <= {_QF_MAX_WLEN}
+            AND CAST(top_cnt AS DOUBLE) / n_tokens < {_QF_TOP_FRAC})
+               AS kept
+    FROM st ORDER BY doc_id
+    """,
+    doc="Gopher/C4-style corpus rule filter: token-count bounds, mean "
+        "word length band, top-token dominance — each doc gets kept + "
+        "the FIRST failing rule as an audit reason. One explode + "
+        "per-(doc,token) groupBy feeds all rules (no second pass over "
+        "text); the per-doc reduction is map-side combinable, so at "
+        "100 TB the only shuffle is doc-sized aggregates, never raw "
+        "text",
+)
+def corpus_quality_filter(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text")))
+                    .alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = per.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_cnt"),
+        F.sum(F.col("n") * F.length("tok")).alias("n_tok_chars"))
+    wlen = F.col("n_tok_chars").cast("double") / F.col("n_tokens")
+    top = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    reason = (
+        F.when(F.col("n_tokens") < _QF_MIN_TOK, "too_short")
+        .when(F.col("n_tokens") > _QF_MAX_TOK, "too_long")
+        .when((wlen < _QF_MIN_WLEN) | (wlen > _QF_MAX_WLEN),
+              "word_len")
+        .when(top >= _QF_TOP_FRAC, "repetitive")
+        .otherwise("ok"))
+    return (
+        st.select(
+            "doc_id", "n_tokens",
+            F.round(wlen, _R).alias("mean_word_len"),
+            F.round(top, _R).alias("top_token_frac"),
+            reason.alias("reason"),
+            ((F.col("n_tokens") >= _QF_MIN_TOK)
+             & (F.col("n_tokens") <= _QF_MAX_TOK)
+             & (wlen >= _QF_MIN_WLEN) & (wlen <= _QF_MAX_WLEN)
+             & (top < _QF_TOP_FRAC)).alias("kept"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repetition: fraction of a doc's distinct 5-grams that
+# occur in >= 2 documents (corpus-wide boilerplate signal)
+
+_XD_N = 5
+
+
+@query(
+    "cross_doc_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, unnest({_grams_sql(_XD_N)}) AS gram
+          FROM toks),
+    df AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           ROUND(CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), {_R}) AS shared_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"cross-document repetition: share of each doc's distinct "
+        f"{_XD_N}-grams that appear in >=2 documents — the corpus-wide "
+        "boilerplate signal that intra-doc repetition "
+        "(quality_repetition_signals) cannot see. Gram building is the "
+        "codegen posexplode+lead pipeline; the document-frequency "
+        "table shuffles only (gram-hash, count) pairs and the df join "
+        "is gram-partitioned on both sides — one exchange feeds both "
+        "the count and the join at 100 TB",
+)
+def cross_doc_repetition(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    g = _gram_rows(docs, _XD_N).distinct()
+    df_t = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        g.join(df_t, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(shared).alias("n_shared"))
+        .select("doc_id", "n_grams", "n_shared",
+                F.round(F.col("n_shared").cast("double")
+                        / F.col("n_grams"), _R).alias("shared_frac"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): non-overlapping 8-token chunks,
+# corpus-wide keep-first
+
+_CH_N = 8
+
+
+@query(
+    "chunk_dedup_substrings",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ch AS (SELECT doc_id, t,
+                  unnest(generate_series(1, len(t) // {_CH_N})) AS i
+           FROM toks),
+    g AS (SELECT doc_id, i,
+                 array_to_string(
+                     t[(i - 1) * {_CH_N} + 1 : i * {_CH_N}], ' ')
+                     AS gram
+          FROM ch),
+    r AS (SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, i) AS rn
+          FROM g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), {_R}) AS kept_frac
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"substring-level exact dedup: split each doc into "
+        f"non-overlapping {_CH_N}-token chunks, keep only the first "
+        "corpus-wide occurrence (ordered by doc_id, position) of each "
+        "chunk — the exact-substring dedup of Lee et al. 2022 at chunk "
+        "granularity. Keep-first is min(struct(doc_id,pos)) per chunk "
+        "hash — partially aggregatable (map-side combine), so the "
+        "shuffle carries one row per DISTINCT chunk, not per "
+        "occurrence; no window sort over skewed boilerplate groups",
+)
+def chunk_dedup_substrings(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", j).over(w) for j in range(1, _CH_N)])
+    g = (
+        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
+        .withColumn("gram", gram)
+        .filter((F.col("pos") % _CH_N == 0)
+                & (F.col("pos") + _CH_N <= F.col("n_tok")))
+        .select("doc_id", (F.col("pos") / _CH_N + 1).cast("bigint")
+                .alias("i"), "gram")
+    )
+    first = g.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "i")).alias("first"))
+    kept = F.when((F.col("doc_id") == F.col("first.doc_id"))
+                  & (F.col("i") == F.col("first.i")), 1).otherwise(0)
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(kept).alias("n_kept"))
+        .select("doc_id", "n_chunks", "n_kept",
+                F.round(F.col("n_kept").cast("double")
+                        / F.col("n_chunks"), _R).alias("kept_frac"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: contiguous context-length bins by cumulative token
+# count (per source, ordered by doc_id)
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents),
+    b AS (SELECT source, n_tok,
+                 COALESCE(sum(n_tok) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) // {_PACK_BUDGET} AS bin
+          FROM n),
+    f AS (SELECT source, bin, CAST(sum(n_tok) AS BIGINT) AS fill
+          FROM b GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           CAST(max(fill) AS BIGINT) AS max_bin_tokens,
+           ROUND(CAST(sum(fill) AS DOUBLE) / count(*), {_R})
+               AS avg_bin_tokens
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"sequence packing: assign docs (per source, ordered by "
+        f"doc_id) to {_PACK_BUDGET}-token context bins by "
+        "floor(preceding-cumulative-tokens / budget) — contiguous "
+        "deterministic packing where a doc crossing a boundary opens "
+        "the next bin. One window cumsum + one groupBy, both "
+        "partitioned by source: at 100 TB each source packs "
+        "independently (no global order), matching how shard-local "
+        "packing actually runs",
+)
+def sequence_packing_bins(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = docs.select(
+        "source", "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    b = n.select(
+        "source", "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+                / _PACK_BUDGET).alias("bin"))
+    f = b.groupBy("source", "bin").agg(F.sum("n_tok").alias("fill"))
+    return (
+        f.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_bins"),
+             F.sum("fill").alias("total_tokens"),
+             F.max("fill").alias("max_bin_tokens"))
+        .select("source", "n_bins", "total_tokens", "max_bin_tokens",
+                F.round(F.col("total_tokens").cast("double")
+                        / F.col("n_bins"), _R).alias("avg_bin_tokens"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-event-type rates, hash-gated
+
+_STRAT_PPM = {"click": 25, "error": 100, "purchase": 200,
+              "signup": 10, "view": 50}  # per-mille
+
+
+def _strat_case_sql() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(_STRAT_PPM.items()))
+    return f"CASE event_type {arms} ELSE 0 END"
+
+
+@query(
+    "stratified_sample_events",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, event_id,
+             ({_h60_sql("'strat:' || CAST(event_id AS VARCHAR)")}
+              % 1000 < {_strat_case_sql()}) AS take
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN take THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(sum(CASE WHEN take THEN event_id ELSE 0 END)
+                AS BIGINT) AS sampled_id_checksum
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    doc="stratified sampling with per-stratum rates (per-mille gates "
+        "on the 60-bit md5 of the row id): each event_type keeps its "
+        "own reproducible rate — unlike sampleBy/rand this survives "
+        "re-runs, repartitioning, and appends, and the id checksum "
+        "proves the SAME rows are chosen on any engine. Single scan, "
+        "map-side combinable aggregate — no shuffle of sampled rows",
+)
+def stratified_sample_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    rate = F.lit(0)
+    for k, v in sorted(_STRAT_PPM.items()):
+        rate = F.when(F.col("event_type") == k, v).otherwise(rate)
+    take = (h60(F.concat(F.lit("strat:"),
+                         F.col("event_id").cast("string"))) % 1000
+            < rate)
+    return (
+        ev.select("event_type", "event_id", take.alias("take"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(F.when(F.col("take"), 1).otherwise(0))
+             .alias("n_sampled"),
+             F.sum(F.when(F.col("take"), F.col("event_id"))
+                   .otherwise(0)).alias("sampled_id_checksum"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing: downsample every language to the rarest
+# language's count via exact integer acceptance thresholds
+
+@query(
+    "lang_mixture_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+               FROM documents GROUP BY 1),
+    m AS (SELECT min(n_before) AS min_n FROM c),
+    thr AS (SELECT lang, n_before,
+                   (m.min_n * 1000000) // n_before AS accept_ppm
+            FROM c CROSS JOIN m),
+    s AS (SELECT d.lang,
+                 ({_h60_sql("'mix:' || CAST(d.doc_id AS VARCHAR)")}
+                  % 1000000 < t.accept_ppm) AS take
+          FROM documents d JOIN thr t ON d.lang = t.lang)
+    SELECT t.lang, t.n_before, t.accept_ppm,
+           CAST(sum(CASE WHEN s.take THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after
+    FROM s JOIN thr t ON s.lang = t.lang
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    doc="mixture rebalancing: compute per-language acceptance "
+        "thresholds (rarest-language count / language count, exact "
+        "integer ppm) from the data, then hash-gate rows against them "
+        "— the two-pass shape of domain-mixture control (DoReMi-style "
+        "targets plug in as the thr table). The counts table is "
+        "languages-sized: it broadcasts, so the corpus is scanned "
+        "once and never shuffled",
+)
+def lang_mixture_rebalance(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    m = c.agg(F.min("n_before").alias("min_n"))
+    thr = (c.join(F.broadcast(m))
+           .select("lang", "n_before",
+                   F.floor(F.col("min_n") * 1000000
+                           / F.col("n_before")).alias("accept_ppm")))
+    take = (h60(F.concat(F.lit("mix:"),
+                         F.col("doc_id").cast("string"))) % 1000000
+            < F.col("accept_ppm"))
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .select("lang", "n_before", "accept_ppm", take.alias("take"))
+        .groupBy("lang", "n_before", "accept_ppm")
+        .agg(F.sum(F.when(F.col("take"), 1).otherwise(0))
+             .alias("n_after"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph (degree-oriented)
+
+@query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT x AS node FROM pairs
+                  UNION ALL SELECT y FROM pairs)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN dx.deg * 1000000000 + x
+                           < dy.deg * 1000000000 + y
+                      THEN x ELSE y END AS u,
+                 CASE WHEN dx.deg * 1000000000 + x
+                           < dy.deg * 1000000000 + y
+                      THEN y ELSE x END AS v
+          FROM pairs
+          JOIN deg dx ON x = dx.node JOIN deg dy ON y = dy.node),
+    ov AS (SELECT o.u, o.v, d.deg * 1000000000 + o.v AS vord
+           FROM o JOIN deg d ON o.v = d.node),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ov e1 JOIN ov e2
+              ON e1.u = e2.u AND e1.vord < e2.vord
+            JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+    corners AS (SELECT a AS part_key FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+    SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY 1
+    ORDER BY n_triangles DESC, part_key LIMIT 20
+    """,
+    doc="per-node triangle counts over the part co-purchase graph "
+        "(top 20): the standard degree-oriented algorithm — orient "
+        "every edge from the (degree, id)-smaller endpoint, enumerate "
+        "wedges only at oriented sources, close against the oriented "
+        "edge set. Orientation bounds per-node wedge fan-out by "
+        "O(sqrt(|E|)) instead of max-degree^2, which is exactly what "
+        "keeps hub nodes from exploding the join at 100 TB; both "
+        "wedge join and closure are equi-joins (no cross product)",
+)
+def triangle_count_copurchase(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("x"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("y"))
+    pairs = (a.join(b, "k").filter(F.col("x") < F.col("y"))
+             .select("x", "y").distinct())
+    deg = (pairs.select(F.col("x").alias("node"))
+           .unionAll(pairs.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    dx = deg.select(F.col("node").alias("x"),
+                    (F.col("deg") * 1000000000 + F.col("node"))
+                    .alias("xord"))
+    dy = deg.select(F.col("node").alias("y"),
+                    (F.col("deg") * 1000000000 + F.col("node"))
+                    .alias("yord"))
+    lt = F.col("xord") < F.col("yord")
+    o = (pairs.join(dx, "x").join(dy, "y")
+         .select(F.when(lt, F.col("x")).otherwise(F.col("y"))
+                 .alias("u"),
+                 F.when(lt, F.col("y")).otherwise(F.col("x"))
+                 .alias("v"))
+         .persist())  # reused by the wedge pair AND the closure probe
+    ov = (o.join(deg.withColumnRenamed("node", "v"), "v")
+          .select("u", "v", (F.col("deg") * 1000000000 + F.col("v"))
+                  .alias("vord")))
+    e1 = ov.select(F.col("u"), F.col("v").alias("b"),
+                   F.col("vord").alias("bord"))
+    e2 = ov.select(F.col("u"), F.col("v").alias("c"),
+                   F.col("vord").alias("cord"))
+    closure = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "u").filter(F.col("bord") < F.col("cord"))
+           .join(closure, ["b", "c"])
+           .select(F.col("u").alias("a"), "b", "c"))
+    corners = (tri.select(F.col("a").alias("part_key"))
+               .unionAll(tri.select(F.col("b")))
+               .unionAll(tri.select(F.col("c"))))
+    return (
+        corners.groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part_key")).limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact k-means assignment over embeddings (integer-scaled distances)
+
+_KM_K = 8
+_KM_SCALE = 1_000_000  # 1e-6-unit components -> exact BIGINT L2^2
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
+                 AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    cv AS (SELECT vec_id AS cid, i, q AS cq FROM iv
+           WHERE vec_id < {_KM_K}),
+    d AS (SELECT iv.vec_id, cv.cid,
+                 CAST(sum((iv.q - cv.cq) * (iv.q - cv.cq)) AS BIGINT)
+                     AS dist
+          FROM iv JOIN cv USING (i) GROUP BY 1, 2),
+    asgn AS (SELECT vec_id, cid, dist,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d)
+    SELECT cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(sum(dist) AS DOUBLE) / count(*)
+                 / {_KM_SCALE * _KM_SCALE}.0, {_R}) AS avg_sq_dist
+    FROM asgn WHERE rn = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"exact k-means assignment: every embedding to its nearest of "
+        f"{_KM_K} deterministic centroids (the lowest vec_ids) by "
+        "squared L2 — components quantized to 1e-6 units so distances "
+        "are exact BIGINTs and the argmin can NEVER flip on fp "
+        "summation order (ties break by centroid id). The centroid "
+        "table is k*dim rows — broadcast; the corpus explodes to "
+        "(row, dim) pairs, aggregates locally, and shuffles only "
+        "(vec, centroid, dist) triples. The semantic-clustering "
+        "primitive behind cluster-balanced sampling; the Lloyd "
+        "UPDATE step of this shape fits IVF (functions/similarity)",
+)
+def embedding_kmeans_assign(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("p", "e")
+    ).select(
+        "vec_id", (F.col("p") + 1).alias("i"),
+        F.round(F.col("e").cast("double") * _KM_SCALE).cast("bigint")
+        .alias("q"))
+    cv = (iv.filter(F.col("vec_id") < _KM_K)
+          .select(F.col("vec_id").alias("cid"), "i",
+                  F.col("q").alias("cq")))
+    d = (iv.join(F.broadcast(cv), "i")
+         .groupBy("vec_id", "cid")
+         .agg(F.sum((F.col("q") - F.col("cq"))
+                    * (F.col("q") - F.col("cq"))).alias("dist")))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.sum("dist").cast("double") / F.count(F.lit(1))
+                     / (_KM_SCALE * _KM_SCALE), _R)
+             .alias("avg_sq_dist"))
+        .orderBy("cluster")
+    )

@@ -59,9 +59,14 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    args = list(sys.argv[1:])
+    # accept a bare scale factor ("0.1") as shorthand for the testdata dir
+    args = [a if os.path.isdir(a) or not os.path.isdir(
+        f"/root/testdata/sf{a}") else f"/root/testdata/sf{a}"
+        for a in args]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    only = set(a for a in args if not os.path.isdir(a))
 
     reg = load_registry()
     spark = get_spark("check-oracle")
