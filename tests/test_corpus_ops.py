@@ -1,0 +1,137 @@
+"""Tests for the corpus-pipeline batch (queries/corpus_ops.py):
+semantic invariants against independent pandas/python
+reimplementations, plus plan-shape assertions for the scale-critical
+queries (oracle parity is covered by tools/check_oracle.py and the
+driver gate)."""
+
+import itertools
+
+import pandas as pd
+
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_tokens(spark):
+    pdf = table(spark, SF, "documents").select("doc_id", "source",
+                                               "text").toPandas()
+    pdf["toks"] = pdf.text.str.strip().str.lower().str.split()
+    return pdf
+
+
+def test_quality_filter_reason_consistent_with_kept(spark):
+    out = REG["corpus_quality_filter"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 500
+    assert ((out.reason == "ok") == out.kept).all()
+    # every doc classified exactly once; fractions in range
+    assert out.doc_id.is_unique
+    assert out.top_token_frac.between(0, 1).all()
+
+
+def test_cross_doc_repetition_bounds_and_self_grams(spark):
+    out = REG["cross_doc_repetition"].spark_fn(spark, SF).toPandas()
+    assert (out.n_shared <= out.n_grams).all()
+    assert out.shared_frac.between(0, 1).all()
+    # independent recount for one doc: distinct 5-grams
+    pdf = _docs_tokens(spark)
+    row = pdf.iloc[0]
+    grams = {" ".join(row.toks[i:i + 5])
+             for i in range(len(row.toks) - 4)}
+    got = out[out.doc_id == row.doc_id].iloc[0]
+    assert got.n_grams == len(grams)
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    out = REG["chunk_dedup_substrings"].spark_fn(spark, SF).toPandas()
+    pdf = _docs_tokens(spark).sort_values("doc_id")
+    # python reimplementation: global first-occurrence over (doc, pos)
+    seen, kept, total = set(), {}, {}
+    for _, r in pdf.iterrows():
+        toks = r.toks
+        n = len(toks) // 8
+        total[r.doc_id] = n
+        k = 0
+        for i in range(n):
+            g = " ".join(toks[i * 8:(i + 1) * 8])
+            if g not in seen:
+                seen.add(g)
+                k += 1
+        kept[r.doc_id] = k
+    got = dict(zip(out.doc_id, out.n_kept))
+    assert got == kept
+    assert dict(zip(out.doc_id, out.n_chunks)) == total
+
+
+def test_sequence_packing_preserves_tokens_and_bounds_bins(spark):
+    out = REG["sequence_packing_bins"].spark_fn(spark, SF).toPandas()
+    pdf = _docs_tokens(spark)
+    pdf["n_tok"] = pdf.toks.str.len()
+    per_src = pdf.groupby("source").n_tok.sum()
+    got = dict(zip(out.source, out.total_tokens))
+    assert got == per_src.to_dict()
+    # a bin holds at least one doc; fill < budget + max doc length
+    max_doc = pdf.n_tok.max()
+    assert (out.max_bin_tokens < 256 + max_doc).all()
+    assert (out.n_bins >= 1).all()
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    out1 = REG["stratified_sample_events"].spark_fn(spark, SF).toPandas()
+    out2 = REG["stratified_sample_events"].spark_fn(spark, SF).toPandas()
+    pd.testing.assert_frame_equal(out1, out2)
+    assert (out1.n_sampled <= out1.n_total).all()
+    # 200-per-mille stratum samples more than 10-per-mille stratum
+    r = dict(zip(out1.event_type, out1.n_sampled / out1.n_total))
+    assert r["purchase"] > r["signup"]
+
+
+def test_lang_mixture_rebalance_levels_counts(spark):
+    out = REG["lang_mixture_rebalance"].spark_fn(spark, SF).toPandas()
+    min_n = out.n_before.min()
+    assert (out.n_after <= out.n_before).all()
+    # every language lands near the rarest language's count
+    assert (abs(out.n_after - min_n) <= 0.35 * min_n).all()
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    out = REG["triangle_count_copurchase"].spark_fn(spark, SF).toPandas()
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey").toPandas()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        for u, v in itertools.combinations(sorted(set(grp.l_partkey)), 2):
+            edges.add((u, v))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # each triangle contributes exactly 1 to each corner via its
+    # opposite edge, so this counts triangles-per-node
+    per_node = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            per_node[w] = per_node.get(w, 0) + 1
+    top = sorted(per_node.items(), key=lambda t: (-t[1], t[0]))[:20]
+    got = list(zip(out.part_key, out.n_triangles))
+    assert got == top
+
+
+def test_kmeans_assign_covers_all_vectors(spark):
+    out = REG["embedding_kmeans_assign"].spark_fn(spark, SF).toPandas()
+    total = table(spark, SF, "embeddings").count()
+    assert out.n_vectors.sum() == total
+    assert out.cluster.between(0, 7).all()
+    assert (out.avg_sq_dist >= 0).all()
+
+
+def test_scale_plans_no_cartesian_and_broadcast_mixture(spark):
+    mix = REG["lang_mixture_rebalance"].spark_fn(spark, SF)
+    plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # thresholds broadcast
+    tri = REG["triangle_count_copurchase"].spark_fn(spark, SF)
+    tplan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in tplan
+    assert "BroadcastNestedLoopJoin" not in tplan
