@@ -16,10 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions import dedup as DD
 from ..functions import text as TX
 from ..functions.dedup import h60
 from ..sources.parquet_source import table
 from . import query
+from .llm_dedup import (BANDS, NUM_HASHES, _SHINGLES, _band_struct_sql,
+                        _minhash_sig_sql)
 from .training_ops import _TOKS, _grams_sql, _gram_rows, _h60_sql
 
 _R = 6
@@ -564,4 +567,120 @@ def embedding_kmeans_assign(spark, sf_dir):
                      / (_KM_SCALE * _KM_SCALE), _R)
              .alias("avg_sq_dist"))
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus dedup pipeline: quality filter -> exact dedup ->
+# MinHash+LSH near-dedup -> one-row corpus summary
+
+_PIPE_QUAL = f"""
+    tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    per AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+    st AS (SELECT doc_id,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(max(n) AS BIGINT) AS top_cnt,
+                  CAST(sum(n * len(tok)) AS BIGINT) AS n_tok_chars
+           FROM per GROUP BY 1),
+    qual AS (SELECT d.doc_id, d.text, st.n_tokens
+             FROM documents d JOIN st USING (doc_id)
+             WHERE st.n_tokens BETWEEN {_QF_MIN_TOK} AND {_QF_MAX_TOK}
+               AND CAST(st.n_tok_chars AS DOUBLE) / st.n_tokens
+                   BETWEEN {_QF_MIN_WLEN} AND {_QF_MAX_WLEN}
+               AND CAST(st.top_cnt AS DOUBLE) / st.n_tokens
+                   < {_QF_TOP_FRAC})"""
+
+
+@query(
+    "corpus_dedup_pipeline",
+    oracle=f"""
+    WITH {_PIPE_QUAL},
+    ex AS (SELECT min(doc_id) AS doc_id FROM qual
+           GROUP BY md5(lower(trim(text)))),
+    surv AS (SELECT q.doc_id, q.text, q.n_tokens
+             FROM qual q JOIN ex USING (doc_id)),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM surv),
+    shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    hashes AS (SELECT doc_id,
+                      list_transform(
+                          sh, s -> {_h60_sql('s')} % {DD._MIX_P}) AS hs
+               FROM shing),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashes),
+    bandrows AS (
+      SELECT doc_id, sig, unnest({_band_struct_sql()},
+                                 recursive := true)
+      FROM sigs),
+    dup AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(range(1, {NUM_HASHES + 1}),
+            i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+            / {NUM_HASHES}.0 >= 0.5),
+    final AS (SELECT s.doc_id, s.n_tokens
+              FROM surv s LEFT JOIN dup ON s.doc_id = dup.doc_b
+              WHERE dup.doc_b IS NULL)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+           (SELECT CAST(count(*) AS BIGINT) FROM qual) AS n_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_final,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens_final
+    FROM final
+    """,
+    doc="the complete cleaning pipeline as ONE lazy plan: "
+        "Gopher-style quality rules -> exact dedup (min doc_id per "
+        "content fingerprint) -> MinHash+LSH near-dedup (drop the "
+        "higher id of every >=0.5-estimated-Jaccard pair) -> corpus "
+        "summary. Every stage shuffles ids/fingerprints, never text "
+        "bodies; near-dedup only runs on quality+exact survivors "
+        "(each stage shrinks the next stage's input — the ordering a "
+        "production pipeline uses for exactly this reason); the "
+        "one-row funnel summary is the ingest-audit record a 100 TB "
+        "run logs per shard",
+)
+def corpus_dedup_pipeline(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text")))
+                    .alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = per.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_cnt"),
+        F.sum(F.col("n") * F.length("tok")).alias("n_tok_chars"))
+    wlen = F.col("n_tok_chars").cast("double") / F.col("n_tokens")
+    top = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    qual = (docs.join(
+        st.filter((F.col("n_tokens") >= _QF_MIN_TOK)
+                  & (F.col("n_tokens") <= _QF_MAX_TOK)
+                  & (wlen >= _QF_MIN_WLEN) & (wlen <= _QF_MAX_WLEN)
+                  & (top < _QF_TOP_FRAC))
+        .select("doc_id", "n_tokens"), "doc_id")
+        .select("doc_id", "text", "n_tokens"))
+    # qual and surv feed 2-3 downstream branches each (dedup stages +
+    # the funnel counts): persist them so tokenization and the exact-
+    # dedup join run once, not per branch — at 100 TB these survivor
+    # sets are what a pipeline checkpoints between stages anyway
+    qual = qual.persist()
+    ex = (qual.groupBy(F.md5(F.lower(F.trim(F.col("text")))))
+          .agg(F.min("doc_id").alias("doc_id"))
+          .select("doc_id"))
+    surv = qual.join(ex, "doc_id").persist()
+    dup = (DD.minhash_lsh_pairs(surv, num_hashes=NUM_HASHES,
+                                bands=BANDS, threshold=0.5)
+           .select(F.col("doc_b").alias("doc_id")).distinct())
+    final = surv.join(dup, "doc_id", "left_anti")
+    return (
+        final.agg(F.count(F.lit(1)).alias("n_final"),
+                  F.sum("n_tokens").alias("total_tokens_final"))
+        .join(F.broadcast(
+            docs.agg(F.count(F.lit(1)).alias("n_input"))))
+        .join(F.broadcast(
+            qual.agg(F.count(F.lit(1)).alias("n_quality"))))
+        .join(F.broadcast(
+            surv.agg(F.count(F.lit(1)).alias("n_exact"))))
+        .select("n_input", "n_quality", "n_exact", "n_final",
+                "total_tokens_final")
     )
