@@ -684,3 +684,87 @@ def corpus_dedup_pipeline(spark, sf_dir):
         .select("n_input", "n_quality", "n_exact", "n_final",
                 "total_tokens_final")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group deterministic reservoir: a balanced k-per-group subset
+
+_RES_K = 5
+
+
+@query(
+    "per_group_reservoir",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY {_h60_sql("'res:' || CAST(doc_id AS VARCHAR)")},
+                          doc_id) AS rank
+      FROM documents)
+    SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_RES_K}
+    ORDER BY lang, rank
+    """,
+    doc=f"deterministic per-group reservoir: the {_RES_K} docs per "
+        "language with the smallest md5-derived priority — a "
+        "reproducible balanced subset (eval slices, per-domain "
+        "inspection samples) that is stable under repartitioning and "
+        "appends-at-the-end, unlike rand()-based reservoirs. The "
+        "window needs only (lang, doc_id, hash) — ids and hashes "
+        "shuffle, text bodies never do; a TopK-per-key aggregate "
+        "replaces the full sort when k is small",
+)
+def per_group_reservoir(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pri = h60(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id",
+                    F.row_number().over(w).cast("bigint").alias("rank"))
+        .filter(F.col("rank") <= _RES_K)
+        .orderBy("lang", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation (hot-key skew pattern), exact result
+
+_SALT_N = 16
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0, 6) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"skew-safe aggregation: stage 1 groups by (key, salt) with a "
+        f"deterministic {_SALT_N}-way salt so a hot key's rows spread "
+        "across all partitions, stage 2 merges the partials per key — "
+        "bit-identical to the plain groupBy (the oracle) because the "
+        "per-row values are integer cents, so partial-sum order can't "
+        "change the total. This is THE pattern for power-law keys at "
+        "100 TB when map-side combine alone can't absorb the skew "
+        "(e.g. high-cardinality payloads under the hot key)",
+)
+def salted_hot_key_agg(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    salt = F.pmod(F.col("event_id"), F.lit(_SALT_N))
+    partial = (
+        ev.select("event_type", salt.alias("salt"),
+                  cents.alias("cents"))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("pc"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n_events"),
+             F.round(F.sum("pc").cast("double") / 100.0, _R)
+             .alias("sum_value"))
+        .orderBy("event_type")
+    )

@@ -137,3 +137,49 @@ def streaming_exactly_once_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type"))
     return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+@query(
+    "streaming_topk_trending",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT bucket, event_type, n_events,
+                 row_number() OVER (
+                     PARTITION BY bucket
+                     ORDER BY n_events DESC, event_type) AS rnk
+          FROM hourly)
+    SELECT bucket, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    doc="streaming top-k trending: watermarked tumbling-hour counts "
+        "per event_type maintained by the stream, ranked top-3 per "
+        "hour downstream of the drain — the standard split because "
+        "rank-over-aggregate isn't expressible inside a streaming "
+        "query; continuously, the rank runs over the sink table. "
+        "Rank order is total (count desc, then type), so the result "
+        "is deterministic and equals the batch window+rank (oracle)",
+)
+def streaming_topk_trending(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events")))
+    # complete mode: the availableNow drain emits every window,
+    # including the trailing ones the final watermark never finalizes
+    # (append mode would hold those back)
+    drained = run_stream_to_memory(
+        hourly.select(F.col("w.start").alias("bucket"), "event_type",
+                      "n_events"),
+        spark, output_mode="complete")
+    from pyspark.sql import Window
+    rw = Window.partitionBy("bucket").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (
+        drained.withColumn(
+            "rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
