@@ -637,7 +637,9 @@ _PIPE_QUAL = f"""
         "(each stage shrinks the next stage's input — the ordering a "
         "production pipeline uses for exactly this reason); the "
         "one-row funnel summary is the ingest-audit record a 100 TB "
-        "run logs per shard",
+        "run logs per shard. (The summary's keyless joins surface as "
+        "broadcast nested-loop in the plan — each side is a 1-row "
+        "aggregate by construction, the one place that shape is fine)",
 )
 def corpus_dedup_pipeline(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")

@@ -135,3 +135,59 @@ def test_scale_plans_no_cartesian_and_broadcast_mixture(spark):
     tplan = tri._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in tplan
     assert "BroadcastNestedLoopJoin" not in tplan
+
+
+def test_pipeline_funnel_consistent_with_stage_queries(spark):
+    row = REG["corpus_dedup_pipeline"].spark_fn(spark, SF).collect()[0]
+    assert (row.n_input >= row.n_quality >= row.n_exact
+            >= row.n_final > 0)
+    # stage 1 must equal the standalone quality filter's kept count
+    qf = REG["corpus_quality_filter"].spark_fn(spark, SF).toPandas()
+    assert row.n_quality == int(qf.kept.sum())
+    assert row.n_input == len(qf)
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from big_datatrader_spark.sources.parquet_source import table
+    from pyspark.sql import functions as F
+    got = {r.event_type: (r.n_events, r.sum_value) for r in
+           REG["salted_hot_key_agg"].spark_fn(spark, SF).collect()}
+    plain = {r.event_type: (r.n, r.s) for r in
+             table(spark, SF, "events")
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum(F.round(F.col("value") * 100)
+                                .cast("bigint")).cast("double")
+                          / 100.0, 6).alias("s"))
+             .collect()}
+    assert got == plain
+
+
+def test_reservoir_exactly_k_per_group_and_stable(spark):
+    out1 = REG["per_group_reservoir"].spark_fn(spark, SF).toPandas()
+    out2 = REG["per_group_reservoir"].spark_fn(spark, SF).toPandas()
+    pd.testing.assert_frame_equal(out1, out2)
+    sizes = out1.groupby("lang").size()
+    assert (sizes == 5).all()
+    assert (out1.groupby("lang")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()
+
+
+def test_streaming_topk_matches_batch_rank(spark):
+    from big_datatrader_spark.sources.parquet_source import table
+    from pyspark.sql import functions as F
+    out = REG["streaming_topk_trending"].spark_fn(spark, SF).toPandas()
+    assert out.rnk.between(1, 3).all()
+    batch = (table(spark, SF, "events")
+             .groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events")).toPandas())
+    batch["rnk"] = (batch.sort_values(
+        ["n_events", "event_type"], ascending=[False, True])
+        .groupby("bucket").cumcount() + 1)
+    top = batch[batch.rnk <= 3]
+    merged = out.merge(top, on=["bucket", "event_type"],
+                       suffixes=("", "_b"))
+    assert len(merged) == len(out) == len(top)
+    assert (merged.n_events == merged.n_events_b).all()
+    assert (merged.rnk == merged.rnk_b).all()
