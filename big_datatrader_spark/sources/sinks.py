@@ -15,3 +15,30 @@ def write_csv(df: DataFrame, path: str, *, single_file: bool = False,
               mode: str = "overwrite") -> None:
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite",
+                partition_by: list[str] | None = None,
+                compression: str | None = "gzip") -> None:
+    """JSONL export — the interchange format training-data pipelines
+    feed to tokenizers. Directory-of-part-files (parallel writers);
+    optional Hive-style partitioning so downstream consumers prune by
+    directory; gzip by default (line-oriented JSON compresses ~10x;
+    gzip itself is not splittable, so read parallelism comes from the
+    many part files — keep parts shard-sized, not monolithic)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSONL scan with an explicit schema when provided — schema
+    inference reads the data twice and types drift per shard, so at
+    scale callers must pass the schema they wrote."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

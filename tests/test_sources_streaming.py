@@ -111,3 +111,21 @@ def test_streaming_rollup_equals_batch(spark, sf0001):
              F.round(F.sum("value"), 6).alias("sum_value"))
     ).collect()))
     assert got == batch
+
+
+def test_jsonl_roundtrip_partitioned(spark, tmp_path):
+    from big_datatrader_spark.sources.parquet_source import table
+    from big_datatrader_spark.sources.sinks import read_jsonl, write_jsonl
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, partition_by=["lang"])
+    back = read_jsonl(spark, path, schema="doc_id long, text string, "
+                      "source string, n_chars long, lang string")
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter must prune directories, and the
+    # roundtrip must preserve values
+    en = back.filter(back.lang == "en").select("doc_id", "n_chars")
+    exp = docs.filter(docs.lang == "en").select("doc_id", "n_chars")
+    assert sorted(map(tuple, en.collect())) == sorted(map(tuple, exp.collect()))
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "lang" not in plan
