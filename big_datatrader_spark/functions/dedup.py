@@ -88,6 +88,29 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _doc_shingles_with_repeats(df: DataFrame, text_col: str,
+                               id_col: str, n: int) -> DataFrame:
+    """Like ``_doc_shingles`` but WITHOUT the trailing distinct — for
+    consumers whose aggregate is insensitive to duplicates (minhash
+    min()), dropping it removes a full exchange+dedup of shingle
+    strings from the plan."""
+    from pyspark.sql import Window
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)])
+    return (
+        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
+        .withColumn("s", gram)
+        .filter((F.col("pos") + n <= F.col("n_tok"))
+                | ((F.col("n_tok") < n) & (F.col("pos") == 0)))
+        .select("doc_id", "s")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
@@ -181,8 +204,9 @@ def minhash_signatures(df: DataFrame, *, text_col: str, id_col: str,
     """(doc_id, sig array<long>) via the codegen-friendly plan:
     explode shingles -> ONE md5 -> num_hashes affine-mix columns ->
     min-aggregate by doc. One shuffle (the groupBy), everything else
-    pipelined in codegen."""
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    pipelined in codegen. Shingles keep their in-doc repeats: min() is
+    duplicate-insensitive, so the dedup exchange would be pure cost."""
+    sh = _doc_shingles_with_repeats(df, text_col, id_col, shingle_n)
     hashed = sh.select(
         "doc_id", (h60(F.col("s")) % _MIX_P).alias("h"))
     mixed = hashed.select(
