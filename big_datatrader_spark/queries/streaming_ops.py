@@ -183,3 +183,48 @@ def streaming_topk_trending(spark, sf_dir):
             "rnk", F.row_number().over(rw).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+      FROM gaps)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="native stateful session windows (F.session_window, 30-min "
+        "gap): Spark merges overlapping per-event windows in the "
+        "state store — no sort-based lag/cumsum pass, state bounded "
+        "by the watermark in continuous operation; complete-mode "
+        "availableNow drain. Session-window semantics close a session "
+        "when the gap is >= the duration (window [ts, ts+gap) "
+        "overlap), hence the >= in the oracle where batch "
+        "sessionize_events uses >; window.end = last event + gap",
+)
+def streaming_session_window(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id",
+                 F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events"))
+    return run_stream_to_memory(agg, spark, output_mode="complete")
