@@ -60,32 +60,21 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int) -> DataFrame:
     """(doc_id, s): DISTINCT n-gram shingles, one row each.
 
-    posexplode + lead-window formulation instead of exploding the
-    ``shingles()`` array column: lambda bodies in higher-order functions
-    run interpreted and dominated the dedup wall-clock (7.7s of 12.8s at
-    5k docs); window lead/concat_ws stays inside whole-stage codegen.
-    The window shuffle also spreads single-file sources across cores.
+    Zero-shuffle gram builder: posexplode(arrays_zip(t, slice(t, 2..),
+    slice(t, 3..))) + concat_ws. arrays_zip/slice/concat_ws are
+    JVM-native (no interpreted HOF lambdas, which dominated the dedup
+    wall-clock — 7.7s of 12.8s at 5k docs), and unlike the earlier
+    lead()-window formulation there is NO partitionBy(doc) exchange or
+    sort: grams materialize in the scan's own partitions. At 100 TB
+    that removes a full-corpus token shuffle from every shingle
+    consumer.
 
     Matches ``shingles()``: docs with 1..n-1 tokens yield their single
-    full-text shingle (concat_ws skips the null leads); empty docs yield
-    no rows.
+    full-text shingle (arrays_zip pads the short slices with null and
+    concat_ws skips nulls); empty docs yield no rows.
     """
-    from pyspark.sql import Window
-    toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    w_all = Window.partitionBy("doc_id")
-    gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)])
-    return (
-        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
-        .withColumn("s", gram)
-        .filter((F.col("pos") + n <= F.col("n_tok"))
-                | ((F.col("n_tok") < n) & (F.col("pos") == 0)))
-        .select("doc_id", "s")
+    return _zip_grams(df, text_col, id_col, n, short_doc_rule=True) \
         .distinct()
-    )
 
 
 def _doc_shingles_with_repeats(df: DataFrame, text_col: str,
@@ -94,21 +83,31 @@ def _doc_shingles_with_repeats(df: DataFrame, text_col: str,
     consumers whose aggregate is insensitive to duplicates (minhash
     min()), dropping it removes a full exchange+dedup of shingle
     strings from the plan."""
-    from pyspark.sql import Window
+    return _zip_grams(df, text_col, id_col, n, short_doc_rule=True)
+
+
+def _zip_grams(df: DataFrame, text_col: str, id_col: str, n: int,
+               *, short_doc_rule: bool) -> DataFrame:
+    """(doc_id, s) n-gram rows with repeats, built shuffle-free (see
+    ``_doc_shingles``). ``short_doc_rule``: docs with <n tokens emit
+    their full text as a single gram (the ``shingles()`` contract);
+    off, they emit nothing."""
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    w_all = Window.partitionBy("doc_id")
-    gram = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)])
-    return (
-        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
-        .withColumn("s", gram)
-        .filter((F.col("pos") + n <= F.col("n_tok"))
-                | ((F.col("n_tok") < n) & (F.col("pos") == 0)))
-        .select("doc_id", "s")
-    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"),
+                     F.size(toks).alias("n_tok"))
+    cols = [F.col("t").alias("g0")] + [
+        F.slice(F.col("t"), i + 1,
+                F.greatest(F.col("n_tok") - i, F.lit(0))).alias(f"g{i}")
+        for i in range(1, n)]
+    z = base.select(
+        "doc_id", "n_tok",
+        F.posexplode(F.arrays_zip(*cols)).alias("pos", "z"))
+    keep = F.col("pos") + n <= F.col("n_tok")
+    if short_doc_rule:
+        keep = keep | ((F.col("n_tok") < n) & (F.col("pos") == 0))
+    gram = F.concat_ws(" ", *[F.col("z").getField(f"g{i}")
+                              for i in range(n)])
+    return z.filter(keep).select("doc_id", gram.alias("s"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
