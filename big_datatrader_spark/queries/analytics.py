@@ -1326,18 +1326,88 @@ def sessionize_events(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# §2.12 pipeline 2: MA-crossover backtest (U2 — the one genuinely
-# non-SQL-expressible operator: the budget gate makes trade i depend on
-# all prior trades; driver records the weaker rows-only check,
-# correctness is pinned by golden tests against an independent
-# reimplementation in tests/test_backtest.py)
+# §2.12 pipeline 2: MA-crossover backtest (U2). The general operator is
+# a sequential stateful fold (the budget gate makes trade i depend on
+# all prior trades), but at THESE parameters (budget = 10x per_trade,
+# max_trades=None) the gate can only bind after 9+ near-total-loss
+# trades, which never happens on the test corpus — so the fold reduces
+# to a pure window computation: cross events, drop the leading deaths,
+# collapse same-type runs (keep the first of each run == "ignore golden
+# while holding / death while flat"), pair golden k with death k+1, and
+# force-close an unpaired final golden at the series' last row. That IS
+# ANSI-SQL-expressible, so the driver gets an exact oracle; the general
+# gated/max_trades semantics stay pinned by the golden tests against an
+# independent reimplementation (tests/test_backtest.py).
+
+_CROSSOVER_KEPT_SQL = """
+    ma AS (
+      SELECT user_id, ts, value,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    ), lagged AS (
+      SELECT user_id, ts, value, s, l,
+             lag(s) OVER (PARTITION BY user_id ORDER BY ts) AS ps,
+             lag(l) OVER (PARTITION BY user_id ORDER BY ts) AS pl
+      FROM ma
+    ), ev AS (
+      SELECT user_id, ts, value,
+             COALESCE(ps <= pl AND s > l, FALSE) AS g
+      FROM lagged
+      WHERE COALESCE(ps <= pl AND s > l, FALSE)
+         OR COALESCE(ps >= pl AND s < l, FALSE)
+    ), gated AS (
+      SELECT e.* FROM ev e
+      JOIN (SELECT user_id, min(ts) AS g0 FROM ev WHERE g
+            GROUP BY user_id) f
+        ON e.user_id = f.user_id AND e.ts >= f.g0
+    ), runs AS (
+      SELECT *, lag(g) OVER (PARTITION BY user_id ORDER BY ts) AS pg
+      FROM gated
+    ), kept AS (
+      SELECT user_id, ts, value, g,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS krn
+      FROM runs WHERE pg IS NULL OR g <> pg
+    ), lastrow AS (
+      SELECT user_id, max(ts) AS last_ts, arg_max(value, ts) AS last_price
+      FROM events GROUP BY user_id
+    ), trades AS (
+      SELECT k.user_id, k.ts AS entry_date, k.value AS entry_price,
+             COALESCE(x.ts, lr.last_ts) AS exit_date,
+             COALESCE(x.value, lr.last_price) AS exit_price
+      FROM kept k
+      LEFT JOIN kept x
+        ON x.user_id = k.user_id AND x.krn = k.krn + 1
+      JOIN lastrow lr ON lr.user_id = k.user_id
+      WHERE k.g
+    )
+"""
+
 
 @query(
     "ma_crossover_backtest",
-    oracle=None,
+    oracle=f"""
+    WITH {_CROSSOVER_KEPT_SQL},
+    per_user AS (
+      SELECT user_id, count(*) AS n_trades,
+             sum(1000.0 / entry_price * exit_price - 1000.0) AS pnl
+      FROM trades GROUP BY user_id
+    )
+    SELECT u.user_id,
+           CAST(COALESCE(p.n_trades, 0) AS BIGINT) AS n_trades,
+           ROUND(10000.0 + COALESCE(p.pnl, 0.0), 6) AS final_value,
+           ROUND(((10000.0 + COALESCE(p.pnl, 0.0)) - 10000.0)
+                 / 10000.0 * 100.0, 6) AS roi
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN per_user p USING (user_id)
+    """,
     doc="§2.12 pipeline 2: per-symbol MA(5/20) crossover backtest via "
-        "applyInPandas (reference main.py:392-446); sequential stateful "
-        "fold, parallel across symbols",
+        "mapInPandas (reference main.py:392-446); sequential stateful "
+        "fold, parallel across symbols; exact oracle via the "
+        "run-collapse window reduction (valid because the cash gate "
+        "never binds at budget=10x per_trade on this corpus)",
     bench=True,
 )
 def ma_crossover_backtest_q(spark, sf_dir):
@@ -1353,9 +1423,17 @@ def ma_crossover_backtest_q(spark, sf_dir):
 
 @query(
     "ma_crossover_positions",
-    oracle=None,
+    oracle=f"""
+    WITH {_CROSSOVER_KEPT_SQL}
+    SELECT user_id, entry_date,
+           ROUND(entry_price, 6) AS entry_price,
+           exit_date, ROUND(exit_price, 6) AS exit_price
+    FROM trades
+    """,
     doc="positions table emitted by the crossover backtest "
-        "(entry/exit pairs incl. forced final close, main.py:419-439)",
+        "(entry/exit pairs incl. forced final close, main.py:419-439); "
+        "exact oracle: entry/exit are raw tick values, so no fp "
+        "accumulation enters the comparison at all",
 )
 def ma_crossover_positions_q(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
