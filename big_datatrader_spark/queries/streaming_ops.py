@@ -50,19 +50,38 @@ def streaming_distinct_user_types(spark, sf_dir):
 
 @query(
     "streaming_running_position",
-    oracle=None,
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           ROUND((sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                      ELSE 0 END)
+                - sum(CASE WHEN event_type = 'error'
+                      THEN CAST(ROUND(0.1 * value * 1000000) AS BIGINT)
+                      ELSE 0 END)) / 1000000.0, 6) AS position
+    FROM events GROUP BY user_id
+    """,
     doc="custom stateful streaming operator (applyInPandasWithState): "
         "per-user running position with state across micro-batches — "
-        "the streaming analog of the U2 backtest fold; batch "
-        "equivalence is pytest-checked (fp order differs, so no "
-        "hash oracle)",
+        "the streaming analog of the U2 backtest fold. The kernel "
+        "accumulates integer 1e-6 units (contributions rounded "
+        "half-away-from-zero before summing), so the drained state is "
+        "order-independent and hash-matches the batch integer-scaled "
+        "sum exactly — an exact oracle for a stateful stream",
 )
 def streaming_running_position(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     out = run_stream_to_memory(
         running_position_stream(stream), spark, output_mode="update")
-    return out.select("user_id", "n_events",
-                      F.round("position", 6).alias("position"))
+    # update mode re-emits a key's row each micro-batch it appears in;
+    # the final state per user is the row with the highest n_events
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max_by("position", "n_events").alias("position"))
+        .select("user_id", "n_events",
+                F.round("position", 6).alias("position"))
+    )
 
 
 @query(

@@ -69,23 +69,36 @@ def running_position_stream(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout)
+    import numpy as np
     import pandas as pd
 
     out_schema = ("user_id long, n_events long, position double")
-    state_schema = "n long, pos double"
+    # position accumulates in integer 1e-6 units (state stays exact):
+    # per-event contributions are rounded half-away-from-zero to micros
+    # BEFORE summing, so the final position is independent of event
+    # arrival order / micro-batch boundaries — the streaming result is
+    # bit-identical to the batch integer-scaled sum (the q9/q11 cents
+    # pattern), which is what makes an exact SQL oracle possible for a
+    # stateful stream.
+    state_schema = "n long, pos_micro long"
+
+    def _micros(x: np.ndarray) -> np.ndarray:
+        # half-away-from-zero, matching Spark/DuckDB ROUND (numpy's
+        # np.round is banker's and would disagree on exact halves)
+        return (np.floor(np.abs(x) + 0.5) * np.sign(x)).astype("int64")
 
     def update(key, pdfs, state: GroupState):
-        n, pos = state.get if state.exists else (0, 0.0)
+        n, pos_micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            for et, v in zip(pdf["event_type"], pdf["value"]):
-                n += 1
-                if et == "purchase":
-                    pos += float(v)
-                elif et == "error":
-                    pos -= 0.1 * float(v)
-        state.update((n, pos))
+            et = pdf["event_type"].to_numpy()
+            v = pdf["value"].to_numpy(dtype="float64")
+            n += len(v)
+            pos_micro += int(_micros(v * 1000000.0)[et == "purchase"].sum())
+            pos_micro -= int(_micros(0.1 * v * 1000000.0)[et == "error"]
+                             .sum())
+        state.update((n, pos_micro))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "position": [pos]})
+                            "position": [pos_micro / 1000000.0]})
 
     return (
         df.groupBy("user_id")

@@ -85,17 +85,19 @@ def test_streaming_running_position_equals_batch(spark, sf0001):
         output_mode="update")
     got = {r.user_id: (r.n_events, r.position) for r in out.collect()}
     ev = table(spark, sf0001, "events")
+    # the kernel's integer-micro contract: EXACT equality with the
+    # batch integer-scaled sum, not tolerance equality
+    micro_p = F.when(F.col("event_type") == "purchase",
+                     F.round(F.col("value") * 1000000).cast("bigint")
+                     ).otherwise(F.lit(0))
+    micro_e = F.when(F.col("event_type") == "error",
+                     F.round(0.1 * F.col("value") * 1000000)
+                     .cast("bigint")).otherwise(F.lit(0))
     exp = {r.user_id: (r.n, r.pos) for r in ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.coalesce(F.sum(F.when(F.col("event_type") == "purchase",
-                                 F.col("value"))), F.lit(0.0))
-         - 0.1 * F.coalesce(F.sum(F.when(F.col("event_type") == "error",
-                                         F.col("value"))), F.lit(0.0))
-         ).alias("pos")).collect()}
-    assert set(got) == set(exp)
-    for uid in got:
-        assert got[uid][0] == exp[uid][0], uid
-        assert abs(got[uid][1] - exp[uid][1]) < 1e-6, uid
+        ((F.sum(micro_p) - F.sum(micro_e)) / 1000000.0).alias("pos"))
+        .collect()}
+    assert got == exp
 
 
 def test_streaming_rollup_equals_batch(spark, sf0001):
