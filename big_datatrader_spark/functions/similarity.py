@@ -294,3 +294,48 @@ def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                   if block_col else []),
                 "cosine_sim")
     )
+
+
+def gram_matrix_micro(df: DataFrame, *, vec_col: str = "embedding",
+                      dim: int, scale: int = 100_000_000) -> DataFrame:
+    """Distributed Gram (second-moment) matrix of an embedding column:
+    (i, j, sum_scaled) for the upper triangle i <= j, where sum_scaled
+    = Σ_rows round(x_i * x_j * scale) as int64.
+
+    The mapInPandas kernel computes per-PARTITION partial integer sums
+    (one numpy outer-product pass, chunked to bound memory) and emits
+    dim*(dim+1)/2 rows per partition; the only shuffle is the final
+    groupBy over those tiny partials — the map-side-combine shape of a
+    distributed X^T X (how a covariance/PCA fit touches 100 TB: the
+    data never moves, only d^2-sized partials do). Per-product rounding
+    to 1/scale units makes the result EXACTLY independent of row order
+    and partitioning, hence oracle-checkable bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def parts(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            V = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            for s in range(0, len(V), 256):
+                X = V[s:s + 256]
+                P = X[:, :, None] * X[:, None, :] * float(scale)
+                acc += (np.floor(np.abs(P) + 0.5)
+                        * np.sign(P)).astype(np.int64).sum(axis=0)
+        if seen:
+            yield pd.DataFrame({
+                "i": iu[0].astype("int64"), "j": iu[1].astype("int64"),
+                "part": acc[iu]})
+
+    partials = df.select(
+        as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(parts, schema="i long, j long, part long")
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("part").cast("bigint").alias("sum_scaled")))

@@ -1444,3 +1444,57 @@ def ma_crossover_positions_q(spark, sf_dir):
         "user_id", "entry_date",
         F.round("entry_price", _R).alias("entry_price"),
         "exit_date", F.round("exit_price", _R).alias("exit_price"))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build: change events -> validity intervals.
+# The standard warehouse shape (customer attribute history, model
+# version rollouts): collapse runs of the unchanged attribute, open an
+# interval at each change, close it with the next change's timestamp.
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev
+      FROM events
+    ), kept AS (
+      SELECT user_id, event_type AS state, ts AS valid_from
+      FROM ch WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS BIGINT)
+               AS version,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) IS NULL)
+               AS is_current
+    FROM kept ORDER BY user_id, valid_from
+    """,
+    doc="SCD Type-2 dimension build from a change stream: run-collapse "
+        "on the tracked attribute, then lead() closes each validity "
+        "interval; both windows share one (user) exchange. The "
+        "daily-merge variant of this shape is upsert_customers_merge",
+)
+def scd2_user_state(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    kept = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull()
+                | (F.col("event_type") != F.col("prev")))
+        .select("user_id", F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        kept.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
+    )

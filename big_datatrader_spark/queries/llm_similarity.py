@@ -105,3 +105,45 @@ def embedding_norms(spark, sf_dir):
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6)
          .alias("comp_sum"),
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ), g AS (
+      SELECT a.pos - 1 AS i, b.pos - 1 AS j,
+             CAST(sum(CAST(ROUND(CAST(a.x AS DOUBLE)
+                  * CAST(b.x AS DOUBLE) * 100000000) AS BIGINT))
+                  AS BIGINT) AS sum_scaled
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY 1, 2
+    )
+    SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+           g.sum_scaled,
+           ROUND(g.sum_scaled / (n.cnt * 100000000.0), 6) AS mean_prod
+    FROM g, (SELECT count(*) AS cnt FROM embeddings) n
+    ORDER BY i, j
+    """,
+    doc="distributed Gram / second-moment matrix of the embedding "
+        "column (the aggregation inside covariance-PCA / whitening "
+        "fits): per-partition integer partial sums via mapInPandas, "
+        "one d^2-sized shuffle — the corpus itself never moves. "
+        "Per-product micro-rounding makes the matrix bit-exact and "
+        "order-independent (hash oracle on 64x65/2 cells)",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    gram = SIM.gram_matrix_micro(emb, vec_col="embedding", dim=DIM)
+    cnt = emb.agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        gram.join(F.broadcast(cnt))
+        .select("i", "j", "sum_scaled",
+                F.round(F.col("sum_scaled")
+                        / (F.col("cnt") * 100000000.0), 6)
+                .alias("mean_prod"))
+        .orderBy("i", "j")
+    )

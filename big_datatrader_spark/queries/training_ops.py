@@ -1105,3 +1105,82 @@ def sql_revenue_by_priority(spark, sf_dir):
         FROM bdt_orders_v
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """)
+
+
+# ---------------------------------------------------------------------------
+# Global deterministic shuffle: reproducible pseudo-random ordering for
+# training-shard emission, via the two-phase distributed global rank
+# (operators/ranking.py) — never a one-task global sort
+
+@query(
+    "global_shuffle_rank",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents ORDER BY doc_id
+    """,
+    doc="deterministic global shuffle order for training data: "
+        "position = global rank under ORDER BY md5(seed || id). "
+        "Computed as bucket-local row_number + broadcast bucket "
+        "offsets (bucket = first hex byte of the hash, a prefix of "
+        "the order), so no single-partition window exists in the plan",
+)
+def global_shuffle_rank(spark, sf_dir):
+    from ..operators.ranking import global_rank
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    ranked = global_rank(
+        docs.withColumn("__h", h),
+        bucket=F.substring("__h", 1, 2),
+        order_cols=[F.col("__h"), F.col("doc_id")],
+        rank_col="shuffle_pos")
+    return ranked.select("doc_id", "shuffle_pos").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model: conditional next-word probabilities — the
+# count side of KenLM-style n-gram estimation, over the corpus at scale
+
+@query(
+    "bigram_conditional_prob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT unnest({_grams_sql(2)}) AS gram FROM toks),
+    sp AS (SELECT string_split(gram, ' ')[1] AS w1,
+                  string_split(gram, ' ')[2] AS w2
+           FROM bi),
+    cnt AS (SELECT w1, w2, count(*) AS c2 FROM sp GROUP BY 1, 2),
+    tot AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt
+            GROUP BY 1)
+    SELECT cnt.w1, cnt.w2,
+           CAST(cnt.c2 AS BIGINT) AS pair_count,
+           tot.c1 AS w1_count,
+           ROUND(CAST(cnt.c2 AS DOUBLE) / tot.c1, 6) AS cond_prob
+    FROM cnt JOIN tot USING (w1)
+    ORDER BY pair_count DESC, cnt.w1, cnt.w2
+    LIMIT 200
+    """,
+    doc="bigram LM estimation: P(w2|w1) = c(w1 w2) / c(w1 ·) over the "
+        "corpus — counts via the codegen gram builder, the denominator "
+        "via a partial re-aggregation of the bigram counts themselves "
+        "(never a second corpus scan); top-200 under a deterministic "
+        "order",
+)
+def bigram_conditional_prob(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sp = _gram_rows(docs, 2).select(
+        F.split("gram", " ")[0].alias("w1"),
+        F.split("gram", " ")[1].alias("w2"))
+    cnt = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = cnt.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    return (
+        cnt.join(tot, on="w1")
+        .select("w1", "w2", F.col("c2").cast("long").alias("pair_count"),
+                F.col("c1").alias("w1_count"),
+                F.round(F.col("c2").cast("double") / F.col("c1"), _R)
+                .alias("cond_prob"))
+        .orderBy(F.desc("pair_count"), "w1", "w2")
+        .limit(200)
+    )

@@ -1,0 +1,61 @@
+"""Tests for the distributed global rank and the integer-exact Gram
+matrix kernel."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from big_datatrader_spark.functions import similarity as SIM
+from big_datatrader_spark.operators.ranking import global_rank
+from big_datatrader_spark.sources.parquet_source import table
+
+
+def test_global_rank_equals_single_partition_row_number(spark, sf0001):
+    docs = table(spark, sf0001, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    got = {
+        r.doc_id: r.rank
+        for r in global_rank(
+            docs.withColumn("__h", h),
+            bucket=F.substring("__h", 1, 2),
+            order_cols=[F.col("__h"), F.col("doc_id")]).collect()
+    }
+    from pyspark.sql import Window
+    naive = {
+        r.doc_id: r.rank
+        for r in docs.withColumn("__h", h).withColumn(
+            "rank", F.row_number().over(
+                Window.orderBy(F.col("__h"), F.col("doc_id")))).collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, len(got) + 1))
+
+
+def test_global_rank_partition_invariant(spark, sf0001):
+    docs = table(spark, sf0001, "documents").select("doc_id")
+    outs = []
+    for p in (1, 7):
+        ranked = global_rank(
+            docs.repartition(p).withColumn("__b", F.col("doc_id") % 5),
+            bucket=F.col("__b"),
+            order_cols=[F.col("doc_id")])
+        outs.append(sorted(map(tuple, ranked.collect())))
+    assert outs[0] == outs[1]
+
+
+def test_gram_matrix_matches_numpy_and_partitioning(spark, sf0001):
+    emb = table(spark, sf0001, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    P = V[:, :, None] * V[:, None, :] * 1e8
+    exact = (np.floor(np.abs(P) + 0.5) * np.sign(P)).astype(
+        np.int64).sum(axis=0)
+
+    for parts in (1, 13):
+        got = {(r.i, r.j): r.sum_scaled
+               for r in SIM.gram_matrix_micro(
+                   emb.repartition(parts), vec_col="embedding",
+                   dim=64).collect()}
+        assert len(got) == 64 * 65 // 2
+        for (i, j), s in got.items():
+            assert s == exact[i, j], (i, j, parts)
