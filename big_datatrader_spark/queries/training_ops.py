@@ -1169,8 +1169,14 @@ def global_shuffle_rank(spark, sf_dir):
         "order",
 )
 def bigram_conditional_prob(spark, sf_dir):
+    # zip-gram builder (functions/dedup._zip_grams): grams materialize
+    # in the scan's own partitions — no doc_id exchange exists in this
+    # plan at all (the _gram_rows window would add one that nothing
+    # downstream reuses: the aggregates here key on words, not docs)
+    from ..functions.dedup import _zip_grams
     docs = table(spark, sf_dir, "documents")
-    sp = _gram_rows(docs, 2).select(
+    grams = _zip_grams(docs, "text", "doc_id", 2, short_doc_rule=False)
+    sp = grams.withColumnRenamed("s", "gram").select(
         F.split("gram", " ")[0].alias("w1"),
         F.split("gram", " ")[1].alias("w2"))
     cnt = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))

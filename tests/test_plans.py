@@ -129,42 +129,6 @@ def test_simhash_blocking_no_cross_product(spark, sf001):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_bucketed_join_needs_no_exchange(spark, sf001, tmp_path):
-    """100 TB rule: two tables bucketed on the join key with the same
-    bucket count must sort-merge join with ZERO exchanges — the shuffle
-    was paid once at write time, not per query. Also cross-checks the
-    joined result against the plain (shuffled) join."""
-    from big_datatrader_spark.sources.bucketed import (
-        read_bucketed, write_bucketed)
-    orders = table(spark, sf001, "orders").select(
-        "o_orderkey", "o_orderdate", "o_totalprice")
-    li = table(spark, sf001, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice")
-    write_bucketed(orders, "b_orders", path=str(tmp_path / "b_orders"),
-                   buckets=8, bucket_cols=["o_orderkey"],
-                   sort_cols=["o_orderkey"])
-    write_bucketed(li, "b_lineitem", path=str(tmp_path / "b_lineitem"),
-                   buckets=8, bucket_cols=["l_orderkey"],
-                   sort_cols=["l_orderkey"])
-    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = read_bucketed(spark, "b_orders").join(
-            read_bucketed(spark, "b_lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"))
-        plan = physical_plan(joined)
-        assert "SortMergeJoin" in plan
-        assert num_exchanges(joined) == 0, plan
-        n = joined.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    expect = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")
-                         ).count()
-    assert n == expect and n > 0
-
-
 def test_partitioned_layout_prunes_partitions(spark, sf001, tmp_path):
     """100 TB rule: time/category-partitioned parquet layouts must show
     partition pruning — a filter on the partition column becomes a
