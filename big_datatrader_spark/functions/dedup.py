@@ -305,18 +305,19 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), on="v")
             .groupBy("u").agg(F.min("label").alias("nmin")))
-        new_labels = (
+        # carry the old label through the step so convergence detection
+        # is a filter over the ALREADY-materialized checkpoint — one
+        # join + one action per round, not two of each
+        stepped = (
             labels.join(neighbor_min, on="u", how="left")
-            .select("u", F.least(
-                F.col("label"),
-                F.coalesce("nmin", F.col("label"))).alias("label"))
+            .select("u", F.col("label").alias("__old"),
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nmin", F.col("label"))).alias("label"))
         ).localCheckpoint()  # truncate the lineage each round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="u")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1)
-            .count())
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("label") != F.col("__old")).limit(1).count()
+        labels = stepped.select("u", "label")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"),
