@@ -48,12 +48,16 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # FIRST 50 registry entries, so order by evidence priority —
 # (1) the four queries whose r2 rows were red and are now fixed
 #     (HUGEINT CASTs; array/map outputs re-emitted as CSV scalars),
-# (2) the seven rows-only-by-design queries (re-evidence they run).
+# (2) the three queries converted this round from rows-only to EXACT
+#     oracles (crossover run-collapse reduction; integer-micro
+#     streaming state).
+# The still-rows-only-by-design four (ann_lsh/ivf, approx_aggregates,
+# multimodal_feature_extract) were evidenced clean in r2 and nothing
+# about them changed — their slots go to never-verified new queries.
 _R3_HEAD = (
     'q12_priority_lines', 'math_null_surface', 'array_values_per_user',
     'map_event_type_counts',
-    'ma_crossover_backtest', 'ma_crossover_positions', 'ann_lsh_topk',
-    'ann_ivf_topk', 'approx_aggregates', 'multimodal_feature_extract',
+    'ma_crossover_backtest', 'ma_crossover_positions',
     'streaming_running_position',
 )
 

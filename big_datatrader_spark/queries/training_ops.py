@@ -1190,3 +1190,65 @@ def bigram_conditional_prob(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "w1", "w2")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: the mergeable frequency sketch a
+# 100 TB pipeline uses when exact token counts don't fit (the sketch is
+# W*D cells regardless of cardinality; per-partition sketches merge by
+# cell-wise addition, which groupBy(r, bucket) IS). Hash rows are
+# md5-derived, so the whole sketch is deterministic — unlike HLL, this
+# approximate structure carries an exact cross-engine oracle.
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tk AS (SELECT unnest(t) AS tok FROM toks),
+    rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    rb AS (SELECT tok, r,
+                  {_h60_sql("'cms' || CAST(r AS VARCHAR) || ':' || tok")}
+                      % {_CMS_W} AS bucket
+           FROM tk, rs),
+    sketch AS (SELECT r, bucket, count(*) AS c FROM rb GROUP BY 1, 2),
+    cand AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_count
+             FROM tk GROUP BY 1
+             ORDER BY true_count DESC, tok LIMIT 50),
+    cb AS (SELECT cand.tok, cand.true_count, rs.r,
+                  {_h60_sql("'cms' || CAST(rs.r AS VARCHAR) "
+                            "|| ':' || cand.tok")} % {_CMS_W} AS bucket
+           FROM cand, rs)
+    SELECT cb.tok, cb.true_count,
+           CAST(min(s.c) AS BIGINT) AS cms_estimate
+    FROM cb JOIN sketch s ON s.r = cb.r AND s.bucket = cb.bucket
+    GROUP BY 1, 2 ORDER BY true_count DESC, tok
+    """,
+    doc="count-min sketch (d=4, w=256, md5 hash rows) over corpus "
+        "tokens, read back for the top-50 true heavy hitters: "
+        "estimate = min over rows of the hashed cell. Deterministic "
+        "by construction, so the sketch itself is oracle-checked "
+        "bit-for-bit; the estimate >= truth guarantee is also "
+        "property-tested",
+)
+def cms_heavy_hitters(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    rs = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    cell = h60(F.concat(F.lit("cms"), F.col("r").cast("string"),
+                        F.lit(":"), F.col("tok"))) % _CMS_W
+    sketch = (tk.select("tok", rs)
+              .select("r", cell.alias("bucket"))
+              .groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    cand = (tk.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+            .orderBy(F.desc("true_count"), "tok").limit(50))
+    cb = cand.select("tok", "true_count", rs).select(
+        "tok", "true_count", "r", cell.alias("bucket"))
+    return (
+        cb.join(sketch, on=["r", "bucket"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .orderBy(F.desc("true_count"), "tok")
+    )

@@ -218,3 +218,12 @@ def test_multimodal_feature_stub(spark):
 def test_multimodal_strict_decode_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_stub(b"payload", strict=True)
+
+
+def test_cms_never_underestimates(spark, sf001):
+    from big_datatrader_spark.queries import load_registry
+    reg = load_registry()
+    rows = reg["cms_heavy_hitters"].spark_fn(spark, sf001).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cms_estimate >= r.true_count, r.tok
