@@ -143,3 +143,43 @@ def test_partitioned_layout_prunes_partitions(spark, sf001, tmp_path):
     assert "PartitionFilters" in plan and "purchase" in plan
     n = df.count()
     assert 0 < n < table(spark, sf001, "events").count()
+
+
+def test_no_scale_killers_in_any_registered_plan(spark, sf001):
+    """Repo-wide 100 TB audit: EVERY registered batch query must plan
+    without (a) CartesianProduct, (b) a single-partition exchange of
+    real data, (c) row-at-a-time Python UDFs (BatchEvalPython).
+    BroadcastNestedLoopJoin is allowed ONLY for the known
+    broadcast-scalar / tiny-broadcast-side cross joins, listed
+    explicitly so any new BNLJ fails loudly here."""
+    # each of these joins a <=5-row broadcast relation (scalar
+    # thresholds / query vectors / corpus counts) with a non-equi or
+    # empty condition — per-row work is O(broadcast side) = O(1)
+    bnlj_ok = {
+        "ann_bruteforce_topk",       # 5 broadcast query vectors
+        "corpus_dedup_pipeline",     # 1-row audit summary cross join
+        "embedding_gram_matrix",     # 1-row corpus count
+        "lang_mixture_rebalance",    # per-lang threshold broadcast
+        "pagerank_copurchase",       # 1-row dangling-mass scalar
+        "q11_important_parts",       # 1-row avg threshold
+        "q22_inactive_customers",    # 1-row avg balance
+        "tf_idf_top_terms",          # 1-row doc count
+    }
+    offenders = {}
+    for name, q in sorted(REG.items()):
+        if name.startswith("streaming_"):
+            continue  # plans materialize at drain; audited separately
+        df = q.spark_fn(spark, sf001)
+        plan = physical_plan(df)
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "Exchange SinglePartition" in plan:
+            flags.append("single-partition-exchange")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time-udf")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            flags.append("unexpected-bnlj")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
