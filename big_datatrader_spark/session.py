@@ -32,6 +32,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # rejects outright; read as int64 ns and convert at the source layer
     # (sources/parquet_source.py) — same ns->us truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (other testdata
+    # generations) would otherwise infer TIMESTAMP_NTZ, which watermarks
+    # reject and which diverges from DuckDB's naive-timestamp reading
+    # under the UTC session zone. Read as TIMESTAMP (instant) instead.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

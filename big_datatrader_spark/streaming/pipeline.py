@@ -15,6 +15,7 @@ store, partitioned by group key.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -22,26 +23,36 @@ from pyspark.sql import types as T
 
 from ..session import ensure_confs
 
-# Explicit source schema: ts is int64 nanoseconds at rest (see
-# sources/parquet_source._NANOS_TS_COLS).
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Explicit source schema (a streaming source cannot infer). The
+    driver testdata has stored ts as TIMESTAMP(NANOS) — surfacing as
+    int64 ns under legacy.parquet.nanosAsLong — in some generations and
+    TIMESTAMP(MICROS) in others, so probe the footer once (driver-side
+    metadata read, same guard as sources/parquet_source.table)."""
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = next(f.dataType for f in probed.fields if f.name == "ts")
+    return T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", ts_type, True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ])
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_confs(spark)
+    schema = _events_stream_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if dict(raw.dtypes)["ts"] == "bigint":  # int64 ns at rest
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw
 
 
 def hourly_rollup_stream(df: DataFrame) -> DataFrame:
