@@ -770,3 +770,56 @@ def salted_hot_key_agg(spark, sf_dir):
              .alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / pretraining context windows)
+
+_CH_SIZE, _CH_STRIDE = 32, 24
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+    ch AS (SELECT doc_id, n,
+                  unnest(generate_series(0, n - 1, {_CH_STRIDE}))
+                      AS start
+           FROM nz),
+    sl AS (SELECT c.doc_id, c.start,
+                  nz.toks[c.start + 1 : c.start + {_CH_SIZE}] AS ctoks
+           FROM ch c JOIN nz ON nz.doc_id = c.doc_id)
+    SELECT doc_id,
+           CAST(start // {_CH_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM sl ORDER BY doc_id, chunk_id
+    """,
+    doc=f"overlapping token-window chunking: each document split into "
+        f"{_CH_SIZE}-token windows every {_CH_STRIDE} tokens "
+        f"({_CH_SIZE - _CH_STRIDE}-token overlap so no boundary context "
+        "is lost) — the chunking stage in front of embedding / RAG "
+        "indexing and fixed-context pretraining. One tokenize + one "
+        "sequence-explode + slice, all JVM array functions; chunk rows "
+        "inherit the parent's partitioning so at 100 TB this is a "
+        "narrow map stage with NO shuffle (the ORDER BY here is only "
+        "the oracle's canonical presentation)",
+)
+def doc_chunking(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    nz = tk.filter(F.size("toks") > 0).withColumn("n", F.size("toks"))
+    ch = nz.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1,
+                             F.lit(_CH_STRIDE))).alias("start"))
+    ctoks = F.slice(F.col("toks"), F.col("start") + 1, _CH_SIZE)
+    return (
+        ch.select(
+            "doc_id",
+            (F.col("start") / _CH_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(ctoks).cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", ctoks).alias("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -1,0 +1,122 @@
+"""Tests for the vector-compression batch (queries/vector_ops.py):
+semantic invariants against independent numpy reimplementations, plus
+plan-shape assertions for the scale-critical pieces (oracle parity is
+covered by tools/check_oracle.py and the driver gate)."""
+
+import numpy as np
+
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.queries.vector_ops import (
+    _PQ_K, _PQ_M, _PQ_NQ, _PQ_SUB, _SCALE, _SD_K)
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(spark):
+    pdf = table(spark, SF, "embeddings").select(
+        "vec_id", "embedding").toPandas().sort_values("vec_id")
+    V = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    Q = np.round(V * _SCALE).astype(np.int64)
+    return pdf.vec_id.to_numpy(), Q
+
+
+def test_semdedup_cluster_assignment_and_drop_rule(spark):
+    out = REG["semdedup_embeddings"].spark_fn(spark, SF).toPandas()
+    ids, Q = _vecs(spark)
+    assert (out.vec_id.to_numpy() == ids).all()  # every vector, ordered
+
+    # independent integer nearest-centroid assignment
+    C = Q[:_SD_K]
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assert (out.cluster.to_numpy() == d2.argmin(axis=1)).all()
+
+    # drop rule: kept=False iff a lower-id same-cluster mate has
+    # cos >= 0.35 (exact cross-multiplied integers, HUGEINT-wide)
+    n2 = (Q.astype(object) ** 2).sum(axis=1)
+    dots = Q.astype(object) @ Q.T.astype(object)
+    clus = out.cluster.to_numpy()
+    expect_dropped = set()
+    for b in range(len(ids)):
+        for a in range(b):
+            if clus[a] != clus[b]:
+                continue
+            d = dots[a, b]
+            if d > 0 and d * d * 400 >= 49 * n2[a] * n2[b]:
+                expect_dropped.add(ids[b])
+                break
+    assert set(out[~out.kept].vec_id) == expect_dropped
+    # centroid seeds can never be dropped by anything earlier... unless
+    # a lower-id seed in the same cluster is near-identical; at minimum
+    # vec 0 is always kept
+    assert out[out.vec_id == 0].kept.all()
+
+
+def test_pq_codes_match_numpy_argmin(spark):
+    out = REG["embedding_pq_codes"].spark_fn(spark, SF).toPandas()
+    ids, Q = _vecs(spark)
+    S = Q.reshape(len(ids), _PQ_M, _PQ_SUB)
+    CB = S[:_PQ_K]  # (K, M, SUB)
+    # (n, M, K) exact integer distances
+    d2 = ((S[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2
+          ).sum(axis=3)
+    codes = d2.argmin(axis=2)  # ties -> lowest code, same as the query
+    got = out.pivot(index="vec_id", columns="m",
+                    values="code").to_numpy()
+    assert (got == codes).all()
+    # sq_err equals the distance at the chosen code
+    errs = out.pivot(index="vec_id", columns="m",
+                     values="sq_err_scaled").to_numpy()
+    assert (errs == np.take_along_axis(
+        d2, codes[:, :, None], axis=2)[:, :, 0]).all()
+
+
+def test_adc_topk_is_exact_over_the_code_approximation(spark):
+    out = REG["ann_pq_adc_topk"].spark_fn(spark, SF).toPandas()
+    ids, Q = _vecs(spark)
+    S = Q.reshape(len(ids), _PQ_M, _PQ_SUB)
+    CB = S[:_PQ_K]
+    d2 = ((S[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2
+          ).sum(axis=3)
+    codes = d2.argmin(axis=2)
+    for qi in range(_PQ_NQ):
+        # exact ADC distance: sum over subspaces of d(query_sub, codeword)
+        lut = ((S[qi][:, None, :] - CB.transpose(1, 0, 2)) ** 2).sum(
+            axis=2)  # (M, K)
+        adc = lut[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+        order = [i for i in np.lexsort((ids, adc)) if ids[i] >= _PQ_NQ]
+        mine = out[out.query_id == qi].sort_values("rank")
+        assert list(mine.neighbor_id) == [ids[i] for i in order[:10]]
+        assert list(mine.adc_dist_scaled) == [int(adc[i])
+                                              for i in order[:10]]
+
+
+def test_doc_chunking_roundtrip_and_overlap(spark):
+    out = REG["doc_chunking"].spark_fn(spark, SF).toPandas()
+    docs = table(spark, SF, "documents").select(
+        "doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.strip().lower().split()
+            for r in docs.itertuples() if r.text.strip()}
+    # chunk 0 of each doc starts at token 0; strides overlap by 8
+    for doc_id, grp in out.groupby("doc_id"):
+        t = toks[doc_id]
+        grp = grp.sort_values("chunk_id")
+        assert list(grp.chunk_id) == list(range(len(grp)))
+        for r in grp.itertuples():
+            start = r.chunk_id * 24
+            expect = t[start:start + 32]
+            assert r.chunk_text.split() == expect
+            assert r.n_chunk_tokens == len(expect)
+    # every non-empty doc chunked; token coverage is complete
+    assert set(out.doc_id) == set(toks)
+
+
+def test_vector_plans_broadcast_and_no_cartesian(spark):
+    from big_datatrader_spark.plans.explain import physical_plan
+    for name in ("semdedup_embeddings", "embedding_pq_codes",
+                 "ann_pq_adc_topk"):
+        plan = physical_plan(REG[name].spark_fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
