@@ -1252,3 +1252,189 @@ def cms_heavy_hitters(spark, sf_dir):
         .agg(F.min("c").cast("long").alias("cms_estimate"))
         .orderBy(F.desc("true_count"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS trend per user: distributed linear regression as
+# pure aggregates (the normal-equations path — no UDF, one shuffle)
+
+_OLS_EPOCH = 1704067200  # 2024-01-01, centers t so products stay narrow
+
+
+@query(
+    "linreg_trend_per_user",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH} AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events),
+    s AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS sx,
+                 CAST(sum(vc) AS BIGINT) AS sy,
+                 CAST(sum(t * t) AS BIGINT) AS sxx,
+                 CAST(sum(t * vc) AS BIGINT) AS sxy
+          FROM pts GROUP BY 1)
+    SELECT user_id, n AS n_events,
+           ROUND(CAST(sy AS DOUBLE) / n / 100.0, 6) AS mean_value,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * 864.0
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS slope_per_day
+    FROM s ORDER BY user_id
+    """,
+    doc="per-key closed-form OLS (value ~ time): slope from the normal "
+        "equations n*Sxy - Sx*Sy over n*Sxx - Sx^2, where every S is an "
+        "exact BIGINT sum of integer-quantized inputs (epoch-second t "
+        "centered on 2024-01-01, value in cents) — the distributed-ML "
+        "primitive for trend fitting: each partition contributes "
+        "5 partial sums, one shuffle of 5-number rows per key. The "
+        "final combination follows the autocorr_lag1 convention: the "
+        "IDENTICAL IEEE-double expression over identical integers on "
+        "both engines, so the rounded slope is bit-identical. No UDF "
+        "anywhere; at 100 TB this is a map-side-combined aggregate, "
+        "the same plan as a count",
+)
+def linreg_trend_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - _OLS_EPOCH).alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"))
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("vc").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t") * F.col("vc")).alias("sxy"))
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    num = (nd * F.col("sxy") - sxd * F.col("sy")) * 864.0
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    return s.select(
+        "user_id", F.col("n").alias("n_events"),
+        F.round(F.col("sy").cast("double") / F.col("n") / 100.0, _R)
+        .alias("mean_value"),
+        F.round(num / den, _R).alias("slope_per_day"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long): the relational melt
+
+
+@query(
+    "unpivot_event_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM events GROUP BY 1)
+    SELECT event_type, 'n_events' AS metric, n_events AS metric_value
+    FROM wide
+    UNION ALL
+    SELECT event_type, 'n_users', n_users FROM wide
+    UNION ALL
+    SELECT event_type, 'sum_cents', sum_cents FROM wide
+    ORDER BY event_type, metric
+    """,
+    doc="wide -> long unpivot (melt) of a per-type metrics table via "
+        "DataFrame.unpivot — the inverse of the pivot operator "
+        "(event_type_pivot). Unpivot is a narrow projection (each row "
+        "fans out to k metric rows with NO shuffle); the only exchange "
+        "here belongs to the upstream aggregate",
+)
+def unpivot_event_metrics(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("sum_cents"))
+    return (
+        wide.unpivot(
+            ids=["event_type"],
+            values=["n_events", "n_users", "sum_cents"],
+            variableColumnName="metric",
+            valueColumnName="metric_value")
+        .orderBy("event_type", "metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: multi-dimensional data-skipping layout
+
+_Z_BITS = 10  # covers user_id < 1024 and hour-index < 1024
+
+
+def _morton(u, h):
+    """Interleave the low _Z_BITS of u (even positions) and h (odd):
+    pure integer arithmetic so Spark and DuckDB agree bit for bit."""
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = (z
+             + F.shiftright(u, i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+             + F.shiftright(h, i).bitwiseAND(F.lit(1))
+             * (1 << (2 * i + 1)))
+    return z
+
+
+def _morton_sql(u: str, h: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({u} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({h} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "zorder_locality",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST((CAST(floor(epoch(ts)) AS BIGINT) - {_OLS_EPOCH}) // 3600
+                  AS BIGINT) AS hr
+      FROM events),
+    z AS (SELECT user_id, hr,
+                 {_morton_sql('user_id', 'hr')} AS zcode
+          FROM pts)
+    SELECT CAST(zcode // 4096 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(user_id) - min(user_id) AS BIGINT) AS user_span,
+           CAST(max(hr) - min(hr) AS BIGINT) AS hour_span
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+    doc="Morton (Z-order) clustering key over (user_id, hour): "
+        f"interleaves the low {_Z_BITS} bits of each dimension with "
+        "pure integer arithmetic (bit-identical across engines). "
+        "Bucketing rows by zcode-prefix yields file-sized cells that "
+        "are NARROW IN BOTH dimensions at once (the per-bucket "
+        "user_span/hour_span in the output), which is what makes "
+        "min/max stats skip files for filters on EITHER column — the "
+        "multi-dimensional data-skipping layout (Delta OPTIMIZE "
+        "ZORDER) expressed as a plain deterministic sort key; "
+        "sources/sinks-side writers get it via a repartitionByRange "
+        "on zcode. Layout effectiveness is asserted in "
+        "tests/test_training_ops.py by comparing per-file min/max "
+        "spans against a naive layout",
+)
+def zorder_locality(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.floor((F.unix_timestamp("ts") - _OLS_EPOCH) / 3600)
+        .cast("bigint").alias("hr"))
+    z = pts.select(
+        "user_id", "hr", _morton(F.col("user_id"), F.col("hr"))
+        .alias("zcode"))
+    return (
+        z.groupBy(F.expr("CAST(zcode DIV 4096 AS BIGINT)")
+                  .alias("z_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             (F.max("user_id") - F.min("user_id")).alias("user_span"),
+             (F.max("hr") - F.min("hr")).alias("hour_span"))
+        .orderBy("z_bucket")
+    )

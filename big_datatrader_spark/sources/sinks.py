@@ -42,3 +42,38 @@ def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              compression: str = "zlib") -> None:
+    """ORC export — the other columnar interchange format (Hive/Trino
+    ecosystems). Same scale posture as parquet: directory of part
+    files, optional Hive-style partitioning for directory pruning,
+    per-column compression + min/max stripe statistics that ORC readers
+    use for predicate pushdown."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan; schema comes from the ORC footer (self-describing, no
+    inference pass). Filters and projections push down exactly as for
+    parquet (stripe-level min/max skipping)."""
+    return spark.read.orc(path)
+
+
+def write_clustered(df: DataFrame, path: str, cluster_col: str, *,
+                    n_files: int, mode: str = "overwrite") -> None:
+    """Write parquet clustered by a sort key (e.g. a Morton/Z-order
+    code): range-repartition into ~n_files output files and sort within
+    each, so every file covers a narrow key range and its footer
+    min/max statistics let readers SKIP whole files for selective
+    filters — the OPTIMIZE ZORDER layout step as plain Spark. The
+    range exchange samples the key, so files stay balanced even under
+    skew."""
+    (df.repartitionByRange(n_files, cluster_col)
+     .sortWithinPartitions(cluster_col)
+     .write.mode(mode).parquet(path))

@@ -131,3 +131,27 @@ def test_jsonl_roundtrip_partitioned(spark, tmp_path):
     assert sorted(map(tuple, en.collect())) == sorted(map(tuple, exp.collect()))
     plan = en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "lang" not in plan
+
+
+def test_orc_roundtrip_partitioned_pruned(spark, tmp_path):
+    from big_datatrader_spark.sources.parquet_source import table
+    from big_datatrader_spark.sources.sinks import read_orc, write_orc
+    from big_datatrader_spark.plans.explain import physical_plan
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    # roundtrip preserves values (lang becomes a partition column)
+    a = docs.select("doc_id", "lang", "n_chars").toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = back.select("doc_id", "lang", "n_chars").toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns])
+    # partition filter prunes directories; value filter pushes to scan
+    plan = physical_plan(back.filter("lang = 'en'")
+                         .filter("n_chars > 100").select("doc_id"))
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" \
+        in plan

@@ -4,6 +4,7 @@ pandas/numpy reimplementations, plus plan-shape assertions for the
 scale-critical queries (oracle parity itself is covered by
 tools/check_oracle.py and the driver gate)."""
 
+import os
 import math
 
 import numpy as np
@@ -149,3 +150,77 @@ def test_autocorr_in_valid_range(spark):
     for r in rows:
         if r.autocorr is not None:
             assert -1.0 <= r.autocorr <= 1.0
+
+
+def test_linreg_slope_matches_numpy_polyfit(spark):
+    out = REG["linreg_trend_per_user"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").select(
+        "user_id", "ts", "value").toPandas()
+    ev["t"] = (ev.ts.astype("int64") // 10**9) - 1704067200
+    ev["vc"] = (ev.value * 100).round()
+    for uid in out.user_id.head(5):
+        g = ev[ev.user_id == uid]
+        slope_cents_per_sec = np.polyfit(g.t, g.vc, 1)[0]
+        expect = slope_cents_per_sec * 864.0  # dollars/day
+        got = out[out.user_id == uid].slope_per_day.iloc[0]
+        assert abs(got - expect) < 1e-4, (uid, got, expect)
+
+
+def test_unpivot_is_inverse_of_pivot_shape(spark):
+    out = REG["unpivot_event_metrics"].spark_fn(spark, SF).toPandas()
+    # every event_type contributes exactly the 3 metrics
+    assert (out.groupby("event_type").metric.nunique() == 3).all()
+    wide = out.pivot(index="event_type", columns="metric",
+                     values="metric_value")
+    ev = table(spark, SF, "events").toPandas()
+    assert (wide.n_events == ev.groupby("event_type").size()).all()
+    assert (wide.n_users
+            == ev.groupby("event_type").user_id.nunique()).all()
+
+
+def test_zorder_layout_narrows_per_file_spans(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from big_datatrader_spark.queries.training_ops import (_OLS_EPOCH,
+                                                           _morton)
+    from big_datatrader_spark.sources.sinks import write_clustered
+
+    ev = table(spark, SF, "events").select(
+        "user_id",
+        F.floor((F.unix_timestamp("ts") - _OLS_EPOCH) / 3600)
+        .cast("bigint").alias("hr"))
+    z = ev.withColumn("zcode", _morton(F.col("user_id"), F.col("hr")))
+
+    def spans(path):
+        # per-file (user_span * hour_span) cell area from footer stats
+        areas = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            lo = {c: None for c in ("user_id", "hr")}
+            hi = {c: None for c in ("user_id", "hr")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        st = col.statistics
+                        lo[name] = (st.min if lo[name] is None
+                                    else min(lo[name], st.min))
+                        hi[name] = (st.max if hi[name] is None
+                                    else max(hi[name], st.max))
+            areas.append((hi["user_id"] - lo["user_id"] + 1)
+                         * (hi["hr"] - lo["hr"] + 1))
+        return areas
+
+    zpath, npath = str(tmp_path / "zorder"), str(tmp_path / "naive")
+    write_clustered(z, zpath, "zcode", n_files=8)
+    # naive layout: hash-partitioned (what a plain write produces)
+    z.repartition(8).write.mode("overwrite").parquet(npath)
+
+    z_area, n_area = sum(spans(zpath)), sum(spans(npath))
+    # z-ordered files cover far smaller (user x hour) cells -> a filter
+    # on EITHER dimension can skip most files via footer min/max
+    assert z_area * 2 < n_area, (z_area, n_area)
