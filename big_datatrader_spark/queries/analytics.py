@@ -1498,3 +1498,103 @@ def scd2_user_state(spark, sf_dir):
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: daily click/purchase activity grid
+
+@query(
+    "full_outer_daily_activity",
+    oracle="""
+    WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(count(*) AS BIGINT) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(count(*) AS BIGINT) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.day, p.day) AS day,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    ORDER BY user_id, day
+    """,
+    doc="FULL OUTER join of per-(user, day) click counts against "
+        "purchase counts with coalesced keys — days with only one side "
+        "survive with a zero on the other. Completes the join-type "
+        "surface (inner/left/semi/anti/asof/range elsewhere); full "
+        "outer cannot broadcast either side, so the plan is the "
+        "shuffle sort-merge both sides on the same key — which AQE "
+        "coalesces after the upstream aggregates have already shrunk "
+        "the data to per-key rows",
+)
+def full_outer_daily_activity(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+
+    def per_day(etype, out):
+        return (ev.filter(F.col("event_type") == etype)
+                .groupBy("user_id", day)
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    c = per_day("click", "n_clicks")
+    p = (per_day("purchase", "n_purchases")
+         .withColumnRenamed("user_id", "p_user")
+         .withColumnRenamed("day", "p_day"))
+    return (
+        c.join(p, (F.col("user_id") == F.col("p_user"))
+               & (F.col("day") == F.col("p_day")), "full_outer")
+        .select(
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            F.coalesce("day", "p_day").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"))
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-distribution windows: percent_rank / cume_dist / ntile together
+
+@query(
+    "user_spend_rank_distribution",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS spend_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT user_id, spend_cents,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM spend
+    WINDOW w AS (ORDER BY spend_cents, user_id)
+    ORDER BY user_id
+    """,
+    doc="the rank-distribution window family in one pass: per-user "
+        "total purchase spend (exact cents) ranked by percent_rank, "
+        "cume_dist and ntile(10) over ONE shared window spec (one "
+        "sort, three functions). The unique (spend, user_id) ordering "
+        "makes ntile deterministic under ties. The window is global by "
+        "construction (ranking all users against each other) but runs "
+        "over the already-aggregated per-user table — at 100 TB that "
+        "is cardinality-of-users rows, not event rows; event-scale "
+        "data never passes through a single partition",
+)
+def user_spend_rank_distribution(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    spend = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id")
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("spend_cents")))
+    w = Window.orderBy("spend_cents", "user_id")
+    return (
+        spend.select(
+            "user_id", "spend_cents",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(10).over(w).cast("bigint").alias("decile"))
+        .orderBy("user_id")
+    )

@@ -823,3 +823,67 @@ def doc_chunking(spark, sf_dir):
             F.concat_ws(" ", ctoks).alias("chunk_text"))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (the LLM data-mixing rate rule)
+
+_TM_ALPHA_SQL = "0.5"   # temperature alpha: weight ~ n^alpha
+_TM_TOTAL = 500
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1),
+    wt AS (SELECT event_type, n, pow(CAST(n AS DOUBLE), {_TM_ALPHA_SQL})
+               AS w FROM sz),
+    quota AS (SELECT event_type, n,
+                     CAST(ROUND({_TM_TOTAL} * w
+                                / (SELECT sum(w) FROM wt)) AS BIGINT)
+                         AS n_quota
+              FROM wt),
+    rk AS (SELECT event_type, event_id,
+                  row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY {_h60_sql("CAST(event_id AS VARCHAR)")},
+                               event_id) AS rk
+           FROM events)
+    SELECT r.event_type, r.event_id, CAST(r.rk AS BIGINT) AS rk,
+           q.n_quota
+    FROM rk r JOIN quota q USING (event_type)
+    WHERE r.rk <= q.n_quota
+    ORDER BY r.event_type, r.rk
+    """,
+    doc="temperature-scaled mixture sampling (the multilingual/"
+        "multi-source LLM data-mixing rule, e.g. mC4/PaLM): stratum s "
+        "gets quota ~ n_s^alpha with alpha=0.5, so small strata are "
+        "UP-weighted relative to proportional sampling and huge strata "
+        "can't drown them. Quotas derive from counts with the identical "
+        "double expression on both engines; the within-stratum sample "
+        "is the deterministic hash-rank prefix (md5-order, so it is a "
+        "uniform sample independent of storage order, reproducible "
+        "anywhere, and incrementally stable as new data appends). At "
+        "100 TB: one count aggregate, one window partitioned by "
+        "stratum — no global sort, no collect",
+)
+def temperature_mixture_sample(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sz = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = sz.withColumn("w", F.pow(F.col("n").cast("double"), 0.5))
+    tot = wt.agg(F.sum("w").alias("sw"))
+    quota = (wt.crossJoin(F.broadcast(tot))
+             .select("event_type",
+                     F.round(_TM_TOTAL * F.col("w") / F.col("sw"))
+                     .cast("bigint").alias("n_quota")))
+    wr = Window.partitionBy("event_type").orderBy(
+        h60(F.col("event_id").cast("string")), "event_id")
+    rk = ev.select("event_type", "event_id",
+                   F.row_number().over(wr).cast("bigint").alias("rk"))
+    return (
+        rk.join(F.broadcast(quota), "event_type")
+        .filter(F.col("rk") <= F.col("n_quota"))
+        .select("event_type", "event_id", "rk", "n_quota")
+        .orderBy("event_type", "rk")
+    )

@@ -191,3 +191,20 @@ def test_streaming_topk_matches_batch_rank(spark):
     assert len(merged) == len(out) == len(top)
     assert (merged.n_events == merged.n_events_b).all()
     assert (merged.rnk == merged.rnk_b).all()
+
+
+def test_temperature_mixture_upweights_small_strata(spark):
+    out = REG["temperature_mixture_sample"].spark_fn(spark, SF).toPandas()
+    from pyspark.sql import functions as F
+    sz = (table(spark, SF, "events").groupBy("event_type").count()
+          .toPandas().set_index("event_type")["count"])
+    got = out.groupby("event_type").size()
+    # quota ~ n^0.5 normalized to 500; check exact quotas
+    w = sz.pow(0.5)
+    expect = (500 * w / w.sum()).round().astype(int)
+    assert (got == expect[got.index]).all()
+    # sampling rate of the smallest stratum exceeds the largest's
+    rates = got / sz[got.index]
+    assert rates[sz.idxmin()] > rates[sz.idxmax()]
+    # ranks are a 1..quota prefix per stratum (deterministic hash order)
+    assert (out.groupby("event_type").rk.max() == got).all()

@@ -224,3 +224,32 @@ def test_zorder_layout_narrows_per_file_spans(spark, tmp_path):
     # z-ordered files cover far smaller (user x hour) cells -> a filter
     # on EITHER dimension can skip most files via footer min/max
     assert z_area * 2 < n_area, (z_area, n_area)
+
+
+def test_full_outer_covers_both_sides(spark):
+    out = REG["full_outer_daily_activity"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    c = ev[ev.event_type == "click"].groupby(["user_id", "day"]).size()
+    p = ev[ev.event_type == "purchase"].groupby(
+        ["user_id", "day"]).size()
+    assert len(out) == len(c.index.union(p.index))
+    # zero-filled sides really are zero, never null
+    assert out.n_clicks.notna().all() and out.n_purchases.notna().all()
+    only_p = out[(out.n_clicks == 0)]
+    assert (only_p.n_purchases > 0).all()
+
+
+def test_rank_distribution_window_consistency(spark):
+    out = REG["user_spend_rank_distribution"].spark_fn(
+        spark, SF).toPandas().sort_values(["spend_cents", "user_id"])
+    n = len(out)
+    assert out.pct_rank.iloc[0] == 0.0 and out.pct_rank.iloc[-1] == 1.0
+    assert out.cume.iloc[-1] == 1.0
+    # ntile balance: bucket sizes differ by at most 1, monotone
+    sizes = out.decile.value_counts()
+    assert sizes.max() - sizes.min() <= 1
+    assert (out.decile.to_numpy() == np.sort(out.decile.to_numpy())).all()
+    # pct_rank == (rank-1)/(n-1) for the unique ordering
+    assert np.allclose(out.pct_rank.to_numpy(),
+                       np.arange(n) / (n - 1), atol=1e-6)
