@@ -1438,3 +1438,189 @@ def zorder_locality(spark, sf_dir):
              (F.max("hr") - F.min("hr")).alias("hour_span"))
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+
+@query(
+    "fk_integrity_checks",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM customer c LEFT JOIN nation n
+        ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey -> nation',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM supplier s LEFT JOIN nation n
+        ON s.s_nationkey = n.n_nationkey) t
+    ORDER BY fk
+    """,
+    doc="referential-integrity audit over the star schema: every "
+        "declared FK edge reports row count + orphan count in one "
+        "result — the data-quality gate a pipeline runs before "
+        "publishing a snapshot. Each edge is a left join against a "
+        "broadcast-able key set reduced to an aggregate, so at 100 TB "
+        "the fact tables stream through map-side joins; nothing wide "
+        "ever shuffles",
+)
+def fk_integrity_checks(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+
+    def edge(name, child, ck, parent, pk):
+        return (
+            child.select(F.col(ck))
+            .join(F.broadcast(parent.select(F.col(pk)).distinct()),
+                  child[ck] == parent[pk], "left")
+            .agg(F.lit(name).alias("fk"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                 .alias("n_orphans")))
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey",
+             od, "o_orderkey")
+        .unionAll(edge("orders.o_custkey -> customer", od, "o_custkey",
+                       cu, "c_custkey"))
+        .unionAll(edge("customer.c_nationkey -> nation", cu,
+                       "c_nationkey", na, "n_nationkey"))
+        .unionAll(edge("supplier.s_nationkey -> nation", su,
+                       "s_nationkey", na, "n_nationkey"))
+        .orderBy("fk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: reconcile two table versions (added/removed/changed)
+
+_SNAP_CUT = "2024-01-20"
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM events WHERE ts < TIMESTAMP '{_SNAP_CUT}'
+      GROUP BY 1),
+    v2 AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM events GROUP BY 1)
+    SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v2.user_id IS NULL THEN 'removed'
+                WHEN v1.n_events <> v2.n_events
+                     OR v1.sum_cents <> v2.sum_cents THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           v1.n_events AS n_events_v1, v2.n_events AS n_events_v2,
+           v1.sum_cents AS sum_cents_v1, v2.sum_cents AS sum_cents_v2
+    FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.n_events <> v2.n_events OR v1.sum_cents <> v2.sum_cents
+    ORDER BY user_id
+    """,
+    doc="snapshot reconciliation: two versions of a keyed aggregate "
+        "(here: per-user stats before a cutoff vs now) full-outer "
+        "joined into an added/removed/changed diff — the audit a "
+        "pipeline publishes alongside every refresh so consumers see "
+        "exactly which keys moved. Runs on the aggregated key space, "
+        "so the diff costs key-cardinality rows regardless of fact "
+        "volume; with both versions bucketed on the key the join "
+        "needs no exchange at all (sources/bucketed.py)",
+)
+def snapshot_diff(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.sum(F.round(F.col("value") * 100).cast("bigint"))
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            cents.alias("sum_cents"))
+
+    v1 = snap(ev.filter(F.col("ts") < F.lit(_SNAP_CUT).cast("timestamp")))
+    v2 = snap(ev)
+    v1 = v1.select(F.col("user_id").alias("u1"),
+                   F.col("n_events").alias("n_events_v1"),
+                   F.col("sum_cents").alias("sum_cents_v1"))
+    v2 = v2.select(F.col("user_id").alias("u2"),
+                   F.col("n_events").alias("n_events_v2"),
+                   F.col("sum_cents").alias("sum_cents_v2"))
+    j = v1.join(v2, F.col("u1") == F.col("u2"), "full_outer")
+    change = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when((F.col("n_events_v1") != F.col("n_events_v2"))
+              | (F.col("sum_cents_v1") != F.col("sum_cents_v2")),
+              "changed")
+        .otherwise("unchanged"))
+    return (
+        j.select(F.coalesce("u1", "u2").alias("user_id"),
+                 change.alias("change"),
+                 "n_events_v1", "n_events_v2",
+                 "sum_cents_v1", "sum_cents_v2")
+        .filter(F.col("change") != "unchanged")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches: re-aggregatable distinct counts (pre-agg cube)
+
+@query(
+    "hll_partial_merge",
+    oracle=None,  # DataSketches binary sketches have no DuckDB twin;
+                  # merge==direct equivalence is asserted in
+                  # tests/test_training_ops.py
+    doc="re-aggregatable distinct counts via Apache DataSketches HLL: "
+        "per-(day, event_type) user sketches built with hll_sketch_agg "
+        "are UNIONED upward with hll_union_agg to per-event_type "
+        "estimates — the pre-aggregation pattern that makes 100 TB "
+        "dashboards cheap: daily partials are tiny (KB) and mergeable, "
+        "so rollups to any coarser grain never rescan events. "
+        "tests/test_training_ops.py asserts the merged estimate equals "
+        "the direct whole-table sketch estimate exactly (same "
+        "deterministic sketch algorithm) and sits within 5% of the "
+        "exact distinct count",
+)
+def hll_partial_merge(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                   "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .alias("est_users"),
+             F.count(F.lit(1)).alias("n_partials"))
+        .orderBy("event_type")
+    )

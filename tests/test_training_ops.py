@@ -253,3 +253,40 @@ def test_rank_distribution_window_consistency(spark):
     # pct_rank == (rank-1)/(n-1) for the unique ordering
     assert np.allclose(out.pct_rank.to_numpy(),
                        np.arange(n) / (n - 1), atol=1e-6)
+
+
+def test_hll_merge_equals_direct_and_near_exact(spark):
+    from pyspark.sql import functions as F
+    out = REG["hll_partial_merge"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events")
+    direct = (ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                   .alias("direct"))
+              .toPandas().set_index("event_type")["direct"])
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact"))
+             .toPandas().set_index("event_type")["exact"])
+    for r in out.itertuples():
+        # merging daily partials == sketching the whole table: the
+        # sketch is deterministic and union-associative
+        assert r.est_users == direct[r.event_type], r.event_type
+        assert abs(r.est_users - exact[r.event_type]) \
+            <= 0.05 * exact[r.event_type]
+        assert r.n_partials > 1  # it actually merged partials
+
+
+def test_snapshot_diff_classifies_consistently(spark):
+    out = REG["snapshot_diff"].spark_fn(spark, SF).toPandas()
+    assert set(out.change) <= {"added", "changed"}  # v2 is a superset
+    added = out[out.change == "added"]
+    assert added.n_events_v1.isna().all()
+    chg = out[out.change == "changed"]
+    # changed rows grew (v2 extends v1's window)
+    assert (chg.n_events_v2 >= chg.n_events_v1).all()
+
+
+def test_fk_integrity_clean_on_generated_data(spark):
+    out = REG["fk_integrity_checks"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 4
+    assert (out.n_orphans == 0).all()  # driver testdata is referential
+    assert (out.n_rows > 0).all()
