@@ -164,6 +164,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "q11_important_parts",       # 1-row avg threshold
         "q22_inactive_customers",    # 1-row avg balance
         "tf_idf_top_terms",          # 1-row doc count
+        "temperature_mixture_sample",  # 1-row sum-of-weights scalar
     }
     offenders = {}
     for name, q in sorted(REG.items()):
