@@ -52,3 +52,15 @@ def global_rank(df: DataFrame, bucket: Column,
                     .cast("long"))
         .drop("__bucket", "__rn", "__off")
     )
+
+
+def ntile_from_rank(r: Column, n: Column, k: int) -> Column:
+    """SQL-standard ntile(k) as a closed form of (global rank r, total
+    count n): the first n%k tiles hold ceil(n/k) rows, the rest
+    floor(n/k). With r from ``global_rank`` this reproduces the
+    partition-less ``ntile() OVER (ORDER BY ...)`` bit-for-bit without
+    its single-task sort."""
+    q, rem = (n / k).cast("bigint"), n % k
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    return (F.when(r <= big, F.ceil(r / (q + 1)))
+            .otherwise(rem + F.ceil((r - big) / q)).cast("bigint"))

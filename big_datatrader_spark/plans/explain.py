@@ -62,3 +62,39 @@ def num_exchanges(df: DataFrame) -> int:
     import re
     plan = physical_plan(df)
     return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, re.M))
+
+
+def single_partition_sort_or_window(df: DataFrame) -> list[str]:
+    """Structural scale-killer detector: Sort/Window operators whose
+    direct child is a SinglePartition exchange — the shape a
+    partition-less ``row_number()/ntile() OVER (ORDER BY ...)``
+    compiles to, which funnels the whole relation through ONE task.
+    (Global scalar aggregates also exchange SinglePartition but feed an
+    Aggregate, not a Sort/Window — those are fine: the exchanged rows
+    are per-partition partials.) Returns the offending operator names.
+    """
+    import re
+    plan = physical_plan(df)
+    # ids of SinglePartition exchanges, from the detail sections
+    sp_ids = set(re.findall(
+        r"\((\d+)\) Exchange\n(?:[^\n(]*\n)*?Arguments: SinglePartition",
+        plan))
+    if not sp_ids:
+        return []
+    # tree section: indented "OpName (id)" lines; parent of an exchange
+    # is the nearest preceding line with a shallower indent
+    tree = []
+    for line in plan.splitlines():
+        m = re.match(r"^([:+\-| ]*)(?:\* )?([A-Za-z]\w*) \((\d+)\)", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    bad = []
+    for i, (ind, op, op_id) in enumerate(tree):
+        if op != "Exchange" or op_id not in sp_ids:
+            continue
+        for pind, pop, pid in reversed(tree[:i]):
+            if pind < ind:
+                if pop in ("Sort", "Window", "WindowGroupLimit"):
+                    bad.append(f"{pop}({pid})<-SinglePartition")
+                break
+    return bad

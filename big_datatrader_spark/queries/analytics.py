@@ -1573,28 +1573,40 @@ def full_outer_daily_activity(spark, sf_dir):
     WINDOW w AS (ORDER BY spend_cents, user_id)
     ORDER BY user_id
     """,
-    doc="the rank-distribution window family in one pass: per-user "
-        "total purchase spend (exact cents) ranked by percent_rank, "
-        "cume_dist and ntile(10) over ONE shared window spec (one "
-        "sort, three functions). The unique (spend, user_id) ordering "
-        "makes ntile deterministic under ties. The window is global by "
-        "construction (ranking all users against each other) but runs "
-        "over the already-aggregated per-user table — at 100 TB that "
-        "is cardinality-of-users rows, not event rows; event-scale "
-        "data never passes through a single partition",
+    doc="the rank-distribution family — percent_rank, cume_dist, "
+        "ntile(10) — computed WITHOUT the partition-less window they "
+        "textbook-compile to (which collapses all rows into one task): "
+        "the two-phase distributed global rank (operators/ranking.py, "
+        "bucket = spend DIV $1000 as an order-prefix coarsening) gives "
+        "each user its total position r, and all three statistics are "
+        "closed forms of (r, n) under the unique (spend, user_id) "
+        "ordering: pct_rank=(r-1)/(n-1), cume=r/n, and ntile's "
+        "first-(n%k)-tiles-get-the-extra-row rule as a piecewise "
+        "expression. The oracle runs the real window functions — "
+        "matching them exactly proves the distributed decomposition "
+        "correct. At 100 TB: one bucket-key exchange + two tiny "
+        "broadcasts; no single-partition sort of user-scale data",
 )
 def user_spend_rank_distribution(spark, sf_dir):
+    from ..operators.ranking import global_rank, ntile_from_rank
     ev = table(spark, sf_dir, "events")
     spend = (ev.filter(F.col("event_type") == "purchase")
              .groupBy("user_id")
              .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("spend_cents")))
-    w = Window.orderBy("spend_cents", "user_id")
+    ranked = global_rank(
+        spend, F.expr("CAST(spend_cents DIV 100000 AS BIGINT)"),
+        ["spend_cents", "user_id"], "r")
+    n_tot = spend.agg(F.count(F.lit(1)).alias("n"))
+    r, n = F.col("r"), F.col("n")
+    decile = ntile_from_rank(r, n, 10)
     return (
-        spend.select(
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
             "user_id", "spend_cents",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.ntile(10).over(w).cast("bigint").alias("decile"))
+            F.round((r - 1).cast("double") / (n - 1), 6)
+            .alias("pct_rank"),
+            F.round(r.cast("double") / n, 6).alias("cume"),
+            decile.alias("decile"))
         .orderBy("user_id")
     )

@@ -1056,18 +1056,28 @@ def deterministic_sample(spark, sf_dir):
            ROUND(max(value), 6) AS hi
     FROM t GROUP BY decile ORDER BY decile
     """,
-    doc="equal-count decile binning via ntile over a TOTAL order "
-        "(value, event_id) — remainder rows land in the lowest "
-        "buckets per the SQL standard on both engines, so bucket "
-        "boundaries are deterministic. The global sort is the cost: "
-        "at 100 TB use value_histogram (fixed bounds, one groupBy) or "
-        "approx percentiles instead; this query is the exact-rank "
-        "primitive for moderate cardinalities",
+    doc="equal-count decile binning with a TOTAL order (value, "
+        "event_id) but WITHOUT the partition-less ntile window it "
+        "textbook-compiles to: the two-phase distributed global rank "
+        "(operators/ranking.py, bucket = floor(value/50) as an "
+        "order-prefix coarsening) gives every row its exact position, "
+        "and ntile's first-(n%k)-tiles-get-the-extra-row rule is a "
+        "closed form of (rank, n). The oracle runs the REAL ntile "
+        "window — matching it exactly proves the decomposition. At "
+        "100 TB: one bucket exchange + two tiny broadcasts; no "
+        "single-task sort of event-scale data",
 )
 def ntile_deciles(spark, sf_dir):
+    from ..operators.ranking import global_rank, ntile_from_rank
     ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    t = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    ranked = global_rank(
+        ev.select("value", "event_id"), F.floor(F.col("value") / 50),
+        ["value", "event_id"], "r")
+    n_tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    t = (ranked.crossJoin(F.broadcast(n_tot))
+         .select("value",
+                 ntile_from_rank(F.col("r"), F.col("n"), 10)
+                 .alias("decile")))
     return (
         t.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(F.count(F.lit(1)).alias("n"),

@@ -165,7 +165,16 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "q22_inactive_customers",    # 1-row avg balance
         "tf_idf_top_terms",          # 1-row doc count
         "temperature_mixture_sample",  # 1-row sum-of-weights scalar
+        "ntile_deciles",               # 1-row total-count scalar
+        "user_spend_rank_distribution",  # 1-row total-count scalar
     }
+    # these two route event-scale ranking through the two-phase
+    # global_rank; their ONLY partition-less window is the per-bucket
+    # offsets relation (#buckets rows by construction) — tiny forever
+    sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
+                    "ntile_deciles"}
+    from big_datatrader_spark.plans.explain import (
+        single_partition_sort_or_window)
     offenders = {}
     for name, q in sorted(REG.items()):
         if name.startswith("streaming_"):
@@ -175,8 +184,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         flags = []
         if "CartesianProduct" in plan:
             flags.append("cartesian")
-        if "Exchange SinglePartition" in plan:
-            flags.append("single-partition-exchange")
+        sp = single_partition_sort_or_window(df)
+        if sp and name not in sp_window_ok:
+            flags.append(f"single-partition-window:{sp}")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time-udf")
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
