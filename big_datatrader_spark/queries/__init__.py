@@ -59,6 +59,10 @@ _R3_HEAD = (
     'map_event_type_counts',
     'ma_crossover_backtest', 'ma_crossover_positions',
     'streaming_running_position',
+    # flagship round-3 vector/corpus operators — evidence them this
+    # round ahead of the overflow rotation
+    'semdedup_embeddings', 'embedding_pq_codes', 'ann_pq_adc_topk',
+    'doc_chunking', 'temperature_mixture_sample',
 )
 
 # Queries verified green per round (CORRECTNESS_r01.json /
@@ -113,6 +117,23 @@ _R1_GREEN = frozenset({
 
 _DRIVER_VERIFIED = _R1_GREEN | _R2_GREEN
 
+# Rows-only BY DESIGN (approximate/engine-defined output, no SQL twin
+# possible) and already evidenced clean in r2: re-running them burns a
+# window slot that a never-verified exact-oracle query needs more.
+_ROWS_ONLY_EVIDENCED = frozenset({
+    'approx_aggregates', 'ann_lsh_topk', 'ann_ivf_topk',
+    'multimodal_feature_extract',
+})
+
+# The registry outgrew the 50-slot window this round; these simpler
+# analytics shapes (strong local invariant tests, conventional plans)
+# wait for the round-4 rotation so the window can evidence the new
+# vector/corpus flagship operators first.
+_R3_DEFER = frozenset({
+    'value_histogram', 'ohlc_bars', 'resample_forward_fill',
+    'deterministic_sample', 'sql_revenue_by_priority', 'ewma_indicator',
+})
+
 
 def load_registry() -> dict[str, Query]:
     """Import all query modules (registration happens at import), then
@@ -134,6 +155,10 @@ def load_registry() -> dict[str, Query]:
     from . import vector_ops  # noqa: F401
     ordered = {n: REGISTRY[n] for n in _R3_HEAD if n in REGISTRY}
     ordered.update((n, q) for n, q in REGISTRY.items()
+                   if n not in _DRIVER_VERIFIED
+                   and n not in _ROWS_ONLY_EVIDENCED
+                   and n not in _R3_DEFER and n not in ordered)
+    ordered.update((n, q) for n, q in REGISTRY.items()  # deferred r3 news
                    if n not in _DRIVER_VERIFIED and n not in ordered)
     ordered.update((n, q) for n, q in REGISTRY.items()  # stale r1 greens
                    if n not in _R2_GREEN and n not in ordered)
