@@ -77,3 +77,24 @@ def write_clustered(df: DataFrame, path: str, cluster_col: str, *,
     (df.repartitionByRange(n_files, cluster_col)
      .sortWithinPartitions(cluster_col)
      .write.mode(mode).parquet(path))
+
+
+def compact_files(spark, src_path: str, dst_path: str, *,
+                  target_rows_per_file: int,
+                  mode: str = "overwrite") -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_rows / target_rows_per_file) evenly-sized files.
+
+    The operational fix for the 100 TB small-files problem (streaming
+    sinks and over-parallel writers emit thousands of KB-sized files;
+    each costs a namenode entry, an open, a footer read, a task).
+    One count (metadata-cheap), one round-robin repartition — an
+    all-to-all exchange that is exactly the cost of reading the data
+    once — then a parallel write of uniform shard-sized files.
+    Returns the number of output files requested."""
+    import math
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode(mode).parquet(dst_path)
+    return n_files

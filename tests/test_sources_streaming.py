@@ -155,3 +155,27 @@ def test_orc_roundtrip_partitioned_pruned(spark, tmp_path):
     assert "lang" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
     assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" \
         in plan
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    import os
+    from big_datatrader_spark.sources.parquet_source import table
+    from big_datatrader_spark.sources.sinks import compact_files
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)  # simulate a chatty writer
+
+    def parts(p):
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    assert len(parts(frag)) == 64
+    out = str(tmp_path / "compacted")
+    n_files = compact_files(spark, frag, out, target_rows_per_file=300)
+    got = parts(out)
+    assert len(got) == n_files < 8
+    # content preserved exactly
+    a = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = (spark.read.parquet(out).toPandas()
+         .sort_values("event_id").reset_index(drop=True))
+    assert a.equals(b[a.columns])
