@@ -62,7 +62,7 @@ _R3_HEAD = (
     # flagship round-3 vector/corpus operators — evidence them this
     # round ahead of the overflow rotation
     'semdedup_embeddings', 'embedding_pq_codes', 'ann_pq_adc_topk',
-    'doc_chunking', 'temperature_mixture_sample',
+    'doc_chunking', 'temperature_mixture_sample', 'doc_perplexity_bigram',
 )
 
 # Queries verified green per round (CORRECTNESS_r01.json /

@@ -1634,3 +1634,72 @@ def hll_partial_merge(spark, sf_dir):
              F.count(F.lit(1)).alias("n_partials"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity filter (the CCNet-style LM quality score)
+
+_PPL_SCALE = 10000  # ln terms rounded to 1e-4 units before summing
+
+
+@query(
+    "doc_perplexity_bigram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT doc_id, unnest({_grams_sql(2)}) AS gram FROM toks),
+    sp AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1,
+                  string_split(gram, ' ')[2] AS w2
+           FROM bi),
+    cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM sp GROUP BY 1, 2),
+    tot AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+    voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+    terms AS (
+      SELECT sp.doc_id,
+             CAST(ROUND(ln(CAST(cnt.c2 + 1 AS DOUBLE) / (tot.c1 + voc.v))
+                        * {_PPL_SCALE}) AS BIGINT) AS nll
+      FROM sp
+      JOIN cnt USING (w1, w2) JOIN tot USING (w1) CROSS JOIN voc)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(sum(nll) AS DOUBLE) / count(*) / {_PPL_SCALE},
+                 4) AS avg_nll
+    FROM terms GROUP BY 1 ORDER BY doc_id
+    """,
+    doc="LM-perplexity quality scoring (the CCNet filter): every doc's "
+        "average negative log-likelihood under the corpus bigram model "
+        "with Laplace smoothing, P(w2|w1) = (c(w1w2)+1)/(c(w1)+V). "
+        "High avg_nll = the doc's word transitions are improbable "
+        "under the corpus — gibberish/boilerplate to cut. Each ln term "
+        "is rounded to 1e-4 units and summed as BIGINT (the "
+        "math_null_surface convention), so the per-doc score is exact "
+        "under ANY partitioning/summation order. Model tables are "
+        "vocabulary-sized: the doc-bigram stream joins them and "
+        "reduces per doc — at 100 TB the corpus scans once, and the "
+        "same count tables serve bigram_conditional_prob",
+)
+def doc_perplexity_bigram(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sp = _gram_rows(docs, 2).select(
+        "doc_id",
+        F.split("gram", " ")[0].alias("w1"),
+        F.split("gram", " ")[1].alias("w2"))
+    cnt = sp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2"))
+    tot = cnt.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    voc = (docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+           .agg(F.countDistinct("tok").alias("v")))
+    nll = F.round(
+        F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+        * _PPL_SCALE).cast("bigint")
+    terms = (sp.join(cnt, ["w1", "w2"]).join(tot, "w1")
+             .crossJoin(F.broadcast(voc))
+             .select("doc_id", nll.alias("nll")))
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(-F.sum("nll").cast("double") / F.count(F.lit(1))
+                     / _PPL_SCALE, 4).alias("avg_nll"))
+        .orderBy("doc_id")
+    )

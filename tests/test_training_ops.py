@@ -290,3 +290,27 @@ def test_fk_integrity_clean_on_generated_data(spark):
     assert len(out) == 4
     assert (out.n_orphans == 0).all()  # driver testdata is referential
     assert (out.n_rows > 0).all()
+
+
+def test_perplexity_matches_independent_recompute(spark):
+    import collections
+    out = REG["doc_perplexity_bigram"].spark_fn(spark, SF).toPandas()
+    docs = table(spark, SF, "documents").select(
+        "doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.strip().lower().split()
+            for r in docs.itertuples()}
+    c2 = collections.Counter()
+    for t in toks.values():
+        c2.update(zip(t, t[1:]))
+    c1 = collections.Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    vocab = len({w for t in toks.values() for w in t})
+    assert (out.avg_nll > 0).all()
+    for doc_id in out.doc_id.head(5):
+        t = toks[doc_id]
+        nll = [round(math.log((c2[b] + 1) / (c1[b[0]] + vocab)) * 10000)
+               for b in zip(t, t[1:])]
+        expect = round(-sum(nll) / len(nll) / 10000, 4)
+        got = out[out.doc_id == doc_id].avg_nll.iloc[0]
+        assert abs(got - expect) < 1e-9, (doc_id, got, expect)
