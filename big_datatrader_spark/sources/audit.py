@@ -24,3 +24,17 @@ def log_run(spark: SparkSession, path: str, *, query_name: str,
 
 def read_audit(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def observed(df, name: str, exprs: dict):
+    """Attach single-pass observation metrics to a DataFrame: the named
+    aggregate expressions are computed DURING whatever action later
+    materializes ``df`` — no second scan, no separate metrics job. At
+    100 TB this is how a pipeline publishes row counts / null rates /
+    value bounds for free alongside every write. Returns
+    (instrumented_df, Observation); read ``obs.get`` AFTER an action."""
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation(name)
+    cols = [v.alias(k) for k, v in exprs.items()]
+    return df.observe(obs, cols[0], *cols[1:]), obs

@@ -140,3 +140,46 @@ def run_stream_to_memory(result: DataFrame, spark: SparkSession,
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def run_stream_merge_to_parquet(result: DataFrame, spark: SparkSession,
+                                path: str, key_cols: list[str],
+                                timeout_sec: int = 120) -> DataFrame:
+    """Drain the stream through a foreachBatch MERGE into a parquet
+    store keyed by ``key_cols``: per micro-batch, existing keys win
+    (first-write semantics) and only new keys append.
+
+    This is the production streaming-upsert sink shape: availableNow +
+    foreachBatch gives exactly-once PER BATCH (Spark retries a failed
+    batch; the key-anti-join makes the merge idempotent, so a retried
+    batch can't duplicate). At scale the store is a partitioned/
+    bucketed table and the merge is a key-partition-local anti-join;
+    here: read-union-overwrite on a local dir, same semantics. Returns
+    the final store as a batch DataFrame."""
+    import os
+    import shutil
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        b = batch.dropDuplicates(key_cols)
+        if os.path.isdir(path):
+            cur = batch.sparkSession.read.parquet(path)
+            add = b.join(cur.select(*key_cols), key_cols, "left_anti")
+            merged = cur.unionByName(add).localCheckpoint(eager=True)
+        else:
+            merged = b.localCheckpoint(eager=True)
+        tmp = path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    q = (result.writeStream.foreachBatch(merge)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", path + ".ckpt")
+         .start())
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(path)

@@ -179,3 +179,42 @@ def test_compact_files_merges_small_files(spark, tmp_path):
     b = (spark.read.parquet(out).toPandas()
          .sort_values("event_id").reset_index(drop=True))
     assert a.equals(b[a.columns])
+
+
+def test_stream_merge_sink_idempotent_vs_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from big_datatrader_spark.sources.parquet_source import table
+    from big_datatrader_spark.streaming.pipeline import (
+        events_stream, run_stream_merge_to_parquet)
+
+    sf = "/root/testdata/sf0.001"
+    # redelivered stream: union with itself -> duplicate key arrivals
+    s = events_stream(spark, sf)
+    red = s.unionAll(s).select("event_id", "user_id", "event_type")
+    store = str(tmp_path / "event_store")
+    out = run_stream_merge_to_parquet(
+        red, spark, store, key_cols=["event_id"])
+    batch = (table(spark, sf, "events")
+             .select("event_id", "user_id", "event_type").toPandas()
+             .sort_values("event_id").reset_index(drop=True))
+    got = out.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert got.equals(batch[got.columns])  # exactly-once per key
+
+
+def test_observed_metrics_single_pass(spark):
+    from pyspark.sql import functions as F
+    from big_datatrader_spark.sources.audit import observed
+    from big_datatrader_spark.sources.parquet_source import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    inst, obs = observed(docs, "scan_quality", {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_text": F.sum(F.col("text").isNull().cast("long")),
+        "max_chars": F.max("n_chars"),
+    })
+    result = inst.filter(F.col("n_chars") > 100).count()  # one action
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert m["n_null_text"] == 0
+    assert m["max_chars"] == docs.agg(F.max("n_chars")).first()[0]
+    assert result <= m["n_rows"]
