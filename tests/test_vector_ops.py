@@ -120,3 +120,25 @@ def test_vector_plans_broadcast_and_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_integer_exact_ops_partition_invariant(spark):
+    """The whole point of the integer-exact designs: identical results
+    at ANY partitioning. Rerun with adversarial shuffle-partition
+    counts (via SPARK_GRAFT_CPUS — ensure_confs re-derives the conf
+    from it inside every query, so setting the conf directly would be
+    silently reverted) and compare bit-for-bit."""
+    import os
+    for name in ("semdedup_embeddings", "embedding_pq_codes",
+                 "linreg_trend_per_user"):
+        base = REG[name].spark_fn(spark, SF).toPandas()
+        for p in (1, 7):
+            os.environ["SPARK_GRAFT_CPUS"] = str(p)
+            try:
+                again = REG[name].spark_fn(spark, SF).toPandas()
+                assert spark.conf.get(
+                    "spark.sql.shuffle.partitions") == str(p)
+            finally:
+                os.environ["SPARK_GRAFT_CPUS"] = "32"
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+            assert base.equals(again), (name, p)
