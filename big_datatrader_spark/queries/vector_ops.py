@@ -65,19 +65,22 @@ def _int_dot(a, b):
                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-def _cluster_assign(iv):
-    """Nearest-of-_SD_K deterministic centroids by exact integer L2^2
-    (ties -> lowest centroid id); iv = (vec_id, i, q) exploded rows."""
-    cv = (iv.filter(F.col("vec_id") < _SD_K)
-          .select(F.col("vec_id").alias("cid"), "i", F.col("q").alias("cq")))
-    d = (iv.join(F.broadcast(cv), "i")
-         .groupBy("vec_id", "cid")
-         .agg(F.sum((F.col("q") - F.col("cq"))
-                    * (F.col("q") - F.col("cq"))).alias("dist")))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return (d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cluster")))
+def _cluster_of(qv, cents: list[list[int]]):
+    """Nearest-centroid id as a PURE PROJECTION: exact integer L2^2 to
+    each collected centroid (driver-side model state, the
+    functions/similarity.fit_centroids precedent), argmin via
+    array_position of the min — first occurrence, so ties break to the
+    lowest centroid id exactly like the row_number formulation, with
+    NO explode, NO join, NO shuffle of the corpus."""
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(qv, F.array(*[F.lit(int(v)).cast("bigint")
+                                     for v in c]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("bigint")
 
 
 # SemDeDup oracle CTE chain (shared shape with embedding_kmeans_assign's
@@ -139,15 +142,18 @@ _SD_ORACLE = f"""
 def semdedup_embeddings(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     qarr = emb.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
-    iv = qarr.select(
-        "vec_id", F.posexplode("qv").alias("p", "q")
-    ).select("vec_id", (F.col("p") + 1).alias("i"), "q")
-    asgn = _cluster_assign(iv)
-    n2 = qarr.select(
-        "vec_id", _int_dot(F.col("qv"), F.col("qv")).alias("n2"))
-
-    side = (asgn.join(qarr, "vec_id").join(n2, "vec_id")
-            .select("vec_id", "cluster", "qv", "n2"))
+    # centroid model state: _SD_K quantized vectors, collected once
+    # (KB-sized; how a trained coarse quantizer ships to executors)
+    cents = [list(r.qv) for r in
+             qarr.filter(F.col("vec_id") < _SD_K).orderBy("vec_id")
+             .collect()]
+    # ONE narrow projection carries id, cluster, vector, and norm —
+    # the corpus is scanned once and only the per-cluster pair join
+    # shuffles anything
+    side = qarr.select(
+        "vec_id", _cluster_of(F.col("qv"), cents).alias("cluster"),
+        "qv", _int_dot(F.col("qv"), F.col("qv")).alias("n2"))
+    asgn = side.select("vec_id", "cluster")
     a = side.select(F.col("vec_id").alias("ida"), "cluster",
                     F.col("qv").alias("va"), F.col("n2").alias("na"))
     b = side.select(F.col("vec_id").alias("idb"),

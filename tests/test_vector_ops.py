@@ -142,3 +142,17 @@ def test_integer_exact_ops_partition_invariant(spark):
                 os.environ["SPARK_GRAFT_CPUS"] = "32"
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
             assert base.equals(again), (name, p)
+
+
+def test_flagship_exchange_budgets(spark):
+    """Shuffle budgets for the round-3 flagships: the plan may not
+    regress to more exchanges than the design needs (semdedup's
+    assignment is a pure projection — only the pair join, the dedup of
+    drops, and the presentation sort may shuffle)."""
+    from big_datatrader_spark.plans.explain import num_exchanges
+    budgets = {"semdedup_embeddings": 3, "embedding_pq_codes": 3,
+               "ann_pq_adc_topk": 6, "doc_chunking": 1,
+               "linreg_trend_per_user": 2, "zorder_locality": 2}
+    for name, budget in budgets.items():
+        got = num_exchanges(REG[name].spark_fn(spark, SF))
+        assert got <= budget, (name, got, budget)
