@@ -167,6 +167,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "temperature_mixture_sample",  # 1-row sum-of-weights scalar
         "ntile_deciles",               # 1-row total-count scalar
         "user_spend_rank_distribution",  # 1-row total-count scalar
+        "doc_perplexity_bigram",       # 1-row vocabulary-size scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
