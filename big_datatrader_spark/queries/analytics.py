@@ -1610,3 +1610,36 @@ def user_spend_rank_distribution(spark, sf_dir):
             decile.alias("decile"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic string aggregation (listagg)
+
+@query(
+    "listagg_sources_by_lang",
+    oracle="""
+    WITH per AS (SELECT DISTINCT lang, source FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           string_agg(source, ',' ORDER BY source) AS sources
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+    doc="string aggregation (LISTAGG/string_agg) with a deterministic "
+        "element order: distinct (lang, source) pairs collapsed to a "
+        "sorted comma-joined list per lang — collect_set order is "
+        "engine/partitioning-dependent, so the list is array_sort-ed "
+        "before joining (the only way a concatenated aggregate can "
+        "ever hash-match across engines). Reduction is map-side "
+        "combinable; the value per group is bounded by source "
+        "cardinality, not row count",
+)
+def listagg_sources_by_lang(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source").distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sources"),
+             F.array_join(F.array_sort(F.collect_list("source")), ",")
+             .alias("sources"))
+        .orderBy("lang")
+    )
