@@ -1643,3 +1643,62 @@ def listagg_sources_by_lang(spark, sf_dir):
              .alias("sources"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
+
+@query(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH click_days AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+      WHERE event_type = 'click'),
+    view_days AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+      WHERE event_type = 'view'),
+    both_all AS (
+      SELECT user_id, day FROM click_days
+      INTERSECT ALL
+      SELECT user_id, day FROM view_days),
+    only_clicks AS (
+      SELECT user_id, day FROM click_days
+      EXCEPT ALL
+      SELECT user_id, day FROM view_days)
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM both_all
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM only_clicks
+    ORDER BY op
+    """,
+    doc="bag-semantics set operations: INTERSECT ALL keeps min(m, n) "
+        "copies of a duplicated row and EXCEPT ALL keeps max(m - n, 0) "
+        "— semantics DISTINCT-based set ops cannot express (a user "
+        "with 3 click-days and 1 view-day on the same date contributes "
+        "2 rows to EXCEPT ALL, 0 to EXCEPT). Spark's "
+        "intersectAll/exceptAll compile to count-compare aggregates "
+        "with map-side partials, same cost shape as a groupBy — no "
+        "row-by-row matching",
+)
+def set_ops_bag_semantics(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def days(etype):
+        return (ev.filter(F.col("event_type") == etype)
+                .select("user_id",
+                        F.date_format("ts", "yyyy-MM-dd").alias("day")))
+
+    both_all = days("click").intersectAll(days("view"))
+    only_clicks = days("click").exceptAll(days("view"))
+
+    def summarize(df, op):
+        return df.agg(F.lit(op).alias("op"),
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.countDistinct("user_id").alias("n_users"))
+
+    return (summarize(both_all, "intersect_all")
+            .unionAll(summarize(only_clicks, "except_all"))
+            .orderBy("op"))
