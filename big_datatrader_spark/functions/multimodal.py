@@ -139,3 +139,70 @@ def sample_frames(df: DataFrame, *, id_col: str = "doc_id",
 
     slim = df.select(F.col(id_col), F.col(content_col))
     return slim.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: PPM (P6) — a codec-less binary image format, so the
+# decoder needs nothing beyond numpy. This replaces the stub for one
+# real format and proves the decode slot end to end; codec formats
+# (JPEG/PNG/audio) still go through decode_stub.
+
+PPM_W, PPM_H = 8, 8
+_PPM_PIXELS = PPM_W * PPM_H * 3
+
+
+def with_ppm_payload(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a valid P6 image per row: the standard header plus
+    the first w*h*3 bytes of the (repeated) document text as RGB data.
+    Deterministic and byte-reproducible from the text alone, which is
+    what lets an engine-independent oracle recompute channel means."""
+    rep = F.expr(
+        f"repeat({text_col}, CAST(ceil({_PPM_PIXELS} / length({text_col}))"
+        " + 1 AS INT))")
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), "UTF-8"),
+        F.encode(F.substring(rep, 1, _PPM_PIXELS), "UTF-8"))
+    return (df.filter(F.length(text_col) > 0)
+            .select(F.col(id_col), payload.alias("content")))
+
+
+PPM_FEATURE_SCHEMA = ("doc_id long, width long, height long, "
+                      "mean_r double, mean_g double, mean_b double, "
+                      "decode_ok boolean")
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL P6 parser: header (magic, dims, maxval) then raw RGB
+    bytes -> (h, w, 3) uint8 array. Raises on malformed input."""
+    parts = payload.split(b"\n", 3)
+    if parts[0] != b"P6" or len(parts) < 4:
+        raise ValueError("not a P6 ppm")
+    w, h = (int(x) for x in parts[1].split())
+    if int(parts[2]) != 255:
+        raise ValueError("unsupported maxval")
+    data = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    return w, h, data.reshape(h, w, 3)
+
+
+def extract_ppm_features(df: DataFrame, *, id_col: str = "doc_id",
+                         content_col: str = "content") -> DataFrame:
+    """Arrow-batched REAL image decode: parse every payload as P6,
+    emit dimensions + exact per-channel means (integer byte sums over
+    w*h pixels divided once — no accumulation-order sensitivity)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                w, h, img = decode_ppm(bytes(b))
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows.append((int(doc_id), w, h,
+                             sums[0] / (w * h), sums[1] / (w * h),
+                             sums[2] / (w * h), True))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_r", "mean_g",
+                "mean_b", "decode_ok"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=PPM_FEATURE_SCHEMA)

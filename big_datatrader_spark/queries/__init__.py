@@ -63,6 +63,7 @@ _R3_HEAD = (
     # round ahead of the overflow rotation
     'semdedup_embeddings', 'embedding_pq_codes', 'ann_pq_adc_topk',
     'doc_chunking', 'temperature_mixture_sample', 'doc_perplexity_bigram',
+    'multimodal_ppm_decode',
 )
 
 # Queries verified green per round (CORRECTNESS_r01.json /

@@ -80,3 +80,52 @@ def multimodal_frame_sample(spark, sf_dir):
     media = MM.with_binary_content(table(spark, sf_dir, "documents"))
     return (MM.sample_frames(media)
             .orderBy("doc_id", "frame_idx"))
+
+
+@query(
+    "multimodal_ppm_decode",
+    oracle=f"""
+    WITH rep AS (
+      SELECT doc_id,
+             repeat(text, CAST(ceil(192.0 / length(text)) + 1 AS INT))
+                 AS r
+      FROM documents WHERE length(text) > 0),
+    px AS (SELECT doc_id, p,
+                  ascii(substr(r, p + 1, 1)) AS byte
+           FROM rep, (SELECT unnest(generate_series(0, 191)) AS p)),
+    ch AS (SELECT doc_id, p % 3 AS c,
+                  CAST(sum(byte) AS BIGINT) AS s
+           FROM px GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           ROUND(CAST(max(CASE WHEN c = 0 THEN s END) AS DOUBLE) / 64,
+                 6) AS mean_r,
+           ROUND(CAST(max(CASE WHEN c = 1 THEN s END) AS DOUBLE) / 64,
+                 6) AS mean_g,
+           ROUND(CAST(max(CASE WHEN c = 2 THEN s END) AS DOUBLE) / 64,
+                 6) AS mean_b,
+           TRUE AS decode_ok
+    FROM ch GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="REAL image decode, not a stub: each doc gets a valid 8x8 P6 "
+        "PPM payload (header + text bytes as RGB), and the "
+        "mapInPandas kernel PARSES the binary format — magic, dims, "
+        "maxval, raw pixel grid — with pure numpy, emitting dimensions "
+        "and exact per-channel means (integer byte sums / 64). The "
+        "oracle recomputes the same means from the source text bytes, "
+        "so the whole decode path is value-verified cross-engine. "
+        "Codec formats still stub (functions/multimodal.decode_stub); "
+        "this proves the decode slot works end to end on a format the "
+        "container can actually parse. No shuffle: decode is a narrow "
+        "Arrow-batched map",
+)
+def multimodal_ppm_decode(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = MM.with_ppm_payload(docs)
+    return (MM.extract_ppm_features(media)
+            .select("doc_id", "width", "height",
+                    F.round("mean_r", 6).alias("mean_r"),
+                    F.round("mean_g", 6).alias("mean_g"),
+                    F.round("mean_b", 6).alias("mean_b"),
+                    "decode_ok")
+            .orderBy("doc_id"))
