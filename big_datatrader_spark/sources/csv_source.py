@@ -68,3 +68,38 @@ def discover_csv_files(spark: SparkSession, root_glob: str,
         files = files.filter(
             F.lower(F.col("path")).contains(name_contains.lower()))
     return files
+
+
+def read_ohlcv_csv_audited(spark: SparkSession, path_or_glob: str
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Quarantining variant of the S1 scan: PERMISSIVE mode keeps
+    malformed lines in a ``_corrupt_record`` column instead of silently
+    dropping them (DROPMALFORMED loses data with no audit trail — fine
+    for the reference's curated files, not for a 100 TB ingest where
+    0.001% bad lines is still millions of rows someone must account
+    for). Returns (typed_rows, quarantine) — the quarantine carries the
+    raw line + source file for replay/alerting. Both frames share ONE
+    scan subtree; Spark requires the corrupt column to be cached or
+    re-read, so the quarantine side re-reads only when acted on."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(OHLCV_RAW_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)])
+    raw = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path_or_glob)
+        .withColumn("src_file", F.input_file_name())
+        .cache()  # required for _corrupt_record column access (SPARK-21610)
+    )
+    good = (
+        raw.filter(F.col("_corrupt_record").isNull())
+        .withColumn("time", F.timestamp_millis(F.col("time")))
+        .select("time", "open", "high", "low", "close", "volume",
+                "src_file"))
+    bad = (raw.filter(F.col("_corrupt_record").isNotNull())
+           .select(F.col("_corrupt_record").alias("raw_line"), "src_file"))
+    return good, bad

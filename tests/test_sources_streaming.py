@@ -218,3 +218,24 @@ def test_observed_metrics_single_pass(spark):
     assert m["n_null_text"] == 0
     assert m["max_chars"] == docs.agg(F.max("n_chars")).first()[0]
     assert result <= m["n_rows"]
+
+
+def test_csv_quarantine_keeps_malformed_rows(spark, tmp_path):
+    from big_datatrader_spark.sources.csv_source import (
+        read_ohlcv_csv, read_ohlcv_csv_audited)
+
+    p = tmp_path / "ohlcv.csv"
+    p.write_text(
+        "time,open,high,low,close,volume\n"
+        "1700000000000,1.0,2.0,0.5,1.5,100.0\n"
+        "not-a-number,oops,2.0,0.5,1.5,100.0\n"
+        "1700000060000,1.5,2.5,1.0,2.0,50.0\n"
+        "1700000120000,bad,,,,\n")
+    good, bad = read_ohlcv_csv_audited(spark, str(p))
+    g, b = good.toPandas(), bad.toPandas()
+    assert len(g) == 2 and len(b) == 2  # nothing silently lost
+    assert b.raw_line.str.contains("not-a-number").any()
+    assert (g.close == [1.5, 2.0]).all()
+    # the audited good side equals the DROPMALFORMED fast path
+    fast = read_ohlcv_csv(spark, str(p)).toPandas()
+    assert len(fast) == 2
