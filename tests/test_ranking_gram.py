@@ -59,3 +59,22 @@ def test_gram_matrix_matches_numpy_and_partitioning(spark, sf0001):
         assert len(got) == 64 * 65 // 2
         for (i, j), s in got.items():
             assert s == exact[i, j], (i, j, parts)
+
+
+def test_ntile_closed_form_matches_spark_ntile_many_shapes(spark):
+    """Property check of operators/ranking.ntile_from_rank: for a sweep
+    of (n, k) shapes — including n<k, n=k, remainders 1 and k-1 — the
+    closed form must reproduce Spark's real ntile() bit for bit."""
+    from pyspark.sql import Window, functions as F
+    from big_datatrader_spark.operators.ranking import ntile_from_rank
+
+    for n, k in [(1, 10), (5, 10), (10, 10), (11, 10), (19, 10),
+                 (20, 10), (150, 10), (7, 3), (8, 3), (9, 3), (100, 7)]:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("r"), F.lit(n).alias("n"))
+        w = Window.orderBy("r")
+        got = df.select(
+            "r", ntile_from_rank(F.col("r"), F.col("n"), k).alias("mine"),
+            F.ntile(k).over(w).cast("bigint").alias("real")).collect()
+        for row in got:
+            assert row.mine == row.real, (n, k, row.r)
