@@ -1702,3 +1702,93 @@ def set_ops_bag_semantics(spark, sf_dir):
     return (summarize(both_all, "intersect_all")
             .unionAll(summarize(only_clicks, "except_all"))
             .orderBy("op"))
+
+
+# ---------------------------------------------------------------------------
+# TWAP / VWAP: the standard trading price aggregations
+
+@query(
+    "twap_per_user",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events),
+    seg AS (SELECT user_id, vc, t_next - t AS dur
+            FROM ord WHERE t_next IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dur) AS BIGINT) AS total_secs,
+           ROUND(CAST(sum(vc * dur) AS DOUBLE)
+                 / CAST(sum(dur) AS DOUBLE) / 100.0, 6) AS twap
+    FROM seg WHERE dur > 0 GROUP BY user_id ORDER BY user_id
+    """,
+    doc="time-weighted average price per user: each observation holds "
+        "until the next one, so its weight is the inter-event duration "
+        "(exact integer seconds x integer cents -> exact BIGINT "
+        "weighted sums; the division is the only float op and runs "
+        "identically on both engines). The lead() window partitions by "
+        "user — per-key, never global. TWAP is what a trading engine "
+        "reports when ticks arrive irregularly and a plain mean would "
+        "over-weight bursts",
+)
+def twap_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts")
+    ordv = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        t.alias("t"), F.lead(t).over(w).alias("t_next"))
+    seg = (ordv.filter(F.col("t_next").isNotNull())
+           .select("user_id", "vc",
+                   (F.col("t_next") - F.col("t")).alias("dur"))
+           .filter(F.col("dur") > 0))
+    return (
+        seg.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_segments"),
+             F.sum("dur").alias("total_secs"),
+             F.round(F.sum(F.col("vc") * F.col("dur")).cast("double")
+                     / F.sum("dur").cast("double") / 100.0, _R)
+             .alias("twap"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "vwap_per_part",
+    oracle="""
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           ROUND(CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / 100.0, 6) AS vwap
+    FROM lineitem GROUP BY l_partkey
+    HAVING count(*) >= 8 ORDER BY l_partkey
+    """,
+    doc="volume-weighted average price per part over lineitem: "
+        "integer-cents price x integer quantity -> exact BIGINT "
+        "weighted sums, one map-side-combinable aggregate (the same "
+        "plan as a count at any scale). HAVING keeps parts with "
+        "enough fills for the average to mean something — the "
+        "execution-quality benchmark every trading desk computes",
+)
+def vwap_per_part(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(qty).alias("total_qty"),
+             F.round(F.sum(cents * qty).cast("double")
+                     / F.sum(qty).cast("double") / 100.0, _R)
+             .alias("vwap"))
+        .filter(F.col("n_lines") >= 8)
+        .orderBy("l_partkey")
+    )
