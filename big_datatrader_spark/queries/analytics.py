@@ -1792,3 +1792,79 @@ def vwap_per_part(spark, sf_dir):
         .filter(F.col("n_lines") >= 8)
         .orderBy("l_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Candlestick pattern scan over daily OHLC bars
+
+@query(
+    "candle_patterns",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bar_day,
+             CAST(ROUND((min(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS o,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS c,
+             CAST(ROUND(max(value) * 100) AS BIGINT) AS h,
+             CAST(ROUND(min(value) * 100) AS BIGINT) AS l
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, bar_day, o, c, h, l,
+             lag(o) OVER w AS po, lag(c) OVER w AS pc
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_day)),
+    pat AS (
+      SELECT user_id, bar_day,
+             (abs(c - o) * 10 <= (h - l)) AS doji,
+             (po IS NOT NULL AND pc < po AND c > o
+              AND o <= pc AND c >= po) AS bull_engulf,
+             (po IS NOT NULL AND pc > po AND c < o
+              AND o >= pc AND c <= po) AS bear_engulf
+      FROM seq)
+    SELECT user_id, bar_day,
+           CASE WHEN bull_engulf THEN 'bull_engulf'
+                WHEN bear_engulf THEN 'bear_engulf'
+                ELSE 'doji' END AS pattern
+    FROM pat WHERE doji OR bull_engulf OR bear_engulf
+    ORDER BY user_id, bar_day
+    """,
+    doc="candlestick pattern scan: daily OHLC bars (integer cents) -> "
+        "doji (body <= 10% of range) and bullish/bearish engulfing "
+        "(prior bar's body contained in an opposite-color body) via "
+        "one lag window per symbol. All comparisons are pure integer "
+        "arithmetic on cents, so pattern flags can never flip on fp "
+        "noise; the bar table is days x symbols rows, so the window "
+        "input is already aggregate-sized at any tick volume",
+)
+def candle_patterns(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    cents = lambda col: F.round(col * 100).cast("bigint")  # noqa: E731
+    bars = (
+        ev.groupBy("user_id",
+                   F.date_trunc("day", F.col("ts")).alias("bar_day"))
+        .agg(cents(F.min(tagged)["v"]).alias("o"),
+             cents(F.max(tagged)["v"]).alias("c"),
+             cents(F.max("value")).alias("h"),
+             cents(F.min("value")).alias("l")))
+    w = Window.partitionBy("user_id").orderBy("bar_day")
+    seq = bars.select(
+        "user_id", "bar_day", "o", "c", "h", "l",
+        F.lag("o").over(w).alias("po"), F.lag("c").over(w).alias("pc"))
+    o, c, h, l = F.col("o"), F.col("c"), F.col("h"), F.col("l")
+    po, pc = F.col("po"), F.col("pc")
+    doji = F.abs(c - o) * 10 <= (h - l)
+    bull = po.isNotNull() & (pc < po) & (c > o) & (o <= pc) & (c >= po)
+    bear = po.isNotNull() & (pc > po) & (c < o) & (o >= pc) & (c <= po)
+    pattern = (F.when(bull, "bull_engulf").when(bear, "bear_engulf")
+               .otherwise("doji"))
+    return (
+        seq.filter(doji | bull | bear)
+        .select("user_id", "bar_day", pattern.alias("pattern"))
+        .orderBy("user_id", "bar_day")
+    )
