@@ -194,3 +194,47 @@ def token_count_bpe_ish(spark, sf_dir):
           .alias("bpe_ish_tokens"),
         TX.token_count(F.col("text")).cast("long").alias("ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token normalization (stemming-lite) + collapsed frequencies
+
+@query(
+    "stem_token_frequencies",
+    oracle=f"""
+    WITH tk AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    nm AS (SELECT tok,
+                  CASE WHEN length(regexp_replace(tok,
+                           '(ing|ed|es|s)$', '')) >= 3
+                       THEN regexp_replace(tok, '(ing|ed|es|s)$', '')
+                       ELSE tok END AS norm
+           FROM tk)
+    SELECT norm,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_surface_forms
+    FROM nm GROUP BY norm
+    ORDER BY n_occurrences DESC, norm LIMIT 100
+    """,
+    doc="suffix-stripping token normalization (stemming-lite: ing/ed/"
+        "es/s dropped unless the stem would fall under 3 chars) with "
+        "collapsed frequencies — the normalize-before-dedup/index "
+        "stage; n_surface_forms shows how many raw variants fold into "
+        "each stem. One explode + one groupBy, top-100 under a "
+        "deterministic order; the normalization is a scalar regexp in "
+        "codegen, identical in Spark and DuckDB (RE2-compatible "
+        "pattern, no engine-specific syntax)",
+)
+def stem_token_frequencies(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tok = F.explode(TX.tokens(F.col("text"))).alias("tok")
+    stem = F.regexp_replace(F.col("tok"), r"(ing|ed|es|s)$", "")
+    norm = F.when(F.length(stem) >= 3, stem).otherwise(F.col("tok"))
+    return (
+        docs.select(tok)
+        .select("tok", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("tok").alias("n_surface_forms"))
+        .orderBy(F.desc("n_occurrences"), "norm")
+        .limit(100)
+    )
