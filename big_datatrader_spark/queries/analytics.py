@@ -1868,3 +1868,65 @@ def candle_patterns(spark, sf_dir):
         .select("user_id", "bar_day", pattern.alias("pattern"))
         .orderBy("user_id", "bar_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR from daily close-to-close returns
+
+@query(
+    "daily_var_per_user",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS close_cents
+      FROM events GROUP BY 1, 2),
+    rets AS (
+      SELECT user_id,
+             CAST(close_cents AS DOUBLE)
+             / CAST(lag(close_cents) OVER (PARTITION BY user_id
+                                           ORDER BY bar_day) AS DOUBLE)
+             - 1.0 AS ret
+      FROM bars)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           ROUND(-CAST(quantile_cont(ret, 0.05) AS DOUBLE), 6) AS var95,
+           ROUND(-min(ret), 6) AS worst_day
+    FROM rets WHERE ret IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="95% historical value-at-risk per symbol: integer-cents daily "
+        "closes (struct-max deterministic), close-to-close returns as "
+        "ratios of exact integers (identical doubles on both engines), "
+        "VaR as the negated 5th interpolated percentile (Spark "
+        "percentile == DuckDB quantile_cont) plus the worst single "
+        "day. The risk summary every trading desk publishes daily; "
+        "per-key windows and aggregates throughout — the return "
+        "series per symbol is days-sized regardless of tick volume",
+)
+def daily_var_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (
+        ev.groupBy("user_id",
+                   F.date_trunc("day", F.col("ts")).alias("bar_day"))
+        .agg(F.round(F.max(tagged)["v"] * 100).cast("bigint")
+             .alias("close_cents")))
+    w = Window.partitionBy("user_id").orderBy("bar_day")
+    rets = bars.select(
+        "user_id",
+        (F.col("close_cents").cast("double")
+         / F.lag("close_cents").over(w).cast("double") - 1.0)
+        .alias("ret"))
+    return (
+        rets.filter(F.col("ret").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_days"),
+             F.round(-F.percentile("ret", F.lit(0.05)), _R)
+             .alias("var95"),
+             F.round(-F.min("ret"), _R).alias("worst_day"))
+        .orderBy("user_id")
+    )
