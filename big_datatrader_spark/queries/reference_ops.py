@@ -400,3 +400,76 @@ def evenly_spaced_backtest_maxtrades_q(spark, sf_dir):
         price_col="value", budget=BUDGET, per_trade=PER_TRADE,
         max_trades=5)
     return _rounded_backtest(res)
+
+
+_PORTFOLIO_ORACLE = """
+WITH sig AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), buys AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS buy_rn,
+         count(*) OVER (PARTITION BY user_id) AS n_buys
+  FROM sig WHERE (rn - 1) % 10 = 0
+), agg AS (
+  SELECT user_id, sum(1000.0 / value) AS sum_shares,
+         count(*) AS trades_executed
+  FROM buys WHERE buy_rn <= LEAST(n_buys, 10)
+  GROUP BY user_id
+), finals AS (
+  SELECT user_id, max_by(value, ts) AS final_price
+  FROM events GROUP BY user_id
+), per AS (
+  SELECT f.user_id,
+         COALESCE(a.trades_executed, 0) AS trades_executed,
+         CAST(ROUND((CASE WHEN a.trades_executed IS NULL THEN 10000.0
+              ELSE 10000.0 - a.trades_executed * 1000.0
+                   + a.sum_shares * f.final_price END) * 1000000)
+             AS BIGINT) AS value_micro
+  FROM finals f LEFT JOIN agg a USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_symbols,
+       CAST(sum(trades_executed) AS BIGINT) AS total_trades,
+       ROUND(CAST(sum(trades_executed) * 1000.0 AS DOUBLE), 6)
+           AS total_invested,
+       ROUND(CAST(sum(value_micro) AS DOUBLE) / 1000000.0, 6)
+           AS portfolio_value,
+       ROUND((CAST(sum(value_micro) AS DOUBLE) / 1000000.0
+              - count(*) * 10000.0)
+             / (count(*) * 10000.0) * 100.0, 6) AS portfolio_roi
+FROM per
+"""
+
+
+@query(
+    "evenly_spaced_portfolio",
+    oracle=_PORTFOLIO_ORACLE,
+    doc="portfolio rollup of the §2.12 evenly-spaced backtest: every "
+        "symbol's final value (cash remainder + marked-to-market "
+        "shares) rounded to exact 1e-6 units per symbol and summed as "
+        "BIGINT — so the portfolio total can never drift with "
+        "aggregation order — plus trade counts and ROI against the "
+        "combined starting budget. The roll-up the reference's GUI "
+        "user computes by hand across runs, as one extra aggregate on "
+        "the per-symbol plan",
+)
+def evenly_spaced_portfolio(spark, sf_dir):
+    res = evenly_spaced_backtest(
+        _ticks(spark, sf_dir), symbol_col="user_id", order_col="ts",
+        price_col="value", budget=BUDGET, per_trade=PER_TRADE)
+    per = res.select(
+        "user_id",
+        F.col("trades_executed").cast("long").alias("trades_executed"),
+        F.round(F.col("final_value") * 1000000).cast("bigint")
+        .alias("value_micro"))
+    n = F.count(F.lit(1))
+    val = F.sum("value_micro").cast("double") / 1000000.0
+    return per.agg(
+        n.alias("n_symbols"),
+        F.sum("trades_executed").cast("long").alias("total_trades"),
+        F.round(F.sum("trades_executed") * 1000.0, _R)
+        .alias("total_invested"),
+        F.round(val, _R).alias("portfolio_value"),
+        F.round((val - n * 10000.0) / (n * 10000.0) * 100.0, _R)
+        .alias("portfolio_roi"))
