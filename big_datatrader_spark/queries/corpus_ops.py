@@ -887,3 +887,54 @@ def temperature_mixture_sample(spark, sf_dir):
         .select("event_type", "event_id", "rk", "n_quota")
         .orderBy("event_type", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training prep)
+
+_NEG_K = 3
+
+
+@query(
+    "negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id FROM documents),
+    cand AS (
+      SELECT a.doc_id, j,
+             {_h60_sql("CAST(a.doc_id AS VARCHAR) || ':' || "
+                       "CAST(j AS VARCHAR)")} % n.n_docs AS pick
+      FROM anchors a
+      CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j)
+      CROSS JOIN n)
+    SELECT c.doc_id, CAST(c.j AS BIGINT) AS neg_slot,
+           CAST(CASE WHEN c.pick = c.doc_id
+                THEN (c.pick + 1) % n.n_docs
+                ELSE c.pick END AS BIGINT) AS negative_id
+    FROM cand c CROSS JOIN n
+    ORDER BY c.doc_id, neg_slot
+    """,
+    doc=f"deterministic negative sampling: every anchor document draws "
+        f"{_NEG_K} pseudo-random negatives via md5-hash positions mod "
+        "corpus size (self-draws wrap to the next id) — the "
+        "contrastive-training pair generator, reproducible on any "
+        "engine/partitioning with NO stored RNG state. The corpus "
+        "size is the only broadcast; candidates are a narrow "
+        "projection fan-out, no shuffle beyond the presentation sort. "
+        "Docs-table ids are dense 0..n-1 here; a sparse-id corpus "
+        "would first build a position index (global_shuffle_rank)",
+)
+def negative_sampling(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    slots = F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j")
+    cand = (docs.select("doc_id").select("doc_id", slots)
+            .crossJoin(F.broadcast(n)))
+    pick = h60(F.concat_ws(":", F.col("doc_id"), F.col("j"))) % F.col(
+        "n_docs")
+    neg = F.when(pick == F.col("doc_id"),
+                 (pick + 1) % F.col("n_docs")).otherwise(pick)
+    return (cand.select("doc_id", F.col("j").cast("bigint")
+                        .alias("neg_slot"),
+                        neg.cast("bigint").alias("negative_id"))
+            .orderBy("doc_id", "neg_slot"))
