@@ -44,26 +44,27 @@ def query(name: str, oracle: str | None, *, doc: str = "",
     return wrap
 
 
-# Round-3 window head: the driver's correctness gate only checks the
-# FIRST 50 registry entries, so order by evidence priority —
-# (1) the four queries whose r2 rows were red and are now fixed
-#     (HUGEINT CASTs; array/map outputs re-emitted as CSV scalars),
-# (2) the three queries converted this round from rows-only to EXACT
-#     oracles (crossover run-collapse reduction; integer-micro
-#     streaming state).
-# The still-rows-only-by-design four (ann_lsh/ivf, approx_aggregates,
-# multimodal_feature_extract) were evidenced clean in r2 and nothing
-# about them changed — their slots go to never-verified new queries.
-_R3_HEAD = (
-    'q12_priority_lines', 'math_null_surface', 'array_values_per_user',
-    'map_event_type_counts',
-    'ma_crossover_backtest', 'ma_crossover_positions',
-    'streaming_running_position',
-    # flagship round-3 vector/corpus operators — evidence them this
-    # round ahead of the overflow rotation
-    'semdedup_embeddings', 'embedding_pq_codes', 'ann_pq_adc_topk',
-    'doc_chunking', 'temperature_mixture_sample', 'doc_perplexity_bigram',
-    'multimodal_ppm_decode',
+# Round-4 window head: the driver's correctness gate only checks the
+# FIRST 50 registry entries, so order by evidence priority. Round 3's
+# window came back 50/50 green, which leaves exactly one class of
+# correctness debt: the 22 round-3 queries that registered after the
+# window filled and have NEVER seen a driver row. They go first,
+# followed by the four rows-only-by-design queries whose last clean
+# evidence is round 2.
+_R4_HEAD = (
+    # 22-query evidence backlog (registered r3, never driver-checked)
+    'corpus_dedup_pipeline', 'triangle_count_copurchase',
+    'embedding_kmeans_assign', 'per_group_reservoir',
+    'salted_hot_key_agg', 'value_histogram', 'ohlc_bars',
+    'resample_forward_fill', 'deterministic_sample',
+    'sql_revenue_by_priority', 'ewma_indicator', 'fk_integrity_checks',
+    'snapshot_diff', 'hll_partial_merge', 'negative_sampling',
+    'sequence_packing_bins', 'stratified_sample_events',
+    'lang_mixture_rebalance', 'chunk_dedup_substrings',
+    'corpus_quality_filter', 'cross_doc_repetition', 'zorder_locality',
+    # rows-only-by-design, last evidenced r2 — re-run for fresh rows
+    'ann_lsh_topk', 'ann_ivf_topk', 'approx_aggregates',
+    'multimodal_feature_extract',
 )
 
 # Queries verified green per round (CORRECTNESS_r01.json /
@@ -116,31 +117,38 @@ _R1_GREEN = frozenset({
     'value_percentiles',
 })
 
-_DRIVER_VERIFIED = _R1_GREEN | _R2_GREEN
-
-# Rows-only BY DESIGN (approximate/engine-defined output, no SQL twin
-# possible) and already evidenced clean in r2: re-running them burns a
-# window slot that a never-verified exact-oracle query needs more.
-_ROWS_ONLY_EVIDENCED = frozenset({
-    'approx_aggregates', 'ann_lsh_topk', 'ann_ivf_topk',
-    'multimodal_feature_extract',
+_R3_GREEN = frozenset({
+    'ann_pq_adc_topk', 'array_values_per_user', 'autocorr_lag1',
+    'bigram_conditional_prob', 'candle_patterns', 'cms_heavy_hitters',
+    'contamination_check', 'daily_var_per_user', 'dataset_split_assign',
+    'doc_chunking', 'doc_perplexity_bigram', 'embedding_gram_matrix',
+    'embedding_pq_codes', 'evenly_spaced_portfolio',
+    'full_outer_daily_activity', 'funnel_conversion', 'fuzzy_part_pairs',
+    'global_shuffle_rank', 'linreg_trend_per_user',
+    'listagg_sources_by_lang', 'ma_crossover_backtest',
+    'ma_crossover_positions', 'map_event_type_counts',
+    'math_null_surface', 'max_drawdown', 'multimodal_frame_sample',
+    'multimodal_ppm_decode', 'ntile_deciles', 'pagerank_copurchase',
+    'pii_redaction', 'q12_priority_lines', 'quality_repetition_signals',
+    'scd2_user_state', 'semdedup_embeddings', 'set_ops_bag_semantics',
+    'stem_token_frequencies', 'streaming_exactly_once_dedup',
+    'streaming_running_position', 'streaming_session_window',
+    'streaming_topk_trending', 'table_profile',
+    'temperature_mixture_sample', 'tf_idf_top_terms', 'twap_per_user',
+    'unpivot_event_metrics', 'user_spend_rank_distribution',
+    'volatility_sharpe', 'vwap_per_part', 'weekly_retention_cohorts',
+    'zscore_anomalies',
 })
 
-# The registry outgrew the 50-slot window this round; these simpler
-# analytics shapes (strong local invariant tests, conventional plans)
-# wait for the round-4 rotation so the window can evidence the new
-# vector/corpus flagship operators first.
-_R3_DEFER = frozenset({
-    'value_histogram', 'ohlc_bars', 'resample_forward_fill',
-    'deterministic_sample', 'sql_revenue_by_priority', 'ewma_indicator',
-})
-
+_DRIVER_VERIFIED = _R1_GREEN | _R2_GREEN | _R3_GREEN
 
 def load_registry() -> dict[str, Query]:
     """Import all query modules (registration happens at import), then
     order the registry so the driver's 50-query prefix window sees, in
-    order: the round-3 priority head (fixed + rows-only re-evidence),
-    never-driver-verified queries, then already-green queries."""
+    order: the round-4 head (the 22-query evidence backlog + the four
+    rows-only re-evidence slots), queries added this round (never
+    driver-verified), then already-green queries oldest-evidence
+    first (r1-only greens before r2 before r3)."""
     from . import tpch_extra  # noqa: F401
     from . import scalar_surface  # noqa: F401
     from . import llm_text  # noqa: F401
@@ -154,15 +162,14 @@ def load_registry() -> dict[str, Query]:
     from . import training_ops  # noqa: F401
     from . import corpus_ops  # noqa: F401
     from . import vector_ops  # noqa: F401
-    ordered = {n: REGISTRY[n] for n in _R3_HEAD if n in REGISTRY}
-    ordered.update((n, q) for n, q in REGISTRY.items()
-                   if n not in _DRIVER_VERIFIED
-                   and n not in _ROWS_ONLY_EVIDENCED
-                   and n not in _R3_DEFER and n not in ordered)
-    ordered.update((n, q) for n, q in REGISTRY.items()  # deferred r3 news
+    ordered = {n: REGISTRY[n] for n in _R4_HEAD if n in REGISTRY}
+    ordered.update((n, q) for n, q in REGISTRY.items()  # new this round
                    if n not in _DRIVER_VERIFIED and n not in ordered)
     ordered.update((n, q) for n, q in REGISTRY.items()  # stale r1 greens
-                   if n not in _R2_GREEN and n not in ordered)
+                   if n not in _R2_GREEN and n not in _R3_GREEN
+                   and n not in ordered)
+    ordered.update((n, q) for n, q in REGISTRY.items()  # r2 greens
+                   if n not in _R3_GREEN and n not in ordered)
     ordered.update((n, q) for n, q in REGISTRY.items()
                    if n not in ordered)
     REGISTRY.clear()
