@@ -324,3 +324,188 @@ def ann_pq_adc_topk(spark, sf_dir):
             .filter(F.col("rank") <= _PQ_TOPK)
             .select("query_id", "neighbor_id", "adc_dist_scaled", "rank")
             .orderBy("query_id", "rank"))
+
+
+# --- Trained PQ codebook (per-subspace Lloyd, round 4) ----------------------
+# The seed codebook above is the classic "first K vectors" initializer;
+# these two queries run the actual Jégou et al. §III training step —
+# independent Lloyd k-means in each subspace — in exact integer
+# arithmetic (functions/pq.py), so the whole fit UNROLLS into a SQL
+# oracle: every assignment is an exact-BIGINT argmin (ties to the
+# lowest code) and every centroid update is the pure-integer
+# round-half-away-from-zero formula, identical on both engines.
+
+_PQ_ITERS = 2        # Lloyd iterations (unrolled in the oracle)
+
+_PQ_IV_SUB = f"""
+    WITH iv AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(e AS DOUBLE) * {_SCALE}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    sub AS (SELECT vec_id, CAST((i - 1) // {_PQ_SUB} AS BIGINT) AS m,
+                   (i - 1) % {_PQ_SUB} AS si, q
+            FROM iv),
+    cb0 AS (SELECT vec_id AS code, m, si, q AS cq FROM sub
+            WHERE vec_id < {_PQ_K})"""
+
+
+def _pq_lloyd_ctes(n_iter: int = _PQ_ITERS) -> str:
+    """iv/sub/cb0 + ``n_iter`` unrolled Lloyd iterations + the final
+    assignment ``tcodes`` against the trained codebook ``cb{n_iter}``."""
+    parts = [_PQ_IV_SUB]
+    for t in range(n_iter):
+        parts.append(f""",
+    d{t} AS (SELECT s.vec_id, s.m, c.code,
+                    CAST(sum((s.q - c.cq) * (s.q - c.cq)) AS BIGINT)
+                        AS dist
+             FROM sub s JOIN cb{t} c ON s.m = c.m AND s.si = c.si
+             GROUP BY 1, 2, 3),
+    a{t} AS (SELECT vec_id, m, code FROM (
+               SELECT vec_id, m, code,
+                      row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY dist, code) AS rn
+               FROM d{t}) t WHERE rn = 1),
+    st{t} AS (SELECT a.m, a.code, s.si,
+                     CAST(sum(s.q) AS BIGINT) AS sm,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM a{t} a
+              JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+              GROUP BY 1, 2, 3),
+    cb{t + 1} AS (SELECT c.m, c.code, c.si,
+                   COALESCE(
+                     CASE WHEN st.sm >= 0
+                          THEN (2 * st.sm + st.cn) // (2 * st.cn)
+                          ELSE -((2 * (-st.sm) + st.cn) // (2 * st.cn))
+                     END, c.cq) AS cq
+                  FROM cb{t} c LEFT JOIN st{t} st
+                    ON st.m = c.m AND st.code = c.code
+                   AND st.si = c.si)""")
+    parts.append(f""",
+    dfin AS (SELECT s.vec_id, s.m, c.code,
+                    CAST(sum((s.q - c.cq) * (s.q - c.cq)) AS BIGINT)
+                        AS dist
+             FROM sub s JOIN cb{n_iter} c ON s.m = c.m AND s.si = c.si
+             GROUP BY 1, 2, 3),
+    tcodes AS (SELECT vec_id, m, code, dist FROM (
+                 SELECT vec_id, m, code, dist,
+                        row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY dist, code) AS rn
+                 FROM dfin) t WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _emb_quantized(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id",
+                      _quantized(F.col("embedding")).alias("qv"))
+
+
+def _trained_codebooks(spark, sf_dir):
+    from ..functions.pq import fit_pq_codebooks
+    return fit_pq_codebooks(_emb_quantized(spark, sf_dir), m=_PQ_M,
+                            sub=_PQ_SUB, k=_PQ_K, n_iter=_PQ_ITERS)
+
+
+@query(
+    "embedding_pq_trained_codes",
+    oracle=_pq_lloyd_ctes() + """
+    SELECT vec_id, m, code, dist AS sq_err_scaled
+    FROM tcodes ORDER BY vec_id, m
+    """,
+    doc=f"PQ encode against a TRAINED codebook: {_PQ_ITERS} Lloyd "
+        f"iterations of per-subspace k-means (functions/pq.py) on exact "
+        "1e-6-unit integers, then the final nearest-codeword "
+        "assignment. The fit is the MLlib iteration shape — the corpus "
+        "never shuffles (assignment is an Arrow-batched projection "
+        "against the broadcast M*K*sub codebook); each iteration moves "
+        "only the (m, code, si) -> (sum, count) fan-in, a constant "
+        f"{_PQ_M * _PQ_K * _PQ_SUB} cells at ANY corpus size. Exact "
+        "integer rounding makes the trained codebook bit-identical to "
+        "the oracle's unrolled-CTE replay of the same iterations",
+)
+def embedding_pq_trained_codes(spark, sf_dir):
+    from ..functions.pq import pq_assign_udf
+    cbs = _trained_codebooks(spark, sf_dir)
+    assign = pq_assign_udf(cbs)
+    return (_emb_quantized(spark, sf_dir)
+            .select("vec_id",
+                    F.posexplode(assign(F.col("qv"))).alias("m", "st"))
+            .select("vec_id", F.col("m").cast("bigint").alias("m"),
+                    F.col("st.code").alias("code"),
+                    F.col("st.dist").alias("sq_err_scaled"))
+            .orderBy("vec_id", "m"))
+
+
+@query(
+    "ann_pq_adc_trained_topk",
+    oracle=_pq_lloyd_ctes() + f""",
+    lut AS (SELECT qs.vec_id AS query_id, c.m, c.code,
+                   CAST(sum((qs.q - c.cq) * (qs.q - c.cq)) AS BIGINT)
+                       AS ld
+            FROM sub qs JOIN cb{_PQ_ITERS} c
+              ON qs.m = c.m AND qs.si = c.si
+            WHERE qs.vec_id < {_PQ_NQ}
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT l.query_id, co.vec_id AS neighbor_id,
+                   CAST(sum(l.ld) AS BIGINT) AS adc_dist_scaled
+            FROM tcodes co
+            JOIN lut l ON co.m = l.m AND co.code = l.code
+            WHERE co.vec_id >= {_PQ_NQ}
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist_scaled,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT query_id, neighbor_id, adc_dist_scaled,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist_scaled, neighbor_id)
+                     AS rn
+          FROM adc) t
+    WHERE rn <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+    """,
+    doc=f"ADC top-{_PQ_TOPK} over the TRAINED codebook: the per-query "
+        f"({_PQ_M} x {_PQ_K}) distance lookup tables are computed "
+        "driver-side from the fitted codebook (exact Python ints — KB "
+        "model state, the centroid-collect precedent) and broadcast; "
+        "the corpus is scanned as trained codes only. Training tightens "
+        "the quantization cells around the data, so ADC distances track "
+        "true L2 better than the seed codebook's (recall gate in "
+        "tests/test_vector_ops.py)",
+)
+def ann_pq_adc_trained_topk(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+    from ..functions.pq import pq_assign_udf
+    cbs = _trained_codebooks(spark, sf_dir)
+    emb_q = _emb_quantized(spark, sf_dir)
+    # Per-query LUTs from the collected query vectors (NQ rows, KB).
+    qrows = (emb_q.filter(F.col("vec_id") < _PQ_NQ)
+             .select("vec_id", "qv").orderBy("vec_id").collect())
+    lut_rows = []
+    for r in qrows:
+        qv = [int(v) for v in r.qv]
+        for m in range(_PQ_M):
+            s = qv[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            for code in range(_PQ_K):
+                cq = cbs[m][code]
+                ld = sum((a - b) * (a - b) for a, b in zip(s, cq))
+                lut_rows.append((int(r.vec_id), m, code, ld))
+    lut = spark.createDataFrame(
+        lut_rows,
+        StructType([StructField(n, LongType(), False)
+                    for n in ("query_id", "m", "code", "ld")]))
+    assign = pq_assign_udf(cbs)
+    codes = (emb_q.filter(F.col("vec_id") >= _PQ_NQ)
+             .select("vec_id",
+                     F.posexplode(assign(F.col("qv"))).alias("m", "st"))
+             .select("vec_id", F.col("m").cast("bigint").alias("m"),
+                     F.col("st.code").alias("code")))
+    adc = (codes.join(F.broadcast(lut), ["m", "code"])
+           .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+           .agg(F.sum("ld").alias("adc_dist_scaled")))
+    w = Window.partitionBy("query_id").orderBy(
+        "adc_dist_scaled", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("query_id", "neighbor_id", "adc_dist_scaled", "rank")
+            .orderBy("query_id", "rank"))
