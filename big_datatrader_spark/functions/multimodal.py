@@ -35,6 +35,17 @@ FEATURE_SCHEMA = (
     "feature array<double>, decode_ok boolean")
 
 
+def ascii_text(col):
+    """Strip non-ASCII codepoints so character slicing and byte slicing
+    agree BY CONSTRUCTION. The payload builders below synthesize bytes
+    from document text; their oracles recompute the same bytes with
+    per-character string ops, which only coincide when every character
+    is one byte. Stripping (applied identically in the oracles) makes
+    that hold on any testdata generation instead of silently
+    desynchronizing the first time a multi-byte character appears."""
+    return F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+
+
 def with_binary_content(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         mime: str = "application/octet-stream"
@@ -42,14 +53,15 @@ def with_binary_content(df: DataFrame, text_col: str = "text",
     """Simulate a media table: payload bytes + typed metadata struct.
     (Real pipelines read payloads via ``spark.read.format('binaryFile')``
     — see sources/csv_source.discover_csv_files for the listing path.)"""
-    content = F.encode(F.col(text_col), "UTF-8")
+    txt = ascii_text(F.col(text_col))
+    content = F.encode(txt, "UTF-8")
     return df.select(
         F.col(id_col),
         content.alias("content"),
         F.struct(
             F.octet_length(content).cast("long").alias("n_bytes"),
             F.lit(mime).alias("mime"),
-            F.hex(F.encode(F.substring(F.col(text_col), 1, 4), "UTF-8"))
+            F.hex(F.encode(F.substring(txt, 1, 4), "UTF-8"))
              .alias("magic_hex"),
         ).alias("media_meta"),
     )
@@ -157,14 +169,16 @@ def with_ppm_payload(df: DataFrame, text_col: str = "text",
     the first w*h*3 bytes of the (repeated) document text as RGB data.
     Deterministic and byte-reproducible from the text alone, which is
     what lets an engine-independent oracle recompute channel means."""
+    base = (df.select(F.col(id_col),
+                      ascii_text(F.col(text_col)).alias("__t"))
+            .filter(F.length("__t") > 0))
     rep = F.expr(
-        f"repeat({text_col}, CAST(ceil({_PPM_PIXELS} / length({text_col}))"
+        f"repeat(__t, CAST(ceil({_PPM_PIXELS} / length(__t))"
         " + 1 AS INT))")
     payload = F.concat(
         F.encode(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), "UTF-8"),
         F.encode(F.substring(rep, 1, _PPM_PIXELS), "UTF-8"))
-    return (df.filter(F.length(text_col) > 0)
-            .select(F.col(id_col), payload.alias("content")))
+    return base.select(F.col(id_col), payload.alias("content"))
 
 
 PPM_FEATURE_SCHEMA = ("doc_id long, width long, height long, "

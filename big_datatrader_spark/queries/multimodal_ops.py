@@ -15,11 +15,15 @@ from . import query
 @query(
     "multimodal_binary_meta",
     oracle="""
+    WITH t AS (SELECT doc_id,
+                      regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')
+                          AS text
+               FROM documents)
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            'application/octet-stream' AS mime,
            hex(encode(substring(text, 1, 4))) AS magic_hex
-    FROM documents
+    FROM t
     """,
     doc="binary media columns with typed metadata struct (byte length, "
         "mime, magic prefix)",
@@ -56,11 +60,15 @@ def multimodal_feature_extract(spark, sf_dir):
 @query(
     "multimodal_frame_sample",
     oracle="""
-    WITH f AS (
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+      FROM documents),
+    f AS (
       SELECT doc_id, text,
              unnest(generate_series(
                  0, (length(text) - 1) // 16, 4)) AS frame_idx
-      FROM documents WHERE length(text) > 0)
+      FROM t WHERE length(text) > 0)
     SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
            CAST(('0x' || substr(md5(
                substr(text, frame_idx * 16 + 1, 16)), 1, 15))
@@ -85,11 +93,15 @@ def multimodal_frame_sample(spark, sf_dir):
 @query(
     "multimodal_ppm_decode",
     oracle=f"""
-    WITH rep AS (
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+      FROM documents),
+    rep AS (
       SELECT doc_id,
              repeat(text, CAST(ceil(192.0 / length(text)) + 1 AS INT))
                  AS r
-      FROM documents WHERE length(text) > 0),
+      FROM t WHERE length(text) > 0),
     px AS (SELECT doc_id, p,
                   ascii(substr(r, p + 1, 1)) AS byte
            FROM rep, (SELECT unnest(generate_series(0, 191)) AS p)),

@@ -258,3 +258,34 @@ def test_ppm_decoder_is_a_real_parser(spark):
     mine = out[out.doc_id == row.doc_id].iloc[0]
     assert mine.mean_r == b[:, 0].astype(int).sum() / 64
     assert mine.decode_ok and (out.width == 8).all()
+
+
+def test_multimodal_payloads_survive_non_ascii_text(spark):
+    """The payload builders and their oracles slice text per-character;
+    the oracle parity contract is that chars == bytes, enforced by
+    stripping non-ASCII identically on both sides. A multi-byte
+    character must therefore neither shift the byte grid nor change
+    frame/byte counts relative to the stripped text."""
+    import numpy as np
+    from big_datatrader_spark.functions.multimodal import (
+        extract_ppm_features, with_binary_content, with_ppm_payload)
+    df = spark.createDataFrame(
+        [(1, "café au lait"), (2, "über" * 10),
+         (3, "你好"), (4, "plain ascii")],
+        "doc_id long, text string")
+
+    meta = {r.doc_id: r for r in with_binary_content(df).collect()}
+    assert meta[1].media_meta.n_bytes == len("caf au lait")
+    assert bytes(meta[1].content) == b"caf au lait"
+    assert meta[2].media_meta.n_bytes == len("ber" * 10)
+    assert meta[3].media_meta.n_bytes == 0    # all chars stripped
+    assert meta[4].media_meta.n_bytes == 11
+
+    out = extract_ppm_features(with_ppm_payload(df)).toPandas()
+    assert set(out.doc_id) == {1, 2, 4}       # doc 3 empty -> filtered
+    stripped = "caf au lait"
+    rep = (stripped * (192 // len(stripped) + 2))[:192].encode()
+    b = np.frombuffer(rep, dtype=np.uint8).reshape(-1, 3)
+    row = out[out.doc_id == 1].iloc[0]
+    assert row.mean_r == b[:, 0].astype(int).sum() / 64
+    assert row.mean_b == b[:, 2].astype(int).sum() / 64
