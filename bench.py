@@ -37,12 +37,14 @@ def main():
         reg[n].spark_fn(spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
 
-    # best-of-2 per query: single local runs carry multi-second GC/
-    # scheduler noise; the min is the steady-state cost of the plan
+    # best-of-3 per query: single local runs carry multi-second GC/
+    # scheduler noise (round-over-round variance on sub-second queries
+    # measured at +/-40% with best-of-2); the min is the steady-state
+    # cost of the plan
     timings: dict[str, float] = {}
     for n in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             reg[n].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()

@@ -294,7 +294,7 @@ def ma_crossover_backtest(df: DataFrame, *,
         out_schema = (f"`{symbol_col}` {sym_field.dataType.simpleString()}, "
                       "n_trades long, final_value double, roi double")
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             cash, roi, positions = fold(pdf)
             return pd.DataFrame({
                 symbol_col: [key[0]], "n_trades": [len(positions)],
@@ -305,7 +305,7 @@ def ma_crossover_backtest(df: DataFrame, *,
                       f"entry_date {ts_type}, entry_price double, "
                       f"exit_date {ts_type}, exit_price double")
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             _, _, positions = fold(pdf)
             if not positions:
                 return pd.DataFrame(columns=[

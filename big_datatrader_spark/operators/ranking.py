@@ -60,7 +60,16 @@ def ntile_from_rank(r: Column, n: Column, k: int) -> Column:
     floor(n/k). With r from ``global_rank`` this reproduces the
     partition-less ``ntile() OVER (ORDER BY ...)`` bit-for-bit without
     its single-task sort."""
-    q, rem = (n / k).cast("bigint"), n % k
+    # Pure integer arithmetic: the double-division formulation
+    # (n / k).cast + F.ceil(r / (q + 1)) can mis-bucket once counts
+    # approach 2^53 — a real magnitude for a global-rank operator.
+    # a DIV b and ceil(a DIV b) = (a + b - 1) DIV b stay exact at any
+    # scale (DECIMAL(38,0) intermediate, far past BIGINT).
+    def idiv(a: Column, b: Column) -> Column:
+        a = a.cast("decimal(38,0)")
+        return ((a - a % b) / b).cast("bigint")
+
+    q, rem = idiv(n, F.lit(k)), n % k
     big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
-    return (F.when(r <= big, F.ceil(r / (q + 1)))
-            .otherwise(rem + F.ceil((r - big) / q)).cast("bigint"))
+    return (F.when(r <= big, idiv(r + q, q + 1))
+            .otherwise(rem + idiv(r - big + q - 1, q)).cast("bigint"))

@@ -75,10 +75,20 @@ def single_partition_sort_or_window(df: DataFrame) -> list[str]:
     """
     import re
     plan = physical_plan(df)
-    # ids of SinglePartition exchanges, from the detail sections
-    sp_ids = set(re.findall(
-        r"\((\d+)\) Exchange\n(?:[^\n(]*\n)*?Arguments: SinglePartition",
-        plan))
+    # ids of SinglePartition exchanges, from the detail sections: walk
+    # section by section ('(n) Op' headers) rather than regex-bridging
+    # the lines between header and Arguments — a detail line containing
+    # '(' (e.g. an unaliased count(1)#12L in the Input list) must not
+    # abort the match and hide the exchange
+    sp_ids = set()
+    cur_exchange = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) (\w+)", line)
+        if m:
+            cur_exchange = m.group(1) if m.group(2) == "Exchange" else None
+        elif (cur_exchange and line.startswith("Arguments:")
+              and "SinglePartition" in line):
+            sp_ids.add(cur_exchange)
     if not sp_ids:
         return []
     # tree section: indented "OpName (id)" lines; parent of an exchange

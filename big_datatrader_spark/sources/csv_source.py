@@ -18,6 +18,8 @@ parallel; never os.walk on the driver.
 
 from __future__ import annotations
 
+from typing import Callable, NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schemas import OHLCV_RAW_SCHEMA
@@ -70,17 +72,28 @@ def discover_csv_files(spark: SparkSession, root_glob: str,
     return files
 
 
+class AuditedScan(NamedTuple):
+    """(typed_rows, quarantine, unpersist). The two frames share one
+    cached scan; ``unpersist()`` releases it — the cache belongs to the
+    caller, and a long-lived session running repeated ingests would
+    otherwise accumulate cached blocks."""
+    good: DataFrame
+    bad: DataFrame
+    unpersist: "Callable[[], None]"
+
+
 def read_ohlcv_csv_audited(spark: SparkSession, path_or_glob: str
-                           ) -> tuple[DataFrame, DataFrame]:
+                           ) -> AuditedScan:
     """Quarantining variant of the S1 scan: PERMISSIVE mode keeps
     malformed lines in a ``_corrupt_record`` column instead of silently
     dropping them (DROPMALFORMED loses data with no audit trail — fine
     for the reference's curated files, not for a 100 TB ingest where
     0.001% bad lines is still millions of rows someone must account
-    for). Returns (typed_rows, quarantine) — the quarantine carries the
-    raw line + source file for replay/alerting. Both frames share ONE
-    scan subtree; Spark requires the corrupt column to be cached or
-    re-read, so the quarantine side re-reads only when acted on."""
+    for). Returns (typed_rows, quarantine, unpersist) — the quarantine
+    carries the raw line + source file for replay/alerting. Both frames
+    share ONE cached scan subtree (Spark requires the corrupt column to
+    be cached or re-read, SPARK-21610); call ``unpersist()`` once both
+    sides are consumed."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -102,4 +115,4 @@ def read_ohlcv_csv_audited(spark: SparkSession, path_or_glob: str
                 "src_file"))
     bad = (raw.filter(F.col("_corrupt_record").isNotNull())
            .select(F.col("_corrupt_record").alias("raw_line"), "src_file"))
-    return good, bad
+    return AuditedScan(good, bad, lambda: raw.unpersist())

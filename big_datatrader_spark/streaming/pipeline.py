@@ -169,9 +169,19 @@ def run_stream_merge_to_parquet(result: DataFrame, spark: SparkSession,
             merged = b.localCheckpoint(eager=True)
         tmp = path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        # Commit by renames only: park the old store aside, move the
+        # new one in, delete the backup LAST. A crash can then leave a
+        # stale .bak or an extra tmp dir, but never a checkpoint that
+        # marks the batch done while the store itself is gone (the
+        # rmtree-then-rename ordering had that data-loss window).
+        bak = path + ".bak"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            os.rename(path, bak)
         os.rename(tmp, path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
 
     q = (result.writeStream.foreachBatch(merge)
          .trigger(availableNow=True)

@@ -196,3 +196,22 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_single_partition_detector_sees_past_parenthesized_details(spark):
+    """Regression (round-4 advice): an unaliased aggregate attribute
+    like count(1)#12L in an Exchange's Input detail line contains '('
+    and used to abort the header->Arguments regex bridge, hiding the
+    SinglePartition exchange — a false negative in the scale-killer
+    gate."""
+    from pyspark.sql import Window, functions as F
+    from big_datatrader_spark.plans.explain import (
+        single_partition_sort_or_window)
+    df = (spark.range(100).groupBy((F.col("id") % 10).alias("g"))
+          .agg(F.count(F.lit(1)))   # unaliased -> count(1)#N in Input
+          .withColumn("rn", F.row_number().over(Window.orderBy("g"))))
+    assert single_partition_sort_or_window(df)
+    ok = spark.range(100).withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy(F.col("id") % 10).orderBy("id")))
+    assert single_partition_sort_or_window(ok) == []

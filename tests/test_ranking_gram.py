@@ -78,3 +78,26 @@ def test_ntile_closed_form_matches_spark_ntile_many_shapes(spark):
             F.ntile(k).over(w).cast("bigint").alias("real")).collect()
         for row in got:
             assert row.mine == row.real, (n, k, row.r)
+
+
+def test_ntile_closed_form_exact_past_double_precision(spark):
+    """The integer-DIV formulation must place ranks correctly at
+    magnitudes where double arithmetic rounds: n near 2^60, ranks at
+    tile boundaries that (r / (q+1)) computed in doubles would
+    mis-bucket."""
+    from pyspark.sql import functions as F
+    from big_datatrader_spark.operators.ranking import ntile_from_rank
+
+    n, k = (1 << 60) + 3, 10          # q = n DIV k, rem = 3
+    q, rem = n // k, n % k
+    cases = []                         # (rank, expected tile)
+    for t in range(1, k + 1):
+        hi = t * (q + 1) if t <= rem else rem * (q + 1) + (t - rem) * q
+        lo = hi - ((q + 1) if t <= rem else q) + 1
+        cases += [(lo, t), (hi, t)]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "r long")
+    got = {row.r: row.tile for row in df.select(
+        "r", ntile_from_rank(F.col("r"), F.lit(n), k).alias("tile"))
+        .collect()}
+    for r, tile in cases:
+        assert got[r] == tile, (r, tile, got[r])

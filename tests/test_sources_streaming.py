@@ -231,7 +231,7 @@ def test_csv_quarantine_keeps_malformed_rows(spark, tmp_path):
         "not-a-number,oops,2.0,0.5,1.5,100.0\n"
         "1700000060000,1.5,2.5,1.0,2.0,50.0\n"
         "1700000120000,bad,,,,\n")
-    good, bad = read_ohlcv_csv_audited(spark, str(p))
+    good, bad, unpersist = read_ohlcv_csv_audited(spark, str(p))
     g, b = good.toPandas(), bad.toPandas()
     assert len(g) == 2 and len(b) == 2  # nothing silently lost
     assert b.raw_line.str.contains("not-a-number").any()
@@ -239,3 +239,7 @@ def test_csv_quarantine_keeps_malformed_rows(spark, tmp_path):
     # the audited good side equals the DROPMALFORMED fast path
     fast = read_ohlcv_csv(spark, str(p)).toPandas()
     assert len(fast) == 2
+    # the shared scan cache is the caller's to release
+    unpersist()
+    assert not any(s.rdd.getStorageLevel().useMemory
+                   for s in (good, bad) if s.is_cached)
