@@ -162,6 +162,7 @@ def load_registry() -> dict[str, Query]:
     from . import training_ops  # noqa: F401
     from . import corpus_ops  # noqa: F401
     from . import vector_ops  # noqa: F401
+    from . import retrieval_ops  # noqa: F401
     ordered = {n: REGISTRY[n] for n in _R4_HEAD if n in REGISTRY}
     ordered.update((n, q) for n, q in REGISTRY.items()  # new this round
                    if n not in _DRIVER_VERIFIED and n not in ordered)

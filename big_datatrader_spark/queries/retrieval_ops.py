@@ -1,0 +1,225 @@
+"""Sparse-retrieval and tokenizer-training operators (round 4):
+
+- Okapi BM25 "more-like-this" retrieval: the standard sparse ranking
+  function (Robertson & Zaragoza 2009) every retrieval/dedup pipeline
+  leans on before dense rerankers. The arithmetic is arranged so both
+  engines evaluate the IDENTICAL IEEE-double expression on identical
+  integer statistics, and per-document scores are summed by an ordered
+  left fold (Spark ``F.aggregate`` over a sorted array == DuckDB
+  ``list_reduce`` over ``list(... ORDER BY ...)``), making the result
+  hash-exact despite floating point.
+- BPE merge learning (Sennrich et al. 2016): the iterative
+  count-pairs -> pick-argmax -> apply-merge loop that trains a
+  tokenizer vocabulary, run distributed: pair counting is a
+  weighted groupBy over the (tiny) word-shape vocabulary, the chosen
+  merge is KB driver state per round (the k-means/codebook precedent),
+  and merge application is an Arrow-batched kernel. Greedy
+  left-to-right merge application is sequential WITHIN a word — a
+  genuinely iterative algorithm with no SQL twin, so the driver check
+  is rows-only and tests/test_retrieval_ops.py pins every learned
+  merge against an independent pure-Python BPE reference.
+
+These go beyond the reference surface (no text retrieval at all —
+SURVEY.md §1.3); they are LLM-pipeline operators like functions/text.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window, functions as F
+
+from ..functions import text as TX
+from ..sources.parquet_source import table
+from . import query
+
+# DuckDB twin of functions/text.tokens (the tf_idf convention)
+_TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
+         "list_transform(regexp_split_to_array(trim(text), '\\s+'), "
+         "t -> lower(t)) END")
+
+# BM25 constants k1 = 1.2 = 6/5, b = 0.75 = 3/4. Cross-multiplying the
+# per-term denominator tf + k1*(1 - b + b*dl*N/S) by 10*S makes every
+# ratio argument an exact BIGINT:
+#   score_t = idf * (22*tf*S) / (10*tf*S + 3*S + 9*dl*N)
+# with idf = ln((N - df + 0.5) / (df + 0.5) + 1)   [Lucene variant]
+_BM25_TOPK = 10
+
+
+@query(
+    "bm25_more_like_this",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+    dl AS (SELECT d.doc_id,
+                  CAST(coalesce(sum(tf.tf), 0) AS BIGINT) AS dl
+           FROM documents d LEFT JOIN tf ON tf.doc_id = d.doc_id
+           GROUP BY 1),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+    sc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS s,
+                  CAST((SELECT min(doc_id) FROM documents) AS BIGINT)
+                      AS qdoc
+           FROM documents),
+    qt AS (SELECT DISTINCT tok FROM tk, sc WHERE tk.doc_id = sc.qdoc),
+    per AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(ln((sc.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * CAST(22 * tf.tf * sc.s AS DOUBLE)
+                   / CAST(10 * tf.tf * sc.s + 3 * sc.s
+                          + 9 * dl.dl * sc.n AS DOUBLE), 9) AS s
+      FROM tf
+      JOIN qt ON qt.tok = tf.tok
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN sc
+      WHERE tf.doc_id <> sc.qdoc),
+    total AS (
+      SELECT doc_id,
+             ROUND(list_reduce(list(s ORDER BY tok),
+                               (a, b) -> a + b), 6) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, bm25, n_terms, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS rn
+          FROM total) t
+    WHERE rn <= {_BM25_TOPK}
+    ORDER BY rank
+    """,
+    doc=f"Okapi BM25 more-like-this: rank every document against the "
+        f"query terms of the lowest-id document, top {_BM25_TOPK}. "
+        "k1=1.2, b=0.75, Lucene idf. Exactness: the per-term score is "
+        "one identical double expression over exact BIGINT stats (the "
+        "denominator cross-multiplied by 10*S so no intermediate "
+        "rational), rounded to 9; per-doc totals fold the terms in "
+        "sorted order on BOTH engines, so the hash matches despite fp. "
+        "Scale shape: df and the 3 scalars are tiny broadcasts, tf is "
+        "one map-side-combined groupBy, the query-term join prunes the "
+        "corpus to matching postings BEFORE any shuffle — the classic "
+        "impact-ordered posting scan, and the final top-k is "
+        "TakeOrderedAndProject, never a global sort",
+)
+def bm25_more_like_this(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id",
+                     F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = (docs.join(tf.groupBy("doc_id")
+                    .agg(F.sum("tf").alias("dl")), "doc_id", "left")
+          .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl")))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sc = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("qdoc")).crossJoin(
+        dl.agg(F.sum("dl").alias("s")))
+    qt = (tk.join(F.broadcast(sc.select("qdoc")),
+                  tk.doc_id == F.col("qdoc"))
+          .select("tok").distinct())
+    per = (tf.join(F.broadcast(qt), "tok")
+           .join(F.broadcast(df), "tok")
+           .join(dl, "doc_id")
+           .crossJoin(F.broadcast(sc))
+           .filter(F.col("doc_id") != F.col("qdoc"))
+           .select(
+               "doc_id", "tok",
+               F.round(
+                   F.log((F.col("n") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5) + 1)
+                   * (22 * F.col("tf") * F.col("s")).cast("double")
+                   / (10 * F.col("tf") * F.col("s") + 3 * F.col("s")
+                      + 9 * F.col("dl") * F.col("n")).cast("double"),
+                   9).alias("s_term")))
+    total = (per.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("tok"), F.col("s_term")))),
+                    lambda x: x["s_term"]),
+                F.lit(0.0), lambda acc, x: acc + x), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms")))
+    # top-k FIRST (TakeOrderedAndProject — no global sort), then the
+    # rank window runs over a <= _BM25_TOPK-row relation: tiny forever
+    top = total.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w)
+                           .cast("bigint"))
+            .select("doc_id", "bm25", "n_terms", "rank")
+            .orderBy("rank"))
+
+
+# --- BPE merge learning -----------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _merge_pair_udf(left: str, right: str):
+    """Arrow-batched greedy left-to-right merge of one (left, right)
+    pair inside each symbol sequence — the only sequential-within-word
+    step of BPE, and the reason the algorithm has no SQL twin."""
+
+    @F.pandas_udf("array<string>")
+    def merge(seqs: pd.Series) -> pd.Series:
+        def one(sym):
+            out, i, n = [], 0, len(sym)
+            while i < n:
+                if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            return out
+        return seqs.map(one)
+
+    return merge
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=None,  # iterative: greedy within-word merges have no SQL
+                  # twin; exact pytest oracle vs a pure-Python BPE
+                  # reference in tests/test_retrieval_ops.py
+    doc=f"BPE tokenizer training (Sennrich et al. 2016): {_BPE_ROUNDS} "
+        "merge rounds over the corpus word-frequency table. Per round: "
+        "adjacent symbol pairs are built JVM-side (slice + arrays_zip, "
+        "no UDF), weighted by word frequency, reduced by one map-side-"
+        "combined groupBy; the winning pair (count desc, pair asc) is "
+        "KB driver state (the codebook precedent); applying the merge "
+        "is an Arrow-batched kernel over the vocabulary. At 100 TB the "
+        "word-frequency table is millions of rows — this loop never "
+        "touches the corpus again after the initial token count, which "
+        "is how production BPE trainers scale. Returns the learned "
+        "merge table (rank, left, right, merged, weighted pair count)",
+)
+def bpe_learn_merges(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(TX.tokens(F.col("text")))
+                         .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wcount")))
+    seqs = words.select(
+        "wcount",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("seq"))
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (seqs.select(
+            "wcount",
+            F.explode(F.arrays_zip(
+                F.expr("slice(seq, 1, size(seq) - 1)"),
+                F.expr("slice(seq, 2, size(seq) - 1)"))).alias("p"))
+            .select("wcount", F.col("p.0").alias("l"),
+                    F.col("p.1").alias("r"))
+            .groupBy("l", "r").agg(F.sum("wcount").alias("cnt")))
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rnd, l, r, l + r, cnt))
+        seqs = seqs.select(
+            "wcount", _merge_pair_udf(l, r)(F.col("seq")).alias("seq"))
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, "
+                "merged string, pair_count long")

@@ -169,6 +169,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "user_spend_rank_distribution",  # 1-row total-count scalar
         "doc_perplexity_bigram",       # 1-row vocabulary-size scalar
         "negative_sampling",           # 1-row corpus-count scalar
+        "bm25_more_like_this",         # 1-row (N, S, qdoc) stats scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

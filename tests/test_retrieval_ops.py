@@ -1,0 +1,102 @@
+"""Tests for queries/retrieval_ops.py: BM25 against an independent
+numpy/pure-Python recompute, and the distributed BPE learner against a
+textbook single-process BPE reference (its exact pytest oracle — the
+query is rows-only at the driver because greedy within-word merging has
+no SQL twin)."""
+
+import math
+from collections import Counter
+
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_tokens(spark):
+    pdf = table(spark, SF, "documents").select(
+        "doc_id", "text").toPandas().sort_values("doc_id")
+    return {int(r.doc_id): r.text.strip().lower().split()
+            if r.text.strip() else [] for _, r in pdf.iterrows()}
+
+
+def test_bm25_matches_pure_python_recompute(spark):
+    toks = _corpus_tokens(spark)
+    n = len(toks)
+    s = sum(len(t) for t in toks.values())
+    qdoc = min(toks)
+    qterms = set(toks[qdoc])
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    scores = {}
+    for d, t in toks.items():
+        if d == qdoc:
+            continue
+        tf = Counter(t)
+        per = []
+        for term in sorted(qterms & set(tf)):
+            idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1)
+            per.append(round(
+                idf * (22 * tf[term] * s)
+                / (10 * tf[term] * s + 3 * s + 9 * len(t) * n), 9))
+        if per:
+            acc = 0.0
+            for x in per:       # ordered left fold, like both engines
+                acc += x
+            scores[d] = (round(acc, 6), len(per))
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    out = REG["bm25_more_like_this"].spark_fn(spark, SF).toPandas()
+    assert len(out) == min(10, len(expect))
+    for i, (_, row) in enumerate(out.iterrows()):
+        d, (sc, nt) = expect[i]
+        assert (int(row["doc_id"]), float(row["bm25"]),
+                int(row["n_terms"]), int(row["rank"])) == (d, sc, nt,
+                                                           i + 1)
+
+
+def _bpe_reference(words: Counter, rounds: int):
+    """Textbook BPE (Sennrich et al. 2016 alg. 1): full adjacent-pair
+    recount each round, ties to the lexicographically smallest pair,
+    greedy left-to-right merge application."""
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pairs = Counter()
+        for w, sym in seqs.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, cnt))
+        for w, sym in seqs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_learner_matches_reference_exactly(spark):
+    toks = _corpus_tokens(spark)
+    words = Counter()
+    for t in toks.values():
+        words.update(t)
+    expect = _bpe_reference(words, 8)
+    out = REG["bpe_learn_merges"].spark_fn(spark, SF).collect()
+    got = [(r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+           for r in out]
+    assert got == expect
+    # merged symbols must actually compress: counts are positive and
+    # non-increasing is NOT required (merges create new pairs), but
+    # every merge must have been the round's argmax — implied by
+    # equality with the reference
+    assert all(c > 0 for *_, c in got)
