@@ -1930,3 +1930,148 @@ def daily_var_per_user(spark, sf_dir):
              F.round(-F.min("ret"), _R).alias("worst_day"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: governance + frontier + interval analytics
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS group_n
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, bal_bucket, group_n
+    FROM g WHERE group_n < 5
+    ORDER BY c_nationkey, c_mktsegment, bal_bucket
+    """,
+    doc="k-anonymity audit over quasi-identifiers (nation, market "
+        "segment, $1000 balance bucket): emit every equivalence class "
+        "smaller than k=5 — the rows a privacy review must generalize "
+        "or suppress before the table can ship as training data. One "
+        "map-side-combined groupBy; the quasi-identifier filter "
+        "happens post-aggregate on group counts, so the shuffle "
+        "carries one row per class, not per customer",
+)
+def k_anonymity_audit(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    g = (cust.groupBy(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+            .alias("bal_bucket"))
+         .agg(F.count(F.lit(1)).alias("group_n")))
+    return (g.filter(F.col("group_n") < 5)
+            .select("c_nationkey", "c_mktsegment", "bal_bucket",
+                    "group_n")
+            .orderBy("c_nationkey", "c_mktsegment", "bal_bucket"))
+
+
+@query(
+    "skyline_parts_per_brand",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey,
+           ROUND(CAST(p.p_retailprice AS DOUBLE), 2) AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size))
+    ORDER BY p_brand, price, p_partkey
+    """,
+    doc="per-brand Pareto frontier (skyline) of parts minimizing "
+        "price and maximizing size. Not the quadratic NOT-EXISTS the "
+        "oracle runs: sort each brand by price, take the running max "
+        "size over strictly-cheaper prices (one partitioned window "
+        "over per-price group maxes) — a part is dominated iff that "
+        "running max beats it, or a same-price part is strictly "
+        "bigger. O(n log n) per brand, partitioned windows only, no "
+        "self-join of the big side",
+)
+def skyline_parts_per_brand(spark, sf_dir):
+    part = table(spark, sf_dir, "part")
+    # per (brand, price): the max size at that exact price
+    pmax = (part.groupBy("p_brand", "p_retailprice")
+            .agg(F.max("p_size").alias("price_max_size")))
+    w = (Window.partitionBy("p_brand").orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # running max size over all strictly cheaper prices of the brand
+    # (pmax has ONE row per price, so rowsBetween(-1) == "all cheaper")
+    prev = pmax.withColumn(
+        "cheaper_max_size",
+        F.max("price_max_size").over(w))
+    dom = part.join(prev, ["p_brand", "p_retailprice"])
+    return (dom.filter(
+                (F.col("cheaper_max_size").isNull()
+                 | (F.col("cheaper_max_size") < F.col("p_size")))
+                & (F.col("price_max_size") == F.col("p_size")))
+            .select(
+                "p_brand", "p_partkey",
+                F.round(F.col("p_retailprice").cast("double"), 2)
+                .alias("price"),
+                F.col("p_size").cast("bigint").alias("size"))
+            .orderBy("p_brand", "price", "p_partkey"))
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+                 AS a_start,
+             CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+                 AS a_end
+      FROM events GROUP BY 1, 2),
+    hrs AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                 AS h_start,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    hot AS (SELECT h_start FROM hrs
+            ORDER BY cnt DESC, h_start LIMIT 24)
+    SELECT a.user_id, a.day, hot.h_start AS hot_hour_start,
+           CAST(least(a.a_end, hot.h_start + 3599)
+                - greatest(a.a_start, hot.h_start) + 1 AS BIGINT)
+               AS overlap_secs
+    FROM a JOIN hot
+      ON a.a_start <= hot.h_start + 3599 AND hot.h_start <= a.a_end
+    ORDER BY user_id, day, hot_hour_start
+    """,
+    doc="interval-overlap join: each user's daily activity interval "
+        "[first event, last event] against the 24 globally busiest "
+        "hours, emitting the overlap in seconds (inclusive grid). The "
+        "busy side is top-k'd first (TakeOrderedAndProject) and "
+        "broadcast, so the non-equi overlap predicate runs as a "
+        "constant-size nested loop per row — O(|intervals| * 24), "
+        "never an interval cross join; at 100 TB the big side stays "
+        "partition-local and unshuffled",
+)
+def interval_overlap_join(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_timestamp("ts").alias("es"))
+    a = (ev.groupBy("user_id",
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"))
+         .agg(F.min("es").alias("a_start"),
+              F.max("es").alias("a_end")))
+    hrs = (ev.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts"))
+                      .alias("h_start"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    hot = (hrs.orderBy(F.desc("cnt"), "h_start").limit(24)
+           .select("h_start"))
+    j = a.join(F.broadcast(hot),
+               (F.col("a_start") <= F.col("h_start") + 3599)
+               & (F.col("h_start") <= F.col("a_end")))
+    return (j.select(
+                "user_id", "day",
+                F.col("h_start").alias("hot_hour_start"),
+                (F.least(F.col("a_end"), F.col("h_start") + 3599)
+                 - F.greatest(F.col("a_start"), F.col("h_start")) + 1)
+                .cast("bigint").alias("overlap_secs"))
+            .orderBy("user_id", "day", "hot_hour_start"))
