@@ -2075,3 +2075,126 @@ def interval_overlap_join(spark, sf_dir):
                  - F.greatest(F.col("a_start"), F.col("h_start")) + 1)
                 .cast("bigint").alias("overlap_secs"))
             .orderBy("user_id", "day", "hot_hour_start"))
+
+
+@query(
+    "feature_standardize",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM c GROUP BY 1)
+    SELECT c.event_id, c.event_type,
+           ROUND(CASE WHEN st.s2 * st.n - st.s1 * st.s1 > 0 THEN
+             (c.cents - CAST(st.s1 AS DOUBLE) / st.n)
+             / sqrt(CAST(st.s2 AS DOUBLE) / st.n
+                    - (CAST(st.s1 AS DOUBLE) / st.n)
+                      * (CAST(st.s1 AS DOUBLE) / st.n))
+             ELSE 0.0 END, 6) AS zscore
+    FROM c JOIN st USING (event_type)
+    ORDER BY event_id
+    """,
+    doc="per-event-type z-score standardization — the feature-scaling "
+        "pass before any embedding/regression training. Values are "
+        "quantized to exact integer cents so the per-type moment sums "
+        "are shuffle-order-independent BIGINTs; mean/variance/z then "
+        "evaluate one identical IEEE expression on both engines "
+        "(degenerate zero-variance classes emit 0). Stats are one "
+        "map-side-combined groupBy (rows = #classes) broadcast back "
+        "over the fact — the fact table itself never shuffles",
+)
+def feature_standardize(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = F.when(
+        F.col("s2") * F.col("n") - F.col("s1") * F.col("s1") > 0,
+        (F.col("cents") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return (ev.join(F.broadcast(st), "event_type")
+            .select("event_id", "event_type",
+                    F.round(z, 6).alias("zscore"))
+            .orderBy("event_id"))
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT brand, CAST(count(*) AS BIGINT) AS n
+           FROM ob GROUP BY 1),
+    nn AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders
+           FROM ob),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(CAST(n_ab * nn.n_orders AS DOUBLE)
+                 / CAST(na.n * nb2.n AS DOUBLE), 6) AS lift,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(na.n AS DOUBLE), 6)
+               AS confidence
+    FROM pairs
+    JOIN nb na ON na.brand = pairs.brand_a
+    JOIN nb nb2 ON nb2.brand = pairs.brand_b
+    CROSS JOIN nn
+    WHERE n_ab >= 3
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 50
+    """,
+    doc="market-basket association rules at brand level: support "
+        "counts from one self-equi-join of the per-order distinct-"
+        "brand relation (baskets are bounded, so the per-key fan-out "
+        "is constant — never a cross product), lift and confidence as "
+        "single divisions of exact integer products (bit-identical "
+        "both engines), top 50 by lift via TakeOrderedAndProject. The "
+        "per-brand totals and the order count are tiny broadcasts",
+)
+def market_basket_lift(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey")
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"))
+    ob = li.join(F.broadcast(part), "l_partkey").select(
+        "okey", "brand").distinct()
+    nb = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    nn = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    a = ob.alias("a")
+    b = ob.select(F.col("okey"),
+                  F.col("brand").alias("brand_b")).alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.brand") < F.col("brand_b")))
+             .groupBy(F.col("a.brand").alias("brand_a"), "brand_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= 3))
+    na = nb.select(F.col("brand").alias("brand_a"),
+                   F.col("n").alias("n_a"))
+    nb2 = nb.select(F.col("brand").alias("brand_b"),
+                    F.col("n").alias("n_b"))
+    out = (pairs.join(F.broadcast(na), "brand_a")
+           .join(F.broadcast(nb2), "brand_b")
+           .crossJoin(F.broadcast(nn))
+           .select(
+               "brand_a", "brand_b", "n_ab",
+               F.round((F.col("n_ab") * F.col("n_orders"))
+                       .cast("double")
+                       / (F.col("n_a") * F.col("n_b")).cast("double"),
+                       6).alias("lift"),
+               F.round(F.col("n_ab").cast("double")
+                       / F.col("n_a").cast("double"), 6)
+               .alias("confidence")))
+    return out.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(50)

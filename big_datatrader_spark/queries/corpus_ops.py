@@ -938,3 +938,45 @@ def negative_sampling(spark, sf_dir):
                         .alias("neg_slot"),
                         neg.cast("bigint").alias("negative_id"))
             .orderBy("doc_id", "neg_slot"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4: weighted sampling without replacement (Efraimidis-Spirakis)
+
+_ES_K = 20
+_ES_DEN = (1 << 60) + 1  # h60 in [0, 2^60) -> u = (h+1)/_ES_DEN in (0,1)
+
+
+@query(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ROUND(ln((CAST({_h60_sql("'es:' || CAST(doc_id AS VARCHAR)")}
+                       AS DOUBLE) + 1) / {_ES_DEN}.0)
+                   / n_chars, 9) AS es_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, weight, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_ES_K}
+    """,
+    doc=f"weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        f"2006): top {_ES_K} docs by ln(u)/w where u derives from the "
+        "60-bit md5 of the doc id and w = n_chars — equivalent to "
+        "ranking by u^(1/w), so inclusion probability is proportional "
+        "to weight, yet fully deterministic and reproducible across "
+        "engines, partitionings, and reruns. One projection + "
+        "TakeOrderedAndProject: at 100 TB every partition offers its "
+        "local top-k and only k rows travel — the same reservoir the "
+        "per-partition A-ExpJ variant maintains, with no RNG state",
+)
+def weighted_sample_es(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0)
+    u = ((h60(F.concat(F.lit("es:"),
+                       F.col("doc_id").cast("string")))
+          .cast("double") + 1) / float(_ES_DEN))
+    keyed = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("weight"),
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"))
+    return (keyed.orderBy(F.desc("es_key"), "doc_id").limit(_ES_K)
+            .select("doc_id", "weight", "es_key"))

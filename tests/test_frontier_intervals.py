@@ -60,3 +60,57 @@ def test_k_anonymity_groups_are_small_and_disjoint(spark):
     for _, r in out.iterrows():
         assert sizes[(r.c_nationkey, r.c_mktsegment,
                       r.bal_bucket)] == r.group_n
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """ES sampling must skew toward high weights: the mean weight of
+    the sample should exceed the corpus mean (overwhelmingly likely
+    for k=20 of 500 under weighted inclusion), and the keys must be
+    reproducible from the doc ids alone."""
+    import math
+    out = REG["weighted_sample_es"].spark_fn(spark, SF).toPandas()
+    docs = table(spark, SF, "documents").select(
+        "doc_id", "n_chars").toPandas()
+    docs = docs[docs.n_chars > 0]
+    assert out.weight.mean() > docs.n_chars.mean()
+    assert len(out) == 20 and out.doc_id.is_unique
+    # deterministic replay of one key
+    import hashlib
+    r = out.iloc[0]
+    h = int(hashlib.md5(f"es:{int(r.doc_id)}".encode())
+            .hexdigest()[:15], 16)
+    u = (h + 1) / ((1 << 60) + 1)
+    assert round(math.log(u) / int(r.weight), 9) == r.es_key
+
+
+def test_feature_standardize_moments(spark):
+    """Per class: z-scores average ~0 with unit variance (exact up to
+    the 1e-6 output rounding)."""
+    out = REG["feature_standardize"].spark_fn(spark, SF).toPandas()
+    for t, g in out.groupby("event_type"):
+        if g.zscore.abs().max() == 0:
+            continue  # degenerate class
+        assert abs(g.zscore.mean()) < 1e-4
+        assert abs(g.zscore.var(ddof=0) - 1.0) < 1e-3
+
+
+def test_market_basket_lift_definition(spark):
+    out = REG["market_basket_lift"].spark_fn(spark, SF).toPandas()
+    assert len(out) > 0 and (out.n_ab >= 3).all()
+    assert (out.confidence <= 1.0).all() and (out.confidence > 0).all()
+    # spot-verify one pair against a pandas recompute
+    import pandas as pd
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey").toPandas()
+    part = table(spark, SF, "part").select(
+        "p_partkey", "p_brand").toPandas()
+    ob = (li.merge(part, left_on="l_partkey", right_on="p_partkey")
+          [["l_orderkey", "p_brand"]].drop_duplicates())
+    n_orders = ob.l_orderkey.nunique()
+    r = out.iloc[0]
+    sets = ob.groupby("p_brand").l_orderkey.apply(set)
+    n_ab = len(sets[r.brand_a] & sets[r.brand_b])
+    assert n_ab == r.n_ab
+    lift = round(n_ab * n_orders
+                 / (len(sets[r.brand_a]) * len(sets[r.brand_b])), 6)
+    assert abs(lift - r.lift) < 2e-6
