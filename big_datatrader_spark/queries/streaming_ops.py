@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..sources.parquet_source import table
 from ..streaming.pipeline import (
     events_stream, hourly_rollup_stream, run_stream_to_memory,
     running_position_stream)
@@ -247,3 +248,37 @@ def streaming_session_window(spark, sf_dir):
         .select("user_id", F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"), "n_events"))
     return run_stream_to_memory(agg, spark, output_mode="complete")
+
+
+@query(
+    "streaming_enriched_rollup",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS bucket, c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           ROUND(CAST(sum(e.value) AS DOUBLE), 6) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+    doc="stream-static enrichment join + windowed rollup: the event "
+        "stream joins the static customer dimension (broadcast — the "
+        "dim is read per micro-batch, no stream state needed for a "
+        "stream-static inner join), then aggregates per (hour window, "
+        "market segment) under a 2h watermark. This is the canonical "
+        "streaming-ingest enrichment shape: dimension lookups stay "
+        "stateless, only the windowed agg holds state, and the "
+        "availableNow drain equals the batch join+rollup exactly",
+)
+def streaming_enriched_rollup(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    dim = (table(spark, sf_dir, "customer")
+           .select((F.col("c_custkey") - 1).alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = (joined.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value").cast("double"), 6)
+                .alias("sum_value")))
+    out = run_stream_to_memory(agg, spark)
+    return out.select(F.col("w.start").alias("bucket"), "segment",
+                      "n_events", "sum_value")
