@@ -2198,3 +2198,52 @@ def market_basket_lift(spark, sf_dir):
                        / F.col("n_a").cast("double"), 6)
                .alias("confidence")))
     return out.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(50)
+
+
+@query(
+    "recursive_interest_schedule",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS principal_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING sum(CAST(ROUND(value * 100) AS BIGINT)) > 0),
+    sched(user_id, month, balance_cents) AS (
+      SELECT user_id, CAST(0 AS BIGINT), principal_cents FROM base
+      UNION ALL
+      SELECT user_id, month + 1,
+             balance_cents + (balance_cents * 5) // 1200
+      FROM sched WHERE month < 12)
+    SELECT user_id, month, balance_cents
+    FROM sched ORDER BY user_id, month
+    """,
+    doc="recursive CTE (Spark 4 WITH RECURSIVE, run through spark.sql "
+        "on BOTH engines): a 12-month 5%-APR monthly accrual schedule "
+        "on each user's purchase principal, in exact integer cents "
+        "(accrual = balance*5 DIV 1200, truncating division — "
+        "bit-identical on any engine). Row growth is linear (users x "
+        "13), so the recursion is a bounded semi-naive loop — the "
+        "iterative-computation shape (amortization, BOM explosion, "
+        "reachability) SQL engines run without leaving the optimizer",
+)
+def recursive_interest_schedule(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    view = "events_ris_v"
+    ev.select("user_id", "event_type",
+              F.round(F.col("value") * 100).cast("bigint")
+              .alias("cents")).createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE base AS (
+        SELECT user_id, CAST(sum(cents) AS BIGINT) AS principal_cents
+        FROM {view} WHERE event_type = 'purchase'
+        GROUP BY 1 HAVING sum(cents) > 0),
+      sched(user_id, month, balance_cents) AS (
+        SELECT user_id, CAST(0 AS BIGINT), principal_cents FROM base
+        UNION ALL
+        SELECT user_id, month + 1,
+               balance_cents + (balance_cents * 5) DIV 1200
+        FROM sched WHERE month < 12)
+      SELECT user_id, month, balance_cents
+      FROM sched ORDER BY user_id, month
+    """)
