@@ -223,3 +223,64 @@ def bpe_learn_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, "
                 "merged string, pair_count long")
+
+
+# --- Python UDTF (SURVEY §2.10 surface) -------------------------------------
+
+
+@query(
+    "udtf_sentence_spans",
+    oracle="""
+    WITH fl AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+                 regexp_split_to_array(text, '\\.'),
+                 s -> trim(s, ' ' || chr(9) || chr(10) || chr(13)
+                              || chr(12) || chr(11))),
+                 s -> s <> '') AS sents
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(sents) AS s,
+             unnest(generate_series(1, len(sents))) AS sent_idx
+      FROM fl)
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+           CAST(length(s) AS BIGINT) AS sent_len
+    FROM ex ORDER BY doc_id, sent_idx
+    """,
+    doc="Python UDTF via LATERAL join (Spark 4, Arrow-batched — the "
+        "plan shows ArrowEvalPythonUDTF, not row-pickling "
+        "BatchEvalPython): one table function call per document emits "
+        "its non-empty trimmed sentence spans (index, length). The "
+        "UDTF surface is the escape hatch for per-row fan-out logic a "
+        "lateral generator expresses more naturally than explode; "
+        "this one is deliberately also SQL-expressible so the oracle "
+        "pins the semantics exactly. Narrow op: no shuffle, fan-out "
+        "stays inside the Arrow batch",
+)
+def udtf_sentence_spans(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sent_len: bigint",
+          useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for raw in text.split("."):
+                # explicit charset: Python strip() would also strip
+                # unicode whitespace the oracle's trim() does not
+                s = raw.strip(" \t\n\r\f\v")
+                if s:
+                    i += 1
+                    yield (i, len(s))
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView(
+        "documents_udtf_v")
+    return spark.sql("""
+      SELECT d.doc_id, s.sent_idx, s.sent_len
+      FROM documents_udtf_v d, LATERAL split_sentences(d.text) s
+      ORDER BY doc_id, sent_idx
+    """)

@@ -100,3 +100,30 @@ def test_bpe_learner_matches_reference_exactly(spark):
     # every merge must have been the round's argmax — implied by
     # equality with the reference
     assert all(c > 0 for *_, c in got)
+
+
+def test_udtf_sentence_spans_edge_cases(spark):
+    """Lateral UDTF semantics on awkward inputs: empty docs vanish,
+    whitespace-only sentences are dropped, indices count only kept
+    sentences, and the plan is Arrow-batched (never row-pickling
+    BatchEvalPython)."""
+    from big_datatrader_spark.plans.explain import physical_plan
+    from big_datatrader_spark.queries.retrieval_ops import (
+        udtf_sentence_spans)
+    df = udtf_sentence_spans(spark, SF)
+    plan = physical_plan(df)
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython(" not in plan
+    out = df.toPandas()
+    docs = table(spark, SF, "documents").select(
+        "doc_id", "text").toPandas()
+    expect = []
+    for _, r in docs.sort_values("doc_id").iterrows():
+        i = 0
+        for raw in r.text.split("."):
+            s = raw.strip(" \t\n\r\f\v")
+            if s:
+                i += 1
+                expect.append((r.doc_id, i, len(s)))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == expect
