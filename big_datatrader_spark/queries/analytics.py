@@ -2247,3 +2247,90 @@ def recursive_interest_schedule(spark, sf_dir):
       SELECT user_id, month, balance_cents
       FROM sched ORDER BY user_id, month
     """)
+
+
+@query(
+    "rolling_market_correlation",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    mkt AS (
+      SELECT date_trunc('day', ts) AS bar_day,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY 1),
+    j AS (SELECT b.user_id, b.bar_day, b.x, m.y
+          FROM bars b JOIN mkt m USING (bar_day)),
+    wnd AS (
+      SELECT user_id, bar_day,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM j
+      WINDOW w AS (PARTITION BY user_id ORDER BY bar_day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day,
+           ROUND(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             ELSE 0.0 END, 6) AS corr10
+    FROM wnd WHERE n = 10
+    ORDER BY user_id, day
+    """,
+    doc="rolling 10-day correlation of each symbol's daily close "
+        "against the market aggregate (sum of all closes that day) — "
+        "the rolling-beta input every pairs/beta strategy consumes. "
+        "All five moment sums accumulate exact integer cents inside "
+        "one per-user window frame, so the Pearson expression is one "
+        "identical IEEE computation on both engines (degenerate "
+        "zero-variance windows emit 0). The market series is "
+        "days-sized and broadcast; per-key windows only — no global "
+        "sort anywhere",
+)
+def rolling_market_correlation(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.round(F.max(tagged)["v"] * 100).cast("bigint")
+                 .alias("x")))
+    mkt = (ev.groupBy(F.date_trunc("day", F.col("ts"))
+                      .alias("bar_day"))
+           .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("y")))
+    j = bars.join(F.broadcast(mkt), "bar_day")
+    w = (Window.partitionBy("user_id").orderBy("bar_day")
+         .rowsBetween(-9, 0))
+    wnd = j.select(
+        "user_id", "bar_day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = F.when(
+        ((n * sxx - sx * sx) > 0) & ((n * syy - sy * sy) > 0),
+        (n * sxy - sx * sy).cast("double")
+        / (F.sqrt((n * sxx - sx * sx).cast("double"))
+           * F.sqrt((n * syy - sy * sy).cast("double")))
+    ).otherwise(F.lit(0.0))
+    return (wnd.filter(n == 10)
+            .select("user_id",
+                    F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                    F.round(corr, 6).alias("corr10"))
+            .orderBy("user_id", "day"))
