@@ -2334,3 +2334,80 @@ def rolling_market_correlation(spark, sf_dir):
                     F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
                     F.round(corr, 6).alias("corr10"))
             .orderBy("user_id", "day"))
+
+
+@query(
+    "cusum_change_detection",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s
+           FROM bars GROUP BY 1),
+    dev AS (SELECT b.user_id, b.bar_day,
+                   st.n * b.x - st.s AS d
+            FROM bars b JOIN st USING (user_id)),
+    cum1 AS (
+      SELECT user_id, bar_day,
+             CAST(sum(d) OVER (PARTITION BY user_id ORDER BY bar_day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS c
+      FROM dev),
+    cum AS (
+      SELECT user_id, bar_day, c,
+             CAST(least(CAST(0 AS BIGINT),
+                        min(c) OVER (PARTITION BY user_id
+                                     ORDER BY bar_day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)) AS BIGINT) AS m
+      FROM cum1)
+    SELECT c.user_id, strftime(c.bar_day, '%Y-%m-%d') AS day,
+           CAST(c.c - c.m AS BIGINT) AS cusum_scaled,
+           (c.c - c.m) > st.n * 500 AS alarm
+    FROM cum c JOIN st USING (user_id)
+    ORDER BY user_id, day
+    """,
+    doc="one-sided CUSUM change-point detection on each symbol's daily "
+        "closes: the textbook recursion S_t = max(0, S_{t-1} + d_t) "
+        "collapses to C_t - min(0, prefix-min of C) — a cumulative sum "
+        "plus a running min, i.e. two frames of ONE per-user window, "
+        "no sequential fold and no UDF. Deviations are scaled by the "
+        "per-user day count (d = n*x - sum) so everything stays an "
+        "exact BIGINT; the alarm fires when the statistic exceeds a "
+        "$5.00-equivalent drift at that scaling. Per-key windows only; "
+        "at 100 TB the state per symbol is its days-sized bar series",
+)
+def cusum_change_detection(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.round(F.max(tagged)["v"] * 100).cast("bigint")
+                 .alias("x")))
+    st = bars.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dev = (bars.join(F.broadcast(st), "user_id")
+           .select("user_id", "bar_day", "n",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("d")))
+    w = (Window.partitionBy("user_id").orderBy("bar_day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = dev.select(
+        "user_id", "bar_day", "n",
+        F.sum("d").over(w).alias("c"))
+    cum = cum.withColumn(
+        "m", F.least(F.lit(0).cast("bigint"),
+                     F.min("c").over(w)))
+    return (cum.select(
+                "user_id",
+                F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                (F.col("c") - F.col("m")).alias("cusum_scaled"),
+                ((F.col("c") - F.col("m")) > F.col("n") * 500)
+                .alias("alarm"))
+            .orderBy("user_id", "day"))

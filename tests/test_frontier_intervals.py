@@ -114,3 +114,25 @@ def test_market_basket_lift_definition(spark):
     lift = round(n_ab * n_orders
                  / (len(sets[r.brand_a]) * len(sets[r.brand_b])), 6)
     assert abs(lift - r.lift) < 2e-6
+
+
+def test_cusum_equals_sequential_recursion(spark):
+    """The window formulation must equal the textbook sequential
+    S_t = max(0, S_{t-1} + d_t) fold exactly."""
+    out = REG["cusum_change_detection"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "value").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    bars = (ev.sort_values(["ts", "event_id"])
+            .groupby(["user_id", "day"]).last().reset_index())
+    bars["x"] = (bars.value * 100).round().astype("int64")
+    for uid, g in bars.groupby("user_id"):
+        g = g.sort_values("day")
+        n, s = len(g), int(g.x.sum())
+        S, expect = 0, []
+        for x in g.x:
+            S = max(0, S + (n * int(x) - s))
+            expect.append(S)
+        got = out[out.user_id == uid].sort_values("day")
+        assert got.cusum_scaled.tolist() == expect, uid
+        assert (got.alarm == [e > n * 500 for e in expect]).all()
