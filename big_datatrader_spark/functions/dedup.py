@@ -128,13 +128,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     the exchange is reused rather than added.
     """
     from pyspark.sql import Window
-    # join on the 60-bit shingle hash, not the shingle string: the
-    # self-join shuffles every (doc, shingle) row twice, and an 8-byte
-    # long halves-to-quarters the exchange bytes vs ~35-byte text
-    # shingles. The oracle hashes identically, so even a collision
-    # (2^-60-scale) cannot diverge the two engines.
-    sh = _doc_shingles(df, text_col, id_col, n).select(
-        "doc_id", h60(F.col("s")).alias("s"))
+    sh = _doc_shingles(df, text_col, id_col, n)
     if max_df is not None:
         dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
         sh = (sh.withColumn("df_s", dfs)

@@ -58,10 +58,7 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    sh AS (SELECT doc_id,
-               unnest(list_transform({_SHINGLES},
-                                     s -> {_h60('s')})) AS s
-        FROM toks),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -178,10 +175,7 @@ def dedup_simhash(spark, sf_dir):
 
 _JACCARD_PAIRS_SQL = f"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    sh AS (SELECT doc_id,
-               unnest(list_transform({_SHINGLES},
-                                     s -> {_h60('s')})) AS s
-        FROM toks),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
     jpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

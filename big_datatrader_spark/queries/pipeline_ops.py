@@ -105,10 +105,7 @@ def incremental_dedup_minhash(spark, sf_dir):
     "dedup_ngram_jaccard_capped",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    sh0 AS (SELECT doc_id,
-            unnest(list_transform({_SHINGLES},
-                                  s -> {_h60('s')})) AS s
-         FROM toks),
+    sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
     sh AS (SELECT doc_id, s FROM (
              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df_s
              FROM sh0)
