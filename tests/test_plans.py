@@ -218,3 +218,24 @@ def test_single_partition_detector_sees_past_parenthesized_details(spark):
         "rn", F.row_number().over(
             Window.partitionBy(F.col("id") % 10).orderBy("id")))
     assert single_partition_sort_or_window(ok) == []
+
+
+def test_round4_flagship_exchange_budgets(spark, sf001):
+    """Pin the shuffle budgets of the round-4 operators: a regression
+    that doubles an exchange count is a 100 TB cost doubling even when
+    sf0.001 timings never notice."""
+    budgets = {
+        "weighted_sample_es": 0,         # pure projection + top-k
+        "k_anonymity_audit": 2,          # one agg + output sort
+        "feature_standardize": 2,        # class stats + output sort
+        "skyline_parts_per_brand": 3,    # price-group agg, window, join
+        "rolling_market_correlation": 4,
+        "cusum_change_detection": 5,
+    }
+    for name, budget in budgets.items():
+        df = REG[name].spark_fn(spark, sf001)
+        n = num_exchanges(df)
+        assert n <= budget, (name, n, budget)
+    assert uses_top_k(REG["weighted_sample_es"].spark_fn(spark, sf001))
+    assert uses_top_k(REG["bm25_more_like_this"].spark_fn(spark, sf001))
+    assert uses_top_k(REG["market_basket_lift"].spark_fn(spark, sf001))
