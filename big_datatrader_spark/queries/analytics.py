@@ -1718,13 +1718,21 @@ def set_ops_bag_semantics(spark, sf_dir):
                  PARTITION BY user_id ORDER BY ts, event_id) AS t_next
       FROM events),
     seg AS (SELECT user_id, vc, t_next - t AS dur
-            FROM ord WHERE t_next IS NOT NULL)
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_segments,
-           CAST(sum(dur) AS BIGINT) AS total_secs,
-           ROUND(CAST(sum(vc * dur) AS DOUBLE)
-                 / CAST(sum(dur) AS DOUBLE) / 100.0, 6) AS twap
-    FROM seg WHERE dur > 0 GROUP BY user_id ORDER BY user_id
+            FROM ord WHERE t_next IS NOT NULL),
+    g AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(sum(dur) AS BIGINT) AS total_secs,
+                 CAST(sum(vc * dur) AS HUGEINT) AS wsum
+          FROM seg WHERE dur > 0 GROUP BY user_id)
+    SELECT user_id, n_segments, total_secs,
+           CAST(CASE WHEN wsum >= 0 THEN
+                  (2 * wsum * 10000 + total_secs)
+                  // (2 * CAST(total_secs AS HUGEINT))
+                ELSE
+                  -((2 * (-wsum) * 10000 + total_secs)
+                    // (2 * CAST(total_secs AS HUGEINT)))
+                END AS DOUBLE) / 1000000.0 AS twap
+    FROM g ORDER BY user_id
     """,
     doc="time-weighted average price per user: each observation holds "
         "until the next one, so its weight is the inter-event duration "
@@ -1751,32 +1759,66 @@ def twap_per_user(spark, sf_dir):
         seg.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_segments"),
              F.sum("dur").alias("total_secs"),
-             F.round(F.sum(F.col("vc") * F.col("dur")).cast("double")
-                     / F.sum("dur").cast("double") / 100.0, _R)
-             .alias("twap"))
+             _cents_ratio_round6(F.sum(F.col("vc") * F.col("dur")),
+                                 F.sum("dur")).alias("twap"))
         .orderBy("user_id")
     )
+
+
+def _cents_ratio_round6(wsum, den):
+    """ROUND(wsum/den/100, 6) with the rounding performed in EXACT
+    integer arithmetic (half away from zero, DECIMAL(38,0) / HUGEINT),
+    then returned as the exactly-representable double e6/1e6.
+
+    Why: cents-scaled weighted averages routinely land on exact
+    5e-7 boundaries (e.g. wsum/qty = ...843750), where Spark's
+    BigDecimal-shortest-string ROUND and DuckDB's multiply-based ROUND
+    disagree on the SAME double — a 1-in-20000-rows hash flip the
+    cross-SF sweep caught at sf0.1. Integer rounding makes the
+    boundary case deterministic on both engines."""
+    a = wsum.cast("decimal(38,0)") * 10000
+    b = den.cast("decimal(38,0)")
+
+    def idiv(x, y):  # truncating division, exact, non-negative args
+        return (x - x % y) / y
+
+    e6 = F.when(a >= 0, idiv(2 * a + b, 2 * b)).otherwise(
+        -idiv(2 * (-a) + b, 2 * b))
+    return e6.cast("bigint").cast("double") / 1000000.0
 
 
 @query(
     "vwap_per_part",
     oracle="""
-    SELECT l_partkey,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-           ROUND(CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                 / 100.0, 6) AS vwap
-    FROM lineitem GROUP BY l_partkey
-    HAVING count(*) >= 8 ORDER BY l_partkey
+    WITH g AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS total_qty,
+             CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                 AS wsum
+      FROM lineitem GROUP BY l_partkey HAVING count(*) >= 8)
+    SELECT l_partkey, n_lines, total_qty,
+           CAST(CASE WHEN wsum >= 0 THEN
+                  (2 * wsum * 10000 + total_qty)
+                  // (2 * CAST(total_qty AS HUGEINT))
+                ELSE
+                  -((2 * (-wsum) * 10000 + total_qty)
+                    // (2 * CAST(total_qty AS HUGEINT)))
+                END AS DOUBLE) / 1000000.0 AS vwap
+    FROM g ORDER BY l_partkey
     """,
     doc="volume-weighted average price per part over lineitem: "
         "integer-cents price x integer quantity -> exact BIGINT "
         "weighted sums, one map-side-combinable aggregate (the same "
         "plan as a count at any scale). HAVING keeps parts with "
         "enough fills for the average to mean something — the "
-        "execution-quality benchmark every trading desk computes",
+        "execution-quality benchmark every trading desk computes. The "
+        "6-decimal rounding is pure integer arithmetic (see "
+        "_cents_ratio_round6) because cents/qty quotients land on "
+        "exact 5e-7 boundaries where the engines' ROUND(double) "
+        "disagree — caught by the cross-SF sweep at sf0.1",
 )
 def vwap_per_part(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
@@ -1786,8 +1828,7 @@ def vwap_per_part(spark, sf_dir):
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_lines"),
              F.sum(qty).alias("total_qty"),
-             F.round(F.sum(cents * qty).cast("double")
-                     / F.sum(qty).cast("double") / 100.0, _R)
+             _cents_ratio_round6(F.sum(cents * qty), F.sum(qty))
              .alias("vwap"))
         .filter(F.col("n_lines") >= 8)
         .orderBy("l_partkey")
@@ -1882,13 +1923,17 @@ def candle_patterns(spark, sf_dir):
                                          v := value))).v * 100)
                  AS BIGINT) AS close_cents
       FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT user_id, close_cents,
+             lag(close_cents) OVER (PARTITION BY user_id
+                                    ORDER BY bar_day) AS prev
+      FROM bars),
     rets AS (
       SELECT user_id,
-             CAST(close_cents AS DOUBLE)
-             / CAST(lag(close_cents) OVER (PARTITION BY user_id
-                                           ORDER BY bar_day) AS DOUBLE)
-             - 1.0 AS ret
-      FROM bars)
+             CASE WHEN prev <> 0 THEN
+               CAST(close_cents AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0
+             END AS ret
+      FROM lagged)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_days,
            ROUND(-CAST(quantile_cont(ret, 0.05) AS DOUBLE), 6) AS var95,
@@ -1916,11 +1961,14 @@ def daily_var_per_user(spark, sf_dir):
         .agg(F.round(F.max(tagged)["v"] * 100).cast("bigint")
              .alias("close_cents")))
     w = Window.partitionBy("user_id").orderBy("bar_day")
+    prev = F.lag("close_cents").over(w)
+    # a 0-cent close would divide by zero (ANSI error here, +inf in
+    # DuckDB): guard it out identically on both engines
     rets = bars.select(
         "user_id",
-        (F.col("close_cents").cast("double")
-         / F.lag("close_cents").over(w).cast("double") - 1.0)
-        .alias("ret"))
+        F.when(prev != 0,
+               F.col("close_cents").cast("double")
+               / prev.cast("double") - 1.0).alias("ret"))
     return (
         rets.filter(F.col("ret").isNotNull())
         .groupBy("user_id")
