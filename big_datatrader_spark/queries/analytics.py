@@ -1787,6 +1787,16 @@ def _cents_ratio_round6(wsum, den):
     return e6.cast("bigint").cast("double") / 1000000.0
 
 
+def _int_ratio_round6(num, den):
+    """ROUND(num/den, 6) for exact-integer num/den >= 0, rounding half
+    away from zero in DECIMAL(38,0) — same boundary rationale as
+    _cents_ratio_round6."""
+    a = num.cast("decimal(38,0)") * 1000000
+    b = den.cast("decimal(38,0)")
+    e6 = ((2 * a + b) - (2 * a + b) % (2 * b)) / (2 * b)
+    return e6.cast("bigint").cast("double") / 1000000.0
+
+
 @query(
     "vwap_per_part",
     oracle="""
@@ -2192,10 +2202,13 @@ def feature_standardize(spark, sf_dir):
         ON a.okey = b.okey AND a.brand < b.brand
       GROUP BY 1, 2)
     SELECT brand_a, brand_b, n_ab,
-           ROUND(CAST(n_ab * nn.n_orders AS DOUBLE)
-                 / CAST(na.n * nb2.n AS DOUBLE), 6) AS lift,
-           ROUND(CAST(n_ab AS DOUBLE) / CAST(na.n AS DOUBLE), 6)
-               AS confidence
+           CAST((2 * CAST(n_ab * nn.n_orders AS HUGEINT) * 1000000
+                 + na.n * nb2.n)
+                // (2 * CAST(na.n * nb2.n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS lift,
+           CAST((2 * CAST(n_ab AS HUGEINT) * 1000000 + na.n)
+                // (2 * CAST(na.n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS confidence
     FROM pairs
     JOIN nb na ON na.brand = pairs.brand_a
     JOIN nb nb2 ON nb2.brand = pairs.brand_b
@@ -2238,12 +2251,10 @@ def market_basket_lift(spark, sf_dir):
            .crossJoin(F.broadcast(nn))
            .select(
                "brand_a", "brand_b", "n_ab",
-               F.round((F.col("n_ab") * F.col("n_orders"))
-                       .cast("double")
-                       / (F.col("n_a") * F.col("n_b")).cast("double"),
-                       6).alias("lift"),
-               F.round(F.col("n_ab").cast("double")
-                       / F.col("n_a").cast("double"), 6)
+               _int_ratio_round6(F.col("n_ab") * F.col("n_orders"),
+                                 F.col("n_a") * F.col("n_b"))
+               .alias("lift"),
+               _int_ratio_round6(F.col("n_ab"), F.col("n_a"))
                .alias("confidence")))
     return out.orderBy(F.desc("lift"), "brand_a", "brand_b").limit(50)
 
