@@ -255,7 +255,8 @@ def streaming_session_window(spark, sf_dir):
     oracle="""
     SELECT date_trunc('hour', e.ts) AS bucket, c.c_mktsegment AS segment,
            count(*) AS n_events,
-           ROUND(CAST(sum(e.value) AS DOUBLE), 6) AS sum_value
+           CAST(sum(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
     GROUP BY 1, 2
     """,
@@ -274,11 +275,13 @@ def streaming_enriched_rollup(spark, sf_dir):
            .select((F.col("c_custkey") - 1).alias("user_id"),
                    F.col("c_mktsegment").alias("segment")))
     joined = stream.join(F.broadcast(dim), "user_id")
+    # exact integer cents inside the windowed state: the drained sum
+    # can never depend on micro-batch arrival or summation order
     agg = (joined.withWatermark("ts", "2 hours")
            .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
            .agg(F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value").cast("double"), 6)
-                .alias("sum_value")))
+                (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .cast("double") / 100.0).alias("sum_value")))
     out = run_stream_to_memory(agg, spark)
     return out.select(F.col("w.start").alias("bucket"), "segment",
                       "n_events", "sum_value")
