@@ -284,3 +284,61 @@ def udtf_sentence_spans(spark, sf_dir):
       FROM documents_udtf_v d, LATERAL split_sentences(d.text) s
       ORDER BY doc_id, sent_idx
     """)
+
+
+# --- pandas UDAF (GROUPED_AGG) — completes the §2.10 U-surface -------------
+
+
+@query(
+    "udaf_median_cents",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+               AS BIGINT) AS median_cents
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    doc="user-defined aggregate via a GROUPED_AGG pandas_udf (the "
+        "ArrowAggregatePython plan node — Arrow-batched, never "
+        "row-pickled): lower median of integer cents per event type. "
+        "The median is an order statistic of exact integers, so the "
+        "UDAF result is deterministic and the oracle recomputes it "
+        "relationally (row_number at (n+1) DIV 2). This completes the "
+        "§2.10 U-surface: scalar pandas UDF, grouped-map "
+        "applyInPandas, stateful applyInPandasWithState, Arrow UDTF, "
+        "and now a grouped-agg UDAF. Note the scale contract of ANY "
+        "holistic UDAF: each group's values gather to one worker — "
+        "fine for bounded groups (per-type, per-symbol), wrong for "
+        "unbounded ones (use approx sketches there)",
+)
+def udaf_median_cents(spark, sf_dir):
+    import numpy as np
+
+    @F.pandas_udf("bigint")
+    def lower_median(v: pd.Series) -> int:
+        a = np.sort(v.to_numpy())
+        return int(a[(len(a) - 1) // 2])
+
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg, so the count is a pandas UDAF too
+    @F.pandas_udf("bigint")
+    def n_vals(v: pd.Series) -> int:
+        return len(v)
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    return (ev.groupBy("event_type")
+            .agg(n_vals(F.col("cents")).alias("n_events"),
+                 lower_median(F.col("cents")).alias("median_cents"))
+            .orderBy("event_type"))

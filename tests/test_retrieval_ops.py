@@ -127,3 +127,24 @@ def test_udtf_sentence_spans_edge_cases(spark):
                 expect.append((r.doc_id, i, len(s)))
     got = list(out.itertuples(index=False, name=None))
     assert got == expect
+
+
+def test_udaf_median_plan_is_aggregate_in_pandas(spark):
+    from big_datatrader_spark.plans.explain import physical_plan
+    from big_datatrader_spark.queries.retrieval_ops import (
+        udaf_median_cents)
+    df = udaf_median_cents(spark, SF)
+    plan = physical_plan(df)
+    # Spark 4.1 names the grouped-agg pandas node ArrowAggregatePython
+    # (older releases: AggregateInPandas) — either is the Arrow path
+    assert ("ArrowAggregatePython" in plan
+            or "AggregateInPandas" in plan)
+    assert "BatchEvalPython(" not in plan
+    out = {r.event_type: (r.n_events, r.median_cents)
+           for r in df.collect()}
+    ev = table(spark, SF, "events").select(
+        "event_type", "value").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    for t, g in ev.groupby("event_type"):
+        a = sorted(g.cents)
+        assert out[t] == (len(a), a[(len(a) - 1) // 2]), t
