@@ -129,11 +129,11 @@ def _click_purchase_join(spark, sf_dir):
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr(
             "INTERVAL 30 MINUTES")))
-    # state-store partition count is fixed at stream start from
-    # shuffle.partitions; set it after plan construction (events_stream's
-    # ensure_confs re-sizes it to core count) on this session only
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    out = run_stream_to_memory(joined, spark, output_mode="append")
+    # state-store partition count is fixed at stream start; scope the
+    # small-state sizing to this drain (restored afterwards) instead of
+    # leaking it into the session
+    out = run_stream_to_memory(joined, spark, output_mode="append",
+                               shuffle_partitions=4)
     return out.select("user_id", "click_id", "purchase_id")
 
 

@@ -123,22 +123,40 @@ def running_position_stream(df: DataFrame) -> DataFrame:
 
 def run_stream_to_memory(result: DataFrame, spark: SparkSession,
                          timeout_sec: int = 120,
-                         output_mode: str = "complete") -> DataFrame:
+                         output_mode: str = "complete",
+                         shuffle_partitions: int | None = None
+                         ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; return the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame.
+
+    ``shuffle_partitions`` scopes a state-store partition count to THIS
+    drain: the conf is set just before ``start()`` (stream state-store
+    partitioning is fixed at stream start from shuffle.partitions) and
+    restored after the drain, so a streaming query can size its state
+    store without leaking the setting into whatever runs next on the
+    session."""
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key) if shuffle_partitions is not None \
+        else None
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
     try:
-        q.awaitTermination(timeout_sec)
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 

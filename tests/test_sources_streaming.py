@@ -115,6 +115,18 @@ def test_streaming_rollup_equals_batch(spark, sf0001):
     assert got == batch
 
 
+def test_stream_drain_scopes_shuffle_partitions(spark, sf0001):
+    """A drain with a scoped shuffle_partitions must restore the
+    session conf afterwards — the r3 verdict flagged the raw
+    spark.conf.set leaking state-store sizing into later queries."""
+    from big_datatrader_spark.queries import streaming_ops as so
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    out = so.streaming_click_purchase_join(spark, sf0001)
+    assert out.count() >= 0
+    assert spark.conf.get(key) == before
+
+
 def test_jsonl_roundtrip_partitioned(spark, tmp_path):
     from big_datatrader_spark.sources.parquet_source import table
     from big_datatrader_spark.sources.sinks import read_jsonl, write_jsonl
