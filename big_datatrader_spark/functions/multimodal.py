@@ -220,3 +220,139 @@ def extract_ppm_features(df: DataFrame, *, id_col: str = "doc_id",
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         run, schema=PPM_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode path: RIFF/WAVE PCM16 — like P6 PPM, a codec-less
+# container format numpy can parse byte-for-byte. Every doc gets a valid
+# 44-byte-header WAV whose PCM samples derive from its text bytes, so an
+# engine-independent oracle can recompute the decoded features.
+
+WAV_RATE = 8000
+WAV_SAMPLES = 64                      # fixed-length clip per doc
+_WAV_DATA_BYTES = WAV_SAMPLES * 2     # PCM16 mono
+
+import struct as _struct
+
+_WAV_HEADER = (
+    b"RIFF" + _struct.pack("<I", 36 + _WAV_DATA_BYTES) + b"WAVE"
+    + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                             WAV_RATE * 2, 2, 16)
+    + b"data" + _struct.pack("<I", _WAV_DATA_BYTES))
+
+
+def with_wav_payload(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a valid PCM16-mono WAV per row: the constant 44-byte
+    RIFF header (every clip is the same fixed length, so the length
+    fields are compile-time constants emitted via ``unhex`` — UTF-8
+    encoding could not produce the 0x80+ header bytes) plus the first
+    2*WAV_SAMPLES text bytes as little-endian sample pairs. ASCII bytes
+    are 0..127, so sample_j = b[2j] + 256*b[2j+1] is non-negative and
+    the oracle recomputes it from per-character codepoints."""
+    base = (df.select(F.col(id_col),
+                      ascii_text(F.col(text_col)).alias("__t"))
+            .filter(F.length("__t") > 0))
+    rep = F.expr(
+        f"repeat(__t, CAST(ceil({_WAV_DATA_BYTES} / length(__t))"
+        " + 1 AS INT))")
+    payload = F.concat(
+        F.unhex(F.lit(_WAV_HEADER.hex())),
+        F.encode(F.substring(rep, 1, _WAV_DATA_BYTES), "UTF-8"))
+    return base.select(F.col(id_col), payload.alias("content"))
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL RIFF/WAVE parser: walk the chunk structure (RIFF magic,
+    fmt chunk -> PCM/channels/rate/bits, data chunk -> samples) and
+    return (rate, n_channels, int16 sample array). Raises on anything
+    that isn't canonical PCM16."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = _struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt_code, n_ch, rate, _, _, bits = _struct.unpack_from(
+                "<HHIIHH", payload, pos + 8)
+            if fmt_code != 1:
+                raise ValueError("not PCM")
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16:
+        raise ValueError("missing fmt/data chunk or not 16-bit")
+    return rate, n_ch, np.frombuffer(data, dtype="<i2")
+
+
+WAV_FEATURE_SCHEMA = ("doc_id long, sample_rate long, n_samples long, "
+                      "peak_amp long, sum_sq long, rms double, "
+                      "decode_ok boolean")
+
+
+def extract_wav_features(df: DataFrame, *, id_col: str = "doc_id",
+                         content_col: str = "content") -> DataFrame:
+    """Arrow-batched REAL audio decode: parse each payload's RIFF chunk
+    structure, emit rate, sample count, peak amplitude, exact integer
+    sum of squares, and RMS (one correctly-rounded sqrt of an exact
+    power-of-two division — engine-independent)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                rate, _, s = decode_wav(bytes(b))
+                s64 = s.astype(np.int64)
+                ssq = int((s64 * s64).sum())
+                rows.append((int(doc_id), rate, len(s),
+                             int(s64.max()), ssq,
+                             float(np.sqrt(ssq / len(s))), True))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_samples", "peak_amp",
+                "sum_sq", "rms", "decode_ok"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=WAV_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patchify over the decoded PPM pixel grid: 8x8 RGB -> 2x2
+# grid of 4x4 patches, each reduced to exact per-channel means. This is
+# the preprocessing shape every vision-transformer ingest pipeline runs
+# (image -> patch grid -> per-patch vectors) on real decoded pixels.
+
+PATCH = 4  # patch side; PPM_W/H = 8 -> a 2x2 patch grid
+
+PATCH_SCHEMA = ("doc_id long, patch_row long, patch_col long, "
+                "mean_r double, mean_g double, mean_b double")
+
+
+def patchify_ppm(df: DataFrame, *, id_col: str = "doc_id",
+                 content_col: str = "content") -> DataFrame:
+    """Decode each P6 payload and emit one row per PATCHxPATCH patch
+    with exact per-channel means. The patch reduction is one vectorized
+    numpy reshape-sum — integer byte sums divided once, so the means
+    are order-insensitive and oracle-reproducible. Narrow op: the
+    per-row fan-out (4 patches/doc) happens inside the Arrow batch."""
+    g = PPM_W // PATCH
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                w, h, img = decode_ppm(bytes(b))
+                sums = (img.astype(np.int64)
+                        .reshape(g, PATCH, g, PATCH, 3)
+                        .sum(axis=(1, 3)))  # (g, g, 3)
+                for pr in range(g):
+                    for pc in range(g):
+                        m = sums[pr, pc] / (PATCH * PATCH)
+                        rows.append((int(doc_id), pr, pc,
+                                     m[0], m[1], m[2]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "patch_row", "patch_col",
+                "mean_r", "mean_g", "mean_b"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=PATCH_SCHEMA)

@@ -141,3 +141,107 @@ def multimodal_ppm_decode(spark, sf_dir):
                     F.round("mean_b", 6).alias("mean_b"),
                     "decode_ok")
             .orderBy("doc_id"))
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+      FROM documents),
+    rep AS (
+      SELECT doc_id,
+             repeat(text, CAST(ceil({MM._WAV_DATA_BYTES}.0
+                 / length(text)) + 1 AS INT)) AS r
+      FROM t WHERE length(text) > 0),
+    sm AS (SELECT doc_id,
+                  ascii(substr(r, 2 * j + 1, 1))
+                  + 256 * ascii(substr(r, 2 * j + 2, 1)) AS s
+           FROM rep, (SELECT unnest(generate_series(
+               0, {MM.WAV_SAMPLES - 1})) AS j)),
+    ag AS (SELECT doc_id, CAST(max(s) AS BIGINT) AS peak_amp,
+                  CAST(sum(s * s) AS BIGINT) AS sum_sq
+           FROM sm GROUP BY doc_id)
+    SELECT doc_id, CAST({MM.WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST({MM.WAV_SAMPLES} AS BIGINT) AS n_samples,
+           peak_amp, sum_sq,
+           ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {MM.WAV_SAMPLES}), 6)
+               AS rms,
+           TRUE AS decode_ok
+    FROM ag ORDER BY doc_id
+    """,
+    doc="REAL audio decode: each doc gets a valid PCM16-mono RIFF/WAVE "
+        "payload (constant 44-byte header via unhex — UTF-8 cannot "
+        "emit the 0x80+ length bytes — plus text bytes as little-"
+        "endian sample pairs), and the mapInPandas kernel walks the "
+        "actual chunk structure: RIFF magic, fmt chunk (PCM, channels, "
+        "rate, bits), data chunk, numpy '<i2' samples. Features are "
+        "exact integers (peak, sum of squares) plus one RMS whose "
+        "sqrt input is an exact power-of-two division, so the value "
+        "is engine-independent; the oracle recomputes the samples "
+        "from per-character codepoints. Narrow Arrow-batched map, "
+        "no shuffle — the audio twin of multimodal_ppm_decode",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = MM.with_wav_payload(docs)
+    return (MM.extract_wav_features(media)
+            .select("doc_id", "sample_rate", "n_samples", "peak_amp",
+                    "sum_sq", F.round("rms", 6).alias("rms"),
+                    "decode_ok")
+            .orderBy("doc_id"))
+
+
+@query(
+    "image_patchify",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+      FROM documents),
+    rep AS (
+      SELECT doc_id,
+             repeat(text, CAST(ceil(192.0 / length(text)) + 1 AS INT))
+                 AS r
+      FROM t WHERE length(text) > 0),
+    px AS (SELECT doc_id, p, ascii(substr(r, p + 1, 1)) AS byte
+           FROM rep, (SELECT unnest(generate_series(0, 191)) AS p)),
+    g AS (SELECT doc_id,
+                 ((p // 3) // 8) // 4 AS patch_row,
+                 ((p // 3) % 8) // 4 AS patch_col,
+                 p % 3 AS c,
+                 CAST(sum(byte) AS BIGINT) AS s
+          FROM px GROUP BY 1, 2, 3, 4)
+    SELECT doc_id,
+           CAST(patch_row AS BIGINT) AS patch_row,
+           CAST(patch_col AS BIGINT) AS patch_col,
+           ROUND(CAST(max(CASE WHEN c = 0 THEN s END) AS DOUBLE) / 16,
+                 6) AS mean_r,
+           ROUND(CAST(max(CASE WHEN c = 1 THEN s END) AS DOUBLE) / 16,
+                 6) AS mean_g,
+           ROUND(CAST(max(CASE WHEN c = 2 THEN s END) AS DOUBLE) / 16,
+                 6) AS mean_b
+    FROM g GROUP BY doc_id, patch_row, patch_col
+    ORDER BY doc_id, patch_row, patch_col
+    """,
+    doc="ViT-style patch extraction on real decoded pixels: decode the "
+        "8x8 P6 payload, split into a 2x2 grid of 4x4 patches, reduce "
+        "each patch to exact per-channel means via one vectorized "
+        "numpy reshape-sum (integer sums / 16 — order-insensitive). "
+        "This is the image->patch-grid->vector preprocessing every "
+        "vision-transformer ingest pipeline runs; the oracle "
+        "recomputes patch membership from byte positions "
+        "(pixel = p DIV 3, row = pixel DIV 8, patch = row DIV 4). "
+        "Per-row fan-out (4 patches/doc) stays inside the Arrow "
+        "batch — no shuffle",
+)
+def image_patchify(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = MM.with_ppm_payload(docs)
+    return (MM.patchify_ppm(media)
+            .select("doc_id", "patch_row", "patch_col",
+                    F.round("mean_r", 6).alias("mean_r"),
+                    F.round("mean_g", 6).alias("mean_g"),
+                    F.round("mean_b", 6).alias("mean_b"))
+            .orderBy("doc_id", "patch_row", "patch_col"))

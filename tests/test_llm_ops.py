@@ -260,6 +260,61 @@ def test_ppm_decoder_is_a_real_parser(spark):
     assert mine.decode_ok and (out.width == 8).all()
 
 
+def test_wav_decoder_is_a_real_parser(spark):
+    import numpy as np
+    import pytest
+    from big_datatrader_spark.functions.multimodal import (
+        _WAV_HEADER, decode_wav, extract_wav_features, with_wav_payload)
+    from big_datatrader_spark.sources.parquet_source import table
+
+    # real chunk walk: header fields honored, samples little-endian
+    samples = np.arange(64, dtype="<i2")
+    rate, n_ch, out = decode_wav(_WAV_HEADER + samples.tobytes())
+    assert (rate, n_ch) == (8000, 1)
+    assert np.array_equal(out, samples)
+    # an extra chunk between fmt and data must be skipped, not break
+    extra = (_WAV_HEADER[:36] + b"LIST" + (4).to_bytes(4, "little")
+             + b"INFO" + _WAV_HEADER[36:] + samples.tobytes())
+    assert np.array_equal(decode_wav(extra)[2], samples)
+    # malformed inputs are rejected, not silently faked
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + _WAV_HEADER[4:] + samples.tobytes())
+    with pytest.raises(ValueError):  # 8-bit PCM
+        bad = bytearray(_WAV_HEADER + samples.tobytes())
+        bad[34] = 8
+        decode_wav(bytes(bad))
+
+    # end to end: features match a direct recompute from text bytes
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    out = extract_wav_features(with_wav_payload(docs)).toPandas()
+    texts = docs.select("doc_id", "text").toPandas()
+    row = texts.iloc[0]
+    rep = (row.text * (128 // len(row.text) + 2))[:128].encode()
+    s = np.frombuffer(rep, dtype="<i2").astype(np.int64)
+    mine = out[out.doc_id == row.doc_id].iloc[0]
+    assert mine.peak_amp == s.max() and mine.sum_sq == (s * s).sum()
+    assert (out.sample_rate == 8000).all() and out.decode_ok.all()
+
+
+def test_patchify_matches_pixel_grid(spark):
+    import numpy as np
+    from big_datatrader_spark.functions.multimodal import (
+        decode_ppm, patchify_ppm, with_ppm_payload)
+    from big_datatrader_spark.sources.parquet_source import table
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    media = with_ppm_payload(docs)
+    patches = patchify_ppm(media).toPandas()
+    raw = {r.doc_id: bytes(r.content) for r in media.collect()}
+    assert set(patches.groupby("doc_id").size()) == {4}
+    for doc_id, payload in raw.items():
+        _, _, img = decode_ppm(payload)
+        mine = patches[patches.doc_id == doc_id]
+        for _, p in mine.iterrows():
+            pr, pc = int(p.patch_row), int(p.patch_col)
+            blk = img[pr * 4:(pr + 1) * 4, pc * 4:(pc + 1) * 4]
+            assert p.mean_g == blk[:, :, 1].astype(int).sum() / 16
+
+
 def test_multimodal_payloads_survive_non_ascii_text(spark):
     """The payload builders and their oracles slice text per-character;
     the oracle parity contract is that chars == bytes, enforced by
