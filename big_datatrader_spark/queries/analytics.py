@@ -2470,3 +2470,93 @@ def cusum_change_detection(spark, sf_dir):
                 ((F.col("c") - F.col("m")) > F.col("n") * 500)
                 .alias("alarm"))
             .orderBy("user_id", "day"))
+
+
+@query(
+    "rsi_bollinger_bands",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (
+      SELECT user_id, ts, event_id, cents,
+             cents - lag(cents) OVER w AS diff
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    agg AS (
+      SELECT user_id, ts, event_id,
+             CAST(count(cents) OVER w20 AS BIGINT) AS n,
+             CAST(sum(cents) OVER w20 AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER w20 AS BIGINT) AS sq,
+             CAST(coalesce(sum(CASE WHEN diff > 0 THEN diff
+                                    ELSE 0 END) OVER w14, 0)
+                 AS BIGINT) AS g,
+             CAST(coalesce(sum(CASE WHEN diff < 0 THEN -diff
+                                    ELSE 0 END) OVER w14, 0)
+                 AS BIGINT) AS l
+      FROM d
+      WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, ts, event_id,
+           ROUND(s / (100.0 * n), 6) AS bb_mid,
+           ROUND(s / (100.0 * n)
+                 + 2 * (sqrt(CAST(n * sq - s * s AS DOUBLE))
+                        / (100.0 * n)), 6) AS bb_upper,
+           ROUND(s / (100.0 * n)
+                 - 2 * (sqrt(CAST(n * sq - s * s AS DOUBLE))
+                        / (100.0 * n)), 6) AS bb_lower,
+           CASE WHEN g + l > 0
+                THEN ROUND(100.0 * g / (g + l), 6) END AS rsi14
+    FROM agg ORDER BY user_id, ts, event_id
+    """,
+    doc="classic technical-indicator pair as pure window algebra: "
+        "Bollinger bands (20-row rolling mean +/- 2 population sigmas) "
+        "and Cutler's RSI-14 (simple-average gains vs losses over the "
+        "last 14 diffs). Exactness: prices become integer cents; every "
+        "windowed aggregate (count, sum, sum of squares, gain/loss "
+        "sums) is an exact BIGINT, and the only floats are one "
+        "identical final expression per column — sigma via "
+        "sqrt(n*sq - s^2)/(100n) on an exact integer radicand "
+        "(non-negative by Cauchy-Schwarz), RSI via 100g/(g+l) on "
+        "exact sums — so both engines round identical doubles. "
+        "Scale shape: ONE hash-partition-by-user exchange feeds every "
+        "window (shared sort), no joins, no collect; at 100 TB this "
+        "is the canonical partition-local indicator scan",
+)
+def rsi_bollinger_bands(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w20 = wo.rowsBetween(-19, 0)
+    w14 = wo.rowsBetween(-13, 0)
+    d = ev.withColumn("diff", F.col("cents") - F.lag("cents").over(wo))
+    agg = d.select(
+        "user_id", "ts", "event_id",
+        F.count("cents").over(w20).alias("n"),
+        F.sum("cents").over(w20).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w20).alias("sq"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff") > 0, F.col("diff"))
+                  .otherwise(F.lit(0).cast("bigint"))).over(w14),
+            F.lit(0).cast("bigint")).alias("g"),
+        F.coalesce(
+            F.sum(F.when(F.col("diff") < 0, -F.col("diff"))
+                  .otherwise(F.lit(0).cast("bigint"))).over(w14),
+            F.lit(0).cast("bigint")).alias("l"))
+    sigma2 = (F.sqrt((F.col("n") * F.col("sq")
+                      - F.col("s") * F.col("s")).cast("double"))
+              / (100.0 * F.col("n"))) * 2
+    mid = F.col("s") / (100.0 * F.col("n"))
+    return (agg.select(
+                "user_id", "ts", "event_id",
+                F.round(mid, 6).alias("bb_mid"),
+                F.round(mid + sigma2, 6).alias("bb_upper"),
+                F.round(mid - sigma2, 6).alias("bb_lower"),
+                F.when(F.col("g") + F.col("l") > 0,
+                       F.round(100.0 * F.col("g")
+                               / (F.col("g") + F.col("l")), 6))
+                .alias("rsi14"))
+            .orderBy("user_id", "ts", "event_id"))
