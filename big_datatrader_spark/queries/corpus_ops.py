@@ -980,3 +980,142 @@ def weighted_sample_es(spark, sf_dir):
         F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"))
     return (keyed.orderBy(F.desc("es_key"), "doc_id").limit(_ES_K)
             .select("doc_id", "weight", "es_key"))
+
+
+# --- Item-item collaborative filtering (co-purchase Jaccard top-k) ----------
+
+_CF_TOPK = 5
+
+
+@query(
+    "item_item_similarity",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    n AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+    pair AS (SELECT a.p AS x, b.p AS y,
+                    CAST(count(*) AS BIGINT) AS inter
+             FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+             GROUP BY 1, 2),
+    j AS (SELECT x, y, inter,
+                 CAST(nx.n + ny.n - inter AS BIGINT) AS uni
+          FROM pair JOIN n nx ON nx.p = x JOIN n ny ON ny.p = y),
+    r AS (SELECT x, y, inter, uni,
+                 row_number() OVER (
+                     PARTITION BY x
+                     ORDER BY CAST(inter AS DOUBLE) / uni DESC, y)
+                     AS rk
+          FROM j)
+    SELECT x AS part_key, y AS neighbor_key, inter AS n_common,
+           uni AS n_union,
+           ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard,
+           CAST(rk AS BIGINT) AS rank
+    FROM r WHERE rk <= {_CF_TOPK} ORDER BY part_key, rank
+    """,
+    doc=f"item-item collaborative filtering: for every part, the top "
+        f"{_CF_TOPK} most-similar parts by Jaccard over the sets of "
+        "orders that contain them. Co-occurrence counts come from the "
+        "basket-bounded self-join on l_orderkey (an order has O(1) "
+        "lines, so the join fans out quadratically in BASKET size, "
+        "never corpus size — the inverted-index shape; a hot-basket "
+        "df-cutoff slots in like dedup_ngram_jaccard_capped if "
+        "baskets were unbounded). Jaccard = inter/(nx+ny-inter) on "
+        "exact BIGINTs; ranking compares the identical IEEE double in "
+        "both engines with an id tie-break, and the per-item top-k "
+        "window is partitioned by item — no global sort anywhere",
+)
+def item_item_similarity(spark, sf_dir):
+    op = (table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    n = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("o"), F.col("p").alias("x"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    pair = (a.join(b, (a.o == b.o2) & (F.col("x") != F.col("y")))
+            .groupBy("x", "y").agg(F.count(F.lit(1)).alias("inter")))
+    j = (pair
+         .join(n.select(F.col("p").alias("x"),
+                        F.col("n").alias("nx")), "x")
+         .join(n.select(F.col("p").alias("y"),
+                        F.col("n").alias("ny")), "y")
+         .select("x", "y", "inter",
+                 (F.col("nx") + F.col("ny") - F.col("inter"))
+                 .alias("uni")))
+    sim = F.col("inter").cast("double") / F.col("uni")
+    w = Window.partitionBy("x").orderBy(F.desc(sim), "y")
+    return (j.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _CF_TOPK)
+            .select(F.col("x").alias("part_key"),
+                    F.col("y").alias("neighbor_key"),
+                    F.col("inter").alias("n_common"),
+                    F.col("uni").alias("n_union"),
+                    F.round(sim, 6).alias("jaccard"),
+                    F.col("rk").cast("bigint").alias("rank"))
+            .orderBy("part_key", "rank"))
+
+
+# --- Single-source hop distance (BFS over the co-purchase graph) ------------
+
+_BFS_SRC = 1       # part keys are 1..N in every TPC-H generation
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "sssp_copurchase",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS x, b.p AS y
+          FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+    walk(node, dist) AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT), 0
+      UNION
+      SELECT e.y, w.dist + 1
+      FROM walk w JOIN e ON e.x = w.node
+      WHERE w.dist < {_BFS_MAX_HOPS})
+    SELECT node AS part_key, CAST(min(dist) AS BIGINT) AS hop_dist
+    FROM walk GROUP BY node ORDER BY part_key
+    """,
+    doc=f"single-source shortest path (unit weights = BFS hop "
+        f"distance, <= {_BFS_MAX_HOPS} hops) from part {_BFS_SRC} "
+        "over the co-purchase graph — the iterative-graph-algorithm "
+        "slot next to pagerank and connected components. Spark runs "
+        "frontier-based BFS: each round expands ONLY the newly "
+        "settled frontier against the edge list (equi-join), "
+        "anti-joins out already-settled nodes, and localCheckpoints "
+        "to truncate lineage — per-round cost is O(frontier "
+        "out-degree), the Pregel pattern, and a settled node is never "
+        "re-expanded. The oracle is a DuckDB recursive CTE whose "
+        "UNION-dedup bounds tuples by nodes x hops. Both sides "
+        "compute the identical min-hop map",
+)
+def sssp_copurchase(spark, sf_dir):
+    op = (table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    a = op.select(F.col("o"), F.col("p").alias("x"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    edges = (a.join(b, (a.o == b.o2) & (F.col("x") != F.col("y")))
+             .select("x", "y").distinct()
+             .localCheckpoint(eager=True))
+    spark_ = op.sparkSession
+    dist = spark_.createDataFrame([( _BFS_SRC, 0)],
+                                  "node long, hop_dist long")
+    frontier = dist
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (frontier
+               .join(edges, frontier.node == edges.x)
+               .select(F.col("y").alias("node"))
+               .distinct()
+               .join(dist, "node", "left_anti")
+               .select("node", F.lit(i).cast("long")
+                       .alias("hop_dist")))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (dist.select(F.col("node").alias("part_key"), "hop_dist")
+            .orderBy("part_key"))
