@@ -238,3 +238,85 @@ def stem_token_frequencies(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "norm")
         .limit(100)
     )
+
+
+# --- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) ------
+
+_WIN_K = 5         # char k-gram length
+_WIN_W = 4         # winnowing window (guarantee threshold t = w+k-1)
+_POS_BITS = 1 << 20  # pack = h40 * 2^20 + (2^20-1-pos); h40 < 2^40
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS c
+      FROM documents),
+    g0 AS (
+      SELECT doc_id, c,
+             unnest(generate_series(1, length(c) - {_WIN_K - 1})) AS p
+      FROM t WHERE length(c) >= {_WIN_K}),
+    pk AS (
+      SELECT doc_id, p,
+             CAST(('0x' || substr(md5(substr(c, p, {_WIN_K})), 1, 10))
+                 AS BIGINT) * {_POS_BITS}
+                 + ({_POS_BITS - 1} - p) AS pack
+      FROM g0),
+    sel AS (
+      SELECT doc_id, p,
+             min(pack) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                             AND CURRENT ROW) AS s
+      FROM pk),
+    fp AS (SELECT DISTINCT doc_id, s FROM sel WHERE p >= {_WIN_W})
+    SELECT doc_id,
+           CAST(s // {_POS_BITS} AS BIGINT) AS fp_hash,
+           CAST({_POS_BITS - 1} - s % {_POS_BITS} AS BIGINT) AS fp_pos
+    FROM fp ORDER BY doc_id, fp_pos, fp_hash
+    """,
+    doc=f"MOSS winnowing (Schleimer et al. 2003): canonicalize "
+        f"(lowercase, alphanumerics only), hash every char {_WIN_K}-"
+        f"gram to 40 bits, slide a {_WIN_W}-hash window and keep each "
+        "window's MINIMUM hash with rightmost tie-break — the "
+        "guarantee-threshold fingerprinting scheme plagiarism/overlap "
+        "detectors are built on, giving ~2/(w+1) density with every "
+        f"match of length >= {_WIN_W + _WIN_K - 1} guaranteed caught. "
+        "The min-with-rightmost-tie-break is ONE window min over "
+        "packed h*2^20 + (2^20-1-pos) BIGINTs (no UDF, no sort "
+        "beyond the shared per-doc window exchange); dedup of "
+        "per-window selections is a distinct on the packed value. "
+        "Fingerprints, not text, are what a cross-corpus overlap "
+        "join ships at 100 TB",
+)
+def winnowing_fingerprints(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    c = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    base = (docs.select("doc_id", c.alias("c"))
+            .filter(F.length("c") >= _WIN_K))
+    g = base.select(
+        "doc_id", "c",
+        F.explode(F.sequence(
+            F.lit(1), F.length("c") - (_WIN_K - 1))).alias("p"))
+    h40 = F.conv(F.substring(
+        F.md5(F.expr(f"substring(c, p, {_WIN_K})")), 1, 10),
+        16, 10).cast("long")
+    pk = g.select(
+        "doc_id", "p",
+        (h40 * _POS_BITS + (F.lit(_POS_BITS - 1) - F.col("p")))
+        .alias("pack"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("doc_id").orderBy("p")
+         .rowsBetween(-(_WIN_W - 1), 0))
+    sel = (pk.select("doc_id", "p",
+                     F.min("pack").over(w).alias("s"))
+           .filter(F.col("p") >= _WIN_W)
+           .select("doc_id", "s").distinct())
+    return (sel.select(
+                "doc_id",
+                # integer DIV: double division loses bits at 2^60
+                F.expr(f"s DIV {_POS_BITS}").alias("fp_hash"),
+                (F.lit(_POS_BITS - 1) - F.col("s") % _POS_BITS)
+                .cast("bigint").alias("fp_pos"))
+            .orderBy("doc_id", "fp_pos", "fp_hash"))
