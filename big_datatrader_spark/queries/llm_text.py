@@ -8,7 +8,7 @@ DuckDB oracles reproduce the convention with list lambdas.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions import text as TX
 from ..sources.parquet_source import table
@@ -320,3 +320,116 @@ def winnowing_fingerprints(spark, sf_dir):
                 (F.lit(_POS_BITS - 1) - F.col("s") % _POS_BITS)
                 .cast("bigint").alias("fp_pos"))
             .orderBy("doc_id", "fp_pos", "fp_hash"))
+
+
+# --- Multinomial Naive Bayes language classifier (train + score) -----------
+
+_NB_SCALE = 1000000000  # log-prob term -> integer nano-nats
+
+
+@query(
+    "naive_bayes_lang_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+    lt AS (SELECT d.lang, tk.tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    sl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS s
+           FROM lt GROUP BY 1),
+    vocab AS (SELECT DISTINCT tok FROM tk),
+    vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+            FROM documents GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    grid AS (SELECT v.tok, p.lang, coalesce(lt.c, 0) AS c
+             FROM vocab v CROSS JOIN pri p
+             LEFT JOIN lt ON lt.tok = v.tok AND lt.lang = p.lang),
+    term AS (SELECT g.tok, g.lang,
+                    CAST(ROUND(ln(CAST(g.c + 1 AS DOUBLE)
+                                  / (sl.s + vn.v))
+                               * {_NB_SCALE}) AS BIGINT) AS lw
+             FROM grid g JOIN sl USING (lang) CROSS JOIN vn),
+    priw AS (SELECT lang,
+                    CAST(ROUND(ln(CAST(nl AS DOUBLE) / nn.n)
+                               * {_NB_SCALE}) AS BIGINT) AS pw
+             FROM pri CROSS JOIN nn),
+    sc AS (SELECT tf.doc_id, t.lang,
+                  CAST(sum(tf.tf * t.lw) AS BIGINT) AS tsum
+           FROM tf JOIN term t USING (tok) GROUP BY 1, 2),
+    tot AS (SELECT sc.doc_id, sc.lang, sc.tsum + priw.pw AS sscore
+            FROM sc JOIN priw USING (lang)),
+    best AS (SELECT doc_id, lang AS pred_lang, sscore,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY sscore DESC, lang)
+                        AS rn
+             FROM tot)
+    SELECT b.doc_id, d.lang AS actual_lang, b.pred_lang,
+           ROUND(b.sscore / {_NB_SCALE}.0, 6) AS log_score,
+           (b.pred_lang = d.lang) AS is_correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE rn = 1 ORDER BY b.doc_id
+    """,
+    doc="multinomial Naive Bayes language classifier, trained AND "
+        "scored distributed: per-(lang, token) occurrence counts with "
+        "Laplace smoothing give log P(tok|lang), doc log-likelihoods "
+        "are token-frequency-weighted sums plus the log prior, argmax "
+        "per doc predicts the language. Exactness: every smoothed "
+        "log-prob is ONE identical double ln((c+1)/(S_l+V)) rounded "
+        "to integer nano-nats, so per-doc scores are exact BIGINT "
+        "sums — order-insensitive across partitionings — and the "
+        "argmax compares integers with a lang tie-break. Scale "
+        "shape: training is two map-side-combined groupBys over the "
+        "token stream; the model (vocab x 5 langs) is a hash-join "
+        "side, priors/vocab-size are 1-5 row broadcasts; scoring "
+        "is one equi-join + groupBy per doc — no collect, the model "
+        "never leaves the cluster",
+)
+def naive_bayes_lang_score(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id",
+                     F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    lt = (tk.join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c")))
+    sl = lt.groupBy("lang").agg(F.sum("c").alias("s"))
+    vocab = tk.select("tok").distinct()
+    vn = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pri = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (vocab.crossJoin(F.broadcast(pri.select("lang")))
+            .join(lt, ["tok", "lang"], "left")
+            .select("tok", "lang",
+                    F.coalesce("c", F.lit(0).cast("bigint"))
+                    .alias("c")))
+    term = (grid.join(F.broadcast(sl), "lang")
+            .crossJoin(F.broadcast(vn))
+            .select("tok", "lang",
+                    F.round(F.log((F.col("c") + 1).cast("double")
+                                  / (F.col("s") + F.col("v")))
+                            * _NB_SCALE).cast("bigint").alias("lw")))
+    priw = (pri.crossJoin(F.broadcast(nn))
+            .select("lang",
+                    F.round(F.log(F.col("nl").cast("double")
+                                  / F.col("n"))
+                            * _NB_SCALE).cast("bigint").alias("pw")))
+    sc = (tf.join(term, "tok")
+          .groupBy("doc_id", "lang")
+          .agg(F.sum(F.col("tf") * F.col("lw")).alias("tsum")))
+    tot = (sc.join(F.broadcast(priw), "lang")
+           .select("doc_id", "lang",
+                   (F.col("tsum") + F.col("pw")).alias("sscore")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sscore"), "lang")
+    best = (tot.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (best.join(docs.select("doc_id",
+                                  F.col("lang").alias("actual_lang")),
+                      "doc_id")
+            .select("doc_id", "actual_lang",
+                    F.col("lang").alias("pred_lang"),
+                    F.round(F.col("sscore") / float(_NB_SCALE), 6)
+                    .alias("log_score"),
+                    (F.col("lang") == F.col("actual_lang"))
+                    .alias("is_correct"))
+            .orderBy("doc_id"))
