@@ -45,10 +45,11 @@ _TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
 _BM25_TOPK = 10
 
 
-@query(
-    "bm25_more_like_this",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+# shared oracle CTE chain: token stream -> tf/dl/df stats -> per-term
+# BM25 scores -> ordered-fold per-doc totals (used by the plain ranking
+# and by the RRF hybrid below)
+_BM25_CTES = f"""
+    tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
     tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
            FROM tk GROUP BY 1, 2),
     dl AS (SELECT d.doc_id,
@@ -80,28 +81,13 @@ _BM25_TOPK = 10
              ROUND(list_reduce(list(s ORDER BY tok),
                                (a, b) -> a + b), 6) AS bm25,
              CAST(count(*) AS BIGINT) AS n_terms
-      FROM per GROUP BY doc_id)
-    SELECT doc_id, bm25, n_terms, CAST(rn AS BIGINT) AS rank
-    FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id)
-                        AS rn
-          FROM total) t
-    WHERE rn <= {_BM25_TOPK}
-    ORDER BY rank
-    """,
-    doc=f"Okapi BM25 more-like-this: rank every document against the "
-        f"query terms of the lowest-id document, top {_BM25_TOPK}. "
-        "k1=1.2, b=0.75, Lucene idf. Exactness: the per-term score is "
-        "one identical double expression over exact BIGINT stats (the "
-        "denominator cross-multiplied by 10*S so no intermediate "
-        "rational), rounded to 9; per-doc totals fold the terms in "
-        "sorted order on BOTH engines, so the hash matches despite fp. "
-        "Scale shape: df and the 3 scalars are tiny broadcasts, tf is "
-        "one map-side-combined groupBy, the query-term join prunes the "
-        "corpus to matching postings BEFORE any shuffle — the classic "
-        "impact-ordered posting scan, and the final top-k is "
-        "TakeOrderedAndProject, never a global sort",
-)
-def bm25_more_like_this(spark, sf_dir):
+      FROM per GROUP BY doc_id)"""
+
+
+def _bm25_parts(spark, sf_dir):
+    """Shared BM25 pipeline pieces: (tk token stream, sc 1-row stats,
+    total per-doc scores) — used by both the plain more-like-this
+    ranking and the RRF hybrid fusion below."""
     docs = table(spark, sf_dir, "documents")
     tk = docs.select("doc_id",
                      F.explode(TX.tokens(F.col("text"))).alias("tok"))
@@ -141,6 +127,35 @@ def bm25_more_like_this(spark, sf_dir):
                     lambda x: x["s_term"]),
                 F.lit(0.0), lambda acc, x: acc + x), 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms")))
+    return tk, sc, total
+
+
+@query(
+    "bm25_more_like_this",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25, n_terms, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS rn
+          FROM total) t
+    WHERE rn <= {_BM25_TOPK}
+    ORDER BY rank
+    """,
+    doc=f"Okapi BM25 more-like-this: rank every document against the "
+        f"query terms of the lowest-id document, top {_BM25_TOPK}. "
+        "k1=1.2, b=0.75, Lucene idf. Exactness: the per-term score is "
+        "one identical double expression over exact BIGINT stats (the "
+        "denominator cross-multiplied by 10*S so no intermediate "
+        "rational), rounded to 9; per-doc totals fold the terms in "
+        "sorted order on BOTH engines, so the hash matches despite fp. "
+        "Scale shape: df and the 3 scalars are tiny broadcasts, tf is "
+        "one map-side-combined groupBy, the query-term join prunes the "
+        "corpus to matching postings BEFORE any shuffle — the classic "
+        "impact-ordered posting scan, and the final top-k is "
+        "TakeOrderedAndProject, never a global sort",
+)
+def bm25_more_like_this(spark, sf_dir):
+    _, _, total = _bm25_parts(spark, sf_dir)
     # top-k FIRST (TakeOrderedAndProject — no global sort), then the
     # rank window runs over a <= _BM25_TOPK-row relation: tiny forever
     top = total.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
@@ -342,3 +357,107 @@ def udaf_median_cents(spark, sf_dir):
             .agg(n_vals(F.col("cents")).alias("n_events"),
                  lower_median(F.col("cents")).alias("median_cents"))
             .orderBy("event_type"))
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) --------
+
+_RRF_K = 60        # the canonical RRF dampening constant
+_RRF_POOL = 50     # per-ranker candidate pool
+_RRF_OUT = 10
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH {{bm25_ctes}},
+    atop AS (SELECT doc_id, bm25 FROM total
+             ORDER BY bm25 DESC, doc_id LIMIT {_RRF_POOL}),
+    ar AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS ra
+           FROM atop),
+    dtok AS (SELECT DISTINCT doc_id, tok FROM tk),
+    qset AS (SELECT dtok.tok FROM dtok, sc
+             WHERE dtok.doc_id = sc.qdoc),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM qset),
+    dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+           FROM dtok GROUP BY 1),
+    inter AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS i
+              FROM dtok d JOIN qset q ON d.tok = q.tok, sc
+              WHERE d.doc_id <> sc.qdoc GROUP BY 1),
+    jtop AS (SELECT i.doc_id, i.i,
+                    CAST(dn.nd + nq.nq - i.i AS BIGINT) AS u
+             FROM inter i JOIN dn ON dn.doc_id = i.doc_id
+             CROSS JOIN nq
+             ORDER BY CAST(i.i AS DOUBLE) / (dn.nd + nq.nq - i.i)
+                 DESC, i.doc_id
+             LIMIT {_RRF_POOL}),
+    jr AS (SELECT doc_id,
+                  row_number() OVER (
+                      ORDER BY CAST(i AS DOUBLE) / u DESC, doc_id)
+                      AS rj
+           FROM jtop),
+    fused AS (SELECT coalesce(ar.doc_id, jr.doc_id) AS doc_id,
+                     coalesce(1.0 / ({_RRF_K} + ar.ra), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + jr.rj), 0.0) AS rrf,
+                     coalesce(ar.ra, 0) AS ra, coalesce(jr.rj, 0) AS rj
+              FROM ar FULL OUTER JOIN jr ON ar.doc_id = jr.doc_id)
+    SELECT doc_id, ROUND(rrf, 9) AS rrf_score,
+           CAST(ra AS BIGINT) AS bm25_rank,
+           CAST(rj AS BIGINT) AS jaccard_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+    """.format(bm25_ctes=_BM25_CTES),
+    doc=f"hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+        f"2009, k={_RRF_K}): fuse a BM25 ranking with a token-set "
+        f"Jaccard ranking against the same query document — the "
+        "sparse+sparse stand-in for the BM25+dense fusion every "
+        "production RAG stack runs. Each ranker contributes its "
+        f"top-{_RRF_POOL} pool via TakeOrderedAndProject (rank "
+        "windows run over <= pool-size relations, never the corpus); "
+        "RRF = sum of 1/(k+rank) over the rankers, a fixed two-term "
+        "double expression on integer ranks, so fusion scores are "
+        "engine-exact; absent-from-pool ranks surface as 0, not "
+        "NULL, keeping the column integer-typed in both engines",
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    tk, sc, total = _bm25_parts(spark, sf_dir)
+    atop = total.orderBy(F.desc("bm25"), "doc_id").limit(_RRF_POOL)
+    ar = atop.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("ra"))
+    dtok = tk.distinct()
+    qset = (dtok.join(F.broadcast(sc.select("qdoc")),
+                      dtok.doc_id == F.col("qdoc"))
+            .select("tok"))
+    nq = qset.agg(F.count(F.lit(1)).alias("nq"))
+    dn = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    inter = (dtok.join(F.broadcast(qset.select("tok")), "tok")
+             .crossJoin(F.broadcast(sc.select("qdoc")))
+             .filter(F.col("doc_id") != F.col("qdoc"))
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("i")))
+    jsim = F.col("i").cast("double") / (F.col("nd") + F.col("nq")
+                                        - F.col("i"))
+    jtop = (inter.join(dn, "doc_id").crossJoin(F.broadcast(nq))
+            .select("doc_id", "i",
+                    (F.col("nd") + F.col("nq") - F.col("i"))
+                    .alias("u"))
+            .orderBy(F.desc(jsim), "doc_id").limit(_RRF_POOL))
+    jr = jtop.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc(F.col("i").cast("double")
+                                  / F.col("u")), "doc_id"))
+        .alias("rj"))
+    fused = (ar.join(jr, "doc_id", "full_outer")
+             .select(
+                 "doc_id",
+                 (F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                  + F.coalesce(1.0 / (_RRF_K + F.col("rj")),
+                               F.lit(0.0))).alias("rrf"),
+                 F.coalesce("ra", F.lit(0)).alias("ra"),
+                 F.coalesce("rj", F.lit(0)).alias("rj")))
+    return (fused.orderBy(F.desc("rrf"), "doc_id").limit(_RRF_OUT)
+            .select("doc_id", F.round("rrf", 9).alias("rrf_score"),
+                    F.col("ra").cast("bigint").alias("bm25_rank"),
+                    F.col("rj").cast("bigint").alias("jaccard_rank")))
