@@ -1703,3 +1703,145 @@ def doc_perplexity_bigram(spark, sf_dir):
                      / _PPL_SCALE, 4).alias("avg_nll"))
         .orderBy("doc_id")
     )
+
+
+# --- Incremental view maintenance (delta-apply == full recompute) ----------
+
+_IVM_CUT = "2024-01-20"
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY 1, 2 ORDER BY user_id, day
+    """,
+    doc="incremental view maintenance: a per-(user, day) aggregate "
+        "materialized over the pre-cutoff facts is refreshed by "
+        "aggregating ONLY the post-cutoff delta and merging partials "
+        "(full-outer join on the view key, null partials as additive "
+        "zeros). The oracle recomputes the view from ALL facts, so "
+        "the driver's hash equality IS the IVM correctness proof: "
+        "delta-apply == full recompute, which only holds because the "
+        "merged measures (count, integer-cent sum) are commutative "
+        "monoids. At 100 TB the delta agg touches a day of data while "
+        "the view join costs key-cardinality rows; with both sides "
+        "bucketed on the key (sources/bucketed.py) the merge needs "
+        "no exchange at all",
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts")
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("user_id", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"))
+
+    base = agg(ev.filter(F.col("ts") < cut))     # the materialized view
+    delta = agg(ev.filter(F.col("ts") >= cut))   # today's delta only
+    merged = (base.withColumnsRenamed(
+                  {"n_events": "n0", "sum_cents": "s0"})
+              .join(delta.withColumnsRenamed(
+                  {"n_events": "n1", "sum_cents": "s1"}),
+                  ["user_id", "day"], "full_outer")
+              .select(
+                  "user_id", "day",
+                  (F.coalesce("n0", F.lit(0).cast("bigint"))
+                   + F.coalesce("n1", F.lit(0).cast("bigint")))
+                  .alias("n_events"),
+                  (F.coalesce("s0", F.lit(0).cast("bigint"))
+                   + F.coalesce("s1", F.lit(0).cast("bigint")))
+                  .alias("sum_cents")))
+    return merged.orderBy("user_id", "day")
+
+
+# --- DSIR importance weights (Xie et al. 2023) ------------------------------
+
+_DSIR_B = 256          # hashed feature buckets
+_DSIR_SCALE = 1000000000
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, unnest({_grams_sql(2)}) AS gram FROM toks),
+    feat AS (SELECT doc_id, {_h60_sql('gram')} % {_DSIR_B} AS b
+             FROM bg),
+    cs AS (SELECT b, CAST(count(*) AS BIGINT) AS cs
+           FROM feat GROUP BY 1),
+    ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+           FROM feat JOIN documents USING (doc_id)
+           WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT CAST((SELECT sum(cs) FROM cs) AS BIGINT) AS s,
+                   CAST((SELECT coalesce(sum(ct), 0) FROM ct)
+                       AS BIGINT) AS t),
+    lw AS (SELECT cs.b,
+                  CAST(ROUND((ln(CAST(coalesce(ct.ct, 0) + 1
+                                      AS DOUBLE)
+                                 / (tot.t + {_DSIR_B}))
+                              - ln(CAST(cs.cs + 1 AS DOUBLE)
+                                   / (tot.s + {_DSIR_B})))
+                             * {_DSIR_SCALE}) AS BIGINT) AS lw
+           FROM cs LEFT JOIN ct ON ct.b = cs.b CROSS JOIN tot),
+    sc AS (SELECT feat.doc_id, CAST(sum(lw.lw) AS BIGINT) AS w,
+                  CAST(count(*) AS BIGINT) AS n_features
+           FROM feat JOIN lw ON lw.b = feat.b GROUP BY 1)
+    SELECT d.doc_id, d.lang, sc.n_features,
+           ROUND(sc.w / {_DSIR_SCALE}.0, 6) AS dsir_logw
+    FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc=f"DSIR data selection (Xie et al. 2023): importance weight of "
+        "every document for a target domain (lang='en') as the "
+        f"log-ratio of hashed-bigram likelihoods — {_DSIR_B} feature "
+        "buckets via the shared 60-bit md5, Laplace-smoothed unigram "
+        "models of target vs source bucket distributions, per-doc "
+        "weight = sum of per-occurrence log-ratios. The modern "
+        "importance-resampling front-end of pretraining pipelines. "
+        "Exactness: each bucket's log-ratio is ONE identical double "
+        "rounded to integer nano-nats, so doc weights are exact "
+        "BIGINT sums; the bucket model is O(B) rows — a broadcast "
+        "join side — and the two corpus passes are map-side-combined "
+        "groupBys. Nothing here grows with corpus size except the "
+        "two streaming scans",
+)
+def dsir_importance_weights(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bg = _gram_rows(docs, 2)
+    feat = bg.select("doc_id", (h60(F.col("gram")) % _DSIR_B)
+                     .alias("b"))
+    cs = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    ct = (feat.join(docs.select("doc_id", "lang"), "doc_id")
+          .filter(F.col("lang") == "en")
+          .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    tot = (cs.agg(F.sum("cs").alias("s")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0).cast("bigint"))
+               .alias("t"))))
+    lw = (cs.join(ct, "b", "left")
+          .crossJoin(F.broadcast(tot))
+          .select(
+              "b",
+              F.round(
+                  (F.log((F.coalesce("ct", F.lit(0).cast("bigint"))
+                          + 1).cast("double")
+                         / (F.col("t") + _DSIR_B))
+                   - F.log((F.col("cs") + 1).cast("double")
+                           / (F.col("s") + _DSIR_B)))
+                  * _DSIR_SCALE).cast("bigint").alias("lw")))
+    sc = (feat.join(F.broadcast(lw), "b")
+          .groupBy("doc_id")
+          .agg(F.sum("lw").alias("w"),
+               F.count(F.lit(1)).alias("n_features")))
+    return (sc.join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "n_features",
+                    F.round(F.col("w") / float(_DSIR_SCALE), 6)
+                    .alias("dsir_logw"))
+            .orderBy("doc_id"))
