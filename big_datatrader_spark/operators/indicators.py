@@ -106,3 +106,55 @@ def with_ewma(df: DataFrame, value_col: str,
         yield pdf[cols + [out_col]]
 
     return arranged.mapInPandas(kernel, schema=schema)
+
+
+def with_holt(df: DataFrame, value_col: str,
+              partition_by: Sequence[str],
+              order_by: Sequence[str],
+              level_col: str = "level", trend_col: str = "trend",
+              alpha: float = 0.2, beta: float = 0.1) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing:
+    ``l_0 = x_0, b_0 = 0;
+    l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1});
+    b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``.
+
+    Same partition-aligned fold layout as ``with_ewma`` (one exchange,
+    one partition sort, one Arrow transfer per partition); the two-state
+    recursion is written as the exact float expressions the DuckDB
+    recursive-CTE oracle evaluates, so the sequences are bit-identical
+    cross-engine."""
+    import pandas as pd
+
+    cols = list(df.columns)
+    keys = list(partition_by)
+    arranged = (df.repartition(*keys)
+                .sortWithinPartitions(*keys, *order_by))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + f", `{level_col}` double, `{trend_col}` double"
+    a, b_ = float(alpha), float(beta)
+
+    def kernel(batches):
+        frames = [fr for fr in batches if len(fr)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        n = len(pdf)
+        lv, tr = [0.0] * n, [0.0] * n
+        x = pdf[value_col].to_numpy()
+        gids = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        prev_gid, l, t = None, 0.0, 0.0
+        for i in range(n):
+            xi = float(x[i])
+            if gids[i] != prev_gid:
+                l, t = xi, 0.0
+                prev_gid = gids[i]
+            else:
+                l_new = a * xi + (1.0 - a) * (l + t)
+                t = b_ * (l_new - l) + (1.0 - b_) * t
+                l = l_new
+            lv[i], tr[i] = l, t
+        pdf[level_col], pdf[trend_col] = lv, tr
+        yield pdf[cols + [level_col, trend_col]]
+
+    return arranged.mapInPandas(kernel, schema=schema)

@@ -1845,3 +1845,58 @@ def dsir_importance_weights(spark, sf_dir):
                     F.round(F.col("w") / float(_DSIR_SCALE), 6)
                     .alias("dsir_logw"))
             .orderBy("doc_id"))
+
+
+# --- Holt's linear-trend smoothing (double EWMA) ---------------------------
+
+
+@query(
+    "holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    hw AS (
+      SELECT user_id, rn, ts, event_id, value,
+             value AS hl, CAST(0.0 AS DOUBLE) AS hb
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.rn, q.ts, q.event_id, q.value,
+             q.lnew, 0.1 * (q.lnew - q.hl) + 0.9 * q.hb
+      FROM (SELECT o.user_id, o.rn, o.ts, o.event_id, o.value,
+                   hw.hl, hw.hb,
+                   0.2 * o.value + 0.8 * (hw.hl + hw.hb) AS lnew
+            FROM ord o JOIN hw
+              ON o.user_id = hw.user_id AND o.rn = hw.rn + 1) q)
+    SELECT user_id, ts, event_id,
+           ROUND(hl, 6) AS level, ROUND(hb, 6) AS trend,
+           ROUND(hl + hb, 6) AS forecast_1
+    FROM hw ORDER BY user_id, rn
+    """,
+    doc="Holt's linear-trend (double exponential) smoothing per "
+        "series, alpha=0.2 beta=0.1: a TWO-state sequential recursion "
+        "(level + trend) no window function expresses -> the "
+        "partition-aligned mapInPandas fold (operators/indicators."
+        "with_holt, the ewma layout: one exchange, one sort, one "
+        "Arrow transfer per partition), oracled against a DuckDB "
+        "recursive CTE evaluating the IDENTICAL float expressions — "
+        "the sequences match bit-for-bit, so even the one-step "
+        "forecast level+trend hashes equal. The forecasting twin of "
+        "ewma_indicator",
+)
+def holt_linear_smoothing(spark, sf_dir):
+    from ..operators.indicators import with_holt
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    out = with_holt(ev, "value", ["user_id"], ["ts", "event_id"],
+                    level_col="__l", trend_col="__b",
+                    alpha=0.2, beta=0.1)
+    return (out.select(
+                "user_id", "ts", "event_id",
+                F.round("__l", 6).alias("level"),
+                F.round("__b", 6).alias("trend"),
+                F.round(F.col("__l") + F.col("__b"), 6)
+                .alias("forecast_1"))
+            .orderBy("user_id", "ts", "event_id"))

@@ -110,6 +110,32 @@ def test_ewma_matches_independent_recursion(spark):
     assert got_sym == expect  # bit-identical recursion
 
 
+def test_holt_matches_independent_recursion(spark):
+    from big_datatrader_spark.operators.indicators import with_holt
+    ev = (table(spark, SF, "events")
+          .select("user_id", "ts", "event_id", "value"))
+    got = with_holt(ev, "value", ["user_id"], ["ts", "event_id"],
+                    level_col="l", trend_col="b",
+                    alpha=0.2, beta=0.1).toPandas()
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    sym = pdf.user_id.iloc[0]
+    g = pdf[pdf.user_id == sym]
+    l, t, exp_l, exp_b = None, 0.0, [], []
+    for x in g.value:
+        if l is None:
+            l, t = float(x), 0.0
+        else:
+            l_new = 0.2 * float(x) + 0.8 * (l + t)
+            t = 0.1 * (l_new - l) + 0.9 * t
+            l = l_new
+        exp_l.append(l)
+        exp_b.append(t)
+    got_sym = (got[got.user_id == sym]
+               .sort_values(["ts", "event_id"]))
+    assert got_sym.l.tolist() == exp_l   # bit-identical two-state fold
+    assert got_sym.b.tolist() == exp_b
+
+
 def test_funnel_stages_shrink(spark):
     rows = sorted(REG["funnel_conversion"].spark_fn(spark, SF).collect(),
                   key=lambda r: r.stage)
