@@ -136,6 +136,26 @@ def test_holt_matches_independent_recursion(spark):
     assert got_sym.b.tolist() == exp_b
 
 
+def test_round4_ops_partition_invariant(spark):
+    """Round-4 exactness contract: integer-exact pipelines (NB
+    nano-nat sums, winnowing packed mins, DSIR bucket sums, RSI/
+    Bollinger integer-cent windows) and the per-series Holt fold must
+    produce bit-identical results at ANY shuffle-partition count."""
+    import os
+    for name in ("naive_bayes_lang_score", "winnowing_fingerprints",
+                 "dsir_importance_weights", "rsi_bollinger_bands",
+                 "holt_linear_smoothing"):
+        base = REG[name].spark_fn(spark, SF).toPandas()
+        for p in (1, 7):
+            os.environ["SPARK_GRAFT_CPUS"] = str(p)
+            try:
+                again = REG[name].spark_fn(spark, SF).toPandas()
+            finally:
+                os.environ["SPARK_GRAFT_CPUS"] = "32"
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+            assert base.equals(again), (name, p)
+
+
 def test_funnel_stages_shrink(spark):
     rows = sorted(REG["funnel_conversion"].spark_fn(spark, SF).collect(),
                   key=lambda r: r.stage)
