@@ -242,3 +242,26 @@ def test_round4_flagship_exchange_budgets(spark, sf001):
     assert uses_top_k(REG["weighted_sample_es"].spark_fn(spark, sf001))
     assert uses_top_k(REG["bm25_more_like_this"].spark_fn(spark, sf001))
     assert uses_top_k(REG["market_basket_lift"].spark_fn(spark, sf001))
+
+
+def test_round4b_exchange_budgets(spark, sf001):
+    """Shuffle budgets for the second round-4 wave. The decode paths
+    must stay narrow (their single exchange is the output sort); the
+    indicator/fold families ride one partition-by-series exchange plus
+    the output sort; the model-based ops are bounded by their stats
+    chains (every join side is token/doc-scale or a broadcast)."""
+    budgets = {
+        "multimodal_wav_decode": 1,      # narrow decode + output sort
+        "image_patchify": 1,
+        "rsi_bollinger_bands": 2,        # series window + output sort
+        "holt_linear_smoothing": 2,      # series fold + output sort
+        "winnowing_fingerprints": 2,     # per-doc window + distinct
+        "incremental_agg_maintenance": 3,  # base agg, delta agg, merge
+        "item_item_similarity": 9,
+        "dsir_importance_weights": 12,
+        "naive_bayes_lang_score": 14,
+        "hybrid_rrf_retrieval": 26,      # two full ranker chains
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
