@@ -2560,3 +2560,90 @@ def rsi_bollinger_bands(spark, sf_dir):
                                / (F.col("g") + F.col("l")), 6))
                 .alias("rsi14"))
             .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
+    "winsorized_user_stats",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT user_id, cents,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS n
+      FROM c WINDOW w AS (PARTITION BY user_id
+                          ORDER BY cents, event_id)),
+    t AS (
+      SELECT user_id, cents, rn, n,
+             (n * 5 + 99) // 100 AS rlo,
+             (n * 95 + 99) // 100 AS rhi
+      FROM r),
+    agg AS (
+      SELECT user_id, max(n) AS n_events,
+             CAST(max(CASE WHEN rn = rlo THEN cents END)
+                 AS BIGINT) AS lo_cents,
+             CAST(max(CASE WHEN rn = rhi THEN cents END)
+                 AS BIGINT) AS hi_cents,
+             CAST(coalesce(sum(CASE WHEN rn >= rlo AND rn <= rhi
+                                    THEN cents END), 0)
+                 AS BIGINT) AS s_mid,
+             CAST(sum(CASE WHEN rn < rlo THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN rn > rhi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_above
+      FROM t GROUP BY user_id)
+    SELECT user_id, n_events, lo_cents, hi_cents,
+           ROUND(CAST(s_mid + lo_cents * n_below
+                      + hi_cents * n_above AS DOUBLE)
+                 / (100.0 * n_events), 6) AS winsorized_mean
+    FROM agg ORDER BY user_id
+    """,
+    doc="winsorized per-user mean (5%/95%): clamp each series to its "
+        "exact P5/P95 order statistics before averaging — the robust "
+        "statistic that survives fat-tailed tick data. Rank cutoffs "
+        "are pure integer ceilings ((n*p+99) DIV 100), the clamp is "
+        "computed WITHOUT a second pass or self-join: every row knows "
+        "its rank and the cutoffs from one window, so a single "
+        "groupBy assembles sum(mid) + lo*|below| + hi*|above| from "
+        "exact integer cents. One exchange for the window (shared by "
+        "the groupBy key), deterministic tie-break by event_id",
+)
+def winsorized_user_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = (ev.select(
+            "user_id", "cents",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"))
+         .withColumn("rlo", F.expr("(n * 5 + 99) DIV 100"))
+         .withColumn("rhi", F.expr("(n * 95 + 99) DIV 100")))
+    agg = t.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.col("rn") == F.col("rlo"), F.col("cents")))
+        .alias("lo_cents"),
+        F.max(F.when(F.col("rn") == F.col("rhi"), F.col("cents")))
+        .alias("hi_cents"),
+        F.coalesce(
+            F.sum(F.when((F.col("rn") >= F.col("rlo"))
+                         & (F.col("rn") <= F.col("rhi")),
+                         F.col("cents"))),
+            F.lit(0).cast("bigint")).alias("s_mid"),
+        F.sum(F.when(F.col("rn") < F.col("rlo"), 1).otherwise(0))
+        .cast("bigint").alias("n_below"),
+        F.sum(F.when(F.col("rn") > F.col("rhi"), 1).otherwise(0))
+        .cast("bigint").alias("n_above"))
+    return (agg.select(
+                "user_id", "n_events", "lo_cents", "hi_cents",
+                F.round((F.col("s_mid")
+                         + F.col("lo_cents") * F.col("n_below")
+                         + F.col("hi_cents") * F.col("n_above"))
+                        .cast("double")
+                        / (100.0 * F.col("n_events")), 6)
+                .alias("winsorized_mean"))
+            .orderBy("user_id"))

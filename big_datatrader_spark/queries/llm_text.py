@@ -433,3 +433,66 @@ def naive_bayes_lang_score(spark, sf_dir):
                     (F.col("lang") == F.col("actual_lang"))
                     .alias("is_correct"))
             .orderBy("doc_id"))
+
+
+# --- Character-entropy quality signal --------------------------------------
+
+_ENT_SCALE = 1000000000
+
+
+@query(
+    "char_entropy_quality",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+      FROM documents WHERE length(text) > 0),
+    cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+            FROM ch GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(k) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             CAST(sum(k * CAST(ROUND(ln(CAST(k AS DOUBLE))
+                                     * {_ENT_SCALE}) AS BIGINT))
+                 AS BIGINT) AS ssum
+      FROM cnt GROUP BY 1)
+    SELECT doc_id, n AS n_chars_counted, distinct_chars,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - (CAST(ssum AS DOUBLE) / {_ENT_SCALE}.0) / n, 6)
+               AS entropy_nats,
+           (ln(CAST(n AS DOUBLE))
+            - (CAST(ssum AS DOUBLE) / {_ENT_SCALE}.0) / n) < 3.0
+               AS low_entropy
+    FROM agg ORDER BY doc_id
+    """,
+    doc="per-document Shannon character entropy — the compressibility "
+        "quality signal (low entropy = repetitive/template/boilerplate "
+        "text) every corpus-cleaning pass computes. Exactness: "
+        "H = ln(n) - (1/n)*sum(k_c*ln(k_c)); each ln(k) is rounded to "
+        "integer nano-nats so the inner sum is an exact BIGINT, and "
+        "the outer expression is one identical double computation per "
+        "doc. Plan: explode chars -> one map-side-combined groupBy "
+        "pair, no joins, no windows — a pure streaming aggregate at "
+        "any corpus size",
+)
+def char_entropy_quality(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    ch = docs.select("doc_id",
+                     F.explode(F.split("text", "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    lw = F.round(F.log(F.col("k").cast("double"))
+                 * _ENT_SCALE).cast("bigint")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(F.col("k") * lw).alias("ssum"))
+    h = (F.log(F.col("n").cast("double"))
+         - (F.col("ssum").cast("double") / float(_ENT_SCALE))
+         / F.col("n"))
+    return (agg.select("doc_id",
+                       F.col("n").alias("n_chars_counted"),
+                       "distinct_chars",
+                       F.round(h, 6).alias("entropy_nats"),
+                       (h < 3.0).alias("low_entropy"))
+            .orderBy("doc_id"))
