@@ -360,3 +360,36 @@ def test_perplexity_matches_independent_recompute(spark):
         expect = round(-sum(nll) / len(nll) / 10000, 4)
         got = out[out.doc_id == doc_id].avg_nll.iloc[0]
         assert abs(got - expect) < 1e-9, (doc_id, got, expect)
+
+
+def test_winsorized_decomposition_equals_np_clip(spark):
+    """The one-pass winsorized sum (s_mid + lo*|below| + hi*|above|)
+    must equal brute-force clip-then-sum for arbitrary integer data,
+    and the Spark query must reproduce numpy's result on the real
+    table. Property side is pure python (fast, many shapes)."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    for n in [1, 2, 3, 19, 20, 21, 100]:
+        for _ in range(20):
+            x = np.sort(rng.integers(-1000, 1000, size=n))
+            rlo = (n * 5 + 99) // 100
+            rhi = (n * 95 + 99) // 100
+            lo, hi = int(x[rlo - 1]), int(x[rhi - 1])
+            s_mid = int(x[rlo - 1:rhi].sum())
+            one_pass = s_mid + lo * (rlo - 1) + hi * (n - rhi)
+            assert one_pass == int(np.clip(x, lo, hi).sum()), (n, x)
+
+    got = {r.user_id: r for r in
+           REG["winsorized_user_stats"].spark_fn(spark, SF).collect()}
+    ev = (table(spark, SF, "events")
+          .select("user_id", "event_id", "value").toPandas())
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        x = np.sort(g.cents.to_numpy())
+        n = len(x)
+        lo = int(x[(n * 5 + 99) // 100 - 1])
+        hi = int(x[(n * 95 + 99) // 100 - 1])
+        expect = round(float(np.clip(x, lo, hi).sum()) / (100.0 * n), 6)
+        r = got[uid]
+        assert (r.lo_cents, r.hi_cents) == (lo, hi)
+        assert r.winsorized_mean == expect
