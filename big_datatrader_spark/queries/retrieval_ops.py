@@ -127,7 +127,7 @@ def _bm25_parts(spark, sf_dir):
                     lambda x: x["s_term"]),
                 F.lit(0.0), lambda acc, x: acc + x), 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms")))
-    return tk, sc, total
+    return tk, tf, sc, total
 
 
 @query(
@@ -155,7 +155,7 @@ def _bm25_parts(spark, sf_dir):
         "TakeOrderedAndProject, never a global sort",
 )
 def bm25_more_like_this(spark, sf_dir):
-    _, _, total = _bm25_parts(spark, sf_dir)
+    _, _, _, total = _bm25_parts(spark, sf_dir)
     # top-k FIRST (TakeOrderedAndProject — no global sort), then the
     # rank window runs over a <= _BM25_TOPK-row relation: tiny forever
     top = total.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
@@ -420,13 +420,16 @@ _RRF_OUT = 10
         "NULL, keeping the column integer-typed in both engines",
 )
 def hybrid_rrf_retrieval(spark, sf_dir):
-    tk, sc, total = _bm25_parts(spark, sf_dir)
+    tk, tf, sc, total = _bm25_parts(spark, sf_dir)
     atop = total.orderBy(F.desc("bm25"), "doc_id").limit(_RRF_POOL)
     ar = atop.select(
         "doc_id",
         F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
         .alias("ra"))
-    dtok = tk.distinct()
+    # tf is already one row per (doc_id, tok): reusing it as the
+    # distinct-token relation drops the second explode+distinct
+    # of the token stream (and lets AQE reuse its exchange)
+    dtok = tf.select("doc_id", "tok")
     qset = (dtok.join(F.broadcast(sc.select("qdoc")),
                       dtok.doc_id == F.col("qdoc"))
             .select("tok"))
