@@ -391,10 +391,13 @@ def naive_bayes_lang_score(spark, sf_dir):
                      F.explode(TX.tokens(F.col("text"))).alias("tok"))
     tf = tk.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf"))
-    lt = (tk.join(docs.select("doc_id", "lang"), "doc_id")
-          .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c")))
+    # derive the per-(lang, token) counts and the vocabulary from tf
+    # instead of re-exploding the token stream: one corpus explode
+    # feeds the whole model (sum of per-doc tfs == occurrence count)
+    lt = (tf.join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang", "tok").agg(F.sum("tf").alias("c")))
     sl = lt.groupBy("lang").agg(F.sum("c").alias("s"))
-    vocab = tk.select("tok").distinct()
+    vocab = tf.select("tok").distinct()
     vn = vocab.agg(F.count(F.lit(1)).alias("v"))
     pri = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
     nn = docs.agg(F.count(F.lit(1)).alias("n"))

@@ -259,7 +259,11 @@ def test_round4b_exchange_budgets(spark, sf001):
         "incremental_agg_maintenance": 3,  # base agg, delta agg, merge
         "item_item_similarity": 9,
         "dsir_importance_weights": 12,
-        "naive_bayes_lang_score": 14,
+        # 16 > the original 14: deriving lt/vocab from tf adds two
+        # token-scale exchanges but removes the second CORPUS-scale
+        # explode+shuffle — measured 19% faster at sf0.1, and the
+        # scan count (the 100 TB cost) drops from 2 to 1
+        "naive_bayes_lang_score": 16,
         "hybrid_rrf_retrieval": 26,      # two full ranker chains
     }
     for name, budget in budgets.items():
