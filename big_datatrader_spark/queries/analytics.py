@@ -2647,3 +2647,180 @@ def winsorized_user_stats(spark, sf_dir):
                         / (100.0 * F.col("n_events")), 6)
                 .alias("winsorized_mean"))
             .orderBy("user_id"))
+
+
+@query(
+    "kelly_position_sizing",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (
+      SELECT user_id,
+             cents - lag(cents) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS diff
+      FROM c),
+    agg AS (
+      SELECT user_id,
+             CAST(count(diff) AS BIGINT) AS n_trades,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_wins,
+             CAST(sum(CASE WHEN diff < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_losses,
+             CAST(coalesce(sum(CASE WHEN diff > 0 THEN diff END), 0)
+                 AS BIGINT) AS sum_win_cents,
+             CAST(coalesce(sum(CASE WHEN diff < 0 THEN -diff END), 0)
+                 AS BIGINT) AS sum_loss_cents
+      FROM d GROUP BY user_id)
+    SELECT user_id, n_trades, n_wins, n_losses,
+           sum_win_cents, sum_loss_cents,
+           CASE WHEN n_wins + n_losses > 0 THEN
+                ROUND(CAST(n_wins AS DOUBLE) / (n_wins + n_losses), 6)
+           END AS win_rate,
+           CASE WHEN n_wins + n_losses > 0 AND sum_win_cents > 0 THEN
+                ROUND(CAST(n_wins AS DOUBLE) / (n_wins + n_losses)
+                      - CAST(n_wins * sum_loss_cents AS DOUBLE)
+                        / (CAST(n_wins + n_losses AS BIGINT)
+                           * sum_win_cents), 6)
+           END AS kelly_fraction
+    FROM agg ORDER BY user_id
+    """,
+    doc="Kelly-criterion position sizing per symbol: f* = p - (1-p)/b "
+        "from the win rate p and the win/loss ratio b of tick-to-tick "
+        "moves. Algebra is rearranged to all-integer products — "
+        "(1-p)/b = W*sum_loss / ((W+L)*sum_win) — so both engines "
+        "divide the SAME exact BIGINTs once; degenerate series (no "
+        "wins, flat) surface as NULL, not NaN. One diff window + one "
+        "map-side-combined groupBy riding the same per-symbol "
+        "exchange — the classic two-op indicator plan",
+)
+def kelly_position_sizing(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.col("cents") - F.lag("cents").over(w)).alias("diff"))
+    zero = F.lit(0).cast("bigint")
+    agg = d.groupBy("user_id").agg(
+        F.count("diff").alias("n_trades"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_wins"),
+        F.sum(F.when(F.col("diff") < 0, 1).otherwise(0))
+        .cast("bigint").alias("n_losses"),
+        F.coalesce(F.sum(F.when(F.col("diff") > 0, F.col("diff"))),
+                   zero).alias("sum_win_cents"),
+        F.coalesce(F.sum(F.when(F.col("diff") < 0, -F.col("diff"))),
+                   zero).alias("sum_loss_cents"))
+    nw, nl = F.col("n_wins"), F.col("n_losses")
+    sw, sl = F.col("sum_win_cents"), F.col("sum_loss_cents")
+    return (agg.select(
+                "user_id", "n_trades", "n_wins", "n_losses",
+                "sum_win_cents", "sum_loss_cents",
+                F.when(nw + nl > 0,
+                       F.round(nw.cast("double") / (nw + nl), 6))
+                .alias("win_rate"),
+                F.when((nw + nl > 0) & (sw > 0),
+                       F.round(nw.cast("double") / (nw + nl)
+                               - (nw * sl).cast("double")
+                               / ((nw + nl).cast("bigint") * sw), 6))
+                .alias("kelly_fraction"))
+            .orderBy("user_id"))
+
+
+# --- Mutual information feature ranking ------------------------------------
+
+_MI_SCALE = 1000000000
+# (name, DuckDB y-expression, Spark y-column builder) — y labels only
+# partition the contingency table, so both engines just need the SAME
+# partitioning, which these integer expressions guarantee
+_MI_FEATURES = (
+    ("hour_of_day", "CAST(EXTRACT(hour FROM ts) AS BIGINT)",
+     lambda: F.hour("ts").cast("bigint")),
+    ("day_of_week", "CAST(dayofweek(ts) AS BIGINT)",
+     lambda: (F.dayofweek("ts") - 1).cast("bigint")),
+    ("value_bucket",
+     "CAST(ROUND(value * 100) AS BIGINT) // 5000",
+     lambda: F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 5000")),
+)
+
+
+def _mi_block(name: str, yexpr: str) -> str:
+    return f"""
+    fx_{name} AS (SELECT event_type AS x, {yexpr} AS y FROM events),
+    cnt_{name} AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+                   FROM fx_{name} GROUP BY 1, 2),
+    mx_{name} AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx
+                  FROM cnt_{name} GROUP BY 1),
+    my_{name} AS (SELECT y, CAST(sum(n) AS BIGINT) AS ny
+                  FROM cnt_{name} GROUP BY 1),
+    nn_{name} AS (SELECT CAST(sum(n) AS BIGINT) AS nt
+                  FROM cnt_{name}),
+    mi_{name} AS (
+      SELECT '{name}' AS feature, nn.nt AS n_events,
+             CAST(sum(c.n * CAST(ROUND(
+                 (ln(CAST(c.n AS DOUBLE)) + ln(CAST(nn.nt AS DOUBLE))
+                  - ln(CAST(mx.nx AS DOUBLE))
+                  - ln(CAST(my.ny AS DOUBLE))) * {_MI_SCALE})
+                 AS BIGINT)) AS BIGINT) AS s
+      FROM cnt_{name} c JOIN mx_{name} mx USING (x)
+      JOIN my_{name} my USING (y) CROSS JOIN nn_{name} nn
+      GROUP BY 1, 2)"""
+
+
+@query(
+    "mutual_information_features",
+    oracle="WITH " + ",".join(
+        _mi_block(n, y) for n, y, _ in _MI_FEATURES) + f"""
+    SELECT feature, n_events,
+           ROUND((CAST(s AS DOUBLE) / {_MI_SCALE}.0) / n_events, 6)
+               AS mi_nats
+    FROM ({" UNION ALL ".join(
+        f"SELECT * FROM mi_{n}" for n, _, _ in _MI_FEATURES)})
+    ORDER BY feature
+    """,
+    doc="feature selection by mutual information: I(event_type; f) "
+        "for three derived features (hour, weekday, value bucket) "
+        "from exact contingency counts — the filter-method ranking a "
+        "feature-engineering pipeline runs before training. Each "
+        "cell's log term ln(n_xy)+ln(N)-ln(n_x)-ln(n_y) is rounded "
+        "to integer nano-nats, making the weighted sum an exact "
+        "BIGINT; per feature the plan is one map-side-combined "
+        "contingency groupBy plus two marginal re-aggregations of "
+        "the CELL table (classes x buckets rows — never the facts) "
+        "and a 1-row total broadcast. MI is label-invariant, so "
+        "engine-specific weekday numbering cannot change the result",
+)
+def mutual_information_features(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    outs = []
+    for name, _, ycol in _MI_FEATURES:
+        cnt = (ev.select(F.col("event_type").alias("x"),
+                         ycol().alias("y"))
+               .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n")))
+        mx = cnt.groupBy("x").agg(F.sum("n").alias("nx"))
+        my = cnt.groupBy("y").agg(F.sum("n").alias("ny"))
+        nn = cnt.agg(F.sum("n").alias("nt"))
+        t = F.round(
+            (F.log(F.col("n").cast("double"))
+             + F.log(F.col("nt").cast("double"))
+             - F.log(F.col("nx").cast("double"))
+             - F.log(F.col("ny").cast("double")))
+            * _MI_SCALE).cast("bigint")
+        mi = (cnt.join(F.broadcast(mx), "x")
+              .join(F.broadcast(my), "y")
+              .crossJoin(F.broadcast(nn))
+              .groupBy(F.lit(name).alias("feature"),
+                       F.col("nt").alias("n_events"))
+              .agg(F.sum(F.col("n") * t).alias("s")))
+        outs.append(mi)
+    un = outs[0]
+    for o in outs[1:]:
+        un = un.unionByName(o)
+    return (un.select(
+                "feature", "n_events",
+                F.round((F.col("s").cast("double") / _MI_SCALE)
+                        / F.col("n_events"), 6).alias("mi_nats"))
+            .orderBy("feature"))

@@ -499,3 +499,71 @@ def char_entropy_quality(spark, sf_dir):
                        F.round(h, 6).alias("entropy_nats"),
                        (h < 3.0).alias("low_entropy"))
             .orderBy("doc_id"))
+
+
+# --- Token co-occurrence PMI ------------------------------------------------
+
+_PMI_MIN_DOCS = 5
+_PMI_TOPK = 100
+
+
+@query(
+    "cooccurrence_pmi",
+    oracle=f"""
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    nd AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM dtok
+           GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+    pair AS (
+      SELECT a.tok AS ta, b.tok AS tb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM dtok a JOIN dtok b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_DOCS}),
+    sc AS (
+      SELECT p.ta, p.tb, p.n_ab,
+             ROUND(ln(CAST(p.n_ab * nn.total AS DOUBLE)
+                      / (na.n * nb.n)), 6) AS pmi
+      FROM pair p JOIN nd na ON na.tok = p.ta
+      JOIN nd nb ON nb.tok = p.tb CROSS JOIN nn)
+    SELECT ta, tb, n_ab, pmi
+    FROM sc ORDER BY pmi DESC, ta, tb LIMIT {_PMI_TOPK}
+    """,
+    doc=f"pointwise mutual information over token co-occurrence "
+        f"(doc-level, support >= {_PMI_MIN_DOCS} docs, top "
+        f"{_PMI_TOPK}): the collocation statistic behind phrase "
+        "mining and word-association features. PMI = ln(n_ab*N / "
+        "(n_a*n_b)) is ONE double of exact BIGINT document counts — "
+        "no summation, so no order sensitivity. The pair generation "
+        "is the basket-bounded self-join on doc_id (quadratic in "
+        "tokens-per-doc, never corpus size); marginals are a "
+        "broadcastable token-count table and the top-k is "
+        "TakeOrderedAndProject",
+)
+def cooccurrence_pmi(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    dtok = (docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .distinct())
+    nd = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    nn = docs.agg(F.count(F.lit(1)).alias("total"))
+    a = dtok.select("doc_id", F.col("tok").alias("ta"))
+    b = dtok.select(F.col("doc_id").alias("d2"),
+                    F.col("tok").alias("tb"))
+    pair = (a.join(b, (a.doc_id == b.d2) & (F.col("ta") < F.col("tb")))
+            .groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= _PMI_MIN_DOCS))
+    sc = (pair
+          .join(nd.select(F.col("tok").alias("ta"),
+                          F.col("n").alias("na")), "ta")
+          .join(nd.select(F.col("tok").alias("tb"),
+                          F.col("n").alias("nb")), "tb")
+          .crossJoin(F.broadcast(nn))
+          .select("ta", "tb", "n_ab",
+                  F.round(F.log((F.col("n_ab") * F.col("total"))
+                                .cast("double")
+                                / (F.col("na") * F.col("nb"))), 6)
+                  .alias("pmi")))
+    return (sc.orderBy(F.desc("pmi"), "ta", "tb").limit(_PMI_TOPK)
+            .select("ta", "tb", "n_ab", "pmi"))

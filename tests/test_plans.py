@@ -175,6 +175,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "naive_bayes_lang_score",      # 1-row N/V scalars + 5-row langs
         "hybrid_rrf_retrieval",        # 1-row qdoc/corpus-stat scalars
         "dsir_importance_weights",     # 1-row T/S total scalars
+        "mutual_information_features",  # 1-row N total per feature
+        "cooccurrence_pmi",            # 1-row doc-count scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
