@@ -2824,3 +2824,62 @@ def mutual_information_features(spark, sf_dir):
                 F.round((F.col("s").cast("double") / _MI_SCALE)
                         / F.col("n_events"), 6).alias("mi_nats"))
             .orderBy("feature"))
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE event_type WHEN 'error' THEN 'D'
+                  WHEN 'signup' THEN 'I' ELSE 'U' END AS op
+      FROM events),
+    r AS (
+      SELECT user_id, ts, event_id, cents, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+                 AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS n_changes,
+             CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+      FROM ch)
+    SELECT user_id, cents AS final_cents, ts AS last_ts,
+           op AS last_op, n_changes, n_deletes
+    FROM r WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+    doc="CDC apply-changes into a keyed snapshot, WITH delete "
+        "semantics (the MERGE shape Delta/Iceberg CDF consumers run): "
+        "events classify into insert/update/delete ops per key, the "
+        "latest op wins by (ts, event_id), and a key whose final op "
+        "is a delete disappears from the store entirely — the part "
+        "upsert_customers_merge and scd2_user_state do not cover. "
+        "One window per key computes the winner and the change/delete "
+        "tallies in the same pass; nothing but the per-key exchange. "
+        "At scale this runs per micro-batch over the delta, not the "
+        "store (the streaming merge sink is the incremental twin)",
+)
+def cdc_apply_changes(spark, sf_dir):
+    ch = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U").alias("op"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    wa = Window.partitionBy("user_id")
+    r = ch.select(
+        "user_id", "ts", "event_id", "cents", "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wa).alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).over(wa)
+        .cast("bigint").alias("n_deletes"))
+    return (r.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .select("user_id", F.col("cents").alias("final_cents"),
+                    F.col("ts").alias("last_ts"),
+                    F.col("op").alias("last_op"),
+                    "n_changes", "n_deletes")
+            .orderBy("user_id"))

@@ -327,10 +327,9 @@ def winnowing_fingerprints(spark, sf_dir):
 _NB_SCALE = 1000000000  # log-prob term -> integer nano-nats
 
 
-@query(
-    "naive_bayes_lang_score",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+# shared oracle CTE chain through the per-(doc, lang) scores tot —
+# used by the classifier and the calibration curve below
+_NB_CTES = f"""tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
     tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
            FROM tk GROUP BY 1, 2),
     lt AS (SELECT d.lang, tk.tok, CAST(count(*) AS BIGINT) AS c
@@ -358,7 +357,13 @@ _NB_SCALE = 1000000000  # log-prob term -> integer nano-nats
                   CAST(sum(tf.tf * t.lw) AS BIGINT) AS tsum
            FROM tf JOIN term t USING (tok) GROUP BY 1, 2),
     tot AS (SELECT sc.doc_id, sc.lang, sc.tsum + priw.pw AS sscore
-            FROM sc JOIN priw USING (lang)),
+            FROM sc JOIN priw USING (lang))"""
+
+
+@query(
+    "naive_bayes_lang_score",
+    oracle=f"""
+    WITH {_NB_CTES},
     best AS (SELECT doc_id, lang AS pred_lang, sscore,
                     row_number() OVER (PARTITION BY doc_id
                                        ORDER BY sscore DESC, lang)
@@ -386,6 +391,25 @@ _NB_SCALE = 1000000000  # log-prob term -> integer nano-nats
         "never leaves the cluster",
 )
 def naive_bayes_lang_score(spark, sf_dir):
+    docs, tot = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sscore"), "lang")
+    best = (tot.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (best.join(docs.select("doc_id",
+                                  F.col("lang").alias("actual_lang")),
+                      "doc_id")
+            .select("doc_id", "actual_lang",
+                    F.col("lang").alias("pred_lang"),
+                    F.round(F.col("sscore") / float(_NB_SCALE), 6)
+                    .alias("log_score"),
+                    (F.col("lang") == F.col("actual_lang"))
+                    .alias("is_correct"))
+            .orderBy("doc_id"))
+
+
+def _nb_scores(spark, sf_dir):
+    """Shared NB pipeline: returns (docs, tot) where tot holds the
+    exact integer nano-nat score of every (doc, lang) pair."""
     docs = table(spark, sf_dir, "documents")
     tk = docs.select("doc_id",
                      F.explode(TX.tokens(F.col("text"))).alias("tok"))
@@ -423,19 +447,7 @@ def naive_bayes_lang_score(spark, sf_dir):
     tot = (sc.join(F.broadcast(priw), "lang")
            .select("doc_id", "lang",
                    (F.col("tsum") + F.col("pw")).alias("sscore")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("sscore"), "lang")
-    best = (tot.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
-    return (best.join(docs.select("doc_id",
-                                  F.col("lang").alias("actual_lang")),
-                      "doc_id")
-            .select("doc_id", "actual_lang",
-                    F.col("lang").alias("pred_lang"),
-                    F.round(F.col("sscore") / float(_NB_SCALE), 6)
-                    .alias("log_score"),
-                    (F.col("lang") == F.col("actual_lang"))
-                    .alias("is_correct"))
-            .orderBy("doc_id"))
+    return docs, tot
 
 
 # --- Character-entropy quality signal --------------------------------------
@@ -567,3 +579,152 @@ def cooccurrence_pmi(spark, sf_dir):
                   .alias("pmi")))
     return (sc.orderBy(F.desc("pmi"), "ta", "tb").limit(_PMI_TOPK)
             .select("ta", "tb", "n_ab", "pmi"))
+
+
+# --- Repeated n-gram span masking (Lee et al. 2022 fine-grained dedup) -----
+
+_MASK_N = 3
+
+
+@query(
+    "repeated_ngram_span_mask",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - {_MASK_N - 1})) AS pos,
+             t
+      FROM toks WHERE len(t) >= {_MASK_N}),
+    gr AS (
+      SELECT doc_id, pos,
+             {" || ' ' || ".join(
+                 f"t[pos+{i}]" if i else "t[pos]"
+                 for i in range(_MASK_N))} AS gram
+      FROM g),
+    r AS (
+      SELECT doc_id, pos, gram,
+             CAST(row_number() OVER (PARTITION BY doc_id, gram
+                                     ORDER BY pos) AS BIGINT)
+                 AS occurrence
+      FROM gr)
+    SELECT doc_id, CAST(pos AS BIGINT) AS start_tok,
+           CAST(pos + {_MASK_N - 1} AS BIGINT) AS end_tok,
+           gram, occurrence
+    FROM r WHERE occurrence >= 2
+    ORDER BY doc_id, start_tok, gram
+    """,
+    doc=f"fine-grained dedup masking (Lee et al. 2022): token spans "
+        f"covering the 2nd+ occurrence of any {_MASK_N}-gram WITHIN a "
+        "document — the spans a training pipeline masks from the loss "
+        "instead of dropping the whole doc. Grams with positions come "
+        "from posexplode + lead (whole-stage codegen, the _gram_rows "
+        "layout); occurrence numbering is a window over (doc, gram) "
+        "riding the same per-doc exchange. Output is the exact mask "
+        "list, reproducible cross-engine because it is pure integer "
+        "position algebra",
+)
+def repeated_ngram_span_mask(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok"))
+    wo = Window.partitionBy("doc_id").orderBy("pos0")
+    wa = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", i).over(wo) for i in range(1, _MASK_N)])
+    gr = (base.withColumn("n_tok", F.count(F.lit(1)).over(wa))
+          .withColumn("gram", gram)
+          .filter(F.col("pos0") + _MASK_N <= F.col("n_tok"))
+          .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram"))
+    wg = Window.partitionBy("doc_id", "gram").orderBy("pos")
+    r = gr.withColumn("occurrence",
+                      F.row_number().over(wg).cast("bigint"))
+    return (r.filter(F.col("occurrence") >= 2)
+            .select("doc_id",
+                    F.col("pos").cast("bigint").alias("start_tok"),
+                    (F.col("pos") + (_MASK_N - 1)).cast("bigint")
+                    .alias("end_tok"),
+                    "gram", "occurrence")
+            .orderBy("doc_id", "start_tok", "gram"))
+
+
+# --- NB calibration curve (confidence-vs-accuracy model eval) --------------
+
+_CAL_STEP_SCALED = 250000000  # 0.25-nat margin buckets
+
+
+@query(
+    "nb_calibration_curve",
+    oracle=f"""
+    WITH {_NB_CTES},
+    r2 AS (SELECT doc_id, lang, sscore,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY sscore DESC, lang)
+                      AS rn
+           FROM tot),
+    m AS (SELECT doc_id,
+                 CAST(max(CASE WHEN rn = 1 THEN sscore END)
+                     AS BIGINT) AS s1,
+                 max(CASE WHEN rn = 1 THEN lang END) AS pred,
+                 CAST(max(CASE WHEN rn = 2 THEN sscore END)
+                     AS BIGINT) AS s2
+          FROM r2 WHERE rn <= 2 GROUP BY doc_id),
+    j AS (SELECT m.doc_id,
+                 LEAST((m.s1 - m.s2)
+                       // CAST({_CAL_STEP_SCALED} AS BIGINT), 9)
+                     AS margin_bucket,
+                 m.s1 - m.s2 AS margin,
+                 (m.pred = d.lang) AS ok
+          FROM m JOIN documents d ON d.doc_id = m.doc_id)
+    SELECT CAST(margin_bucket AS BIGINT) AS margin_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS accuracy,
+           ROUND((CAST(sum(margin) AS DOUBLE) / {_NB_SCALE}.0)
+                 / count(*), 6) AS avg_margin_nats
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"model-eval calibration curve for the NB classifier: bucket "
+        "documents by prediction-margin (0.25-nat steps "
+        "of top1-top2 score gap, the integer confidence proxy) and "
+        "report accuracy per bucket — the reliability diagram every "
+        "quality-classifier deployment checks before trusting scores "
+        "as thresholds. Margins are exact BIGINT differences, so "
+        "bucketing is pure integer arithmetic; accuracy and mean "
+        "margin are single divisions of exact counts. Reuses the "
+        "shared NB score pipeline (one model build, no second "
+        "corpus pass beyond the top-2 window)",
+)
+def nb_calibration_curve(spark, sf_dir):
+    docs, tot = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sscore"), "lang")
+    r2 = (tot.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= 2))
+    m = r2.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("sscore")))
+        .alias("s1"),
+        F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("pred"),
+        F.max(F.when(F.col("rn") == 2, F.col("sscore")))
+        .alias("s2"))
+    j = (m.join(docs.select("doc_id", "lang"), "doc_id")
+         .select(
+             F.least(F.expr(
+                 f"(s1 - s2) DIV {_CAL_STEP_SCALED}L"),
+                 F.lit(9).cast("bigint")).alias("margin_bucket"),
+             (F.col("s1") - F.col("s2")).alias("margin"),
+             (F.col("pred") == F.col("lang")).alias("ok")))
+    return (j.groupBy("margin_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                 .cast("bigint").alias("n_correct"),
+                 F.round(
+                     F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                     .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("accuracy"),
+                 F.round((F.sum("margin").cast("double") / _NB_SCALE)
+                         / F.count(F.lit(1)), 6)
+                 .alias("avg_margin_nats"))
+            .orderBy("margin_bucket"))
