@@ -177,6 +177,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "dsir_importance_weights",     # 1-row T/S total scalars
         "mutual_information_features",  # 1-row N total per feature
         "cooccurrence_pmi",            # 1-row doc-count scalar
+        "nb_calibration_curve",        # NB chain's 1-row/5-row scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
