@@ -285,3 +285,66 @@ def streaming_enriched_rollup(spark, sf_dir):
     out = run_stream_to_memory(agg, spark)
     return out.select(F.col("w.start").alias("bucket"), "segment",
                       "n_events", "sum_value")
+
+
+@query(
+    "streaming_cdc_upsert",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE event_type WHEN 'error' THEN 'D'
+                  WHEN 'signup' THEN 'I' ELSE 'U' END AS op
+      FROM events),
+    r AS (
+      SELECT user_id, ts, event_id, cents, op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+                 AS rn
+      FROM ch)
+    SELECT user_id, cents AS final_cents, ts AS last_ts,
+           op AS last_op
+    FROM r WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+    doc="streaming CDC upsert through the foreachBatch latest-wins "
+        "merge sink: the event stream classifies into insert/update/"
+        "delete ops, each micro-batch reduces to one row per key (max "
+        "over the (ts, event_id) struct — a total order, so the "
+        "winner is deterministic regardless of batch boundaries or "
+        "retries), and the parquet store keeps every key's latest op "
+        "with delete tombstones filtered at read. Because the "
+        "reduction is associative+commutative the drained store "
+        "EXACTLY equals the batch last-op-per-key query — the "
+        "incremental twin of cdc_apply_changes, and the first "
+        "driver-exact evidence for the foreachBatch merge-sink "
+        "family (the first-write-wins variant is order-undefined by "
+        "design and stays pytest-only)",
+)
+def streaming_cdc_upsert(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import (
+        events_stream, run_stream_latest_merge_to_parquet)
+    ch = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U").alias("op"))
+    root = tempfile.mkdtemp(prefix="bdt_cdc_")
+    try:
+        store = run_stream_latest_merge_to_parquet(
+            ch, spark, root + "/store", key_col="user_id",
+            order_cols=["ts", "event_id"])
+        out = (store.filter(F.col("op") != "D")
+               .select("user_id",
+                       F.col("cents").alias("final_cents"),
+                       F.col("ts").alias("last_ts"),
+                       F.col("op").alias("last_op"))
+               .orderBy("user_id")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

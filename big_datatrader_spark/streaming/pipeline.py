@@ -211,3 +211,61 @@ def run_stream_merge_to_parquet(result: DataFrame, spark: SparkSession,
         if q.isActive:
             q.stop()
     return spark.read.parquet(path)
+
+
+def run_stream_latest_merge_to_parquet(
+        result: DataFrame, spark: SparkSession, path: str,
+        key_col: str, order_cols: list[str],
+        timeout_sec: int = 120) -> DataFrame:
+    """foreachBatch MERGE with LATEST-WINS semantics: per micro-batch,
+    reduce the batch to one row per key (max over the ``order_cols``
+    struct — a total order, so no dropDuplicates nondeterminism), union
+    with the store, and keep each key's maximum again. The reduction is
+    associative and commutative, so the final store is independent of
+    batch boundaries and retries — which is what makes an EXACT batch
+    oracle possible for this sink (contrast the first-write-wins sink
+    above, whose within-batch winner is order-undefined). Commit is the
+    same rename-with-backup dance (crash-safe w.r.t. the checkpoint)."""
+    import os
+    import shutil
+
+    payload = [c for c in result.columns if c != key_col]
+    if list(result.columns[:1]) != [key_col]:
+        result = result.select(key_col, *payload)
+
+    def latest(df: DataFrame) -> DataFrame:
+        s = F.max(F.struct(*order_cols,
+                           *[c for c in payload
+                             if c not in order_cols])).alias("__s")
+        red = df.groupBy(key_col).agg(s)
+        return red.select(key_col,
+                          *[F.col(f"__s.{c}").alias(c)
+                            for c in payload])
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        cand = latest(batch)
+        if os.path.isdir(path):
+            cur = batch.sparkSession.read.parquet(path)
+            cand = latest(cur.unionByName(cand))
+        merged = cand.localCheckpoint(eager=True)
+        tmp = path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        bak = path + ".bak"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        if os.path.isdir(path):
+            os.rename(path, bak)
+        os.rename(tmp, path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+
+    q = (result.writeStream.foreachBatch(merge)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", path + ".ckpt")
+         .start())
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(path)

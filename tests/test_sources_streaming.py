@@ -292,3 +292,40 @@ def test_stream_merge_sink_recovers_from_crash_debris(spark, tmp_path):
     assert out2.count() == n
     assert not os.path.isdir(store + ".bak")
     assert out2.select("event_id").distinct().count() == n
+
+
+def test_latest_merge_sink_is_batch_boundary_invariant(spark, tmp_path):
+    """The latest-wins merge sink must produce the same store whether
+    the data arrives as one micro-batch or many: split the events into
+    two files, drain with maxFilesPerTrigger=1 (two merges), and
+    compare against the batch last-op-per-key computation."""
+    from pyspark.sql import Window, functions as F
+    from big_datatrader_spark.sources.parquet_source import table
+    from big_datatrader_spark.streaming.pipeline import (
+        run_stream_latest_merge_to_parquet)
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/a")
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/b")
+
+    schema = "user_id long, ts timestamp, event_id long, cents long"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(src)
+              .select("user_id", "ts", "event_id", "cents"))
+    store = run_stream_latest_merge_to_parquet(
+        stream, spark, str(tmp_path / "store"),
+        key_col="user_id", order_cols=["ts", "event_id"])
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    expect = (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("user_id", "ts", "event_id", "cents"))
+    got = sorted(map(tuple, store.select(
+        "user_id", "ts", "event_id", "cents").collect()))
+    assert got == sorted(map(tuple, expect.collect()))
