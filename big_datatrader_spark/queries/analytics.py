@@ -2883,3 +2883,54 @@ def cdc_apply_changes(spark, sf_dir):
                     F.col("op").alias("last_op"),
                     "n_changes", "n_deletes")
             .orderBy("user_id"))
+
+
+@query(
+    "exact_global_quantiles",
+    oracle="""
+    WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                      event_id
+               FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+    r AS (SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents, event_id)
+                     AS BIGINT) AS rn
+          FROM c),
+    q AS (SELECT unnest([50, 90, 99]) AS p)
+    SELECT CAST(q.p AS BIGINT) AS pct,
+           CAST((nn.n * q.p + 99) // 100 AS BIGINT) AS target_rank,
+           r.cents AS value_cents, nn.n AS n_rows
+    FROM q CROSS JOIN nn
+    JOIN r ON r.rn = (nn.n * q.p + 99) // 100
+    ORDER BY pct
+    """,
+    doc="EXACT global order-statistic quantiles (p50/p90/p99) without "
+        "a global sort — the scale path value_percentiles' docstring "
+        "promises: the two-phase bucket rank (operators/ranking."
+        "global_rank, bucket = cents DIV 1000 — a coarsening prefix "
+        "of the value order) assigns every row its true global rank "
+        "with one hash exchange plus a #buckets-row offset broadcast, "
+        "then the ceil(n*p/100) target ranks select the exact values. "
+        "Unlike percentile()/quantile_cont (holistic, gathers the "
+        "group) this never concentrates more than one bucket on a "
+        "task; ranks and targets are pure integer arithmetic",
+)
+def exact_global_quantiles(spark, sf_dir):
+    from ..operators.ranking import global_rank
+    ev = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_id")
+    nn = ev.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(ev, F.expr("cents DIV 1000"),
+                         ["cents", "event_id"], rank_col="rn")
+    spec = ev.sparkSession.createDataFrame(
+        [(50,), (90,), (99,)], "p long")
+    return (ranked.crossJoin(F.broadcast(nn))
+            .join(F.broadcast(spec),
+                  F.col("rn") == F.expr("(n * p + 99) DIV 100"))
+            .select(F.col("p").alias("pct"),
+                    F.expr("(n * p + 99) DIV 100")
+                    .alias("target_rank"),
+                    F.col("cents").alias("value_cents"),
+                    F.col("n").alias("n_rows"))
+            .orderBy("pct"))

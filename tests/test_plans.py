@@ -178,12 +178,13 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "mutual_information_features",  # 1-row N total per feature
         "cooccurrence_pmi",            # 1-row doc-count scalar
         "nb_calibration_curve",        # NB chain's 1-row/5-row scalars
+        "exact_global_quantiles",      # 1-row n + 3-row pct spec
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
     # offsets relation (#buckets rows by construction) — tiny forever
     sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
-                    "ntile_deciles"}
+                    "ntile_deciles", "exact_global_quantiles"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
