@@ -509,3 +509,73 @@ def ann_pq_adc_trained_topk(spark, sf_dir):
             .filter(F.col("rank") <= _PQ_TOPK)
             .select("query_id", "neighbor_id", "adc_dist_scaled", "rank")
             .orderBy("query_id", "rank"))
+
+
+# --- Johnson-Lindenstrauss random projection (sign sketch) ------------------
+
+_JL_K = 16  # target dimensionality; scale factor 1/sqrt(K) = 1/4
+
+
+@query(
+    "jl_random_projection",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+                 CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS x,
+                 unnest(generate_series(1, len(qv))) AS j
+          FROM q),
+    s AS (SELECT k, j,
+                 CASE WHEN CAST(('0x' || substr(md5(
+                          'jl:' || k || ':' || j), 1, 15)) AS BIGINT)
+                          % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(generate_series(0, {_JL_K - 1})) AS k),
+               (SELECT unnest(generate_series(1, 64)) AS j)),
+    p AS (SELECT e.vec_id, s.k,
+                 CAST(sum(s.sgn * e.x) AS BIGINT) AS comp_scaled
+          FROM e JOIN s ON s.j = e.j GROUP BY 1, 2)
+    SELECT vec_id, CAST(k AS BIGINT) AS k, comp_scaled,
+           ROUND(CAST(comp_scaled AS DOUBLE) / 4000000.0, 9) AS comp
+    FROM p ORDER BY vec_id, k
+    """,
+    doc=f"Johnson-Lindenstrauss dimensionality reduction 64 -> "
+        f"{_JL_K}: project every embedding through a deterministic "
+        "+/-1 sign matrix (sign = parity of the shared 60-bit md5 of "
+        "'jl:k:j'), scaled by 1/sqrt(K). The sketch ANN pipelines use "
+        "to cut distance-computation cost before exact reranking; "
+        "with Rademacher signs the projection preserves pairwise "
+        "distances within (1 +/- eps) w.h.p. Exactness: components "
+        "are sums of signed 1e-6-unit BIGINTs (order-free), the only "
+        "double is one final division by 4e6. The 16x64 sign matrix "
+        "is generated IN-ENGINE on both sides (no shipped literals) "
+        "and broadcast; per-vector work is a narrow explode-join-agg "
+        "that shares the vec_id exchange",
+)
+def jl_random_projection(spark, sf_dir):
+    from ..functions.dedup import h60
+    emb = _emb_quantized(spark, sf_dir)
+    e = emb.select("vec_id", F.posexplode("qv").alias("p0", "x"))
+    e = e.select("vec_id", (F.col("p0") + 1).alias("j"), "x")
+    ks = spark.range(_JL_K).select(F.col("id").alias("k"))
+    js = spark.range(1, 65).select(F.col("id").alias("j"))
+    s = (ks.crossJoin(js)
+         .select("k", "j",
+                 F.when(h60(F.concat(F.lit("jl:"), F.col("k"),
+                                     F.lit(":"), F.col("j"))) % 2
+                        == 0, 1).otherwise(-1).alias("sgn")))
+    p = (e.join(F.broadcast(s), "j")
+         .groupBy("vec_id", "k")
+         .agg(F.sum(F.col("sgn") * F.col("x")).alias("comp_scaled")))
+    return (p.select("vec_id", F.col("k").cast("bigint").alias("k"),
+                     "comp_scaled",
+                     # round to 9, not 6: y/4e6 has a FINITE 8-decimal
+                     # expansion, so 9-digit rounding can never hit a
+                     # tie (6-digit rounding does, and the engines'
+                     # tie-handling on doubles differs)
+                     F.round(F.col("comp_scaled").cast("double")
+                             / 4000000.0, 9).alias("comp"))
+            .orderBy("vec_id", "k"))
