@@ -2934,3 +2934,82 @@ def exact_global_quantiles(spark, sf_dir):
                     F.col("cents").alias("value_cents"),
                     F.col("n").alias("n_rows"))
             .orderBy("pct"))
+
+
+@query(
+    "seasonal_decompose_additive",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT user_id, ts, event_id, hod, cents,
+             CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS s,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS n,
+             CAST(sum(cents) OVER (PARTITION BY user_id, hod)
+                 AS BIGINT) AS hs,
+             CAST(count(*) OVER (PARTITION BY user_id, hod)
+                 AS BIGINT) AS hn
+      FROM c)
+    SELECT user_id, ts, event_id,
+           CAST(CASE WHEN s >= 0 THEN
+                  (2 * CAST(s AS HUGEINT) * 10000 + n)
+                  // (2 * CAST(n AS HUGEINT))
+                ELSE -((2 * CAST(-s AS HUGEINT) * 10000 + n)
+                       // (2 * CAST(n AS HUGEINT))) END AS DOUBLE)
+               / 1000000.0 AS level,
+           CAST(CASE WHEN hs * n - s * hn >= 0 THEN
+                  (2 * CAST(hs * n - s * hn AS HUGEINT) * 10000
+                   + hn * n) // (2 * CAST(hn * n AS HUGEINT))
+                ELSE -((2 * CAST(s * hn - hs * n AS HUGEINT) * 10000
+                        + hn * n) // (2 * CAST(hn * n AS HUGEINT)))
+                END AS DOUBLE) / 1000000.0 AS seasonal,
+           CAST(CASE WHEN cents * hn - hs >= 0 THEN
+                  (2 * CAST(cents * hn - hs AS HUGEINT) * 10000 + hn)
+                  // (2 * CAST(hn AS HUGEINT))
+                ELSE -((2 * CAST(hs - cents * hn AS HUGEINT) * 10000
+                        + hn) // (2 * CAST(hn AS HUGEINT)))
+                END AS DOUBLE) / 1000000.0 AS residual
+    FROM w ORDER BY user_id, ts, event_id
+    """,
+    doc="additive seasonal decomposition per series: value = level "
+        "(series mean) + hour-of-day seasonal offset + residual — the "
+        "classical-decomposition shape behind anomaly detection on "
+        "periodic data. All moments are exact BIGINT window sums; "
+        "level/seasonal/residual are single identical double "
+        "expressions of those integers (the level term cancels in "
+        "the residual by construction, and both engines compute the "
+        "same cancellation-free form) rounded in EXACT integer "
+"arithmetic (the vwap boundary fix). Two partition windows "
+"(user; user x hour), no joins, no folds",
+)
+def seasonal_decompose_additive(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    wu = Window.partitionBy("user_id")
+    wh = Window.partitionBy("user_id", "hod")
+    w = ev.select(
+        "user_id", "ts", "event_id", "cents",
+        F.sum("cents").over(wu).alias("s"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.sum("cents").over(wh).alias("hs"),
+        F.count(F.lit(1)).over(wh).alias("hn"))
+    # exact-integer rounding (_cents_ratio_round6): these averages hit
+    # the 5e-7 shortest-repr boundaries where double ROUND diverges
+    lvl = _cents_ratio_round6(F.col("s"), F.col("n"))
+    sea = _cents_ratio_round6(
+        F.col("hs") * F.col("n") - F.col("s") * F.col("hn"),
+        F.col("hn") * F.col("n"))
+    res = _cents_ratio_round6(
+        F.col("cents") * F.col("hn") - F.col("hs"), F.col("hn"))
+    return (w.select("user_id", "ts", "event_id",
+                     lvl.alias("level"),
+                     sea.alias("seasonal"),
+                     res.alias("residual"))
+            .orderBy("user_id", "ts", "event_id"))
