@@ -560,9 +560,11 @@ def jl_random_projection(spark, sf_dir):
     emb = _emb_quantized(spark, sf_dir)
     e = emb.select("vec_id", F.posexplode("qv").alias("p0", "x"))
     e = e.select("vec_id", (F.col("p0") + 1).alias("j"), "x")
-    ks = spark.range(_JL_K).select(F.col("id").alias("k"))
-    js = spark.range(1, 65).select(F.col("id").alias("j"))
-    s = (ks.crossJoin(js)
+    # one flat range instead of a k x j cross join: same 1024 rows,
+    # no nested-loop node anywhere in the plan
+    s = (spark.range(_JL_K * 64)
+         .select((F.col("id") % _JL_K).alias("k"),
+                 (F.expr(f"id DIV {_JL_K}") + 1).alias("j"))
          .select("k", "j",
                  F.when(h60(F.concat(F.lit("jl:"), F.col("k"),
                                      F.lit(":"), F.col("j"))) % 2
