@@ -3013,3 +3013,93 @@ def seasonal_decompose_additive(spark, sf_dir):
                      sea.alias("seasonal"),
                      res.alias("residual"))
             .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
+    "atr_breakout_signals",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             CAST(ROUND(max(value) * 100) AS BIGINT) AS h,
+             CAST(ROUND(min(value) * 100) AS BIGINT) AS l,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tr_ AS (
+      SELECT user_id, bar_day, h, l, c,
+             CAST(greatest(
+               h - l,
+               abs(h - coalesce(lag(c) OVER w, h)),
+               abs(l - coalesce(lag(c) OVER w, l))) AS BIGINT) AS tr,
+             CAST(max(h) OVER (PARTITION BY user_id ORDER BY bar_day
+                               ROWS BETWEEN 20 PRECEDING
+                               AND 1 PRECEDING) AS BIGINT) AS dhi
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY bar_day)),
+    wnd AS (
+      SELECT user_id, bar_day, c, tr, dhi,
+             CAST(sum(tr) OVER w14 AS BIGINT) AS satr,
+             CAST(count(*) OVER w14 AS BIGINT) AS n14
+      FROM tr_
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day,
+           tr,
+           CAST(CAST((2 * CAST(satr AS HUGEINT) * 10000 + n14)
+                     // (2 * CAST(n14 AS HUGEINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS atr14,
+           coalesce(c > dhi, FALSE) AS breakout
+    FROM wnd ORDER BY user_id, day
+    """,
+    doc="average true range (Wilder's volatility indicator, simple "
+        "14-bar mean variant) plus Donchian-channel breakout per "
+        "symbol over daily OHLC-style bars: true range = "
+        "greatest(h-l, |h-prev_close|, |l-prev_close|) in exact "
+        "integer cents (the first bar's missing prev_close "
+        "degenerates to h-l via coalesce on BOTH engines), ATR is an "
+        "exact-integer rounded ratio (_cents_ratio_round6), breakout "
+        "fires when close exceeds the prior 20 bars' high. One "
+        "grouped aggregation then three frames of ONE per-symbol "
+        "window ordering — the bar relation is days-sized per key, so "
+        "at 100 TB the window state is bounded by calendar length, "
+        "never by tick volume",
+)
+def atr_breakout_signals(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.round(F.max("value") * 100).cast("bigint")
+                 .alias("h"),
+                 F.round(F.min("value") * 100).cast("bigint")
+                 .alias("l"),
+                 F.round(F.max(tagged)["v"] * 100).cast("bigint")
+                 .alias("c")))
+    w = Window.partitionBy("user_id").orderBy("bar_day")
+    pc = F.lag("c").over(w)
+    tr_ = bars.select(
+        "user_id", "bar_day", "c",
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.coalesce(pc, F.col("h"))),
+            F.abs(F.col("l") - F.coalesce(pc, F.col("l"))))
+        .alias("tr"),
+        F.max("h").over(w.rowsBetween(-20, -1)).alias("dhi"))
+    w14 = w.rowsBetween(-13, 0)
+    wnd = tr_.select(
+        "user_id", "bar_day", "c", "tr", "dhi",
+        F.sum("tr").over(w14).alias("satr"),
+        F.count(F.lit(1)).over(w14).alias("n14"))
+    return (wnd.select(
+                "user_id",
+                F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                "tr",
+                _cents_ratio_round6(F.col("satr"), F.col("n14"))
+                .alias("atr14"),
+                F.coalesce(F.col("c") > F.col("dhi"), F.lit(False))
+                .alias("breakout"))
+            .orderBy("user_id", "day"))
