@@ -3103,3 +3103,86 @@ def atr_breakout_signals(spark, sf_dir):
                 F.coalesce(F.col("c") > F.col("dhi"), F.lit(False))
                 .alias("breakout"))
             .orderBy("user_id", "day"))
+
+
+@query(
+    "psi_feature_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(greatest(0, least(19,
+               CAST(ROUND(value * 100) AS BIGINT) // 2500))
+             AS BIGINT) AS bin,
+             CAST(EXTRACT(day FROM ts) <= 15 AS BIGINT) AS is_ref
+      FROM events),
+    counts AS (
+      SELECT bin,
+             CAST(sum(is_ref) AS BIGINT) AS ca,
+             CAST(sum(1 - is_ref) AS BIGINT) AS cb
+      FROM binned GROUP BY bin),
+    spine AS (
+      SELECT s.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+      FROM (SELECT CAST(t.range AS BIGINT) AS bin
+            FROM range(0, 20) t) s
+      LEFT JOIN counts c USING (bin)),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM spine)
+    SELECT spine.bin, spine.ca AS cnt_ref, spine.cb AS cnt_cur,
+           ROUND(CAST(spine.ca + 1 AS DOUBLE)
+                 / CAST(tot.na + 20 AS DOUBLE), 6) AS p_ref,
+           ROUND(CAST(spine.cb + 1 AS DOUBLE)
+                 / CAST(tot.nb + 20 AS DOUBLE), 6) AS p_cur,
+           ROUND((CAST(spine.ca + 1 AS DOUBLE)
+                  / CAST(tot.na + 20 AS DOUBLE)
+                  - CAST(spine.cb + 1 AS DOUBLE)
+                    / CAST(tot.nb + 20 AS DOUBLE))
+                 * ln((CAST(spine.ca + 1 AS DOUBLE)
+                       / CAST(tot.na + 20 AS DOUBLE))
+                      / (CAST(spine.cb + 1 AS DOUBLE)
+                         / CAST(tot.nb + 20 AS DOUBLE))), 6)
+               AS psi_term
+    FROM spine, tot ORDER BY spine.bin
+    """,
+    doc="population stability index per feature bin: the standard "
+        "train/serve drift monitor for a model feature (here the "
+        "event value, $25 fixed-width bins, clamped to [0,20)), "
+        "reference = days 1-15 vs current = days 16+. Laplace add-one "
+        "smoothing over an explicit 20-row bin spine keeps empty bins "
+        "defined; counts are exact BIGINTs from ONE map-side-partial "
+        "aggregate over the fact table, and every per-bin PSI term is "
+        "a single identical IEEE expression of those integers. The "
+        "only post-agg work is 20-row-relation joins (the 1-row "
+        "totals cross join is a broadcast scalar — allowlisted); at "
+        "100 TB the exchange carries <=20 rows per partition",
+)
+def psi_feature_drift(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    binned = ev.select(
+        F.greatest(F.lit(0),
+                   F.least(F.lit(19), idiv(cents, F.lit(2500))))
+        .cast("bigint").alias("bin"),
+        (F.dayofmonth("ts") <= 15).cast("bigint").alias("is_ref"))
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("ca"),
+        F.sum(1 - F.col("is_ref")).alias("cb"))
+    spine = (spark.range(0, 20).select(F.col("id").alias("bin"))
+             .join(counts, "bin", "left")
+             .select("bin",
+                     F.coalesce("ca", F.lit(0)).alias("ca"),
+                     F.coalesce("cb", F.lit(0)).alias("cb")))
+    tot = spine.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = spine.crossJoin(F.broadcast(tot))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + 20).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + 20).cast("double")
+    return (j.select(
+                "bin",
+                F.col("ca").alias("cnt_ref"),
+                F.col("cb").alias("cnt_cur"),
+                F.round(p, 6).alias("p_ref"),
+                F.round(q, 6).alias("p_cur"),
+                F.round((p - q) * F.log(p / q), 6).alias("psi_term"))
+            .orderBy("bin"))

@@ -179,6 +179,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "cooccurrence_pmi",            # 1-row doc-count scalar
         "nb_calibration_curve",        # NB chain's 1-row/5-row scalars
         "exact_global_quantiles",      # 1-row n + 3-row pct spec
+        "psi_feature_drift",           # 1-row bin-totals scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
