@@ -3186,3 +3186,90 @@ def psi_feature_drift(spark, sf_dir):
                 F.round(q, 6).alias("p_cur"),
                 F.round((p - q) * F.log(p / q), 6).alias("psi_term"))
             .orderBy("bin"))
+
+
+@query(
+    "spearman_value_k_corr",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    rk AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY cents, event_id)
+                  AS BIGINT) AS rx,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY k, event_id)
+                  AS BIGINT) AS ry
+      FROM base),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST((rx - ry) * (rx - ry) AS HUGEINT))
+                 AS HUGEINT) AS s
+      FROM rk GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(1.0 - CAST(6 * s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT)
+                        * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE), 6)
+               AS spearman_rho
+    FROM agg WHERE n > 1 ORDER BY event_type
+    """,
+    doc="Spearman rank correlation per event type between the value "
+        "feature and the props.k attribute — the rank-based monotone- "
+        "association monitor (robust to outliers where Pearson is "
+        "not). Ties are broken by event_id on BOTH rank dimensions, "
+        "so ranks are distinct permutations and the closed form "
+        "rho = 1 - 6*sum(d^2)/(n(n^2-1)) is exact; d^2 sums "
+        "accumulate in DECIMAL(38)/HUGEINT (bigint overflows near "
+        "n~2^21 at 100 TB per-type volumes) and the final rho is one "
+        "identical IEEE expression. BOTH rank dimensions go through "
+        "the two-phase global_rank (bucketed by (type, value-range "
+        "block)), so no per-type single-task sort exists anywhere — "
+        "the per-type normalization is a broadcast of #types rows",
+)
+def spearman_value_k_corr(spark, sf_dir):
+    from ..operators.ranking import global_rank
+
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    base = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.get_json_object(F.col("props"), "$.k").cast("long")
+        .alias("k"))
+    # rank dim 1: (type, cents, event_id); bucket = (type, $25 block)
+    rx = global_rank(
+        base,
+        F.struct(F.col("event_type"),
+                 idiv(F.col("cents"), F.lit(2500)).alias("blk")),
+        [F.col("cents"), F.col("event_id")], rank_col="gx")
+    # rank dim 2: (type, k, event_id); bucket = (type, k DIV 10)
+    rk = global_rank(
+        rx,
+        F.struct(F.col("event_type"),
+                 idiv(F.col("k"), F.lit(10)).alias("blk")),
+        [F.col("k"), F.col("event_id")], rank_col="gy")
+    # per-type offsets: global row numbers -> per-type 1-based ranks
+    offs = rk.groupBy("event_type").agg(
+        F.min("gx").alias("ox"), F.min("gy").alias("oy"))
+    d = (rk.join(F.broadcast(offs), "event_type")
+         .select("event_type",
+                 ((F.col("gx") - F.col("ox"))
+                  - (F.col("gy") - F.col("oy"))).alias("d")))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)"))
+        .alias("s"))
+    nd = F.col("n").cast("decimal(38,0)")
+    rho = F.round(
+        F.lit(1.0) - (6 * F.col("s")).cast("double")
+        / (nd * (nd * F.col("n") - 1)).cast("double"), 6)
+    return (agg.filter(F.col("n") > 1)
+            .select("event_type", "n", rho.alias("spearman_rho"))
+            .orderBy("event_type"))

@@ -185,7 +185,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     # global_rank; their ONLY partition-less window is the per-bucket
     # offsets relation (#buckets rows by construction) — tiny forever
     sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
-                    "ntile_deciles", "exact_global_quantiles"}
+                    "ntile_deciles", "exact_global_quantiles",
+                    "spearman_value_k_corr"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
