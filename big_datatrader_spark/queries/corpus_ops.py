@@ -1119,3 +1119,77 @@ def sssp_copurchase(spark, sf_dir):
         frontier = nxt
     return (dist.select(F.col("node").alias("part_key"), "hop_dist")
             .orderBy("part_key"))
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS t
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_chars, t,
+             CAST(row_number() OVER (
+               ORDER BY substr(t, 1, 12), n_chars, doc_id)
+               AS BIGINT) AS r
+      FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(b.r - a.r AS BIGINT) AS rank_gap,
+             CAST(abs(b.n_chars - a.n_chars) AS BIGINT) AS chars_diff,
+             CAST(levenshtein(substr(a.t, 1, 40), substr(b.t, 1, 40))
+                  AS BIGINT) AS lev40
+      FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 3)
+    SELECT doc_a, doc_b, rank_gap, chars_diff, lev40
+    FROM pairs WHERE lev40 <= 20
+    ORDER BY doc_a, doc_b
+    """,
+    doc="sorted-neighborhood method (SNM) for entity-resolution "
+        "blocking — the classic alternative to LSH banding: sort the "
+        "corpus by a blocking key (12-char text prefix, then length, "
+        "then id) and compare each record only with its w=3 "
+        "successors in that order, verifying candidates with a "
+        "bounded edit distance (levenshtein on 40-char prefixes, "
+        "identical DP on both engines over ascii-stripped text). The "
+        "sort is the two-phase global_rank (bucket = 2-char prefix), "
+        "never a single-task ORDER BY, and the neighbor join is an "
+        "EQUALITY join on rank+offset (offsets exploded from a 3-"
+        "element literal array), so the plan is shuffle-hash-"
+        "joinable at any scale: O(w*n) candidate pairs by "
+        "construction instead of the all-pairs quadratic",
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    from ..functions.multimodal import ascii_text
+    from ..operators.ranking import global_rank
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", ascii_text(F.col("text")).alias("t"))
+    ranked = global_rank(
+        docs, F.substring(F.col("t"), 1, 2),
+        [F.substring(F.col("t"), 1, 12), F.col("n_chars"),
+         F.col("doc_id")], rank_col="r")
+    # each record meets its w=3 successors via an EQUALITY key:
+    # left emits (r_a + off) for off in 1..3, right keys on its own r
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("t").alias("t_a"),
+        F.col("r").alias("r_a"),
+        F.explode(F.array(*[F.col("r") + i for i in (1, 2, 3)]))
+        .alias("rj"))
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("t").alias("t_b"),
+        F.col("r").alias("rj"))
+    pairs = left.join(right, "rj").select(
+        "doc_a", "doc_b",
+        (F.col("rj") - F.col("r_a")).cast("bigint").alias("rank_gap"),
+        F.abs(F.col("nc_b") - F.col("nc_a")).cast("bigint")
+        .alias("chars_diff"),
+        F.levenshtein(F.substring("t_a", 1, 40),
+                      F.substring("t_b", 1, 40))
+        .cast("bigint").alias("lev40"))
+    return (pairs.filter(F.col("lev40") <= 20)
+            .orderBy("doc_a", "doc_b"))

@@ -186,7 +186,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     # offsets relation (#buckets rows by construction) — tiny forever
     sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
                     "ntile_deciles", "exact_global_quantiles",
-                    "spearman_value_k_corr"}
+                    "spearman_value_k_corr", "sorted_neighborhood_pairs"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
