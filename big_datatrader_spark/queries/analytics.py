@@ -3273,3 +3273,105 @@ def spearman_value_k_corr(spark, sf_dir):
     return (agg.filter(F.col("n") > 1)
             .select("event_type", "n", rho.alias("spearman_rho"))
             .orderBy("event_type"))
+
+
+@query(
+    "ks_two_sample_test",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(event_type = 'click' AS BIGINT) AS s
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    counts AS (
+      SELECT cents, CAST(sum(s) AS BIGINT) AS c1,
+             CAST(sum(1 - s) AS BIGINT) AS c2
+      FROM base GROUP BY cents),
+    cum AS (
+      SELECT cents,
+             CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER w AS BIGINT) AS cum2
+      FROM counts
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM counts),
+    d AS (SELECT cents,
+                 abs(CAST(cum1 AS HUGEINT) * n2
+                     - CAST(cum2 AS HUGEINT) * n1) AS dn
+          FROM cum, tot)
+    SELECT tot.n1, tot.n2,
+           ROUND(CAST((max(struct_pack(d := d.dn, vneg := -d.cents))).d
+                      AS DOUBLE)
+                 / CAST(CAST(tot.n1 AS HUGEINT) * tot.n2 AS DOUBLE), 6)
+               AS ks_d,
+           CAST(-(max(struct_pack(d := d.dn,
+                                  vneg := -d.cents))).vneg AS BIGINT)
+               AS ks_at_cents
+    FROM d, tot GROUP BY tot.n1, tot.n2
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov statistic between the "
+        "click and purchase value distributions — the standard "
+        "distribution-shift test for a numeric feature. D = "
+        "max_v |F1(v) - F2(v)| evaluated WITHOUT floats: per-value "
+        "counts, distributed prefix sums (two-phase: within-bucket "
+        "cumsum + broadcast bucket offsets, same shape as "
+        "global_rank — no single-task ORDER BY over the value "
+        "domain), then the CDF gap cross-multiplied to the exact "
+        "integer |cum1*n2 - cum2*n1| in DECIMAL(38)/HUGEINT; the "
+        "argmax value reports where the distributions diverge most "
+        "(ties -> smallest value, via lexicographic struct max on "
+        "both engines). Only the final division is IEEE, rounded 6. "
+        "The 1-row totals cross join is a broadcast scalar",
+)
+def ks_two_sample_test(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.col("event_type") == "click").cast("bigint")
+                    .alias("s")))
+    counts = (base.groupBy("cents")
+              .agg(F.sum("s").alias("c1"),
+                   F.sum(1 - F.col("s")).alias("c2"))
+              .withColumn("bkt", idiv(F.col("cents"), F.lit(2500))))
+    # two-phase prefix sum over the value domain (no global sort):
+    # within-bucket running sums ride a per-bucket window; bucket
+    # offsets are a #buckets-row relation, windowed once + broadcast
+    w_in = (Window.partitionBy("bkt").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = counts.select(
+        "cents", "bkt",
+        F.sum("c1").over(w_in).alias("l1"),
+        F.sum("c2").over(w_in).alias("l2"))
+    btot = counts.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("o2"))
+    cum = (local.join(F.broadcast(offs), "bkt")
+           .select("cents",
+                   (F.col("l1") + F.col("o1")).alias("cum1"),
+                   (F.col("l2") + F.col("o2")).alias("cum2")))
+    tot = btot.agg(F.sum("b1").alias("n1"), F.sum("b2").alias("n2"))
+    d = (cum.crossJoin(F.broadcast(tot))
+         .select("n1", "n2", "cents",
+                 F.abs(F.col("cum1").cast("decimal(38,0)")
+                       * F.col("n2")
+                       - F.col("cum2").cast("decimal(38,0)")
+                       * F.col("n1")).alias("dn")))
+    best = F.max(F.struct(F.col("dn").alias("d"),
+                          (-F.col("cents")).alias("vneg")))
+    return (d.groupBy("n1", "n2")
+            .agg(F.round(
+                     best["d"].cast("double")
+                     / (F.col("n1").cast("decimal(38,0)")
+                        * F.col("n2")).cast("double"), 6)
+                 .alias("ks_d"),
+                 (-best["vneg"]).cast("bigint").alias("ks_at_cents")))

@@ -180,13 +180,15 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "nb_calibration_curve",        # NB chain's 1-row/5-row scalars
         "exact_global_quantiles",      # 1-row n + 3-row pct spec
         "psi_feature_drift",           # 1-row bin-totals scalar
+        "ks_two_sample_test",          # 1-row sample-size scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
     # offsets relation (#buckets rows by construction) — tiny forever
     sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
                     "ntile_deciles", "exact_global_quantiles",
-                    "spearman_value_k_corr", "sorted_neighborhood_pairs"}
+                    "spearman_value_k_corr", "sorted_neighborhood_pairs",
+                    "ks_two_sample_test"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
