@@ -1,0 +1,101 @@
+"""Semantic invariants for the round-4 statistics/drift operators
+(ATR, PSI, Spearman, KS, sorted-neighborhood) against independent
+scipy-free reimplementations; oracle parity is covered by
+tools/check_oracle.py and the driver gate."""
+
+import numpy as np
+import pandas as pd
+
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def test_atr_true_range_matches_pandas(spark):
+    out = REG["atr_breakout_signals"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = (ev.sort_values(["ts", "event_id"])
+            .groupby(["user_id", "day"])
+            .agg(h=("cents", "max"), l=("cents", "min"),
+                 c=("cents", "last")).reset_index())
+    for uid, g in bars.groupby("user_id"):
+        g = g.sort_values("day").reset_index(drop=True)
+        pc = g.c.shift(1)
+        tr = np.maximum.reduce([
+            (g.h - g.l).to_numpy(),
+            (g.h - pc.fillna(g.h)).abs().to_numpy(),
+            (g.l - pc.fillna(g.l)).abs().to_numpy()]).astype("int64")
+        got = out[out.user_id == uid].sort_values("day")
+        assert (got.tr.to_numpy() == tr).all()
+        # ATR is the mean of up to 14 trailing TRs, within rounding
+        atr = pd.Series(tr).rolling(14, min_periods=1).mean() / 100
+        assert np.allclose(got.atr14.to_numpy(), atr, atol=1e-6)
+
+
+def test_psi_terms_partition_probabilities(spark):
+    out = REG["psi_feature_drift"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 20 and out.bin.is_unique
+    # smoothed probabilities sum to 1 on each side
+    assert abs(out.p_ref.sum() - 1.0) < 1e-4
+    assert abs(out.p_cur.sum() - 1.0) < 1e-4
+    # (p-q) and ln(p/q) always share sign, so every term is >= 0
+    assert (out.psi_term >= 0).all()
+    # independent recomputation from the emitted counts
+    p = (out.cnt_ref + 1) / (out.cnt_ref.sum() + 20)
+    q = (out.cnt_cur + 1) / (out.cnt_cur.sum() + 20)
+    assert np.allclose(out.psi_term, (p - q) * np.log(p / q), atol=1e-6)
+
+
+def test_spearman_matches_pandas_corr(spark):
+    out = REG["spearman_value_k_corr"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    import json
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["k"] = ev.props.map(lambda s: json.loads(s)["k"])
+    for et, g in ev.groupby("event_type"):
+        rx = (g.sort_values(["cents", "event_id"])
+              .reset_index().index.to_numpy() + 1)
+        g2 = g.sort_values(["cents", "event_id"]).reset_index(drop=True)
+        ry = g2.sort_values(["k", "event_id"]).index.to_numpy() + 1
+        # ry maps each row of g2 to its k-rank: invert the permutation
+        inv = np.empty_like(ry)
+        inv[ry - 1] = np.arange(1, len(ry) + 1)
+        d = np.arange(1, len(g2) + 1) - inv
+        n = len(g2)
+        rho = 1 - 6 * (d.astype(object) ** 2).sum() / (n * (n * n - 1))
+        got = out[out.event_type == et].spearman_rho.iloc[0]
+        assert abs(got - rho) < 1e-6, et
+        assert -1.0 <= got <= 1.0
+
+
+def test_ks_statistic_matches_numpy(spark):
+    out = REG["ks_two_sample_test"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    a = np.sort(ev[ev.event_type == "click"].cents.to_numpy())
+    b = np.sort(ev[ev.event_type == "purchase"].cents.to_numpy())
+    assert row.n1 == len(a) and row.n2 == len(b)
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(f1 - f2)
+    assert abs(row.ks_d - d.max()) < 1e-6
+    # reported argmax value attains the max gap
+    at = np.searchsorted(grid, row.ks_at_cents)
+    assert abs(d[at] - d.max()) < 1e-9
+
+
+def test_sorted_neighborhood_candidates_bounded(spark):
+    out = REG["sorted_neighborhood_pairs"].spark_fn(spark, SF).toPandas()
+    n_docs = table(spark, SF, "documents").count()
+    # SNM with w=3 yields at most 3n candidate pairs pre-filter
+    assert len(out) <= 3 * n_docs
+    assert (out.rank_gap.between(1, 3)).all()
+    assert (out.lev40 <= 20).all()
+    assert (out.doc_a != out.doc_b).all()
