@@ -3375,3 +3375,136 @@ def ks_two_sample_test(spark, sf_dir):
                         * F.col("n2")).cast("double"), 6)
                  .alias("ks_d"),
                  (-best["vneg"]).cast("bigint").alias("ks_at_cents")))
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+               FROM pos GROUP BY digit),
+    spine AS (
+      SELECT CAST(t.range AS BIGINT) AS digit,
+             coalesce(c.cnt, 0) AS cnt
+      FROM range(1, 10) t LEFT JOIN counts c ON t.range = c.digit),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM spine)
+    SELECT spine.digit, spine.cnt,
+           ROUND(CAST(spine.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+               AS observed,
+           ROUND(log10(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)), 6)
+               AS expected,
+           ROUND((CAST(spine.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                  - log10(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)))
+                 * (CAST(spine.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                    - log10(1.0 + 1.0
+                            / CAST(spine.digit AS DOUBLE)))
+                 * CAST(tot.n AS DOUBLE)
+                 / log10(1.0 + 1.0 / CAST(spine.digit AS DOUBLE)), 6)
+               AS chi2_term
+    FROM spine, tot ORDER BY spine.digit
+    """,
+    doc="Benford's-law first-significant-digit audit over the value "
+        "column — the classic fraud / synthetic-data detector: "
+        "observed first-digit frequencies vs the log10(1+1/d) law, "
+        "with per-digit chi-square contributions n*(o-e)^2/e. Digit "
+        "extraction is string-on-integer (identical on both engines, "
+        "no float log tricks), counts are ONE map-side-partial "
+        "aggregate, the 9-row digit spine keeps absent digits "
+        "defined, and every emitted double is a single identical "
+        "IEEE expression of exact integers. The 1-row total is a "
+        "broadcast scalar cross join",
+)
+def benford_first_digit_audit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pos = (ev.select(cents.alias("c")).filter(F.col("c") > 0)
+           .select(F.substring(F.col("c").cast("string"), 1, 1)
+                   .cast("bigint").alias("digit")))
+    counts = pos.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    spine = (spark.range(1, 10).select(F.col("id").alias("digit"))
+             .join(counts, "digit", "left")
+             .select("digit", F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    tot = spine.agg(F.sum("cnt").alias("n"))
+    j = spine.crossJoin(F.broadcast(tot))
+    obs = F.col("cnt").cast("double") / F.col("n").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0)
+                  / F.col("digit").cast("double"))
+    return (j.select(
+                "digit", "cnt",
+                F.round(obs, 6).alias("observed"),
+                F.round(exp, 6).alias("expected"),
+                F.round((obs - exp) * (obs - exp)
+                        * F.col("n").cast("double") / exp, 6)
+                .alias("chi2_term"))
+            .orderBy("digit"))
+
+
+@query(
+    "welch_t_test",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(event_type = 'click' AS BIGINT) AS s,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(sum(s * x) AS BIGINT) AS s1,
+             CAST(sum((1 - s) * x) AS BIGINT) AS s2,
+             CAST(sum(s * x * x) AS HUGEINT) AS q1,
+             CAST(sum((1 - s) * x * x) AS HUGEINT) AS q2
+      FROM base)
+    SELECT n1, n2,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / 100.0, 6) AS mean_diff,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(
+                   CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                   + CAST(n2 * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))), 6)
+               AS t_stat
+    FROM m
+    """,
+    doc="Welch's unequal-variance t statistic between the click and "
+        "purchase value populations — the A/B-test workhorse. All "
+        "five moments (counts, sums, sums of squares) accumulate as "
+        "exact integers in ONE conditional map-side-partial aggregate "
+        "over the fact table (sum-of-squares in DECIMAL(38)/HUGEINT: "
+        "cents^2 times 100 TB row counts overflows BIGINT), and the "
+        "t statistic is a single identical IEEE expression of those "
+        "integers using the n*q - s^2 cancellation-free variance "
+        "form. No join, no window, no second pass — the entire "
+        "reduction is one 1-row aggregate at any scale",
+)
+def welch_t_test(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select((F.col("event_type") == "click").cast("bigint")
+                    .alias("s"),
+                    F.round(F.col("value") * 100).cast("bigint")
+                    .alias("x")))
+    m = base.agg(
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        F.sum(F.col("s") * F.col("x")).alias("s1"),
+        F.sum((1 - F.col("s")) * F.col("x")).alias("s2"),
+        F.sum((F.col("s") * F.col("x") * F.col("x"))
+              .cast("decimal(38,0)")).alias("q1"),
+        F.sum(((1 - F.col("s")) * F.col("x") * F.col("x"))
+              .cast("decimal(38,0)")).alias("q2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
+    mean_diff = (s1.cast("double") / n1 - s2.cast("double") / n2)
+    var_term = (
+        (n1 * F.col("q1") - s1.cast("decimal(38,0)") * s1)
+        .cast("double") / (n1.cast("double") * n1 * (n1 - 1))
+        + (n2 * F.col("q2") - s2.cast("decimal(38,0)") * s2)
+        .cast("double") / (n2.cast("double") * n2 * (n2 - 1)))
+    return m.select(
+        "n1", "n2",
+        F.round(mean_diff / 100.0, 6).alias("mean_diff"),
+        F.round(mean_diff / F.sqrt(var_term), 6).alias("t_stat"))

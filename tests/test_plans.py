@@ -181,6 +181,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "exact_global_quantiles",      # 1-row n + 3-row pct spec
         "psi_feature_drift",           # 1-row bin-totals scalar
         "ks_two_sample_test",          # 1-row sample-size scalars
+        "benford_first_digit_audit",   # 1-row digit-total scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

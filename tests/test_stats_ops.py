@@ -99,3 +99,29 @@ def test_sorted_neighborhood_candidates_bounded(spark):
     assert (out.rank_gap.between(1, 3)).all()
     assert (out.lev40 <= 20).all()
     assert (out.doc_a != out.doc_b).all()
+
+
+def test_benford_chi2_matches_numpy(spark):
+    out = REG["benford_first_digit_audit"].spark_fn(spark, SF).toPandas()
+    assert list(out.digit) == list(range(1, 10))
+    n = out.cnt.sum()
+    obs = out.cnt / n
+    exp = np.log10(1 + 1 / out.digit)
+    assert np.allclose(out.observed, obs, atol=1e-6)
+    assert np.allclose(out.expected, exp, atol=1e-6)
+    assert np.allclose(out.chi2_term, (obs - exp) ** 2 * n / exp,
+                       atol=1e-5)
+
+
+def test_welch_t_matches_numpy(spark):
+    out = REG["welch_t_test"].spark_fn(spark, SF).toPandas()
+    row = out.iloc[0]
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    a = ev[ev.event_type == "click"].cents.to_numpy()
+    b = ev[ev.event_type == "purchase"].cents.to_numpy()
+    assert row.n1 == len(a) and row.n2 == len(b)
+    md = a.mean() - b.mean()
+    t = md / np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert abs(row.mean_diff - md / 100) < 1e-6
+    assert abs(row.t_stat - t) < 1e-6
