@@ -3508,3 +3508,65 @@ def welch_t_test(spark, sf_dir):
         "n1", "n2",
         F.round(mean_diff / 100.0, 6).alias("mean_diff"),
         F.round(mean_diff / F.sqrt(var_term), 6).alias("t_stat"))
+
+
+@query(
+    "chi2_independence_test",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    ct AS (SELECT hod, CAST(sum(o) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+    SELECT cells.event_type, cells.hod, cells.o,
+           ROUND(CAST(rt.r AS DOUBLE) * ct.c / tot.n, 6) AS expected,
+           ROUND(CAST((CAST(cells.o AS HUGEINT) * tot.n - CAST(rt.r
+                       AS HUGEINT) * ct.c)
+                      * (CAST(cells.o AS HUGEINT) * tot.n
+                         - CAST(rt.r AS HUGEINT) * ct.c) AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE)
+                    * CAST(CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)), 6)
+               AS chi2_term
+    FROM cells
+    JOIN rt USING (event_type) JOIN ct USING (hod), tot
+    ORDER BY cells.event_type, cells.hod
+    """,
+    doc="chi-square test of independence between event type and "
+        "hour-of-day — the categorical-association screen (is traffic "
+        "mix time-of-day dependent?). Per-cell contribution "
+        "(o-e)^2/e computed WITHOUT a float expected value on the "
+        "data path: the residual is cross-multiplied to the exact "
+        "integer o*n - r*c in DECIMAL(38)/HUGEINT, and only the final "
+        "normalization divides (one identical IEEE expression). ONE "
+        "map-side-partial aggregate builds the cells; margins are "
+        "cells-sized rollups broadcast back, and the 1-row grand "
+        "total is a broadcast scalar. At 100 TB the post-agg relation "
+        "is #types x 24 rows regardless of input volume",
+)
+def chi2_independence_test(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type",
+                        F.hour("ts").cast("bigint").alias("hod"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("hod").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (cells.join(F.broadcast(rt), "event_type")
+         .join(F.broadcast(ct), "hod")
+         .crossJoin(F.broadcast(tot)))
+    num = (F.col("o").cast("decimal(38,0)") * F.col("n")
+           - F.col("r").cast("decimal(38,0)") * F.col("c"))
+    rc = F.col("r").cast("decimal(38,0)") * F.col("c")
+    return (j.select(
+                "event_type", "hod", "o",
+                F.round(F.col("r").cast("double") * F.col("c")
+                        / F.col("n"), 6).alias("expected"),
+                F.round((num * num).cast("double")
+                        / (F.col("n").cast("double")
+                           * rc.cast("double")), 6)
+                .alias("chi2_term"))
+            .orderBy("event_type", "hod"))

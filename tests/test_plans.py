@@ -182,6 +182,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "psi_feature_drift",           # 1-row bin-totals scalar
         "ks_two_sample_test",          # 1-row sample-size scalars
         "benford_first_digit_audit",   # 1-row digit-total scalar
+        "chi2_independence_test",      # 1-row grand-total scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

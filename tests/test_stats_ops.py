@@ -125,3 +125,21 @@ def test_welch_t_matches_numpy(spark):
     t = md / np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
     assert abs(row.mean_diff - md / 100) < 1e-6
     assert abs(row.t_stat - t) < 1e-6
+
+
+def test_chi2_matches_numpy_contingency(spark):
+    out = REG["chi2_independence_test"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["hod"] = ev.ts.dt.hour
+    tab = ev.groupby(["event_type", "hod"]).size().rename("o")
+    n = tab.sum()
+    rt = tab.groupby("event_type").sum()
+    ct = tab.groupby("hod").sum()
+    for _, row in out.iterrows():
+        o = tab.loc[(row.event_type, row.hod)]
+        e = rt[row.event_type] * ct[row.hod] / n
+        assert row.o == o
+        assert abs(row.expected - e) < 1e-5
+        assert abs(row.chi2_term - (o - e) ** 2 / e) < 1e-5
+    # all observed cells accounted for
+    assert len(out) == len(tab)
