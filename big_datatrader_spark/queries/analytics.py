@@ -3570,3 +3570,316 @@ def chi2_independence_test(spark, sf_dir):
                            * rc.cast("double")), 6)
                 .alias("chi2_term"))
             .orderBy("event_type", "hod"))
+
+
+@query(
+    "roc_auc_exact",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    counts AS (
+      SELECT cents, CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM base GROUP BY cents),
+    cum AS (
+      SELECT cents, c1, c0,
+             CAST(coalesce(sum(c0) OVER (
+                 ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS below0
+      FROM counts),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c0) AS BIGINT) AS n0 FROM counts),
+    u AS (SELECT CAST(sum(CAST(c1 AS HUGEINT)
+                          * (2 * below0 + c0)) AS HUGEINT) AS u2
+          FROM cum)
+    SELECT tot.n1 AS n_pos, tot.n0 AS n_neg,
+           CAST((2 * u.u2 * 1000000
+                 + 2 * CAST(tot.n1 AS HUGEINT) * tot.n0)
+                // (4 * CAST(tot.n1 AS HUGEINT) * tot.n0) AS DOUBLE)
+               / 1000000.0 AS auc
+    FROM tot, u
+    """,
+    doc="exact ROC-AUC of 'value predicts purchase vs click' via the "
+        "Mann-Whitney U statistic with the standard tie correction: "
+        "AUC = (sum over distinct scores of c1*(below0 + c0/2)) / "
+        "(n1*n0), kept integral as 2U = sum c1*(2*below0 + c0) so "
+        "ties never produce a fractional intermediate. The exclusive "
+        "CDF rides the same two-phase prefix sum as global_rank "
+        "(within-bucket window + broadcast bucket offsets — no "
+        "single-task ORDER BY over the score domain), products are "
+        "DECIMAL(38)/HUGEINT, and the ONLY division is the final "
+        "AUC ratio, rounded half-away in exact integers "
+        "(_int_ratio_round6 semantics with denominator 2*n1*n0). "
+        "At 100 TB: one map-side-partial count per score value, then "
+        "score-cardinality-scale relations; the totals are a 1-row "
+        "broadcast scalar. ref: main.py has no model eval — this is "
+        "the training-pipeline extension family",
+)
+def roc_auc_exact(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    counts = (base.groupBy("cents")
+              .agg(F.sum("y").alias("c1"),
+                   F.sum(1 - F.col("y")).alias("c0"))
+              .withColumn("bkt", idiv(F.col("cents"), F.lit(2500))))
+    # two-phase exclusive prefix sum of the negative counts
+    w_in = (Window.partitionBy("bkt").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = counts.select(
+        "cents", "bkt", "c1", "c0",
+        F.coalesce(F.sum("c0").over(w_in), F.lit(0)).alias("l0"))
+    btot = counts.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c0").alias("b0"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("b0").over(w_off), F.lit(0)).alias("o0"))
+    cum = (local.join(F.broadcast(offs), "bkt")
+           .select("c1", "c0",
+                   (F.col("l0") + F.col("o0")).alias("below0")))
+    u = cum.agg(F.sum(F.col("c1").cast("decimal(38,0)")
+                      * (2 * F.col("below0") + F.col("c0")))
+                .cast("decimal(38,0)").alias("u2"))
+    tot = btot.agg(F.sum("b1").alias("n1"), F.sum("b0").alias("n0"))
+    j = tot.crossJoin(F.broadcast(u))
+    num = 2 * F.col("u2") * 1000000 \
+        + 2 * F.col("n1").cast("decimal(38,0)") * F.col("n0")
+    den = 4 * F.col("n1").cast("decimal(38,0)") * F.col("n0")
+    return j.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        (((num - num % den) / den).cast("bigint").cast("double")
+         / 1000000.0).alias("auc"))
+
+
+_PR_THRESHOLDS = (1000, 2500, 5000, 7500, 9000)
+
+
+@query(
+    "precision_recall_thresholds",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    agg AS (
+      SELECT CAST(sum(y) AS BIGINT) AS n1,
+             CAST(sum(1 - y) AS BIGINT) AS n0,
+             {', '.join(
+                 f'CAST(sum(CASE WHEN cents >= {t} THEN y ELSE 0 END) '
+                 f'AS BIGINT) AS tp{t}, '
+                 f'CAST(sum(CASE WHEN cents >= {t} THEN 1 - y ELSE 0 '
+                 f'END) AS BIGINT) AS fp{t}' for t in _PR_THRESHOLDS)}
+      FROM base),
+    rows_ AS (
+      {' UNION ALL '.join(
+          f'SELECT CAST({t} AS BIGINT) AS threshold_cents, '
+          f'tp{t} AS tp, fp{t} AS fp, n1 - tp{t} AS fn, '
+          f'n0 - fp{t} AS tn FROM agg' for t in _PR_THRESHOLDS)})
+    SELECT threshold_cents, tp, fp, fn, tn,
+           CAST((2 * CAST(tp AS HUGEINT) * 1000000 + tp + fp)
+                // (2 * CAST(tp + fp AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS precision6,
+           CAST((2 * CAST(tp AS HUGEINT) * 1000000 + tp + fn)
+                // (2 * CAST(tp + fn AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS recall6,
+           CAST((2 * CAST(2 * tp AS HUGEINT) * 1000000
+                 + 2 * tp + fp + fn)
+                // (2 * CAST(2 * tp + fp + fn AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS f1
+    FROM rows_ ORDER BY threshold_cents
+    """,
+    doc="precision / recall / F1 at a fixed grid of score thresholds "
+        "(the operating-point sweep behind a PR curve): ONE "
+        "map-side-partial aggregate computes every confusion cell as "
+        "conditional sums (no threshold x events row amplification, "
+        "no broadcast join — the thresholds are compiled into the "
+        "aggregate), then the 1-row result unpivots to one row per "
+        "threshold. F1 uses the algebraic identity 2TP/(2TP+FP+FN) "
+        "so it is a SINGLE exact integer ratio, rounded half-away in "
+        "DECIMAL(38)/HUGEINT like every ratio in the repo. At 100 TB "
+        "this is a full scan + constant-size state — the cheapest "
+        "possible shape for a threshold sweep",
+)
+def precision_recall_thresholds(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    aggs = [F.sum("y").alias("n1"),
+            F.sum(1 - F.col("y")).alias("n0")]
+    for t in _PR_THRESHOLDS:
+        hit = (F.col("cents") >= t).cast("bigint")
+        aggs.append(F.sum(hit * F.col("y")).alias(f"tp{t}"))
+        aggs.append(F.sum(hit * (1 - F.col("y"))).alias(f"fp{t}"))
+    one = base.agg(*aggs)
+    rows = one.select(F.explode(F.array(*[
+        F.struct(F.lit(t).cast("bigint").alias("threshold_cents"),
+                 F.col(f"tp{t}").alias("tp"),
+                 F.col(f"fp{t}").alias("fp"),
+                 (F.col("n1") - F.col(f"tp{t}")).alias("fn"),
+                 (F.col("n0") - F.col(f"fp{t}")).alias("tn"))
+        for t in _PR_THRESHOLDS])).alias("r")).select("r.*")
+    return (rows.select(
+        "threshold_cents", "tp", "fp", "fn", "tn",
+        _int_ratio_round6(F.col("tp"), F.col("tp") + F.col("fp"))
+        .alias("precision6"),
+        _int_ratio_round6(F.col("tp"), F.col("tp") + F.col("fn"))
+        .alias("recall6"),
+        _int_ratio_round6(2 * F.col("tp"),
+                          2 * F.col("tp") + F.col("fp") + F.col("fn"))
+        .alias("f1"))
+        .orderBy("threshold_cents"))
+
+
+@query(
+    "event_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+                 AS to_type
+      FROM events),
+    cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+            FROM cnt GROUP BY 1)
+    SELECT cnt.from_type, cnt.to_type, cnt.n,
+           CAST((2 * CAST(cnt.n AS HUGEINT) * 1000000 + tot.row_n)
+                // (2 * CAST(tot.row_n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS prob
+    FROM cnt JOIN tot USING (from_type)
+    ORDER BY cnt.from_type, cnt.to_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: P(next_type | current_type) from lead() within "
+        "each user's timeline — the behavioral sequence model behind "
+        "next-event prediction and anomalous-session scoring. One "
+        "user-partitioned window (rides the same exchange shape as "
+        "every per-user timeline op), then the transition counts are "
+        "a #types^2-row relation: the per-row totals join is a "
+        "broadcast and the probability is one exact integer ratio, "
+        "rounded half-away in DECIMAL(38)/HUGEINT. At 100 TB: one "
+        "shuffle by user for the lead, constant-size state after",
+)
+def event_markov_transitions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    cnt = (seq.filter(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (cnt.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n",
+                    _int_ratio_round6(F.col("n"), F.col("row_n"))
+                    .alias("prob"))
+            .orderBy("from_type", "to_type"))
+
+
+@query(
+    "theil_sen_slope",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                 // 86400 AS d,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.user_id,
+             b.cents - a.cents AS dc, b.d - a.d AS dd,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS sl
+      FROM bars a JOIN bars b
+        ON a.user_id = b.user_id AND a.d < b.d),
+    rk AS (
+      SELECT user_id, dc, dd,
+             row_number() OVER (
+                 PARTITION BY user_id ORDER BY sl, dc, dd) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS np
+      FROM pairs)
+    SELECT user_id, CAST(np AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN dc >= 0
+                THEN (2 * CAST(dc AS HUGEINT) * 1000000 + dd)
+                     // (2 * CAST(dd AS HUGEINT))
+                ELSE -((2 * CAST(-dc AS HUGEINT) * 1000000 + dd)
+                       // (2 * CAST(dd AS HUGEINT))) END AS DOUBLE)
+               / 1000000.0 AS sen_slope
+    FROM rk WHERE rn = (np + 1) // 2
+    ORDER BY user_id
+    """,
+    doc="Theil-Sen robust trend estimator per user: the (lower) "
+        "median of all pairwise slopes of the daily value series — "
+        "the outlier-resistant alternative to OLS trend "
+        "(linreg_trend_per_user) with a 29% breakdown point. Pairs "
+        "come from a per-user self-equi-join of the DAILY bars "
+        "relation (the raw scan is first collapsed ~1000x by the "
+        "date_trunc aggregate, so the quadratic blowup is bounded by "
+        "days-per-user, not events — at 100 TB the pair relation "
+        "stays ~30x the bar relation and shares its user "
+        "partitioning). Median selection orders by the slope DOUBLE "
+        "(identical IEEE division of identical integers on both "
+        "engines) with (dc, dd) tiebreak for a total order; the "
+        "REPORTED slope re-derives from the winning pair's integers "
+        "with signed half-away rounding in DECIMAL(38)/HUGEINT — no "
+        "float ever enters the comparison-or-rounding path "
+        "ambiguously. One shuffle by user, windows ride it",
+)
+def theil_sen_slope(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bars = (ev.groupBy(
+        "user_id",
+        ((F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))))
+          .cast("bigint") - F.floor(
+              F.unix_timestamp(F.date_trunc("day", F.col("ts"))))
+          .cast("bigint") % 86400) / 86400).cast("bigint").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("cents")))
+    a = bars.alias("a")
+    b = bars.select(F.col("user_id"), F.col("d").alias("d_b"),
+                    F.col("cents").alias("cents_b")).alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.d") < F.col("d_b")))
+             .select(F.col("a.user_id").alias("user_id"),
+                     (F.col("cents_b") - F.col("cents")).alias("dc"),
+                     (F.col("d_b") - F.col("a.d")).alias("dd")))
+    pairs = pairs.withColumn(
+        "sl", F.col("dc").cast("double") / F.col("dd"))
+    wrk = Window.partitionBy("user_id").orderBy("sl", "dc", "dd")
+    wnp = Window.partitionBy("user_id")
+    rk = pairs.select(
+        "user_id", "dc", "dd",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wnp).alias("np"))
+
+    def idiv(x, y):
+        return (x - x % y) / y
+
+    adc = F.abs(F.col("dc")).cast("decimal(38,0)")
+    ddd = F.col("dd").cast("decimal(38,0)")
+    mag = idiv(2 * adc * 1000000 + ddd, 2 * ddd).cast("bigint")
+    slope6 = (F.when(F.col("dc") >= 0, mag).otherwise(-mag)
+              .cast("double") / 1000000.0)
+    return (rk.filter(F.col("rn")
+                      == ((F.col("np") + 1)
+                          - (F.col("np") + 1) % 2) / 2)
+            .select("user_id", F.col("np").cast("bigint")
+                    .alias("n_pairs"),
+                    slope6.alias("sen_slope"))
+            .orderBy("user_id"))

@@ -183,6 +183,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "ks_two_sample_test",          # 1-row sample-size scalars
         "benford_first_digit_audit",   # 1-row digit-total scalar
         "chi2_independence_test",      # 1-row grand-total scalar
+        "roc_auc_exact",               # 1-row U-statistic x totals
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -190,7 +191,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
                     "ntile_deciles", "exact_global_quantiles",
                     "spearman_value_k_corr", "sorted_neighborhood_pairs",
-                    "ks_two_sample_test"}
+                    "ks_two_sample_test", "roc_auc_exact"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

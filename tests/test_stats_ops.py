@@ -143,3 +143,73 @@ def test_chi2_matches_numpy_contingency(spark):
         assert abs(row.chi2_term - (o - e) ** 2 / e) < 1e-5
     # all observed cells accounted for
     assert len(out) == len(tab)
+
+
+def test_roc_auc_matches_rank_formula(spark):
+    """AUC via the tie-corrected Mann-Whitney U must equal the
+    pandas average-rank formula (what scipy/sklearn compute)."""
+    out = REG["roc_auc_exact"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    cents = (ev.value * 100).round().astype("int64")
+    y = (ev.event_type == "purchase").astype(int).to_numpy()
+    r = pd.Series(cents.to_numpy()).rank(method="average").to_numpy()
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    auc = (r[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    row = out.iloc[0]
+    assert (row.n_pos, row.n_neg) == (n1, n0)
+    assert abs(row.auc - auc) < 1e-6
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_precision_recall_thresholds_confusion_algebra(spark):
+    out = (REG["precision_recall_thresholds"].spark_fn(spark, SF)
+           .toPandas())
+    assert list(out.threshold_cents) == [1000, 2500, 5000, 7500, 9000]
+    # confusion cells always resolve the same population
+    tots = out.tp + out.fp + out.fn + out.tn
+    assert tots.nunique() == 1
+    # monotone: raising the threshold can only shrink tp and fp
+    assert (out.tp.diff().dropna() <= 0).all()
+    assert (out.fp.diff().dropna() <= 0).all()
+    assert (out.recall6.diff().dropna() <= 1e-12).all()
+    # recompute against pandas
+    ev = table(spark, SF, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    cents = (ev.value * 100).round().astype("int64")
+    pos = ev.event_type == "purchase"
+    for _, r in out.iterrows():
+        hit = cents >= r.threshold_cents
+        assert r.tp == int((hit & pos).sum())
+        assert r.fp == int((hit & ~pos).sum())
+        if r.tp + r.fp:
+            assert abs(r.precision6 - r.tp / (r.tp + r.fp)) < 1e-6
+
+
+def test_markov_rows_are_conditional_distributions(spark):
+    out = (REG["event_markov_transitions"].spark_fn(spark, SF)
+           .toPandas())
+    # each from_type row of the matrix sums to ~1
+    s = out.groupby("from_type").prob.sum()
+    assert ((s - 1.0).abs() < 1e-4).all()
+    # transition counts conserve: sum n == total events - one per user
+    ev = table(spark, SF, "events").toPandas()
+    assert out.n.sum() == len(ev) - ev.user_id.nunique()
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    out = REG["theil_sen_slope"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["d"] = ev.ts.values.astype("datetime64[D]").astype("int64")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = (ev.groupby(["user_id", "d"]).cents.sum().reset_index())
+    for uid, g in bars.groupby("user_id"):
+        d = g.d.to_numpy()
+        c = g.cents.to_numpy()
+        i, j = np.triu_indices(len(d), k=1)
+        slopes = (c[j] - c[i]) / (d[j] - d[i])
+        got = out[out.user_id == uid].iloc[0]
+        assert got.n_pairs == len(slopes)
+        # lower median == numpy sorted middle element
+        lower_med = np.sort(slopes)[(len(slopes) + 1) // 2 - 1]
+        assert abs(got.sen_slope - lower_med) < 1e-6
