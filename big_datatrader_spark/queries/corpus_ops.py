@@ -23,6 +23,7 @@ from ..sources.parquet_source import table
 from . import query
 from .llm_dedup import (BANDS, NUM_HASHES, _SHINGLES, _band_struct_sql,
                         _minhash_sig_sql)
+from .analytics import _int_ratio_round6
 from .training_ops import _TOKS, _grams_sql, _gram_rows, _h60_sql
 
 _R = 6
@@ -1192,4 +1193,230 @@ def sorted_neighborhood_pairs(spark, sf_dir):
                       F.substring("t_b", 1, 40))
         .cast("bigint").alias("lev40"))
     return (pairs.filter(F.col("lev40") <= 20)
+            .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate removal at chunk granularity
+
+_BP_CHUNK, _BP_DF = 8, 4
+
+
+@query(
+    "boilerplate_chunk_removal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    ch AS (SELECT doc_id,
+                  unnest(generate_series(0, n - 1, {_BP_CHUNK})) AS s,
+                  t, n
+           FROM nz),
+    chunks AS (
+      SELECT doc_id, CAST(s // {_BP_CHUNK} AS BIGINT) AS cid,
+             array_to_string(t[s + 1 : s + {_BP_CHUNK}], ' ') AS chunk,
+             CAST(least({_BP_CHUNK}, n - s) AS BIGINT) AS ctoks
+      FROM ch),
+    df AS (SELECT chunk,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM chunks GROUP BY 1),
+    flagged AS (
+      SELECT c.doc_id, c.cid, c.chunk, c.ctoks,
+             df.n_docs >= {_BP_DF} AS boiler
+      FROM chunks c JOIN df USING (chunk))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CAST(boiler AS BIGINT)) AS BIGINT) AS n_boiler,
+           CAST(coalesce(sum(ctoks) FILTER (WHERE NOT boiler), 0)
+                AS BIGINT) AS kept_tokens,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY cid)
+                        FILTER (WHERE NOT boiler), '')) AS kept_md5
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"CCNet-style boilerplate removal: documents are cut into "
+        f"non-overlapping {_BP_CHUNK}-token chunks; any chunk whose "
+        f"exact text recurs in >= {_BP_DF} distinct documents "
+        "(headers, licence blocks, nav text) is dropped, and the doc "
+        "reassembles from the surviving chunks in order (kept_md5 "
+        "fingerprints the reassembly so the oracle checks the full "
+        "edit, not just counts). Chunking is the shuffle-free "
+        "posexplode + lead-window build (concat_ws skips the NULL "
+        "leads past the doc end, so ragged tail chunks need no "
+        "special case); the chunk-frequency relation groups by the "
+        "same chunk text the rejoin hashes on. At 100 TB the df "
+        "relation is |distinct chunks| and the per-doc reassembly "
+        "state is bounded by doc length — nothing global. "
+        "ref main.py has no corpus ops; this extends the LLM-pipeline "
+        "family (CCNet: Wenzek et al., arXiv:1911.00359)",
+)
+def boilerplate_chunk_removal(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text")))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    chunk = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", i).over(w) for i in range(1, _BP_CHUNK)])
+    chunks = (base
+              .withColumn("n", F.count(F.lit(1)).over(w_all))
+              .withColumn("chunk", chunk)
+              .filter(F.col("pos") % _BP_CHUNK == 0)
+              .select("doc_id",
+                      (F.col("pos") / _BP_CHUNK).cast("bigint")
+                      .alias("cid"),
+                      "chunk",
+                      F.least(F.lit(_BP_CHUNK),
+                              F.col("n") - F.col("pos"))
+                      .cast("bigint").alias("ctoks")))
+    df = (chunks.groupBy("chunk")
+          .agg(F.countDistinct("doc_id").alias("n_docs")))
+    flagged = chunks.join(df, "chunk").withColumn(
+        "boiler", F.col("n_docs") >= _BP_DF)
+    kept = F.when(~F.col("boiler"),
+                  F.struct(F.col("cid"), F.col("chunk")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.col("boiler").cast("bigint")).alias("n_boiler"),
+                 F.coalesce(
+                     F.sum(F.when(~F.col("boiler"), F.col("ctoks"))),
+                     F.lit(0)).cast("bigint").alias("kept_tokens"),
+                 F.md5(F.concat_ws(" ", F.expr(
+                     "transform(array_sort(collect_list("
+                     "CASE WHEN NOT boiler THEN "
+                     "struct(cid, chunk) END)), x -> x.chunk)")))
+                 .alias("kept_md5"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (source balancing before training)
+
+_CAP_K = 8
+
+
+@query(
+    "domain_cap_sample",
+    oracle=f"""
+    WITH rk AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                          doc_id) AS rk
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(CASE WHEN rk <= {_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(sum(CASE WHEN rk <= {_CAP_K} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM rk GROUP BY source ORDER BY source
+    """,
+    doc=f"per-domain document cap (C4/RefinedWeb-style source "
+        f"balancing): every source keeps at most {_CAP_K} documents, "
+        "chosen by deterministic md5 rank so the sample is uniform, "
+        "reproducible, independent of storage order, and STABLE under "
+        "appends (a new doc only displaces the current max-rank "
+        "survivor). One window partitioned by source — the same "
+        "exchange the summary aggregate reuses; no global ordering "
+        "anywhere. At 100 TB hot domains are exactly the point: the "
+        "cap bounds any single domain's contribution to the corpus "
+        "no matter how skewed the crawl",
+)
+def domain_cap_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap:"),
+                       F.col("doc_id").cast("string"))), "doc_id")
+    rk = docs.select("source", "n_chars",
+                     F.row_number().over(w).alias("rk"))
+    keep = (F.col("rk") <= _CAP_K).cast("bigint")
+    return (rk.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("total_docs"),
+                 F.sum(keep).alias("kept_docs"),
+                 F.sum(F.col("n_chars") * keep).alias("kept_chars"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment (sub-document duplication)
+
+_CT_N, _CT_MAXDF, _CT_THR = 5, 50, 0.5
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, unnest({_grams_sql(_CT_N)}) AS gram
+          FROM toks),
+    capped AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram,
+               count(*) OVER (PARTITION BY gram) AS df_g
+        FROM g) WHERE df_g <= {_CT_MAXDF}),
+    counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g
+               FROM capped GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM capped a JOIN capped b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, ca.n_g AS n_a, cb.n_g AS n_b,
+           CAST((2 * CAST(inter AS HUGEINT) * 1000000 + ca.n_g)
+                // (2 * CAST(ca.n_g AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS cont_a,
+           CAST((2 * CAST(inter AS HUGEINT) * 1000000 + cb.n_g)
+                // (2 * CAST(cb.n_g AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS cont_b
+    FROM pairs
+    JOIN counts ca ON doc_a = ca.doc_id
+    JOIN counts cb ON doc_b = cb.doc_id
+    WHERE 2 * CAST(inter AS HUGEINT) >= least(ca.n_g, cb.n_g)
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"asymmetric {_CT_N}-gram CONTAINMENT C(A,B) = |A n B| / |A| "
+        "(and /|B|) over distinct word-gram sets — catches "
+        "sub-document duplication (a doc wholly embedded in a longer "
+        "one) that symmetric Jaccard scores low because the union is "
+        "dominated by the longer doc. Same inverted-index discipline "
+        f"as the Jaccard path: grams seen in > {_CT_MAXDF} docs are "
+        "dropped BEFORE the self-join (the df window shares the "
+        "join's gram exchange), so pair cost is sum df(g)^2 over "
+        "surviving grams, never |docs|^2. The keep predicate "
+        "2*inter >= min(n_a, n_b) is evaluated in exact integers; "
+        "the reported ratios are single integer divisions rounded "
+        "half-away in DECIMAL(38)/HUGEINT",
+)
+def ngram_containment_pairs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    from .training_ops import _gram_rows
+    g = _gram_rows(docs, _CT_N).select(
+        "doc_id", F.col("gram")).distinct()
+    dfw = Window.partitionBy("gram")
+    capped = (g.withColumn("df_g", F.count(F.lit(1)).over(dfw))
+              .filter(F.col("df_g") <= _CT_MAXDF).drop("df_g"))
+    counts = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_g"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_g").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_g").alias("n_b"))
+    return (pairs.join(F.broadcast(ca), "doc_a")
+            .join(F.broadcast(cb), "doc_b")
+            .filter(2 * F.col("inter")
+                    >= F.least(F.col("n_a"), F.col("n_b")))
+            .select("doc_a", "doc_b", "inter", "n_a", "n_b",
+                    _int_ratio_round6(F.col("inter"), F.col("n_a"))
+                    .alias("cont_a"),
+                    _int_ratio_round6(F.col("inter"), F.col("n_b"))
+                    .alias("cont_b"))
             .orderBy("doc_a", "doc_b"))

@@ -208,3 +208,59 @@ def test_temperature_mixture_upweights_small_strata(spark):
     assert rates[sz.idxmin()] > rates[sz.idxmax()]
     # ranks are a 1..quota prefix per stratum (deterministic hash order)
     assert (out.groupby("event_type").rk.max() == got).all()
+
+
+def test_boilerplate_removal_matches_python_rebuild(spark):
+    """Chunking + df-threshold + reassembly recomputed in plain
+    python over the same corpus."""
+    import hashlib
+    from collections import Counter
+    out = (REG["boilerplate_chunk_removal"].spark_fn(spark, SF)
+           .toPandas().set_index("doc_id"))
+    pdf = table(spark, SF, "documents").select("doc_id",
+                                               "text").toPandas()
+    chunks = {}
+    for _, r in pdf.iterrows():
+        toks = r.text.strip().lower().split()
+        if not toks:
+            continue
+        chunks[r.doc_id] = [
+            " ".join(toks[s:s + 8]) for s in range(0, len(toks), 8)]
+    df = Counter()
+    for cs in chunks.values():
+        for c in set(cs):
+            df[c] += 1
+    assert set(out.index) == set(chunks)
+    for did, cs in chunks.items():
+        kept = [c for c in cs if df[c] < 4]
+        row = out.loc[did]
+        assert row.n_chunks == len(cs)
+        assert row.n_boiler == len(cs) - len(kept)
+        assert row.kept_tokens == sum(len(c.split()) for c in kept)
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert row.kept_md5 == md5
+    # the corpus genuinely contains boilerplate — the op is not a no-op
+    assert out.n_boiler.sum() > 0
+
+
+def test_domain_cap_bounds_and_conserves(spark):
+    out = REG["domain_cap_sample"].spark_fn(spark, SF).toPandas()
+    docs = table(spark, SF, "documents").toPandas()
+    per = docs.groupby("source").size()
+    assert dict(zip(out.source, out.total_docs)) == per.to_dict()
+    assert (out.kept_docs <= 8).all()
+    assert (out.kept_docs == out.total_docs.clip(upper=8)).all()
+    assert (out.kept_chars <= docs.groupby("source")
+            .n_chars.sum().reindex(out.source).to_numpy()).all()
+
+
+def test_containment_dominates_jaccard_and_is_bounded(spark):
+    out = (REG["ngram_containment_pairs"].spark_fn(spark, SF)
+           .toPandas())
+    assert ((out.cont_a > 0) & (out.cont_a <= 1.0)).all()
+    assert ((out.cont_b > 0) & (out.cont_b <= 1.0)).all()
+    # containment >= jaccard on the same gram sets, always
+    jac = out.inter / (out.n_a + out.n_b - out.inter)
+    assert (out[["cont_a", "cont_b"]].max(axis=1) + 1e-9 >= jac).all()
+    # the keep rule: max containment >= 0.5 in exact integers
+    assert (2 * out.inter >= out[["n_a", "n_b"]].min(axis=1)).all()
