@@ -3883,3 +3883,132 @@ def theil_sen_slope(spark, sf_dir):
                     .alias("n_pairs"),
                     slope6.alias("sen_slope"))
             .orderBy("user_id"))
+
+
+def _sgn_ratio_round6(num, den):
+    """ROUND(num/den, 6) for exact-integer num (any sign) and den != 0,
+    half away from zero in DECIMAL(38,0) — the signed companion of
+    _int_ratio_round6 (shared by every closed-form solver below)."""
+    an, ad = F.abs(num), F.abs(den)
+    mag = (((2 * an * 1000000 + ad)
+            - (2 * an * 1000000 + ad) % (2 * ad)) / (2 * ad))
+    sgn = F.when((num >= 0) == (den >= 0), F.lit(1)).otherwise(F.lit(-1))
+    return (sgn * mag).cast("bigint").cast("double") / 1000000.0
+
+
+@query(
+    "quadratic_trend_fit",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                 // 86400 AS d,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY 1, 2),
+    tb AS (
+      SELECT user_id,
+             CAST(d - min(d) OVER (PARTITION BY user_id) AS HUGEINT)
+                 AS t,
+             CAST(y AS HUGEINT) AS y
+      FROM bars),
+    s AS (
+      SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+             sum(t) AS st, sum(t * t) AS st2, sum(t * t * t) AS st3,
+             sum(t * t * t * t) AS st4,
+             sum(y) AS sy, sum(t * y) AS sty, sum(t * t * y) AS st2y
+      FROM tb GROUP BY user_id HAVING count(*) >= 3),
+    det AS (
+      SELECT user_id, n,
+             n * (st2 * st4 - st3 * st3)
+               - st * (st * st4 - st3 * st2)
+               + st2 * (st * st3 - st2 * st2) AS dd,
+             sy * (st2 * st4 - st3 * st3)
+               - st * (sty * st4 - st3 * st2y)
+               + st2 * (sty * st3 - st2 * st2y) AS da,
+             n * (sty * st4 - st3 * st2y)
+               - sy * (st * st4 - st3 * st2)
+               + st2 * (st * st2y - sty * st2) AS db,
+             n * (st2 * st2y - sty * st3)
+               - st * (st * st2y - sty * st2)
+               + sy * (st * st3 - st2 * st2) AS dc
+      FROM s)
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN (da >= 0) = (dd >= 0) THEN 1 ELSE -1 END
+                * ((2 * abs(da) * 1000000 + abs(dd))
+                   // (2 * abs(dd))) AS DOUBLE) / 1000000.0 AS a_cents,
+           CAST(CASE WHEN (db >= 0) = (dd >= 0) THEN 1 ELSE -1 END
+                * ((2 * abs(db) * 1000000 + abs(dd))
+                   // (2 * abs(dd))) AS DOUBLE) / 1000000.0 AS b_cents,
+           CAST(CASE WHEN (dc >= 0) = (dd >= 0) THEN 1 ELSE -1 END
+                * ((2 * abs(dc) * 1000000 + abs(dd))
+                   // (2 * abs(dd))) AS DOUBLE) / 1000000.0 AS c_cents
+    FROM det WHERE dd <> 0 ORDER BY user_id
+    """,
+    doc="closed-form QUADRATIC least-squares fit y = a + b*t + c*t^2 "
+        "per user over the daily value series, solved via the 3x3 "
+        "normal equations with Cramer's rule — multi-feature OLS "
+        "without any iterative solver or collect. Every moment sum "
+        "(n..St^4, Sy..St^2y) and every 3x3 determinant is EXACT "
+        "integer arithmetic (DECIMAL(38)/HUGEINT; t is re-based per "
+        "user so St^4 stays ~1e9 and determinant products fit "
+        "comfortably in 38 digits); the only divisions are the three "
+        "final coefficient ratios, rounded half-away in exact "
+        "integers. Degenerate series (<3 distinct days, singular "
+        "system) are filtered by the SAME integer predicate on both "
+        "engines — no epsilon. One shuffle by user; the re-basing "
+        "min() rides the same exchange as the moment aggregate. At "
+        "100 TB this is a scan + one partial-aggregated groupBy: "
+        "the classic 'train a million tiny models in one pass' shape",
+)
+def quadratic_trend_fit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp(F.date_trunc("day", F.col("ts"))))
+           .cast("bigint"))
+    bars = (ev.groupBy("user_id",
+                       ((day - day % 86400) / 86400).cast("bigint")
+                       .alias("d"))
+            .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("y")))
+    wmin = Window.partitionBy("user_id")
+    tb = bars.select(
+        "user_id",
+        (F.col("d") - F.min("d").over(wmin)).cast("decimal(38,0)")
+        .alias("t"),
+        F.col("y").cast("decimal(38,0)").alias("y"))
+    t, y = F.col("t"), F.col("y")
+    s = (tb.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+              F.sum(t).alias("st"), F.sum(t * t).alias("st2"),
+              F.sum(t * t * t).alias("st3"),
+              F.sum(t * t * t * t).alias("st4"),
+              F.sum(y).alias("sy"), F.sum(t * y).alias("sty"),
+              F.sum(t * t * y).alias("st2y"))
+         .filter(F.col("n") >= 3))
+    n, st, st2, st3, st4, sy, sty, st2y = [
+        F.col(c) for c in
+        ("n", "st", "st2", "st3", "st4", "sy", "sty", "st2y")]
+    dd = (n * (st2 * st4 - st3 * st3)
+          - st * (st * st4 - st3 * st2)
+          + st2 * (st * st3 - st2 * st2))
+    da = (sy * (st2 * st4 - st3 * st3)
+          - st * (sty * st4 - st3 * st2y)
+          + st2 * (sty * st3 - st2 * st2y))
+    db = (n * (sty * st4 - st3 * st2y)
+          - sy * (st * st4 - st3 * st2)
+          + st2 * (st * st2y - sty * st2))
+    dc = (n * (st2 * st2y - sty * st3)
+          - st * (st * st2y - sty * st2)
+          + sy * (st * st3 - st2 * st2))
+    det = s.select("user_id", n.cast("bigint").alias("n_days"),
+                   dd.alias("dd"), da.alias("da"), db.alias("db"),
+                   dc.alias("dc"))
+    return (det.filter(F.col("dd") != 0)
+            .select("user_id", "n_days",
+                    _sgn_ratio_round6(F.col("da"), F.col("dd"))
+                    .alias("a_cents"),
+                    _sgn_ratio_round6(F.col("db"), F.col("dd"))
+                    .alias("b_cents"),
+                    _sgn_ratio_round6(F.col("dc"), F.col("dd"))
+                    .alias("c_cents"))
+            .orderBy("user_id"))

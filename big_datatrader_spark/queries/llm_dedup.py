@@ -266,3 +266,124 @@ def dedup_embedding_cosine(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(
         table(spark, sf_dir, "embeddings"),
         block_col="label", threshold=0.4)
+
+
+@query(
+    "lsh_vs_exact_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    srows AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+    counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+               FROM srows GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM srows a JOIN srows b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+      WHERE 3 * i >= ca.n_sh + cb.n_sh),
+    hashes AS (SELECT doc_id,
+                      list_transform(sh, s -> {_h60('s')} % {DD._MIX_P})
+                          AS hs
+               FROM shing WHERE len(sh) > 0),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashes),
+    bandrows AS (
+      SELECT doc_id, sig, unnest({_band_struct_sql()}, recursive := true)
+      FROM sigs),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+      WHERE 2 * len(list_filter(range(1, {NUM_HASHES + 1}),
+                    i -> a.sig[i] = b.sig[i])) >= {NUM_HASHES}),
+    u AS (
+      SELECT coalesce(e.doc_a, l.doc_a) AS doc_a,
+             CAST(e.doc_a IS NOT NULL AS BIGINT) AS in_exact,
+             CAST(l.doc_a IS NOT NULL AS BIGINT) AS in_lsh
+      FROM exact e
+      FULL OUTER JOIN lsh l
+        ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+    SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+           CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(sum(in_exact * in_lsh) AS BIGINT) AS tp,
+           CAST(sum(in_lsh * (1 - in_exact)) AS BIGINT) AS fp,
+           CAST(sum(in_exact * (1 - in_lsh)) AS BIGINT) AS fn,
+           CAST((2 * CAST(sum(in_exact * in_lsh) AS HUGEINT) * 1000000
+                 + sum(in_lsh))
+                // (2 * CAST(sum(in_lsh) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS precision6,
+           CAST((2 * CAST(sum(in_exact * in_lsh) AS HUGEINT) * 1000000
+                 + sum(in_exact))
+                // (2 * CAST(sum(in_exact) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS recall6
+    FROM u
+    """,
+    doc=f"sketch-quality evaluation harness: the MinHash({NUM_HASHES})"
+        f"+LSH({BANDS} bands) candidate pairs (est_jaccard >= 0.5) "
+        "scored against ground-truth EXACT distinct-shingle Jaccard "
+        ">= 0.5 over the identical shingle universe — the "
+        "precision/recall audit you run before trusting a sketch "
+        "config at corpus scale. Both pair sets build with the "
+        "repo's existing machinery (inverted-index join for truth, "
+        "banded equality join for LSH — neither is ever all-pairs); "
+        "the exact-side threshold is the INTEGER predicate "
+        "3*inter >= n_a + n_b (Jaccard >= 1/2 cross-multiplied) and "
+        "the LSH side 2*matches >= num_hashes, so no float enters "
+        "either keep decision. The confusion counts come from one "
+        "full-outer join of two pair relations keyed (doc_a, doc_b) "
+        "and the P/R ratios are exact integer divisions rounded "
+        "half-away. At 100 TB you run this on a SAMPLED block of the "
+        "corpus (the truth side is quadratic in df) — the harness "
+        "shape is unchanged",
+)
+def lsh_vs_exact_eval(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sh = DD._doc_shingles(docs, "text", "doc_id", 3)
+    counts = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    ca = counts.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("n_b"))
+    exact = (inter.join(F.broadcast(ca), "doc_a")
+             .join(F.broadcast(cb), "doc_b")
+             .filter(3 * F.col("i") >= F.col("n_a") + F.col("n_b"))
+             .select("doc_a", "doc_b",
+                     F.lit(1).cast("bigint").alias("in_exact")))
+    lsh = (DD.minhash_lsh_pairs(docs, num_hashes=NUM_HASHES,
+                                bands=BANDS, threshold=0.5)
+           .select("doc_a", "doc_b",
+                   F.lit(1).cast("bigint").alias("in_lsh")))
+    u = (exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+         .select(F.coalesce(F.col("in_exact"), F.lit(0))
+                 .alias("in_exact"),
+                 F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh")))
+    tp = F.sum(F.col("in_exact") * F.col("in_lsh"))
+    nl = F.sum("in_lsh")
+    ne = F.sum("in_exact")
+    agg = u.agg(ne.alias("n_exact"), nl.alias("n_lsh"),
+                tp.alias("tp"),
+                F.sum(F.col("in_lsh") * (1 - F.col("in_exact")))
+                .alias("fp"),
+                F.sum(F.col("in_exact") * (1 - F.col("in_lsh")))
+                .alias("fn"))
+    from .analytics import _int_ratio_round6
+    return agg.select(
+        "n_exact", "n_lsh", "tp", "fp", "fn",
+        _int_ratio_round6(F.col("tp"), F.col("n_lsh"))
+        .alias("precision6"),
+        _int_ratio_round6(F.col("tp"), F.col("n_exact"))
+        .alias("recall6"))

@@ -581,3 +581,96 @@ def jl_random_projection(spark, sf_dir):
                      F.round(F.col("comp_scaled").cast("double")
                              / 4000000.0, 9).alias("comp"))
             .orderBy("vec_id", "k"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall audit
+
+_TR_D = 16           # truncated prefix dims
+_TR_NQ = 5           # query vectors (lowest vec_ids)
+_TR_K = 10
+
+
+@query(
+    "ann_dim_truncation_recall",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS i,
+             CAST(ROUND(CAST(e AS DOUBLE) * {_SCALE}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(q.q AS HUGEINT) * c.q) AS HUGEINT) AS full_d,
+             CAST(sum(CASE WHEN q.i <= {_TR_D}
+                           THEN CAST(q.q AS HUGEINT) * c.q
+                           ELSE 0 END) AS HUGEINT) AS trunc_d
+      FROM iv q JOIN iv c ON q.i = c.i AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_TR_NQ}
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY full_d DESC, neighbor_id) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY trunc_d DESC, neighbor_id) AS rt
+      FROM dots)
+    SELECT query_id,
+           CAST(sum(CASE WHEN rf <= {_TR_K} AND rt <= {_TR_K}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+           CAST((2 * CAST(sum(CASE WHEN rf <= {_TR_K} AND rt <= {_TR_K}
+                              THEN 1 ELSE 0 END) AS HUGEINT)
+                 * 1000000 + {_TR_K})
+                // (2 * CAST({_TR_K} AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS recall6
+    FROM rk GROUP BY query_id ORDER BY query_id
+    """,
+    doc=f"Matryoshka-style dimension-truncation audit: recall@{_TR_K} "
+        f"of top-k retrieval using only the first {_TR_D} of 64 "
+        "embedding dims against full-dimension ground truth, per "
+        "query — the measurement behind 'can we store/shuffle 4x "
+        "fewer bytes per vector'. Both rankings come from ONE pass "
+        "over the corpus (the truncated dot is a conditional sum "
+        "inside the same product fold, so the corpus is scanned and "
+        "joined once, not twice) on exact 1e-6-unit integer dot "
+        "products — ranks are integer-ordered with id tiebreak, zero "
+        "float anywhere. The two row_number windows share the "
+        "query_id exchange. At 100 TB the query side is a broadcast "
+        "and the corpus is scanned once; the recall relation is "
+        f"{_TR_NQ} rows",
+)
+def ann_dim_truncation_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantized(F.col("embedding")).alias("v"))
+    q = (qv.filter(F.col("vec_id") < _TR_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv")))
+    pairs = (qv.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("query_id")))
+    prods = F.zip_with("qv", "v", lambda x, y: x * y)
+    full_d = F.aggregate(prods, F.lit(0).cast("decimal(38,0)"),
+                         lambda acc, x: acc + x)
+    trunc_d = F.aggregate(F.slice(prods, 1, _TR_D),
+                          F.lit(0).cast("decimal(38,0)"),
+                          lambda acc, x: acc + x)
+    dots = pairs.select("query_id",
+                        F.col("vec_id").alias("neighbor_id"),
+                        full_d.alias("full_d"), trunc_d.alias("trunc_d"))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("full_d"), "neighbor_id")
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("trunc_d"), "neighbor_id")
+    rk = dots.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"))
+    hit = ((F.col("rf") <= _TR_K) & (F.col("rt") <= _TR_K)) \
+        .cast("bigint")
+    from .analytics import _int_ratio_round6
+    return (rk.groupBy("query_id")
+            .agg(F.sum(hit).alias("overlap"))
+            .select("query_id", "overlap",
+                    _int_ratio_round6(F.col("overlap"), F.lit(_TR_K))
+                    .alias("recall6"))
+            .orderBy("query_id"))

@@ -184,6 +184,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "benford_first_digit_audit",   # 1-row digit-total scalar
         "chi2_independence_test",      # 1-row grand-total scalar
         "roc_auc_exact",               # 1-row U-statistic x totals
+        "ann_dim_truncation_recall",   # 5 broadcast query vectors
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

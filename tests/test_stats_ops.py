@@ -213,3 +213,41 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
         # lower median == numpy sorted middle element
         lower_med = np.sort(slopes)[(len(slopes) + 1) // 2 - 1]
         assert abs(got.sen_slope - lower_med) < 1e-6
+
+
+def test_quadratic_fit_matches_numpy_lstsq(spark):
+    out = REG["quadratic_trend_fit"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["d"] = ev.ts.values.astype("datetime64[D]").astype("int64")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = ev.groupby(["user_id", "d"]).cents.sum().reset_index()
+    for uid, g in bars.groupby("user_id"):
+        t = (g.d - g.d.min()).to_numpy(dtype=float)
+        y = g.cents.to_numpy(dtype=float)
+        if len(t) < 3:
+            assert uid not in set(out.user_id)
+            continue
+        coef = np.polyfit(t, y, 2)  # c, b, a (highest power first)
+        row = out[out.user_id == uid].iloc[0]
+        assert row.n_days == len(t)
+        assert abs(row.a_cents - coef[2]) < 1e-3
+        assert abs(row.b_cents - coef[1]) < 1e-3
+        assert abs(row.c_cents - coef[0]) < 1e-3
+
+
+def test_lsh_eval_confusion_algebra(spark):
+    out = REG["lsh_vs_exact_eval"].spark_fn(spark, SF).toPandas()
+    r = out.iloc[0]
+    assert r.tp + r.fp == r.n_lsh
+    assert r.tp + r.fn == r.n_exact
+    assert 0 <= r.precision6 <= 1 and 0 <= r.recall6 <= 1
+    # the harness must be comparing non-empty pair sets
+    assert r.n_exact > 0 and r.n_lsh > 0
+
+
+def test_dim_truncation_recall_bounds_and_self_consistency(spark):
+    out = (REG["ann_dim_truncation_recall"].spark_fn(spark, SF)
+           .toPandas())
+    assert list(out.query_id) == [0, 1, 2, 3, 4]
+    assert ((out.overlap >= 0) & (out.overlap <= 10)).all()
+    assert np.allclose(out.recall6, out.overlap / 10.0, atol=1e-9)
