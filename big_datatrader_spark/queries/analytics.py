@@ -4012,3 +4012,231 @@ def quadratic_trend_fit(spark, sf_dir):
                     _sgn_ratio_round6(F.col("dc"), F.col("dd"))
                     .alias("c_cents"))
             .orderBy("user_id"))
+
+
+_PCTS = ((5, 10), (9, 10), (99, 100))  # q as exact rationals p/den
+
+
+@query(
+    "percentile_interpolated_per_type",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    qs AS (SELECT * FROM (VALUES {', '.join(
+        f'({p}, {d})' for p, d in _PCTS)}) AS t(p, den)),
+    ix AS (
+      SELECT DISTINCT event_type, n, p, den,
+             (n - 1) * p // den AS lo_i,
+             (n - 1) * p % den AS rem
+      FROM v, qs),
+    pick AS (
+      SELECT ix.event_type, ix.p, ix.den, ix.rem,
+             lo.cents AS v_lo,
+             coalesce(hi.cents, lo.cents) AS v_hi
+      FROM ix
+      JOIN v lo ON lo.event_type = ix.event_type
+               AND lo.rk = ix.lo_i + 1
+      LEFT JOIN v hi ON hi.event_type = ix.event_type
+                    AND hi.rk = ix.lo_i + 2)
+    SELECT event_type,
+           CAST(p AS BIGINT) * 100 // den AS pct,
+           CAST((CAST(v_lo AS HUGEINT) * den
+                 + rem * (v_hi - v_lo)) AS DOUBLE)
+               / (den * 100.0) AS value_interp
+    FROM pick ORDER BY event_type, pct
+    """,
+    doc="exact PERCENTILE_CONT (linear interpolation between order "
+        "statistics) per event type at p50/p90/p99 — computed from "
+        "first principles so both engines run the identical integer "
+        "arithmetic instead of trusting two different quantile "
+        "implementations. The fractional position (n-1)*p lands on "
+        "exact rational p/den, so the interpolated value "
+        "v_lo + rem/den*(v_hi - v_lo) scales to the INTEGER "
+        "v_lo*den + rem*(v_hi-v_lo) in den-ths of a cent; the final "
+        "division by den*100 is one identical IEEE op (every quotient "
+        "is exactly representable). Ranks are per-group windows — at "
+        "100 TB swap in the two-phase bucket rank "
+        "(operators/ranking.py) per group; the op's join shape "
+        "(two order statistics per (group, p)) is already "
+        "rank-equality, never a sort-merge of the full series",
+)
+def percentile_interpolated_per_type(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    v = (ev.select("event_type", cents.alias("cents"))
+         .withColumn("rk", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    qs = spark.createDataFrame(
+        [(p, d) for p, d in _PCTS], "p long, den long")
+    ix = (v.select("event_type", "n").distinct()
+          .crossJoin(F.broadcast(qs))
+          .select("event_type", "p", "den",
+                  (((F.col("n") - 1) * F.col("p")
+                    - ((F.col("n") - 1) * F.col("p")) % F.col("den"))
+                   / F.col("den")).cast("bigint").alias("lo_i"),
+                  (((F.col("n") - 1) * F.col("p")) % F.col("den"))
+                  .alias("rem")))
+    lo = v.select(F.col("event_type").alias("et_lo"),
+                  F.col("rk").alias("lo_rk"),
+                  F.col("cents").alias("v_lo"))
+    hi = v.select(F.col("event_type").alias("et_hi"),
+                  F.col("rk").alias("hi_rk"),
+                  F.col("cents").alias("v_hi"))
+    pick = (ix.join(lo, (F.col("lo_rk") == F.col("lo_i") + 1)
+                    & (F.col("et_lo") == F.col("event_type")))
+            .drop("et_lo", "lo_rk")
+            .join(hi, (F.col("hi_rk") == F.col("lo_i") + 2)
+                  & (F.col("et_hi") == F.col("event_type")), "left")
+            .drop("et_hi", "hi_rk")
+            .withColumn("v_hi", F.coalesce("v_hi", "v_lo")))
+    return (pick.select(
+        "event_type",
+        (((F.col("p") * 100) - (F.col("p") * 100) % F.col("den"))
+         / F.col("den")).cast("bigint").alias("pct"),
+        ((F.col("v_lo").cast("decimal(38,0)") * F.col("den")
+          + F.col("rem") * (F.col("v_hi") - F.col("v_lo")))
+         .cast("double") / (F.col("den") * F.lit(100.0)))
+        .alias("value_interp"))
+        .orderBy("event_type", "pct"))
+
+
+_ISO_BINS, _ISO_W = 20, 500
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH base AS (
+      SELECT least({_ISO_BINS - 1},
+                   greatest(0, CAST(ROUND(value * 100) AS BIGINT))
+                       // {_ISO_W}) AS b,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    bins AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(y) AS BIGINT) AS pb
+      FROM base GROUP BY b),
+    pre AS (
+      SELECT b, nb, pb,
+             CAST(sum(nb) OVER w AS BIGINT) AS cn,
+             CAST(sum(pb) OVER w AS BIGINT) AS cp
+      FROM bins
+      WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    seg AS (
+      SELECT lo.b AS i, hi.b AS j,
+             hi.cp - lo.cp + lo.pb AS num,
+             hi.cn - lo.cn + lo.nb AS den,
+             CAST(hi.cp - lo.cp + lo.pb AS DOUBLE)
+                 / (hi.cn - lo.cn + lo.nb) AS avg_d
+      FROM pre lo JOIN pre hi ON lo.b <= hi.b),
+    minj AS (
+      SELECT bins.b, seg.i,
+             (min(struct_pack(a := seg.avg_d, j := seg.j,
+                              num := seg.num, den := seg.den))).num
+                 AS num,
+             (min(struct_pack(a := seg.avg_d, j := seg.j,
+                              num := seg.num, den := seg.den))).den
+                 AS den,
+             min(seg.avg_d) AS avg_d
+      FROM bins JOIN seg ON seg.i <= bins.b AND seg.j >= bins.b
+      GROUP BY bins.b, seg.i),
+    iso AS (
+      SELECT b,
+             (max(struct_pack(a := avg_d, i := i, num := num,
+                              den := den))).num AS num,
+             (max(struct_pack(a := avg_d, i := i, num := num,
+                              den := den))).den AS den
+      FROM minj GROUP BY b)
+    SELECT bins.b AS bin, bins.nb AS n, bins.pb AS pos,
+           CAST((2 * CAST(bins.pb AS HUGEINT) * 1000000 + bins.nb)
+                // (2 * CAST(bins.nb AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS rate6,
+           CAST((2 * CAST(iso.num AS HUGEINT) * 1000000 + iso.den)
+                // (2 * CAST(iso.den AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS iso6
+    FROM bins JOIN iso ON bins.b = iso.b ORDER BY bin
+    """,
+    doc="isotonic-regression calibration (pool-adjacent-violators) of "
+        "P(purchase | score bin) over a 20-bin score spine, via the "
+        "PAV minimax closed form iso(b) = max_{{i<=b}} min_{{j>=b}} "
+        "avg(i..j) — the monotone calibrator behind 'calibrated "
+        "probabilities from a ranking score' (the step up from the "
+        "raw reliability diagram nb_calibration_curve). The corpus "
+        "collapses to 20 (count, positives) cells in ONE map-side "
+        "partial aggregate; everything after — prefix sums, the "
+        "i<=b<=j segment lattice (20^3 rows), the struct min/max "
+        "selections — runs on bin-count-sized relations that are "
+        "CONSTANT at any corpus scale. Segment averages compare as "
+        "identical-IEEE doubles (ties broken by j then i through "
+        "lexicographic struct ordering, same on both engines) but "
+        "the SELECTED segment's exact integer (num, den) pair "
+        "travels through the minimax, so the reported iso6 is the "
+        "half-away integer rounding of the true rational — no "
+        "float accumulates anywhere",
+)
+def isotonic_calibration(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = F.least(F.lit(_ISO_BINS - 1),
+                F.greatest(F.lit(0),
+                           ((cents - cents % _ISO_W) / _ISO_W)
+                           .cast("bigint")))
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(b.alias("b"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    bins = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("y").alias("pb"))
+    wpre = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0)
+    pre = bins.select("b", "nb", "pb",
+                      F.sum("nb").over(wpre).alias("cn"),
+                      F.sum("pb").over(wpre).alias("cp"))
+    lo = pre.select(F.col("b").alias("i"), F.col("cn").alias("cn_lo"),
+                    F.col("cp").alias("cp_lo"),
+                    F.col("nb").alias("nb_lo"),
+                    F.col("pb").alias("pb_lo"))
+    hi = pre.select(F.col("b").alias("j"), F.col("cn").alias("cn_hi"),
+                    F.col("cp").alias("cp_hi"))
+    seg = (lo.join(F.broadcast(hi), F.col("i") <= F.col("j"))
+           .select("i", "j",
+                   (F.col("cp_hi") - F.col("cp_lo") + F.col("pb_lo"))
+                   .alias("num"),
+                   (F.col("cn_hi") - F.col("cn_lo") + F.col("nb_lo"))
+                   .alias("den")))
+    seg = seg.withColumn(
+        "avg_d", F.col("num").cast("double") / F.col("den"))
+    spine = bins.select(F.col("b"))
+    minj = (spine.join(F.broadcast(seg),
+                       (F.col("i") <= F.col("b"))
+                       & (F.col("j") >= F.col("b")))
+            .groupBy("b", "i")
+            .agg(F.min(F.struct(F.col("avg_d").alias("a"),
+                                F.col("j").alias("j"),
+                                F.col("num").alias("num"),
+                                F.col("den").alias("den")))
+                 .alias("m")))
+    iso = (minj.select("b", F.col("m.a").alias("a"),
+                       F.col("i"), F.col("m.num").alias("num"),
+                       F.col("m.den").alias("den"))
+           .groupBy("b")
+           .agg(F.max(F.struct(F.col("a"), F.col("i").alias("i"),
+                               F.col("num").alias("num"),
+                               F.col("den").alias("den")))
+                .alias("mx")))
+    return (bins.join(iso, "b")
+            .select(F.col("b").alias("bin"), F.col("nb").alias("n"),
+                    F.col("pb").alias("pos"),
+                    _int_ratio_round6(F.col("pb"), F.col("nb"))
+                    .alias("rate6"),
+                    _int_ratio_round6(F.col("mx.num"), F.col("mx.den"))
+                    .alias("iso6"))
+            .orderBy("bin"))

@@ -1420,3 +1420,91 @@ def ngram_containment_pairs(spark, sf_dir):
                     _int_ratio_round6(F.col("inter"), F.col("n_b"))
                     .alias("cont_b"))
             .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel) over the co-purchase graph
+
+_KC_K, _KC_ROUNDS = 3, 6
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """e0 (the distinct co-purchase edge set) + ``rounds`` unrolled
+    peel iterations: drop nodes with degree < k, keep edges whose
+    endpoints both survive."""
+    parts = ["""
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey)"""]
+    for t in range(rounds):
+        parts.append(f""",
+    d{t} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             FROM (SELECT u AS node FROM e{t}
+                   UNION ALL SELECT v FROM e{t})
+             GROUP BY 1),
+    keep{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE deg >= {k}),
+    e{t + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{t} e
+                 JOIN keep{t} ku ON e.u = ku.node
+                 JOIN keep{t} kv ON e.v = kv.node)""")
+    return "".join(parts)
+
+
+@query(
+    "k_core_membership",
+    oracle=f"""
+    WITH {_kcore_ctes(_KC_K, _KC_ROUNDS)}
+    SELECT node AS part_key, deg AS core_degree
+    FROM (SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT u AS node FROM e{_KC_ROUNDS}
+                UNION ALL SELECT v FROM e{_KC_ROUNDS})
+          GROUP BY 1)
+    WHERE deg >= {_KC_K}
+    ORDER BY core_degree DESC, part_key LIMIT 50
+    """,
+    doc=f"{_KC_K}-core of the part co-purchase graph via "
+        f"{_KC_ROUNDS} unrolled peel rounds (drop degree<{_KC_K} "
+        "nodes, prune their edges, repeat) — the density backbone "
+        "used for community seeds and graph cleanup before "
+        "embedding. Fixed-round semantics keep the operator "
+        "replayable as pure SQL on both engines; extra rounds after "
+        "convergence are no-ops, and convergence ON the data is "
+        "asserted by an independent python peel in "
+        "tests/test_corpus_ops.py. Every round is degree-agg + two "
+        "semi-joins on node id — the same bounded equi-join "
+        "discipline as the triangle/PageRank family; at 100 TB each "
+        "round's edge relation only shrinks, and the peel would run "
+        "as the usual iterate-with-localCheckpoint loop "
+        "(functions/dedup.connected_components) with a convergence "
+        "test instead of a fixed count",
+)
+def k_core_membership(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "k").filter(F.col("u") < F.col("v"))
+             .select("u", "v").distinct())
+    # each round references the edge relation three times (two degree
+    # legs + the prune join): without a lineage break the logical plan
+    # grows 3^rounds and the optimizer, not the data, becomes the
+    # bottleneck — same fix as functions/dedup.connected_components
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(_KC_ROUNDS):
+        deg = (edges.select(F.col("u").alias("node"))
+               .unionAll(edges.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.filter(F.col("deg") >= _KC_K).select("node")
+        edges = (edges
+                 .join(keep.withColumnRenamed("node", "u"), "u")
+                 .join(keep.withColumnRenamed("node", "v"), "v")
+                 .select("u", "v")
+                 .localCheckpoint(eager=False))
+    final_deg = (edges.select(F.col("u").alias("part_key"))
+                 .unionAll(edges.select(F.col("v").alias("part_key")))
+                 .groupBy("part_key")
+                 .agg(F.count(F.lit(1)).alias("core_degree")))
+    return (final_deg.filter(F.col("core_degree") >= _KC_K)
+            .orderBy(F.desc("core_degree"), "part_key").limit(50))

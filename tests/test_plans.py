@@ -185,6 +185,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "chi2_independence_test",      # 1-row grand-total scalar
         "roc_auc_exact",               # 1-row U-statistic x totals
         "ann_dim_truncation_recall",   # 5 broadcast query vectors
+        "percentile_interpolated_per_type",  # 3-row percentile spec
+        "isotonic_calibration",        # 20-bin spine self-lattice
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -192,7 +194,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
                     "ntile_deciles", "exact_global_quantiles",
                     "spearman_value_k_corr", "sorted_neighborhood_pairs",
-                    "ks_two_sample_test", "roc_auc_exact"}
+                    "ks_two_sample_test", "roc_auc_exact",
+                    "isotonic_calibration"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

@@ -251,3 +251,84 @@ def test_dim_truncation_recall_bounds_and_self_consistency(spark):
     assert list(out.query_id) == [0, 1, 2, 3, 4]
     assert ((out.overlap >= 0) & (out.overlap <= 10)).all()
     assert np.allclose(out.recall6, out.overlap / 10.0, atol=1e-9)
+
+
+def test_percentile_interpolated_matches_numpy(spark):
+    out = (REG["percentile_interpolated_per_type"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        for pct, q in ((50, 0.5), (90, 0.9), (99, 0.99)):
+            want = np.percentile(g.cents.to_numpy(), pct,
+                                 method="linear") / 100.0
+            got = out[(out.event_type == et)
+                      & (out.pct == pct)].value_interp.iloc[0]
+            assert abs(got - want) < 1e-9, (et, pct, got, want)
+
+
+def test_isotonic_calibration_is_pav(spark):
+    out = REG["isotonic_calibration"].spark_fn(spark, SF).toPandas()
+    assert (out.iso6.diff().dropna() >= -1e-12).all()  # monotone
+    # independent PAV (stack-based) over the emitted bin counts
+    blocks = []  # (pos, n)
+    for _, r in out.sort_values("bin").iterrows():
+        blocks.append([r.pos, r.n])
+        while (len(blocks) > 1 and
+               blocks[-2][0] * blocks[-1][1]
+               >= blocks[-1][0] * blocks[-2][1]):
+            p, n = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += n
+    fit = []
+    for p, n in blocks:
+        fit.extend([p / n] * 0)  # lengths tracked below
+    # expand: replay to know block lengths
+    blocks2, lens = [], []
+    for _, r in out.sort_values("bin").iterrows():
+        blocks2.append([r.pos, r.n, 1])
+        while (len(blocks2) > 1 and
+               blocks2[-2][0] * blocks2[-1][1]
+               >= blocks2[-1][0] * blocks2[-2][1]):
+            p, n, c = blocks2.pop()
+            blocks2[-1][0] += p
+            blocks2[-1][1] += n
+            blocks2[-1][2] += c
+    expanded = []
+    for p, n, c in blocks2:
+        expanded.extend([p / n] * c)
+    got = out.sort_values("bin").iso6.to_numpy()
+    assert np.allclose(got, expanded, atol=1e-6)
+
+
+def test_k_core_matches_python_peel(spark):
+    out = REG["k_core_membership"].spark_fn(spark, SF).toPandas()
+    li = table(spark, SF, "lineitem").select("l_orderkey",
+                                             "l_partkey").toPandas()
+    from collections import defaultdict
+    by_order = li.groupby("l_orderkey").l_partkey.apply(set)
+    edges = set()
+    for parts in by_order:
+        ps = sorted(parts)
+        for ii in range(len(ps)):
+            for jj in range(ii + 1, len(ps)):
+                edges.add((ps[ii], ps[jj]))
+    # peel to TRUE convergence (not fixed rounds)
+    while True:
+        deg = defaultdict(int)
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        bad = {n for n, d in deg.items() if d < 3}
+        if not bad:
+            break
+        edges = {(u, v) for u, v in edges
+                 if u not in bad and v not in bad}
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    want = sorted(deg.items(), key=lambda t: (-t[1], t[0]))[:50]
+    got = list(zip(out.part_key, out.core_degree))
+    # fixed 6 rounds must have converged on this data
+    assert got == want
