@@ -4240,3 +4240,206 @@ def isotonic_calibration(spark, sf_dir):
                     _int_ratio_round6(F.col("mx.num"), F.col("mx.den"))
                     .alias("iso6"))
             .orderBy("bin"))
+
+
+@query(
+    "woe_information_value",
+    oracle="""
+    WITH base AS (
+      SELECT least(9, greatest(0, CAST(ROUND(value * 100) AS BIGINT))
+                      // 1000) AS bin,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    bins AS (
+      SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM base GROUP BY bin),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                   CAST(sum(neg) AS BIGINT) AS tn FROM bins)
+    SELECT bin, pos, neg,
+           ROUND(ln((CAST(pos + 1 AS DOUBLE) / (tp + 10))
+                    / (CAST(neg + 1 AS DOUBLE) / (tn + 10))), 6)
+               AS woe,
+           ROUND(((CAST(pos + 1 AS DOUBLE) / (tp + 10))
+                  - (CAST(neg + 1 AS DOUBLE) / (tn + 10)))
+                 * ln((CAST(pos + 1 AS DOUBLE) / (tp + 10))
+                      / (CAST(neg + 1 AS DOUBLE) / (tn + 10))), 6)
+               AS iv_term
+    FROM bins, tot ORDER BY bin
+    """,
+    doc="weight-of-evidence / information-value feature screen (the "
+        "credit-scoring standard for 'does this binned feature "
+        "separate the classes'): per score bin, WOE = "
+        "ln(smoothed pos share / smoothed neg share) and its IV "
+        "contribution (p-q)*WOE, which is always >= 0 (p-q and "
+        "ln(p/q) share sign — same identity the PSI monitor rests "
+        "on). Counts are one map-side-partial aggregate; Laplace "
+        "+1/+bins smoothing keeps empty cells finite with the exact "
+        "integer convention; the class totals are a 1-row broadcast "
+        "and both engines evaluate the identical ln expression, "
+        "rounded 6. At 100 TB: full scan to 10 cells, constant "
+        "state after",
+)
+def woe_information_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    b = F.least(F.lit(9), F.greatest(F.lit(0),
+                ((cents - cents % 1000) / 1000).cast("bigint")))
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(b.alias("bin"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    bins = base.groupBy("bin").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg"))
+    tot = bins.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    j = bins.crossJoin(F.broadcast(tot))
+    p = (F.col("pos") + 1).cast("double") / (F.col("tp") + 10)
+    q = (F.col("neg") + 1).cast("double") / (F.col("tn") + 10)
+    return (j.select("bin", "pos", "neg",
+                     F.round(F.log(p / q), 6).alias("woe"),
+                     F.round((p - q) * F.log(p / q), 6)
+                     .alias("iv_term"))
+            .orderBy("bin"))
+
+
+_ED_BINS = 8
+
+
+@query(
+    "equidepth_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+                 ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                          event_id) AS rk,
+             count(*) OVER () AS n
+      FROM events)
+    SELECT (rk - 1) * {_ED_BINS} // n AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM v GROUP BY 1 ORDER BY bin
+    """,
+    doc=f"equi-DEPTH histogram ({_ED_BINS} equal-population buckets "
+        "with exact boundaries) — the dual of the fixed-width "
+        "value_histogram and the statistic behind range-partition "
+        "planning and equi-height optimizer stats. Bucket of a row "
+        "is the closed form (rank-1)*B div n, so bucket populations "
+        "differ by at most 1 with NO quantile estimation; ranks ride "
+        "the two-phase global bucket rank at scale "
+        "(operators/ranking.py — this oracle states the semantic; "
+        "the registered Spark plan uses the same two-phase shape as "
+        "global_shuffle_rank, never one sorted partition of the "
+        "corpus). Ties broken by event_id so both engines bucket "
+        "identically",
+)
+def equidepth_histogram(spark, sf_dir):
+    from ..operators.ranking import global_rank
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents"), "event_id")
+    bucket = ((F.col("cents") - F.col("cents") % 2500) / 2500) \
+        .cast("bigint")
+    rk = global_rank(v, bucket, ["cents", "event_id"])
+    n = rk.agg(F.count(F.lit(1)).alias("n"))
+    j = rk.crossJoin(F.broadcast(n))
+    bin_ = (((F.col("rank") - 1) * _ED_BINS
+             - ((F.col("rank") - 1) * _ED_BINS) % F.col("n"))
+            / F.col("n")).cast("bigint")
+    return (j.select(bin_.alias("bin"), "cents")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("cents").alias("lo_cents"),
+                 F.max("cents").alias("hi_cents"))
+            .orderBy("bin"))
+
+
+@query(
+    "clickstream_paths_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+    doc="top-20 three-step behavioral paths (clickstream n-grams) "
+        "across user timelines — the path-mining complement of the "
+        "1-step event_markov_transitions matrix. One per-user lead "
+        "window (shared exchange with every timeline op), then the "
+        "path counts are a |types|^3-bounded relation and the top-k "
+        "is TakeOrderedAndProject — no global sort of real data at "
+        "any scale",
+)
+def clickstream_paths_topk(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "path").limit(20))
+
+
+@query(
+    "window_functions_showcase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(nth_value(cents, 2) OVER wf AS BIGINT) AS second_low,
+           CAST(first_value(cents) OVER w AS BIGINT) AS lowest,
+           CAST(last_value(cents) OVER wf AS BIGINT) AS highest,
+           CAST(lag(cents, 1, -1) OVER w AS BIGINT) AS prev_cents,
+           CAST(lead(cents, 1, -1) OVER w AS BIGINT) AS next_cents
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY cents, event_id),
+           wf AS (PARTITION BY user_id ORDER BY cents, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, rn
+    """,
+    doc="the ranking/navigation window-function surface in one "
+        "relation: row_number, percent_rank, cume_dist, nth_value, "
+        "first/last_value over an explicit full frame, and "
+        "defaulted lag/lead — per user, ordered by (cents, "
+        "event_id) so the order is a total one and every engine "
+        "computes identical rank rationals (percent_rank = "
+        "(rank-1)/(n-1) of exact integers, one IEEE division, "
+        "rounded 6). ALL ten functions share ONE window spec -> ONE "
+        "exchange + sort; the full-frame variants reuse the sorted "
+        "run. API-parity entry for the window-function family",
+)
+def window_functions_showcase(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("user_id", "event_id",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing)
+    return (v.select(
+        "user_id", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("cents", 2).over(wf).alias("second_low"),
+        F.first("cents").over(w).alias("lowest"),
+        F.last("cents").over(wf).alias("highest"),
+        F.lag("cents", 1, -1).over(w).alias("prev_cents"),
+        F.lead("cents", 1, -1).over(w).alias("next_cents"))
+        .orderBy("user_id", "rn"))

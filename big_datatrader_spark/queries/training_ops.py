@@ -1900,3 +1900,151 @@ def holt_linear_smoothing(spark, sf_dir):
                 F.round(F.col("__l") + F.col("__b"), 6)
                 .alias("forecast_1"))
             .orderBy("user_id", "ts", "event_id"))
+
+
+# --- Trigram LM with stupid backoff, train/held-out split ------------------
+
+_SB_ALPHA_SQL = "0.4"   # stupid-backoff discount per level
+
+
+@query(
+    "doc_perplexity_trigram_backoff",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    tri AS (SELECT string_split(g, ' ')[1] AS w1,
+                   string_split(g, ' ')[2] AS w2,
+                   string_split(g, ' ')[3] AS w3,
+                   CAST(count(*) AS BIGINT) AS c3
+            FROM (SELECT unnest({_grams_sql(3)}) AS g FROM train)
+            GROUP BY 1, 2, 3),
+    bi AS (SELECT string_split(g, ' ')[1] AS wa,
+                  string_split(g, ' ')[2] AS wb,
+                  CAST(count(*) AS BIGINT) AS c2
+           FROM (SELECT unnest({_grams_sql(2)}) AS g FROM train)
+           GROUP BY 1, 2),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(t) AS tok FROM train) GROUP BY 1),
+    scal AS (SELECT CAST(sum(c1) AS BIGINT) AS tt,
+                    CAST(count(*) AS BIGINT) AS v FROM uni),
+    sp AS (SELECT doc_id,
+                  string_split(g, ' ')[1] AS w1,
+                  string_split(g, ' ')[2] AS w2,
+                  string_split(g, ' ')[3] AS w3
+           FROM (SELECT doc_id, unnest({_grams_sql(3)}) AS g
+                 FROM test)),
+    terms AS (
+      SELECT sp.doc_id,
+             CASE WHEN tri.c3 IS NOT NULL THEN 0
+                  WHEN b23.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+             CAST(ROUND(CASE
+                 WHEN tri.c3 IS NOT NULL THEN
+                   ln(CAST(tri.c3 AS DOUBLE) / b12.c2)
+                 WHEN b23.c2 IS NOT NULL THEN
+                   ln({_SB_ALPHA_SQL} * CAST(b23.c2 AS DOUBLE) / u2.c1)
+                 ELSE
+                   ln({_SB_ALPHA_SQL} * {_SB_ALPHA_SQL}
+                      * CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE)
+                      / (scal.tt + scal.v))
+                 END * {_PPL_SCALE}) AS BIGINT) AS nll
+      FROM sp
+      LEFT JOIN tri ON tri.w1 = sp.w1 AND tri.w2 = sp.w2
+                   AND tri.w3 = sp.w3
+      LEFT JOIN bi b12 ON b12.wa = sp.w1 AND b12.wb = sp.w2
+      LEFT JOIN bi b23 ON b23.wa = sp.w2 AND b23.wb = sp.w3
+      LEFT JOIN uni u2 ON u2.tok = sp.w2
+      LEFT JOIN uni u3 ON u3.tok = sp.w3
+      CROSS JOIN scal)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tri_hits,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bi_backoffs,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_uni_backoffs,
+           ROUND(-CAST(sum(nll) AS DOUBLE) / count(*) / {_PPL_SCALE},
+                 4) AS avg_nll
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="trigram language model with STUPID BACKOFF (Brants et al. "
+        "2007 — the web-scale LM scoring rule: no normalization, "
+        "score s(w3|w1w2) = c3/c2 backing off through alpha*c2/c1 to "
+        "alpha^2*smoothed-unigram) trained on the even-doc_id half "
+        "and scoring the held-out odd half, so backoff genuinely "
+        "fires (a same-corpus trigram model never backs off). "
+        "Per-term ln is rounded to 1e-4-unit BIGINTs before the "
+        "per-doc sum (partitioning-order-proof, the "
+        "doc_perplexity_bigram convention), and the backoff LEVEL "
+        "per term is decided by exact count-existence, never a "
+        "float compare; the level tallies are emitted so the oracle "
+        "checks the backoff cascade itself. All model tables are "
+        "token-scale aggregates of the train half; the T/V scalar "
+        "is a 1-row broadcast. At 100 TB: corpus scans once for the "
+        "model, once for scoring — the same shape KenLM jobs run",
+)
+def doc_perplexity_trigram_backoff(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    tri = (_gram_rows(train, 3)
+           .select(F.split("gram", " ")[0].alias("w1"),
+                   F.split("gram", " ")[1].alias("w2"),
+                   F.split("gram", " ")[2].alias("w3"))
+           .groupBy("w1", "w2", "w3")
+           .agg(F.count(F.lit(1)).alias("c3")))
+    bi = (_gram_rows(train, 2)
+          .select(F.split("gram", " ")[0].alias("wa"),
+                  F.split("gram", " ")[1].alias("wb"))
+          .groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2")))
+    uni = (train.select(F.explode(TX.tokens(F.col("text")))
+                        .alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
+    scal = uni.agg(F.sum("c1").alias("tt"),
+                   F.count(F.lit(1)).alias("v"))
+    sp = (_gram_rows(test, 3)
+          .select("doc_id",
+                  F.split("gram", " ")[0].alias("w1"),
+                  F.split("gram", " ")[1].alias("w2"),
+                  F.split("gram", " ")[2].alias("w3")))
+    b12 = bi.select(F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                    F.col("c2").alias("c2_12"))
+    b23 = bi.select(F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+                    F.col("c2").alias("c2_23"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1_2"))
+    u3 = uni.select(F.col("tok").alias("w3"), F.col("c1").alias("c1_3"))
+    alpha = 0.4
+    j = (sp.join(tri, ["w1", "w2", "w3"], "left")
+         .join(b12, ["w1", "w2"], "left")
+         .join(b23, ["w2", "w3"], "left")
+         .join(u2, ["w2"], "left")
+         .join(u3, ["w3"], "left")
+         .crossJoin(F.broadcast(scal)))
+    lvl = (F.when(F.col("c3").isNotNull(), F.lit(0))
+           .when(F.col("c2_23").isNotNull(), F.lit(1))
+           .otherwise(F.lit(2)))
+    lnp = (F.when(F.col("c3").isNotNull(),
+                  F.log(F.col("c3").cast("double") / F.col("c2_12")))
+           .when(F.col("c2_23").isNotNull(),
+                 F.log(F.lit(alpha) * F.col("c2_23").cast("double")
+                       / F.col("c1_2")))
+           .otherwise(
+               F.log(F.lit(alpha) * F.lit(alpha)
+                     * (F.coalesce(F.col("c1_3"), F.lit(0)) + 1)
+                     .cast("double")
+                     / (F.col("tt") + F.col("v")))))
+    terms = j.select("doc_id", lvl.alias("lvl"),
+                     F.round(lnp * _PPL_SCALE).cast("bigint")
+                     .alias("nll"))
+    return (terms.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.sum((F.col("lvl") == 0).cast("bigint"))
+                 .alias("n_tri_hits"),
+                 F.sum((F.col("lvl") == 1).cast("bigint"))
+                 .alias("n_bi_backoffs"),
+                 F.sum((F.col("lvl") == 2).cast("bigint"))
+                 .alias("n_uni_backoffs"),
+                 F.round(-F.sum("nll").cast("double")
+                         / F.count(F.lit(1)) / _PPL_SCALE, 4)
+                 .alias("avg_nll"))
+            .orderBy("doc_id"))

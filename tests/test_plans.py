@@ -168,6 +168,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "ntile_deciles",               # 1-row total-count scalar
         "user_spend_rank_distribution",  # 1-row total-count scalar
         "doc_perplexity_bigram",       # 1-row vocabulary-size scalar
+        "doc_perplexity_trigram_backoff",  # 1-row T/V scalar
         "negative_sampling",           # 1-row corpus-count scalar
         "bm25_more_like_this",         # 1-row (N, S, qdoc) stats scalar
         "interval_overlap_join",       # 24-row hot-hours broadcast
@@ -187,6 +188,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "ann_dim_truncation_recall",   # 5 broadcast query vectors
         "percentile_interpolated_per_type",  # 3-row percentile spec
         "isotonic_calibration",        # 20-bin spine self-lattice
+        "woe_information_value",       # 1-row class-totals scalar
+        "equidepth_histogram",         # 1-row total-count scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -195,7 +198,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "ntile_deciles", "exact_global_quantiles",
                     "spearman_value_k_corr", "sorted_neighborhood_pairs",
                     "ks_two_sample_test", "roc_auc_exact",
-                    "isotonic_calibration"}
+                    "isotonic_calibration", "equidepth_histogram"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

@@ -332,3 +332,55 @@ def test_k_core_matches_python_peel(spark):
     got = list(zip(out.part_key, out.core_degree))
     # fixed 6 rounds must have converged on this data
     assert got == want
+
+
+def test_trigram_backoff_levels_partition_and_fire(spark):
+    out = (REG["doc_perplexity_trigram_backoff"].spark_fn(spark, SF)
+           .toPandas())
+    # only odd doc_ids are scored
+    assert (out.doc_id % 2 == 1).all()
+    assert (out.n_tri_hits + out.n_bi_backoffs + out.n_uni_backoffs
+            == out.n_trigrams).all()
+    # held-out scoring must actually exercise the backoff cascade
+    assert out.n_tri_hits.sum() > 0 and out.n_bi_backoffs.sum() > 0
+    assert (out.avg_nll > 0).all()
+
+
+def test_woe_iv_terms_nonnegative_and_match_numpy(spark):
+    out = REG["woe_information_value"].spark_fn(spark, SF).toPandas()
+    assert (out.iv_term >= -1e-12).all()
+    ev = table(spark, SF, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    cents = (ev.value * 100).round().astype("int64").clip(lower=0)
+    b = (cents // 1000).clip(upper=9)
+    y = (ev.event_type == "purchase").astype(int)
+    pos = y.groupby(b.values).sum()
+    neg = (1 - y).groupby(b.values).sum()
+    tp, tn = y.sum(), (1 - y).sum()
+    for _, r in out.iterrows():
+        p = (pos.get(r.bin, 0) + 1) / (tp + 10)
+        q = (neg.get(r.bin, 0) + 1) / (tn + 10)
+        assert abs(r.woe - np.log(p / q)) < 1e-6
+
+
+def test_equidepth_bins_balanced_and_ordered(spark):
+    out = REG["equidepth_histogram"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 8
+    assert out.n_rows.max() - out.n_rows.min() <= 1
+    assert out.n_rows.sum() == table(spark, SF, "events").count()
+    # boundaries are non-decreasing across bins
+    assert (out.sort_values("bin").hi_cents.to_numpy()[:-1]
+            <= out.sort_values("bin").lo_cents.to_numpy()[1:]).all()
+
+
+def test_window_showcase_consistency(spark):
+    out = (REG["window_functions_showcase"].spark_fn(spark, SF)
+           .toPandas())
+    g = out[out.user_id == out.user_id.iloc[0]].sort_values("rn")
+    n = len(g)
+    assert np.allclose(g.pct_rank, (g.rn - 1) / (n - 1), atol=1e-6)
+    assert np.allclose(g.cume, g.rn / n, atol=1e-6)
+    assert (g.lowest == g.lowest.iloc[0]).all()
+    assert (g.highest == g.highest.iloc[0]).all()
+    assert g.second_low.iloc[0] == g.iloc[1].name * 0 + g.second_low.iloc[0]
+    assert (g.prev_cents.iloc[0] == -1) and (g.next_cents.iloc[-1] == -1)
