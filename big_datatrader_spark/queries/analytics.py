@@ -4443,3 +4443,211 @@ def window_functions_showcase(spark, sf_dir):
         F.lag("cents", 1, -1).over(w).alias("prev_cents"),
         F.lead("cents", 1, -1).over(w).alias("next_cents"))
         .orderBy("user_id", "rn"))
+
+
+_CUPED_CUT = "2024-01-15"
+
+
+@query(
+    "cuped_adjusted_lift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM per_user),
+    theta AS (
+      SELECT n, sx,
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 AS th
+      FROM mom)
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(CAST(sum(y) AS DOUBLE) / count(*) / 100.0, 4)
+               AS mean_y,
+           ROUND((CAST(sum(y) AS DOUBLE) / count(*)
+                  - theta.th * (CAST(sum(x) AS DOUBLE) / count(*)
+                                - CAST(theta.sx AS DOUBLE) / theta.n))
+                 / 100.0, 4) AS mean_y_adj,
+           ROUND(theta.th, 6) AS theta
+    FROM per_user, theta
+    GROUP BY variant, theta.th, theta.sx, theta.n
+    ORDER BY variant
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng et al. "
+        "2013): per-user post-period spend Y adjusted by the "
+        "pre-period covariate X via theta = cov(X,Y)/var(X), then "
+        "averaged per variant (user_id mod 2 as the deterministic "
+        "assignment) — the standard trick that cuts A/B metric "
+        "variance by the pre/post correlation squared. All five "
+        "moments are EXACT integers from one user-level aggregate "
+        "(cross-multiplied covariance n*Sxy - Sx*Sy in HUGEINT/"
+        "DECIMAL(38)); theta and the adjusted means are the only "
+        "IEEE ops, written identically on both engines and rounded. "
+        "The theta relation is a 1-row broadcast scalar. At 100 TB: "
+        "scan -> per-user partial agg -> 1-row moments -> 2-row "
+        "output; nothing holistic anywhere",
+)
+def cuped_adjusted_lift(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.coalesce(
+                        F.sum(F.when(F.col("ts") < cut, cents)),
+                        F.lit(0)).alias("x"),
+                     F.coalesce(
+                        F.sum(F.when(F.col("ts") >= cut, cents)),
+                        F.lit(0)).alias("y"))
+                .select("user_id",
+                        (F.col("user_id") % 2).cast("bigint")
+                        .alias("variant"), "x", "y"))
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .alias("sxx"))
+    theta = mom.select(
+        "n", "sx",
+        ((F.col("n") * F.col("sxy")
+          - F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+         .cast("double")
+         / (F.col("n") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+         .cast("double")).alias("th"))
+    j = per_user.crossJoin(F.broadcast(theta))
+    return (j.groupBy("variant", "th", "sx", "n")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum("y").cast("double")
+                         / F.count(F.lit(1)) / 100.0, 4)
+                 .alias("mean_y"),
+                 F.round((F.sum("y").cast("double") / F.count(F.lit(1))
+                          - F.first("th")
+                          * (F.sum("x").cast("double")
+                             / F.count(F.lit(1))
+                             - F.first("sx").cast("double")
+                             / F.first("n"))) / 100.0, 4)
+                 .alias("mean_y_adj"))
+            .select("variant", "n_users", "mean_y", "mean_y_adj",
+                    F.round(F.col("th"), 6).alias("theta"))
+            .orderBy("variant"))
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS d0,
+             CAST(floor(epoch(min(CASE WHEN event_type = 'purchase'
+                  THEN ts END))) AS BIGINT) // 86400 AS dp
+      FROM events GROUP BY 1),
+    horizon AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS dmax
+      FROM events),
+    obs AS (
+      SELECT user_id,
+             CASE WHEN dp IS NOT NULL THEN dp - d0
+                  ELSE dmax - d0 END AS t,
+             CAST(dp IS NOT NULL AS BIGINT) AS died
+      FROM span, horizon),
+    tt AS (
+      SELECT t, CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS obs_n
+      FROM obs GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT count(*) FROM obs) AS BIGINT)
+               - CAST(coalesce(sum(obs_n) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM tt),
+    lns AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d = n_risk THEN NULL
+                  ELSE CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                  * {10000}) AS BIGINT) END AS lnterm,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hit_zero
+      FROM risk WHERE d > 0)
+    SELECT t AS day, d AS n_events, n_risk,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(CAST(sum(lnterm) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                     ROW) AS DOUBLE) / {10000}), 4) END AS survival
+    FROM lns ORDER BY day
+    """,
+    doc="Kaplan-Meier survival curve for time-to-first-purchase "
+        "(event-time days since each user's first event; users who "
+        "never purchase are right-censored at the observation "
+        "horizon): S(t) = prod over event days <= t of (1 - d/n). "
+        "The at-risk counts come from an EXCLUSIVE prefix sum over "
+        "the per-day observation counts, each ln(1 - d/n) term is "
+        "rounded to 1e-4 units and summed as BIGINT (the perplexity "
+        "convention — the product is order-proof), and exp of the "
+        "identical sum is the identical double. The d = n_risk "
+        "terminal day (everyone at risk converts) is handled by an "
+        "exact flag that pins S = 0 from that day on — no -inf "
+        "travels through float. The time relation is "
+        "distinct-days-sized: windows over it are trivially small "
+        "at ANY corpus scale (per-user reduction happens first)",
+)
+def kaplan_meier_survival(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    eday = (F.floor(F.unix_timestamp(F.col("ts"))).cast("bigint"))
+    day = ((eday - eday % 86400) / 86400).cast("bigint")
+    span = (ev.groupBy("user_id")
+            .agg(F.min(day).alias("d0"),
+                 F.min(F.when(F.col("event_type") == "purchase", day))
+                 .alias("dp")))
+    horizon = ev.agg(F.max(day).alias("dmax"))
+    obs = (span.crossJoin(F.broadcast(horizon))
+           .select(F.when(F.col("dp").isNotNull(),
+                          F.col("dp") - F.col("d0"))
+                   .otherwise(F.col("dmax") - F.col("d0")).alias("t"),
+                   F.col("dp").isNotNull().cast("bigint")
+                   .alias("died")))
+    tt = obs.groupBy("t").agg(F.sum("died").alias("d"),
+                              F.count(F.lit(1)).alias("obs_n"))
+    ntot = obs.agg(F.count(F.lit(1)).alias("n_tot"))
+    wpre = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    risk = (tt.crossJoin(F.broadcast(ntot))
+            .withColumn("n_risk",
+                        F.col("n_tot")
+                        - F.coalesce(F.sum("obs_n").over(wpre),
+                                     F.lit(0)))
+            .filter(F.col("d") > 0))
+    wcur = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    lns = risk.select(
+        "t", "d", "n_risk",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(None))
+        .otherwise(F.round(F.log(
+            1.0 - F.col("d").cast("double") / F.col("n_risk"))
+            * 10000).cast("bigint")).alias("lnterm"),
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+        .over(wcur).alias("hit_zero"))
+    return (lns.select(
+        F.col("t").alias("day"), F.col("d").alias("n_events"),
+        "n_risk",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lnterm").over(wcur)
+                                 .cast("double") / 10000), 4))
+        .alias("survival"))
+        .orderBy("day"))

@@ -2048,3 +2048,198 @@ def doc_perplexity_trigram_backoff(spark, sf_dir):
                          / F.count(F.lit(1)) / _PPL_SCALE, 4)
                  .alias("avg_nll"))
             .orderBy("doc_id"))
+
+
+# --- Out-of-fold target encoding (leakage-safe categorical feature) --------
+
+_TE_FOLDS = 5
+
+
+@query(
+    "target_encoding_oof",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(event_id % {_TE_FOLDS} AS BIGINT) AS fold,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    per_fold AS (
+      SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM base GROUP BY 1, 2),
+    cat_tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(s) AS BIGINT) AS s_all
+      FROM per_fold GROUP BY 1),
+    oof AS (
+      SELECT p.event_type, p.fold,
+             t.n_all - p.n AS n_oof, t.s_all - p.s AS s_oof
+      FROM per_fold p JOIN cat_tot t USING (event_type))
+    SELECT b.event_id, b.event_type, b.fold,
+           CAST(CASE WHEN o.s_oof >= 0
+                THEN (2 * CAST(o.s_oof AS HUGEINT) * 10000 + o.n_oof)
+                     // (2 * CAST(o.n_oof AS HUGEINT))
+                ELSE -((2 * CAST(-o.s_oof AS HUGEINT) * 10000
+                        + o.n_oof)
+                       // (2 * CAST(o.n_oof AS HUGEINT))) END
+                AS DOUBLE) / 10000.0 AS te_value
+    FROM base b JOIN oof o
+      ON o.event_type = b.event_type AND o.fold = b.fold
+    ORDER BY b.event_id
+    """,
+    doc=f"LEAKAGE-SAFE target encoding: each row's categorical "
+        "feature (event_type) is replaced by the mean target (value) "
+        "computed over the OTHER {_TE_FOLDS - 1} folds — the "
+        "out-of-fold trick that stops the encoder from memorizing "
+        "the row's own label. Fold assignment is the deterministic "
+        "event_id mod; per-(category, fold) sums aggregate once and "
+        "the leave-one-fold-out sums derive by SUBTRACTION from the "
+        "category totals (no {_TE_FOLDS}x recompute). The encode "
+        "join is category x fold — a broadcast at any corpus size — "
+        "and the mean is one signed exact integer division rounded "
+        "half-away to 1e-4 cents. The full-scan -> tiny-model -> "
+        "broadcast-back shape is exactly how this runs at 100 TB",
+)
+def target_encoding_oof(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        (F.col("event_id") % _TE_FOLDS).cast("bigint").alias("fold"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    per_fold = (base.groupBy("event_type", "fold")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("cents").alias("s")))
+    cat_tot = (per_fold.groupBy("event_type")
+               .agg(F.sum("n").alias("n_all"),
+                    F.sum("s").alias("s_all")))
+    oof = (per_fold.join(cat_tot, "event_type")
+           .select("event_type", "fold",
+                   (F.col("n_all") - F.col("n")).alias("n_oof"),
+                   (F.col("s_all") - F.col("s")).alias("s_oof")))
+    s, n = F.col("s_oof").cast("decimal(38,0)"), \
+        F.col("n_oof").cast("decimal(38,0)")
+    mag_pos = ((2 * s * 10000 + n) - (2 * s * 10000 + n) % (2 * n)) \
+        / (2 * n)
+    mag_neg = ((2 * (-s) * 10000 + n)
+               - (2 * (-s) * 10000 + n) % (2 * n)) / (2 * n)
+    te = (F.when(F.col("s_oof") >= 0, mag_pos).otherwise(-mag_neg)
+          .cast("bigint").cast("double") / 10000.0)
+    return (base.join(F.broadcast(oof), ["event_type", "fold"])
+            .select("event_id", "event_type", "fold",
+                    te.alias("te_value"))
+            .orderBy("event_id"))
+
+
+# --- Lag-feature matrix (forecasting feature engineering) ------------------
+
+
+@query(
+    "lag_feature_matrix",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY 1, 2),
+    feat AS (
+      SELECT user_id, day, y,
+             lag(y, 1) OVER w AS lag1,
+             lag(y, 7) OVER w AS lag7,
+             CAST(sum(y) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sum7,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cnt7,
+             CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day))
+    SELECT user_id, day, y, lag1, lag7,
+           CAST((2 * CAST(sum7 AS HUGEINT) * 100 + cnt7)
+                // (2 * CAST(cnt7 AS HUGEINT)) AS DOUBLE) / 100.0
+               AS roll7_mean,
+           dow,
+           CAST(y > lag1 AS BIGINT) AS up_vs_prev
+    FROM feat WHERE lag7 IS NOT NULL
+    ORDER BY user_id, day
+    """,
+    doc="supervised lag-feature matrix for per-user demand "
+        "forecasting: daily target y with lag-1 / lag-7 values, a "
+        "7-day rolling mean (exact integer half-away rounding to "
+        "cents), day-of-week, and the binary momentum flag — the "
+        "table a GBM/linear forecaster trains on directly. Rows "
+        "without a full 7-day history are dropped (the standard "
+        "warm-up trim), evaluated by the SAME null predicate on both "
+        "engines. Every lag and the rolling frame share ONE "
+        "(user, day) window exchange; daily bars collapse the raw "
+        "scan ~events-per-day-fold before any window state exists. "
+        "dow is Sunday=1 (DuckDB's Sunday=0 is shifted +1 to Spark's convention)",
+)
+def lag_feature_matrix(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("y")))
+    w = Window.partitionBy("user_id").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    feat = bars.select(
+        "user_id", "day", "y",
+        F.lag("y", 1).over(w).alias("lag1"),
+        F.lag("y", 7).over(w).alias("lag7"),
+        F.sum("y").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+        F.dayofweek("day").cast("bigint").alias("dow"))
+    s, c = F.col("sum7").cast("decimal(38,0)"), \
+        F.col("cnt7").cast("decimal(38,0)")
+    roll = (((2 * s * 100 + c) - (2 * s * 100 + c) % (2 * c))
+            / (2 * c)).cast("bigint").cast("double") / 100.0
+    return (feat.filter(F.col("lag7").isNotNull())
+            .select("user_id", "day", "y", "lag1", "lag7",
+                    roll.alias("roll7_mean"), "dow",
+                    (F.col("y") > F.col("lag1")).cast("bigint")
+                    .alias("up_vs_prev"))
+            .orderBy("user_id", "day"))
+
+
+# --- Feature hashing (the hashing trick) -----------------------------------
+
+_FH_BUCKETS = 64
+
+
+@query(
+    "feature_hashing_vectors",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+    SELECT doc_id,
+           CAST({_h60_sql('tok')} % {_FH_BUCKETS} AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN ({_h60_sql("'sgn:' || tok")}) % 2 = 0
+                    THEN 1 ELSE -1 END) AS BIGINT) AS signed_sum
+    FROM tk GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """,
+    doc=f"the hashing trick (Weinberger et al. 2009): every token "
+        f"maps to one of {_FH_BUCKETS} feature buckets via the shared "
+        "md5-derived h60, with the independent second hash supplying "
+        "the +-1 sign that makes collisions cancel in expectation — "
+        "fixed-width sparse vectors with NO vocabulary table, the "
+        "standard way to featurize unbounded token spaces for linear "
+        "models at corpus scale. One explode + one groupBy on "
+        "(doc, bucket): rows stay partitioned with their doc, counts "
+        "partial-aggregate map-side, and there is no join anywhere — "
+        "the whole point of hashing over dictionary encoding",
+)
+def feature_hashing_vectors(spark, sf_dir):
+    from ..functions.dedup import h60
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id",
+                     F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    bucket = (h60(F.col("tok")) % _FH_BUCKETS).cast("bigint")
+    sign = F.when(h60(F.concat(F.lit("sgn:"), F.col("tok"))) % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    return (tk.select("doc_id", bucket.alias("bucket"),
+                      sign.alias("s"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("s").alias("signed_sum"))
+            .orderBy("doc_id", "bucket"))

@@ -190,6 +190,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "isotonic_calibration",        # 20-bin spine self-lattice
         "woe_information_value",       # 1-row class-totals scalar
         "equidepth_histogram",         # 1-row total-count scalar
+        "cuped_adjusted_lift",         # 1-row theta scalar
+        "kaplan_meier_survival",       # 1-row horizon + total scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -198,7 +200,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "ntile_deciles", "exact_global_quantiles",
                     "spearman_value_k_corr", "sorted_neighborhood_pairs",
                     "ks_two_sample_test", "roc_auc_exact",
-                    "isotonic_calibration", "equidepth_histogram"}
+                    "isotonic_calibration", "equidepth_histogram",
+                    "kaplan_meier_survival"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

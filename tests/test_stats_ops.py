@@ -384,3 +384,37 @@ def test_window_showcase_consistency(spark):
     assert (g.highest == g.highest.iloc[0]).all()
     assert g.second_low.iloc[0] == g.iloc[1].name * 0 + g.second_low.iloc[0]
     assert (g.prev_cents.iloc[0] == -1) and (g.next_cents.iloc[-1] == -1)
+
+
+def test_cuped_reduces_to_naive_when_theta_applied(spark):
+    out = REG["cuped_adjusted_lift"].spark_fn(spark, SF).toPandas()
+    assert list(out.variant) == [0, 1]
+    assert out.theta.nunique() == 1  # pooled theta, same both rows
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    cut = pd.Timestamp("2024-01-15")
+    pre = (ev[ev.ts < cut].groupby("user_id").cents.sum())
+    post = (ev[ev.ts >= cut].groupby("user_id").cents.sum())
+    users = ev.user_id.unique()
+    x = pre.reindex(users).fillna(0).to_numpy(dtype=float)
+    y = post.reindex(users).fillna(0).to_numpy(dtype=float)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(out.theta.iloc[0] - theta) < 1e-4
+    for v in (0, 1):
+        m = users % 2 == v
+        adj = (y[m].mean() - theta * (x[m].mean() - x.mean())) / 100
+        got = out[out.variant == v]
+        assert abs(got.mean_y_adj.iloc[0] - adj) < 1e-3
+        assert abs(got.mean_y.iloc[0] - y[m].mean() / 100) < 1e-3
+
+
+def test_kaplan_meier_monotone_and_conserves_risk(spark):
+    out = REG["kaplan_meier_survival"].spark_fn(spark, SF).toPandas()
+    out = out.sort_values("day")
+    assert (out.survival.diff().dropna() <= 1e-12).all()
+    assert ((out.survival >= 0) & (out.survival <= 1)).all()
+    # at-risk counts strictly decrease over event days
+    assert (out.n_risk.diff().dropna() < 0).all()
+    n_users = table(spark, SF, "events").select("user_id") \
+        .distinct().count()
+    assert out.n_risk.iloc[0] <= n_users

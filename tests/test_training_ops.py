@@ -393,3 +393,48 @@ def test_winsorized_decomposition_equals_np_clip(spark):
         r = got[uid]
         assert (r.lo_cents, r.hi_cents) == (lo, hi)
         assert r.winsorized_mean == expect
+
+
+def test_target_encoding_excludes_own_fold(spark):
+    out = REG["target_encoding_oof"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["fold"] = ev.event_id % 5
+    for (et, fold), g in out.groupby(["event_type", "fold"]):
+        rest = ev[(ev.event_type == et) & (ev.fold != fold)]
+        want = rest.cents.sum() / len(rest)
+        assert abs(g.te_value.iloc[0] - want) < 1e-4
+        # every row of the same (cat, fold) shares the encode value
+        assert g.te_value.nunique() == 1
+
+
+def test_lag_features_match_pandas_shift(spark):
+    out = REG["lag_feature_matrix"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = (ev.groupby(["user_id", "day"]).cents.sum()
+            .reset_index(name="y"))
+    for uid, g in bars.groupby("user_id"):
+        g = g.sort_values("day").reset_index(drop=True)
+        g["lag1"] = g.y.shift(1)
+        g["lag7"] = g.y.shift(7)
+        g["roll"] = g.y.rolling(7, min_periods=1).mean()
+        got = out[out.user_id == uid].sort_values("day")
+        want = g[g.lag7.notna()]
+        assert len(got) == len(want)
+        assert (got.lag1.to_numpy() == want.lag1.to_numpy()).all()
+        assert (got.lag7.to_numpy() == want.lag7.to_numpy()).all()
+        assert np.allclose(got.roll7_mean.to_numpy(),
+                           want.roll.to_numpy(), atol=0.01)
+
+
+def test_feature_hashing_conserves_tokens_and_bounds_buckets(spark):
+    out = (REG["feature_hashing_vectors"].spark_fn(spark, SF)
+           .toPandas())
+    docs = table(spark, SF, "documents").toPandas()
+    n_toks = docs.text.str.strip().str.lower().str.split().map(len)
+    assert out.cnt.sum() == n_toks.sum()
+    assert out.bucket.between(0, 63).all()
+    # signed sum can never exceed the raw count
+    assert (out.signed_sum.abs() <= out.cnt).all()
