@@ -4651,3 +4651,117 @@ def kaplan_meier_survival(spark, sf_dir):
                                  .cast("double") / 10000), 4))
         .alias("survival"))
         .orderBy("day"))
+
+
+@query(
+    "gini_spend_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                          event_id) AS i
+      FROM events),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS si
+      FROM v GROUP BY 1)
+    SELECT event_type, n,
+           CAST((2 * CAST(2 * si - (n + 1) * CAST(s AS HUGEINT)
+                          AS HUGEINT) * 1000000
+                 + CAST(n AS HUGEINT) * s)
+                // (2 * CAST(n AS HUGEINT) * s) AS DOUBLE)
+               / 1000000.0 AS gini6
+    FROM mom ORDER BY event_type
+    """,
+    doc="Gini coefficient of spend concentration per event type — "
+        "the inequality measure behind 'do whales dominate this "
+        "revenue stream'. Computed by the rank formula G = "
+        "(2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over "
+        "ascending-sorted amounts: ranks are per-type windows "
+        "(id-tiebroken, so both engines rank identically), the two "
+        "moments are exact HUGEINT/DECIMAL(38) sums, and the single "
+        "division rounds half-away in exact integers. At 100 TB the "
+        "per-type rank swaps to the two-phase bucket rank; the "
+        "moment aggregate shape is unchanged",
+)
+def gini_spend_concentration(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    v = (ev.select("event_type", "event_id",
+                   F.round(F.col("value") * 100).cast("bigint")
+                   .alias("cents"))
+         .withColumn("i", F.row_number().over(w)))
+    mom = (v.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("s"),
+                F.sum(F.col("i").cast("decimal(38,0)")
+                      * F.col("cents")).alias("si")))
+    num = (2 * F.col("si")
+           - (F.col("n") + 1).cast("decimal(38,0)") * F.col("s"))
+    den = F.col("n").cast("decimal(38,0)") * F.col("s")
+    g6 = (((2 * num * 1000000 + den)
+           - (2 * num * 1000000 + den) % (2 * den)) / (2 * den)) \
+        .cast("bigint").cast("double") / 1000000.0
+    return (mom.select("event_type", "n", g6.alias("gini6"))
+            .orderBy("event_type"))
+
+
+@query(
+    "interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap
+      FROM events),
+    mom AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+    SELECT user_id, n,
+           ROUND(CAST(sg AS DOUBLE) / n, 4) AS mean_gap_s,
+           ROUND((sqrt(CAST(n * sgg - CAST(sg AS HUGEINT) * sg
+                            AS DOUBLE)) - sg)
+                 / (sqrt(CAST(n * sgg - CAST(sg AS HUGEINT) * sg
+                              AS DOUBLE)) + sg), 6) AS burstiness
+    FROM mom ORDER BY user_id
+    """,
+    doc="Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of "
+        "per-user inter-event gaps (B -> -1 periodic, 0 Poisson, "
+        "+1 bursty) — the temporal signature used for bot/anomaly "
+        "triage. Gaps are exact integer seconds from one per-user "
+        "lag window; the identity B = (sqrt(n*Sgg - Sg^2) - Sg) / "
+        "(sqrt(...) + Sg) needs NO separate mean/variance floats — "
+        "one sqrt of an exact integer and one division, identical "
+        "IEEE on both engines, rounded 6. One shuffle by user; the "
+        "moment aggregate rides the window's exchange",
+)
+def interarrival_burstiness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp(F.col("ts"))).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select("user_id", (sec - F.lag(sec).over(w)).alias("gap"))
+    mom = (g.filter(F.col("gap").isNotNull())
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("gap").alias("sg"),
+                F.sum(F.col("gap").cast("decimal(38,0)")
+                      * F.col("gap")).alias("sgg"))
+           .filter(F.col("n") >= 2))
+    root = F.sqrt((F.col("n") * F.col("sgg")
+                   - F.col("sg").cast("decimal(38,0)") * F.col("sg"))
+                  .cast("double"))
+    return (mom.select(
+        "user_id", "n",
+        F.round(F.col("sg").cast("double") / F.col("n"), 4)
+        .alias("mean_gap_s"),
+        F.round((root - F.col("sg")) / (root + F.col("sg")), 6)
+        .alias("burstiness"))
+        .orderBy("user_id"))

@@ -28,6 +28,7 @@ from pyspark.sql import Window, functions as F
 
 from ..sources.parquet_source import table
 from . import query
+from .analytics import _int_ratio_round6
 
 _R = 6
 
@@ -443,3 +444,89 @@ def q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --- Recommender evaluation: leave-latest-out hit-rate ---------------------
+
+_REC_K = 20
+
+
+@query(
+    "rec_hitrate_popularity",
+    oracle=f"""
+    WITH held AS (
+      SELECT o.o_custkey AS cust, o.o_orderkey AS okey
+      FROM orders o
+      JOIN (SELECT o_custkey,
+                   max(o_orderdate) AS md
+            FROM orders GROUP BY 1) lx
+        ON lx.o_custkey = o.o_custkey AND o.o_orderdate = lx.md
+      QUALIFY row_number() OVER (PARTITION BY o.o_custkey
+                                 ORDER BY o.o_orderkey DESC) = 1),
+    target AS (
+      SELECT h.cust, CAST(min(l.l_partkey) AS BIGINT) AS part
+      FROM held h JOIN lineitem l ON l.l_orderkey = h.okey
+      GROUP BY 1),
+    train AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l
+      WHERE l.l_orderkey NOT IN (SELECT okey FROM held)),
+    pop AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM train GROUP BY 1
+      ORDER BY n_orders DESC, l_partkey LIMIT {_REC_K}),
+    hits AS (
+      SELECT t.cust,
+             CAST(t.part IN (SELECT l_partkey FROM pop) AS BIGINT)
+                 AS hit
+      FROM target t)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(hit) AS BIGINT) AS hits,
+           CAST((2 * CAST(sum(hit) AS HUGEINT) * 1000000 + count(*))
+                // (2 * CAST(count(*) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS hitrate6
+    FROM hits
+    """,
+    doc=f"leave-latest-out recommender evaluation: each customer's "
+        "most recent order is held out (latest o_orderdate, orderkey "
+        "tiebreak; its min partkey is the eval target), a "
+        f"popularity-top-{_REC_K} recommender trains on everything "
+        "else, and hit-rate@k counts customers whose held-out part "
+        "appears in the list — the baseline every CF model "
+        "(item_item_similarity) must beat, and the eval harness "
+        "shape (split -> train -> score) all of them share. The "
+        f"holdout is an anti-join, the model is a {_REC_K}-row "
+        "broadcast (TakeOrderedAndProject, never a global sort of "
+        "parts), and the hit flag is a broadcast semi-join — no "
+        "step grows with corpus size except the scans",
+)
+def rec_hitrate_popularity(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    wlast = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    held = (orders.select("o_custkey", "o_orderkey", "o_orderdate",
+                          F.row_number().over(wlast).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("cust"),
+                    F.col("o_orderkey").alias("okey")))
+    target = (held.join(li, held["okey"] == li["l_orderkey"])
+              .groupBy("cust")
+              .agg(F.min("l_partkey").alias("part")))
+    train = (li.join(F.broadcast(held.select("okey")),
+                     li["l_orderkey"] == F.col("okey"), "left_anti")
+             .select("l_orderkey", "l_partkey").distinct())
+    pop = (train.groupBy("l_partkey")
+           .agg(F.count(F.lit(1)).alias("n_orders"))
+           .orderBy(F.desc("n_orders"), "l_partkey").limit(_REC_K)
+           .select(F.col("l_partkey").alias("part"),
+                   F.lit(1).alias("in_pop")))
+    hits = (target.join(F.broadcast(pop), "part", "left")
+            .select(F.coalesce(F.col("in_pop"), F.lit(0))
+                    .cast("bigint").alias("hit")))
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("hit").alias("hits"),
+        _int_ratio_round6(F.sum("hit"), F.count(F.lit(1)))
+        .alias("hitrate6"))

@@ -2243,3 +2243,163 @@ def feature_hashing_vectors(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum("s").alias("signed_sum"))
             .orderBy("doc_id", "bucket"))
+
+
+# --- Zipf's law fit over the token frequency spectrum ----------------------
+
+
+@query(
+    "zipf_law_fit",
+    oracle=f"""
+    WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY 1),
+    rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+           FROM tf),
+    pts AS (SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 10000)
+                        AS BIGINT) AS x,
+                   CAST(ROUND(ln(CAST(f AS DOUBLE)) * 10000)
+                        AS BIGINT) AS y
+            FROM rk),
+    mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM pts)
+    SELECT n AS vocab,
+           ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                           AS DOUBLE) * sx) / n / 10000.0, 6)
+               AS intercept_ln,
+           ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                           AS DOUBLE)), 6) AS r2
+    FROM mom
+    """,
+    doc="Zipf's-law fit of the corpus token frequency spectrum: OLS "
+        "of ln(freq) on ln(rank) — slope ~ -1 for natural language, "
+        "so large deviations flag synthetic/degenerate corpora (a "
+        "data-quality screen at ingest). Ranks come from one "
+        "frequency-ordered row_number over the VOCABULARY relation "
+        "(token-scale, not corpus-scale — at 100 TB this window runs "
+        "over millions of rows, not trillions; swap in the two-phase "
+        "bucket rank verbatim if vocab outgrows one task). Each ln "
+        "is rounded to 1e-4 units so the five regression moments are "
+        "EXACT integer sums (HUGEINT/DECIMAL38 cross-products); "
+        "slope, intercept and R^2 are the only IEEE divisions, "
+        "written identically on both engines and rounded 6",
+)
+def zipf_law_fit(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    w = Window.orderBy(F.desc("f"), "tok")
+    rk = tf.select("f", F.row_number().over(w).alias("r"))
+    pts = rk.select(
+        F.round(F.log(F.col("r").cast("double")) * 10000)
+        .cast("bigint").alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 10000)
+        .cast("bigint").alias("y"))
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .alias("syy"))
+    n = F.col("n")
+    covn = (n * F.col("sxy")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+    varn = (n * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+    varyn = (n * F.col("syy")
+             - F.col("sy").cast("decimal(38,0)") * F.col("sy"))
+    slope = covn.cast("double") / varn.cast("double")
+    return mom.select(
+        n.alias("vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx"))
+                / n / 10000.0, 6).alias("intercept_ln"),
+        F.round(covn.cast("double") * covn.cast("double")
+                / (varn.cast("double") * varyn.cast("double")), 6)
+        .alias("r2"))
+
+
+# --- Token drift movers between corpus halves ------------------------------
+
+_TD_TOPK = 15
+
+
+@query(
+    "token_drift_movers",
+    oracle=f"""
+    WITH df AS (
+      SELECT tok,
+             CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0
+                        THEN doc_id END) AS BIGINT) AS df_a,
+             CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1
+                        THEN doc_id END) AS BIGINT) AS df_b
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(DISTINCT CASE WHEN doc_id % 2 = 0
+                        THEN doc_id END) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1
+                        THEN doc_id END) AS BIGINT) AS n_b
+      FROM documents)
+    SELECT tok, df_a, df_b,
+           ROUND(ln((CAST(df_a + 1 AS DOUBLE) / (n_a + 2))
+                    / (CAST(df_b + 1 AS DOUBLE) / (n_b + 2))), 6)
+               AS log_ratio
+    FROM df, tot
+    ORDER BY abs(ROUND(ln((CAST(df_a + 1 AS DOUBLE) / (n_a + 2))
+                          / (CAST(df_b + 1 AS DOUBLE) / (n_b + 2))),
+                       6)) DESC, tok
+    LIMIT {_TD_TOPK}
+    """,
+    doc=f"token drift screen between two corpus slices (doc_id "
+        "parity as the deterministic stand-in for crawl snapshots): "
+        "per-token document frequency in each slice, smoothed "
+        "log-odds ratio ln(((df_a+1)/(n_a+2)) / ((df_b+1)/(n_b+2))), "
+        f"top {_TD_TOPK} movers by |ratio| — the vocabulary-drift "
+        "alarm run between ingest batches before a model refresh. "
+        "ONE explode + one (tok)-grouped conditional-distinct "
+        "aggregate builds both slices' counts (the corpus is never "
+        "scanned twice); the slice totals are a 1-row broadcast and "
+        "the top-k is TakeOrderedAndProject on the rounded ratio "
+        "with token tiebreak — deterministic on both engines",
+)
+def token_drift_movers(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id",
+                     F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    df = (tk.groupBy("tok")
+          .agg(F.countDistinct(
+                   F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")))
+               .alias("df_a"),
+               F.countDistinct(
+                   F.when(F.col("doc_id") % 2 == 1, F.col("doc_id")))
+               .alias("df_b")))
+    tot = docs.agg(
+        F.countDistinct(F.when(F.col("doc_id") % 2 == 0,
+                               F.col("doc_id"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("doc_id") % 2 == 1,
+                               F.col("doc_id"))).alias("n_b"))
+    j = df.crossJoin(F.broadcast(tot))
+    ratio = F.round(F.log(
+        ((F.col("df_a") + 1).cast("double") / (F.col("n_a") + 2))
+        / ((F.col("df_b") + 1).cast("double") / (F.col("n_b") + 2))),
+        6)
+    return (j.select("tok", "df_a", "df_b", ratio.alias("log_ratio"))
+            .orderBy(F.abs(F.col("log_ratio")).desc(), "tok")
+            .limit(_TD_TOPK))

@@ -192,6 +192,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "equidepth_histogram",         # 1-row total-count scalar
         "cuped_adjusted_lift",         # 1-row theta scalar
         "kaplan_meier_survival",       # 1-row horizon + total scalars
+        "token_drift_movers",          # 1-row slice-totals scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -201,7 +202,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "spearman_value_k_corr", "sorted_neighborhood_pairs",
                     "ks_two_sample_test", "roc_auc_exact",
                     "isotonic_calibration", "equidepth_histogram",
-                    "kaplan_meier_survival"}
+                    "kaplan_meier_survival", "zipf_law_fit"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

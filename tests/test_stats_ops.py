@@ -418,3 +418,68 @@ def test_kaplan_meier_monotone_and_conserves_risk(spark):
     n_users = table(spark, SF, "events").select("user_id") \
         .distinct().count()
     assert out.n_risk.iloc[0] <= n_users
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    out = REG["zipf_law_fit"].spark_fn(spark, SF).toPandas()
+    docs = table(spark, SF, "documents").toPandas()
+    toks = docs.text.str.strip().str.lower().str.split().explode()
+    f = toks.value_counts().to_numpy(dtype=float)
+    x = np.log(np.arange(1, len(f) + 1))
+    y = np.log(f)
+    slope, intercept = np.polyfit(x, y, 1)
+    r = out.iloc[0]
+    assert r.vocab == len(f)
+    assert abs(r.zipf_slope - slope) < 1e-3
+    assert abs(r.intercept_ln - intercept) < 1e-3
+    assert 0 <= r.r2 <= 1
+
+
+def test_gini_matches_numpy_rank_formula(spark):
+    out = (REG["gini_spend_concentration"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        x = np.sort(g.cents.to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1)
+        want = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+        got = out[out.event_type == et].gini6.iloc[0]
+        assert abs(got - want) < 1e-6
+        assert 0 <= got < 1
+
+
+def test_burstiness_matches_numpy(spark):
+    out = (REG["interarrival_burstiness"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        gaps = np.diff(g.ts.values.astype("datetime64[s]")
+                       .astype("int64"))
+        if len(gaps) < 2:
+            continue
+        mu, sd = gaps.mean(), gaps.std()  # population std
+        want = (sd - mu) / (sd + mu)
+        got = out[out.user_id == uid].iloc[0]
+        assert got.n == len(gaps)
+        assert abs(got.burstiness - want) < 1e-6
+
+
+def test_rec_hitrate_bounds_and_holdout_excluded(spark):
+    out = (REG["rec_hitrate_popularity"].spark_fn(spark, SF)
+           .toPandas())
+    r = out.iloc[0]
+    assert 0 <= r.hits <= r.n_users
+    assert abs(r.hitrate6 - r.hits / r.n_users) < 1e-6
+    n_cust = (table(spark, SF, "orders").select("o_custkey")
+              .distinct().count())
+    assert r.n_users <= n_cust
+
+
+def test_token_drift_movers_are_extreme(spark):
+    out = REG["token_drift_movers"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 15
+    a = out.log_ratio.abs()
+    assert (a.diff().dropna() <= 1e-12).all()  # sorted by |ratio| desc
