@@ -3784,8 +3784,12 @@ def event_markov_transitions(spark, sf_dir):
     cnt = (seq.filter(F.col("to_type").isNotNull())
            .groupBy("from_type", "to_type")
            .agg(F.count(F.lit(1)).alias("n")))
-    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
-    return (cnt.join(F.broadcast(tot), "from_type")
+    # row totals as a window over the |types|^2 grouped relation: a
+    # groupBy+join would re-run the corpus-scale lead lineage for the
+    # totals side (two full passes at 100 TB); the window rides the
+    # tiny relation instead
+    wrow = Window.partitionBy("from_type")
+    return (cnt.withColumn("row_n", F.sum("n").over(wrow))
             .select("from_type", "to_type", "n",
                     _int_ratio_round6(F.col("n"), F.col("row_n"))
                     .alias("prob"))

@@ -291,3 +291,37 @@ def test_round4b_exchange_budgets(spark, sf001):
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
         assert n <= budget, (name, n, budget)
+
+
+def test_round4c_exchange_budgets(spark, sf001):
+    """Shuffle budgets for the third round-4 wave (model-eval +
+    corpus-curation + feature-engineering). The containment/LSH-eval
+    chains are bounded by their inverted-index joins (every side is
+    token- or pair-scale); the closed-form solvers are scan + one
+    keyed aggregate; the hashing trick is scan + one groupBy."""
+    budgets = {
+        "feature_hashing_vectors": 2,
+        "quadratic_trend_fit": 3,
+        "theil_sen_slope": 4,
+        "boilerplate_chunk_removal": 4,
+        "gini_spend_concentration": 3,
+        "interarrival_burstiness": 3,
+        "event_markov_transitions": 4,
+        "target_encoding_oof": 4,
+        # bars agg hashes (user, day); the lag window re-keys to user
+        # alone, + the output sort
+        "lag_feature_matrix": 3,
+        "rec_hitrate_popularity": 6,
+        "kaplan_meier_survival": 7,
+        "equidepth_histogram": 7,
+        "lsh_vs_exact_eval": 11,
+        "ngram_containment_pairs": 12,
+        "doc_perplexity_trigram_backoff": 12,
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
+    assert uses_top_k(REG["token_drift_movers"].spark_fn(spark, sf001))
+    assert uses_top_k(
+        REG["clickstream_paths_topk"].spark_fn(spark, sf001))
+    assert uses_top_k(REG["k_core_membership"].spark_fn(spark, sf001))
