@@ -356,3 +356,44 @@ def patchify_ppm(df: DataFrame, *, id_col: str = "doc_id",
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         run, schema=PATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio features over the decoded PCM stream
+
+WAV_FRAME = 16  # samples per analysis frame -> WAV_SAMPLES/WAV_FRAME frames
+
+FRAME_FEATURE_SCHEMA = ("doc_id long, frame_id long, n long, "
+                        "sum_sq long, rms double, zero_crossings long")
+
+
+def extract_wav_frames(df: DataFrame, *, id_col: str = "doc_id",
+                       content_col: str = "content") -> DataFrame:
+    """Frame-level DSP over REAL decoded PCM: cut each clip into
+    WAV_FRAME-sample frames and emit per-frame energy (exact integer
+    sum of squares + RMS) and the zero-crossing count of the
+    MEAN-CENTERED frame. Samples here are non-negative byte pairs, so
+    raw sign changes would always be zero; centering is done in exact
+    integers (sign of n*s_j - frame_sum — no float mean), which keeps
+    the crossing count bit-identical on any engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[content_col]):
+                _, _, s = decode_wav(bytes(b))
+                s64 = s.astype(np.int64)
+                for f in range(len(s64) // WAV_FRAME):
+                    fr = s64[f * WAV_FRAME:(f + 1) * WAV_FRAME]
+                    ssq = int((fr * fr).sum())
+                    cent = WAV_FRAME * fr - int(fr.sum())
+                    sgn = np.where(cent >= 0, 1, -1)
+                    zc = int((sgn[1:] != sgn[:-1]).sum())
+                    rows.append((int(doc_id), f, WAV_FRAME, ssq,
+                                 float(np.sqrt(ssq / WAV_FRAME)), zc))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_id", "n", "sum_sq", "rms",
+                "zero_crossings"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=FRAME_FEATURE_SCHEMA)

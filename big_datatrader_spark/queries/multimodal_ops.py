@@ -245,3 +245,65 @@ def image_patchify(spark, sf_dir):
                     F.round("mean_g", 6).alias("mean_g"),
                     F.round("mean_b", 6).alias("mean_b"))
             .orderBy("doc_id", "patch_row", "patch_col"))
+
+
+@query(
+    "audio_frame_features",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+      FROM documents),
+    rep AS (
+      SELECT doc_id,
+             repeat(text, CAST(ceil({MM._WAV_DATA_BYTES}.0
+                 / length(text)) + 1 AS INT)) AS r
+      FROM t WHERE length(text) > 0),
+    sm AS (SELECT doc_id, j,
+                  ascii(substr(r, 2 * j + 1, 1))
+                  + 256 * ascii(substr(r, 2 * j + 2, 1)) AS s
+           FROM rep, (SELECT unnest(generate_series(
+               0, {MM.WAV_SAMPLES - 1})) AS j)),
+    fr AS (SELECT doc_id, j // {MM.WAV_FRAME} AS frame_id, j, s,
+                  CAST(sum(s) OVER (PARTITION BY doc_id,
+                       j // {MM.WAV_FRAME}) AS BIGINT) AS fs
+           FROM sm),
+    sg AS (SELECT doc_id, frame_id, j, s,
+                  CASE WHEN {MM.WAV_FRAME} * s - fs >= 0
+                       THEN 1 ELSE -1 END AS sgn
+           FROM fr),
+    sg2 AS (SELECT doc_id, frame_id, s, sgn,
+                   lag(sgn) OVER (PARTITION BY doc_id, frame_id
+                                  ORDER BY j) AS psgn
+            FROM sg),
+    zc AS (SELECT doc_id, frame_id,
+                  CAST(sum(CASE WHEN psgn IS NOT NULL AND sgn <> psgn
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                  CAST(sum(s * s) AS BIGINT) AS sum_sq
+           FROM sg2 GROUP BY doc_id, frame_id)
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           CAST({MM.WAV_FRAME} AS BIGINT) AS n, sum_sq,
+           ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {MM.WAV_FRAME}), 6)
+               AS rms,
+           zero_crossings
+    FROM zc ORDER BY doc_id, frame_id
+    """,
+    doc=f"frame-level audio features over REAL decoded PCM "
+        f"({MM.WAV_FRAME}-sample frames): per-frame energy (exact "
+        "integer sum of squares, RMS from one power-of-two division) "
+        "and zero-crossing rate of the mean-centered frame — the "
+        "first two features of every audio-quality / voice-activity "
+        "pipeline. Centering happens in EXACT integers (sign of "
+        "n*s - frame_sum, never a float mean), so the crossing "
+        "count is engine-independent; the oracle replays the DSP "
+        "from per-character codepoints through window algebra. The "
+        "kernel is a narrow Arrow-batched mapInPandas over the "
+        "binary column — zero shuffle, like every decode path",
+)
+def audio_frame_features(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = MM.with_wav_payload(docs)
+    return (MM.extract_wav_frames(media)
+            .select("doc_id", "frame_id", "n", "sum_sq",
+                    F.round("rms", 6).alias("rms"), "zero_crossings")
+            .orderBy("doc_id", "frame_id"))

@@ -264,3 +264,18 @@ def test_containment_dominates_jaccard_and_is_bounded(spark):
     assert (out[["cont_a", "cont_b"]].max(axis=1) + 1e-9 >= jac).all()
     # the keep rule: max containment >= 0.5 in exact integers
     assert (2 * out.inter >= out[["n_a", "n_b"]].min(axis=1)).all()
+
+
+def test_audio_frame_features_match_full_clip_energy(spark):
+    out = (REG["audio_frame_features"].spark_fn(spark, SF)
+           .toPandas())
+    clip = (REG["multimodal_wav_decode"].spark_fn(spark, SF)
+            .toPandas())
+    # frame energies partition the clip energy exactly
+    per_doc = out.groupby("doc_id").sum_sq.sum()
+    assert per_doc.to_dict() == dict(zip(clip.doc_id, clip.sum_sq))
+    # 64 samples / 16-sample frames -> 4 frames per doc
+    assert (out.groupby("doc_id").size() == 4).all()
+    assert out.zero_crossings.between(0, 15).all()
+    # the centered signal genuinely oscillates somewhere
+    assert out.zero_crossings.sum() > 0
