@@ -464,3 +464,143 @@ def hybrid_rrf_retrieval(spark, sf_dir):
             .select("doc_id", F.round("rrf", 9).alias("rrf_score"),
                     F.col("ra").cast("bigint").alias("bm25_rank"),
                     F.col("rj").cast("bigint").alias("jaccard_rank")))
+
+
+# --- Positional inverted index + exact phrase search -----------------------
+
+_PH_W1, _PH_W2 = "data", "stream"   # the query phrase "data stream"
+
+
+@query(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, tok, CAST(i - 1 AS BIGINT) AS p
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok,
+                   unnest(generate_series(1, len({_TOKS}))) AS i
+            FROM documents)),
+    hits AS (
+      SELECT a.doc_id, a.p AS start_pos
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.tok = '{_PH_W1}' AND b.tok = '{_PH_W2}')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(start_pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=f"exact phrase search ('{_PH_W1} {_PH_W2}') over a POSITIONAL "
+        "inverted index: posting lists carry token positions, and the "
+        "phrase matches by joining the two terms' postings on "
+        "doc_id + adjacent position — the standard IR phrase-query "
+        "plan (Lucene's exact PhraseQuery), generalizing to n-term "
+        "phrases as an (n-1)-way position-offset join. The term "
+        "filters prune the posting relation BEFORE the join (pushed "
+        "to the tokenize stage), so the join touches only the two "
+        "terms' postings — at 100 TB that is df(w1)+df(w2) rows, "
+        "not the corpus; both sides share the doc_id partitioning",
+)
+def phrase_search_positional(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(TX.tokens(F.col("text"))).alias("p", "tok"))
+    a = (pos.filter(F.col("tok") == _PH_W1)
+         .select("doc_id", F.col("p").alias("pa")))
+    b = (pos.filter(F.col("tok") == _PH_W2)
+         .select(F.col("doc_id").alias("doc_b"),
+                 F.col("p").alias("pb")))
+    hits = a.join(b, (F.col("doc_id") == F.col("doc_b"))
+                  & (F.col("pb") == F.col("pa") + 1))
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("pa").cast("bigint").alias("first_pos"))
+            .orderBy("doc_id"))
+
+
+# --- Hard-negative mining for retrieval training ---------------------------
+
+from .llm_dedup import _SHINGLES as _SH3  # noqa: E402
+
+_HN_TOPK = 10
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    tok2 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    shing AS (SELECT doc_id, {_SH3} AS sh FROM tok2),
+    srows AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+    qsh AS (SELECT srows.s AS s FROM srows, sc
+            WHERE srows.doc_id = sc.qdoc),
+    ssz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM srows GROUP BY 1),
+    inter AS (
+      SELECT r.doc_id, CAST(count(*) AS BIGINT) AS i
+      FROM srows r JOIN qsh q ON r.s = q.s
+      GROUP BY 1),
+    jac AS (
+      SELECT z.doc_id,
+             coalesce(i.i, 0) AS i, z.n_sh,
+             (SELECT n_sh FROM ssz, sc WHERE ssz.doc_id = sc.qdoc)
+                 AS qn
+      FROM ssz z LEFT JOIN inter i ON i.doc_id = z.doc_id),
+    cand AS (
+      SELECT t.doc_id, t.bm25,
+             CAST((2 * CAST(j.i AS HUGEINT) * 1000000
+                   + (j.qn + j.n_sh - j.i))
+                  // (2 * CAST(j.qn + j.n_sh - j.i AS HUGEINT))
+                  AS DOUBLE) / 1000000.0 AS jaccard_to_q
+      FROM total t JOIN jac j ON j.doc_id = t.doc_id
+      WHERE 2 * j.i < j.qn + j.n_sh - j.i)
+    SELECT doc_id, bm25, jaccard_to_q, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS rn FROM cand) t
+    WHERE rn <= {_HN_TOPK} ORDER BY rank
+    """,
+    doc=f"hard-negative mining for retrieval/embedding training "
+        "(DPR/contrastive fine-tuning): candidates score HIGH on "
+        "BM25 against the query document but are NOT near-duplicates "
+        "of it — lexically-close-yet-different examples, the "
+        "negatives that actually teach a ranker. Reuses the shared "
+        "BM25 pipeline (_bm25_parts: pruned posting join, sorted "
+        "fold, exact stats) and the distinct-shingle Jaccard "
+        "machinery; the dup exclusion 2i < union is exact-integer "
+        "(Jaccard >= 1/2 cross-multiplied, same predicate as "
+        "lsh_vs_exact_eval), and only the qdoc's shingle set joins "
+        f"the corpus — df(q-shingles) rows, never all-pairs. Top "
+        f"{_HN_TOPK} negatives via TakeOrderedAndProject. The mined "
+        "(query, negative) pairs feed straight into "
+        "negative_sampling's contrastive builder",
+)
+def hard_negative_mining(spark, sf_dir):
+    from ..functions import dedup as DD
+    docs = table(spark, sf_dir, "documents")
+    _, _, sc, total = _bm25_parts(spark, sf_dir)
+    sh = DD._doc_shingles(docs, "text", "doc_id", 3)
+    qsh = (sh.join(F.broadcast(sc.select("qdoc")),
+                   sh.doc_id == F.col("qdoc"))
+           .select("s").distinct())
+    ssz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    qn = (ssz.join(F.broadcast(sc.select("qdoc")),
+                   ssz.doc_id == F.col("qdoc"))
+          .select(F.col("n_sh").alias("qn")))
+    inter = (sh.join(F.broadcast(qsh), "s")
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("i")))
+    jac = (ssz.join(inter, "doc_id", "left")
+           .withColumn("i", F.coalesce("i", F.lit(0)))
+           .crossJoin(F.broadcast(qn)))
+    union = F.col("qn") + F.col("n_sh") - F.col("i")
+    from .analytics import _int_ratio_round6
+    cand = (total.join(jac, "doc_id")
+            .filter(2 * F.col("i") < union)
+            .select("doc_id", "bm25",
+                    _int_ratio_round6(F.col("i"), union)
+                    .alias("jaccard_to_q")))
+    top = cand.orderBy(F.desc("bm25"), "doc_id").limit(_HN_TOPK)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w)
+                           .cast("bigint"))
+            .select("doc_id", "bm25", "jaccard_to_q", "rank")
+            .orderBy("rank"))

@@ -193,6 +193,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "cuped_adjusted_lift",         # 1-row theta scalar
         "kaplan_meier_survival",       # 1-row horizon + total scalars
         "token_drift_movers",          # 1-row slice-totals scalar
+        "hard_negative_mining",        # BM25 chain's 1-row scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

@@ -148,3 +148,33 @@ def test_udaf_median_plan_is_aggregate_in_pandas(spark):
     for t, g in ev.groupby("event_type"):
         a = sorted(g.cents)
         assert out[t] == (len(a), a[(len(a) - 1) // 2]), t
+
+
+def test_phrase_search_matches_python_scan(spark):
+    out = (REG["phrase_search_positional"].spark_fn(spark, SF)
+           .toPandas().set_index("doc_id"))
+    docs = table(spark, SF, "documents").toPandas()
+    want = {}
+    for _, r in docs.iterrows():
+        toks = r.text.strip().lower().split()
+        hits = [i for i in range(len(toks) - 1)
+                if toks[i] == "data" and toks[i + 1] == "stream"]
+        if hits:
+            want[r.doc_id] = (len(hits), hits[0])
+    assert set(out.index) == set(want)
+    for did, (n, first) in want.items():
+        assert out.loc[did].n_occurrences == n
+        assert out.loc[did].first_pos == first
+    assert want  # the phrase genuinely occurs in the corpus
+
+
+def test_hard_negatives_are_not_near_dups(spark):
+    out = REG["hard_negative_mining"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 10
+    assert (out.jaccard_to_q < 0.5).all()
+    # ranked by bm25 descending
+    assert (out.sort_values("rank").bm25.diff().dropna() <= 1e-12).all()
+    # negatives exclude the query doc itself
+    qdoc = table(spark, SF, "documents").agg(
+        {"doc_id": "min"}).collect()[0][0]
+    assert qdoc not in set(out.doc_id)
