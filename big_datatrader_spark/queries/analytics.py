@@ -4769,3 +4769,137 @@ def interarrival_burstiness(spark, sf_dir):
         F.round((root - F.col("sg")) / (root + F.col("sg")), 6)
         .alias("burstiness"))
         .orderBy("user_id"))
+
+
+@query(
+    "pit_dimension_lookup",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev
+      FROM events),
+    scd AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts) AS BIGINT)
+                 AS version
+      FROM ch WHERE prev IS NULL OR event_type <> prev),
+    px AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           s.state, s.version
+    FROM px p JOIN scd s
+      ON s.user_id = p.user_id
+     AND p.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    ORDER BY p.event_id
+    """,
+    doc="point-in-time (PIT) lookup against the SCD2 dimension: each "
+        "purchase event joins the state VERSION that was valid at its "
+        "timestamp — the temporal-correctness pattern every "
+        "warehouse fact load and every leakage-free ML feature "
+        "lookup needs (training rows must see the dimension as of "
+        "the event, not as of today). The registered plan does NOT "
+        "run the oracle's interval join: it is the as-of "
+        "union+window shape (state rows and fact rows interleave in "
+        "one per-user timeline; last_value carries the current "
+        "version forward), so the cost is ONE user-partitioned "
+        "window over states+facts — no non-equi join, no range "
+        "explosion, the same single-exchange discipline as "
+        "asof_join_purchase_to_click. The oracle replays it as the "
+        "literal interval join, so the two formulations "
+        "cross-validate each other",
+)
+def pit_dimension_lookup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    scd = (ev.select("user_id", "ts", "event_type")
+           .withColumn("prev", F.lag("event_type").over(w))
+           .filter(F.col("prev").isNull()
+                   | (F.col("event_type") != F.col("prev")))
+           .select("user_id", F.col("ts").alias("pit_ts"),
+                   F.col("event_type").alias("state"),
+                   F.row_number().over(
+                       Window.partitionBy("user_id").orderBy("ts"))
+                   .cast("bigint").alias("version")))
+    states = scd.select("user_id", F.col("pit_ts").alias("ts"),
+                        F.lit(0).alias("is_event"),
+                        F.lit(None).cast("long").alias("event_id"),
+                        "state", "version")
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.lit(1).alias("is_event"),
+                     "event_id",
+                     F.lit(None).cast("string").alias("state"),
+                     F.lit(None).cast("bigint").alias("version")))
+    # state rows sort before fact rows at equal ts: the version
+    # beginning at ts applies to events at that instant
+    wff = (Window.partitionBy("user_id").orderBy("ts", "is_event")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    u = states.unionByName(facts)
+    carried = u.select(
+        "user_id", "ts", "is_event", "event_id",
+        F.last("state", ignorenulls=True).over(wff).alias("state"),
+        F.last("version", ignorenulls=True).over(wff).alias("version"))
+    return (carried.filter(F.col("is_event") == 1)
+            .select("event_id", "user_id", "ts", "state", "version")
+            .orderBy("event_id"))
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS wt
+      FROM lineitem),
+    g AS (SELECT flag, cents, CAST(sum(wt) AS BIGINT) AS w
+          FROM v GROUP BY 1, 2),
+    c AS (SELECT flag, cents,
+                 CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS cw,
+                 CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+          FROM g)
+    SELECT flag, tw AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM c GROUP BY flag, tw ORDER BY flag
+    """,
+    doc="exact lower WEIGHTED median unit price per return flag, "
+        "weighted by quantity — the robust per-segment price point "
+        "(quantity-weighted so big lots count proportionally). The "
+        "value domain collapses first (groupBy price), the weighted "
+        "CDF is a per-flag prefix-sum window over that collapsed "
+        "relation, and the median is the smallest price whose doubled "
+        "cumulative weight reaches the flag total — an exact integer "
+        "predicate, no interpolation ambiguity, no sort of raw rows. "
+        "At 100 TB the windowed relation is |flags| x |distinct "
+        "prices|, and the same two-phase bucket-prefix trick as "
+        "global_rank applies if a single flag's price domain ever "
+        "outgrows one task",
+)
+def weighted_median_price(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("wt"))
+    g = v.groupBy("flag", "cents").agg(F.sum("wt").alias("w"))
+    wcum = (Window.partitionBy("flag").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wtot = Window.partitionBy("flag")
+    c = g.select("flag", "cents",
+                 F.sum("w").over(wcum).alias("cw"),
+                 F.sum("w").over(wtot).alias("tw"))
+    return (c.groupBy("flag", F.col("tw").alias("total_weight"))
+            .agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                              F.col("cents"))).cast("bigint")
+                 .alias("wmedian_cents"))
+            .select(F.col("flag"), "total_weight", "wmedian_cents")
+            .orderBy("flag"))
