@@ -4903,3 +4903,230 @@ def weighted_median_price(spark, sf_dir):
                  .alias("wmedian_cents"))
             .select(F.col("flag"), "total_weight", "wmedian_cents")
             .orderBy("flag"))
+
+
+_HW_LEN = 8  # Haar window: first 8 days per user (2^3 -> 3 levels)
+
+
+@query(
+    "haar_wavelet_coeffs",
+    oracle=f"""
+    WITH bars AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                 // 86400 AS d,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT user_id, y,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) - 1
+                 AS i
+      FROM bars QUALIFY row_number() OVER (PARTITION BY user_id
+                                           ORDER BY d) <= {_HW_LEN}),
+    ok AS (SELECT user_id FROM idx GROUP BY 1
+           HAVING count(*) = {_HW_LEN}),
+    l1 AS (
+      SELECT i.user_id, i.i // 2 AS j,
+             CAST(sum(CASE WHEN i.i % 2 = 0 THEN i.y ELSE 0 END)
+                  + sum(CASE WHEN i.i % 2 = 1 THEN i.y ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN i.i % 2 = 0 THEN i.y ELSE 0 END)
+                  - sum(CASE WHEN i.i % 2 = 1 THEN i.y ELSE 0 END)
+                  AS BIGINT) AS dt
+      FROM idx i JOIN ok USING (user_id)
+      GROUP BY 1, 2),
+    l2 AS (
+      SELECT user_id, j // 2 AS j,
+             CAST(sum(CASE WHEN j % 2 = 0 THEN a ELSE 0 END)
+                  + sum(CASE WHEN j % 2 = 1 THEN a ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN j % 2 = 0 THEN a ELSE 0 END)
+                  - sum(CASE WHEN j % 2 = 1 THEN a ELSE 0 END)
+                  AS BIGINT) AS dt
+      FROM l1 GROUP BY 1, 2)
+    SELECT user_id, CAST(1 AS BIGINT) AS level, CAST(j AS BIGINT) AS j,
+           a AS approx, dt AS detail
+    FROM l1
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), CAST(j AS BIGINT), a, dt
+    FROM l2
+    ORDER BY user_id, level, j
+    """,
+    doc=f"unnormalized Haar wavelet transform (2 levels) of each "
+        f"user's first-{_HW_LEN}-day value series: level-k approx/"
+        "detail coefficients are pairwise sums/differences — the "
+        "multi-resolution decomposition behind wavelet denoising, "
+        "change localization, and compressed time-series features. "
+        "Unnormalized Haar keeps every coefficient an EXACT integer "
+        "(the sqrt2 scaling is a presentation constant), so the "
+        "transform is bit-identical at any partitioning; each level "
+        "is one pair-grouped aggregate over the previous level's "
+        "coefficients, all riding the user partitioning. Users "
+        "without a full dyadic window are dropped by an exact count "
+        "predicate on both engines",
+)
+def haar_wavelet_coeffs(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    eday = F.floor(F.unix_timestamp(F.col("ts"))).cast("bigint")
+    day = ((eday - eday % 86400) / 86400).cast("bigint")
+    bars = (ev.groupBy("user_id", day.alias("d"))
+            .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("y")))
+    w = Window.partitionBy("user_id").orderBy("d")
+    idx = (bars.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= _HW_LEN)
+           .select("user_id", (F.col("rn") - 1).alias("i"), "y"))
+    ok = (idx.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+          .filter(F.col("c") == _HW_LEN).select("user_id"))
+    idx = idx.join(F.broadcast(ok), "user_id")
+
+    def level(df, icol):
+        even = F.when(F.col(icol) % 2 == 0, F.col("y")).otherwise(0)
+        odd = F.when(F.col(icol) % 2 == 1, F.col("y")).otherwise(0)
+        return (df.groupBy("user_id",
+                           ((F.col(icol) - F.col(icol) % 2) / 2)
+                           .cast("bigint").alias("j"))
+                .agg((F.sum(even) + F.sum(odd)).alias("a"),
+                     (F.sum(even) - F.sum(odd)).alias("dt")))
+
+    l1 = level(idx, "i")
+    l2 = level(l1.select("user_id", F.col("j").alias("i"),
+                         F.col("a").alias("y")), "i")
+    out1 = l1.select("user_id", F.lit(1).cast("bigint").alias("level"),
+                     F.col("j").cast("bigint").alias("j"),
+                     F.col("a").alias("approx"),
+                     F.col("dt").alias("detail"))
+    out2 = l2.select("user_id", F.lit(2).cast("bigint").alias("level"),
+                     F.col("j").cast("bigint").alias("j"),
+                     F.col("a").alias("approx"),
+                     F.col("dt").alias("detail"))
+    return out1.unionByName(out2).orderBy("user_id", "level", "j")
+
+
+@query(
+    "rollup_cascade_reuse",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS g,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM hourly GROUP BY 1),
+    weekly AS (
+      SELECT CAST(date_trunc('week', g) AS TIMESTAMP) AS g,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY 1)
+    SELECT 'day' AS grain, g, n, cents FROM daily
+    UNION ALL
+    SELECT 'week', g, n, cents FROM weekly
+    ORDER BY grain, g
+    """,
+    doc="aggregation-tree cascade: the DAILY rollup derives from the "
+        "HOURLY partials and the WEEKLY from the daily — each coarser "
+        "grain re-aggregates the previous grain's output instead of "
+        "rescanning the corpus, which is how a 100 TB metrics "
+        "pipeline keeps its rollup family to ONE raw scan (the "
+        "additive-partial pattern every OLAP cube build relies on; "
+        "count and integer-cent sums are trivially re-aggregable). "
+        "The hourly relation is built once and both coarser grains "
+        "reuse it in the same plan — date_trunc('week') is "
+        "Monday-start on both engines",
+)
+def rollup_cascade_reuse(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   .alias("cents")))
+    daily = (hourly.groupBy(F.date_trunc("day", F.col("h")).alias("g"))
+             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents")))
+    weekly = (daily.groupBy(F.date_trunc("week", F.col("g")).alias("g"))
+              .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents")))
+    return (daily.select(F.lit("day").alias("grain"), "g", "n", "cents")
+            .unionByName(weekly.select(F.lit("week").alias("grain"),
+                                       "g", "n", "cents"))
+            .orderBy("grain", "g"))
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1),
+    spend AS (
+      SELECT e.user_id, f.cohort,
+             CAST(floor(epoch(date_trunc('week', e.ts))
+                        - epoch(f.cohort)) AS BIGINT) // 604800
+                 AS age_weeks,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'),
+    wk AS (
+      SELECT cohort, age_weeks,
+             CAST(sum(cents) AS BIGINT) AS wk_cents
+      FROM spend GROUP BY 1, 2),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM first_seen GROUP BY 1)
+    SELECT wk.cohort, wk.age_weeks, sz.cohort_users,
+           CAST(sum(wk.wk_cents) OVER (PARTITION BY wk.cohort
+                ORDER BY wk.age_weeks ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+           CAST((2 * CAST(sum(wk.wk_cents) OVER (PARTITION BY
+                     wk.cohort ORDER BY wk.age_weeks ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+                 * 100 + sz.cohort_users)
+                // (2 * CAST(sz.cohort_users AS HUGEINT)) AS DOUBLE)
+               / 100.0 AS ltv_per_user_cents
+    FROM wk JOIN sz USING (cohort)
+    ORDER BY wk.cohort, wk.age_weeks
+    """,
+    doc="cohort lifetime-value curves: users grouped by first-seen "
+        "week, purchase revenue accumulated by cohort age — the "
+        "growth-accounting table behind every LTV/payback model "
+        "(weekly_retention_cohorts' revenue twin). The cumulative "
+        "sum is a window over the (cohort x age) relation — "
+        "bounded by weeks^2 at ANY corpus size — and per-user LTV "
+        "is an exact integer division rounded half-away to 1e-2 "
+        "cents. The first-seen relation joins back broadcast; one "
+        "corpus scan for spend, one for cohorts",
+)
+def cohort_ltv_curves(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts"))
+                       .alias("cohort")))
+    age = ((F.floor(F.unix_timestamp(
+                F.date_trunc("week", F.col("ts"))))
+            - F.floor(F.unix_timestamp(F.col("cohort"))))
+           .cast("bigint"))
+    spend = (ev.filter(F.col("event_type") == "purchase")
+             .join(first_seen, "user_id")
+             .select("cohort",
+                     ((age - age % 604800) / 604800).cast("bigint")
+                     .alias("age_weeks"),
+                     F.round(F.col("value") * 100).cast("bigint")
+                     .alias("cents")))
+    wk = (spend.groupBy("cohort", "age_weeks")
+          .agg(F.sum("cents").alias("wk_cents")))
+    sz = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users"))
+    wcum = (Window.partitionBy("cohort").orderBy("age_weeks")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    j = (wk.join(F.broadcast(sz), "cohort")
+         .withColumn("cum_cents", F.sum("wk_cents").over(wcum)))
+    s = F.col("cum_cents").cast("decimal(38,0)")
+    u = F.col("cohort_users").cast("decimal(38,0)")
+    ltv = (((2 * s * 100 + u) - (2 * s * 100 + u) % (2 * u))
+           / (2 * u)).cast("bigint").cast("double") / 100.0
+    return (j.select("cohort", "age_weeks", "cohort_users",
+                     "cum_cents", ltv.alias("ltv_per_user_cents"))
+            .orderBy("cohort", "age_weeks"))

@@ -529,3 +529,46 @@ def test_weighted_median_matches_numpy(spark):
         row = out[out.flag == flag].iloc[0]
         assert row.total_weight == tw
         assert row.wmedian_cents == want
+
+
+def test_haar_coeffs_reconstruct_series(spark):
+    out = REG["haar_wavelet_coeffs"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["d"] = ev.ts.values.astype("datetime64[D]").astype("int64")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = ev.groupby(["user_id", "d"]).cents.sum().reset_index()
+    for uid, g in bars.groupby("user_id"):
+        y = g.sort_values("d").cents.to_numpy()[:8]
+        got = out[out.user_id == uid]
+        if len(y) < 8:
+            assert got.empty
+            continue
+        l1 = got[got.level == 1].sort_values("j")
+        # level-1 invertibility: y = ((a+d)/2, (a-d)/2) pairs
+        rec = np.empty(8, dtype="int64")
+        rec[0::2] = (l1.approx + l1.detail) // 2
+        rec[1::2] = (l1.approx - l1.detail) // 2
+        assert (rec == y).all()
+        # level-2 approx coefficients are 4-day sums
+        l2 = got[got.level == 2].sort_values("j")
+        assert (l2.approx.to_numpy()
+                == [y[:4].sum(), y[4:].sum()]).all()
+
+
+def test_rollup_cascade_conserves_totals(spark):
+    out = REG["rollup_cascade_reuse"].spark_fn(spark, SF).toPandas()
+    day = out[out.grain == "day"]
+    week = out[out.grain == "week"]
+    assert day.n.sum() == week.n.sum() \
+        == table(spark, SF, "events").count()
+    assert day.cents.sum() == week.cents.sum()
+
+
+def test_cohort_ltv_monotone_and_consistent(spark):
+    out = REG["cohort_ltv_curves"].spark_fn(spark, SF).toPandas()
+    for cohort, g in out.groupby("cohort"):
+        g = g.sort_values("age_weeks")
+        assert (g.cum_cents.diff().dropna() >= 0).all()
+        assert np.allclose(g.ltv_per_user_cents,
+                           (g.cum_cents / g.cohort_users).round(2),
+                           atol=0.01)
