@@ -194,6 +194,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "kaplan_meier_survival",       # 1-row horizon + total scalars
         "token_drift_movers",          # 1-row slice-totals scalar
         "hard_negative_mining",        # BM25 chain's 1-row scalars
+        "conformal_interval_coverage",  # 1-row k/q_hat scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -203,7 +204,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "spearman_value_k_corr", "sorted_neighborhood_pairs",
                     "ks_two_sample_test", "roc_auc_exact",
                     "isotonic_calibration", "equidepth_histogram",
-                    "kaplan_meier_survival", "zipf_law_fit"}
+                    "kaplan_meier_survival", "zipf_law_fit",
+                    "conformal_interval_coverage"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

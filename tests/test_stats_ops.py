@@ -572,3 +572,28 @@ def test_cohort_ltv_monotone_and_consistent(spark):
         assert np.allclose(g.ltv_per_user_cents,
                            (g.cum_cents / g.cohort_users).round(2),
                            atol=0.01)
+
+
+def test_conformal_coverage_near_nominal(spark):
+    out = (REG["conformal_interval_coverage"].spark_fn(spark, SF)
+           .toPandas())
+    r = out.iloc[0]
+    # finite-sample guarantee: coverage >= 90% minus small-sample slack
+    assert r.coverage6 >= 0.85
+    assert r.coverage6 <= 1.0
+    assert r.q_hat_cents > 0
+    assert abs(r.coverage6 - r.covered / r.n_test) < 1e-6
+    # independent q_hat: k-th smallest calibration residual
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    ev["split"] = ev.event_id % 3
+    tr = ev[ev.split == 0]
+    yhat = ((2 * tr.groupby("user_id").cents.sum()
+             + tr.groupby("user_id").size())
+            // (2 * tr.groupby("user_id").size()))
+    cal = ev[ev.split == 1].copy()
+    cal = cal[cal.user_id.isin(yhat.index)]
+    res = (cal.cents - cal.user_id.map(yhat)).abs().sort_values()
+    kth = -(-(len(res) + 1) * 9 // 10)  # python floor-div ceil trick
+    assert r.n_calib == len(res)
+    assert r.q_hat_cents == res.iloc[kth - 1]
