@@ -158,3 +158,63 @@ def with_holt(df: DataFrame, value_col: str,
         yield pdf[cols + [level_col, trend_col]]
 
     return arranged.mapInPandas(kernel, schema=schema)
+
+
+def with_macd(df: DataFrame, value_col: str,
+              partition_by: Sequence[str],
+              order_by: Sequence[str],
+              fast: int = 12, slow: int = 26, signal: int = 9,
+              macd_col: str = "macd",
+              signal_col: str = "macd_signal") -> DataFrame:
+    """MACD (Appel): ``macd_i = ema_fast_i - ema_slow_i`` and
+    ``signal_i = ema(macd, signal)``, all three EMA states advanced in
+    ONE sequential pass (``alpha_n = 2/(n+1)``; each EMA seeds on the
+    series' first element, the signal EMA on the first macd value).
+
+    Three recursions would normally cost three fold passes; carrying
+    (s_fast, s_slow, s_sig) as one state tuple keeps it at ONE
+    exchange + ONE partition sort + ONE Arrow transfer — the same
+    partition-aligned mapInPandas layout as ``with_ewma``. The float
+    expressions are written exactly as the DuckDB recursive-CTE oracle
+    evaluates them (``(1 - 2.0/(n+1.0))*s + (2.0/(n+1.0))*x``), so the
+    sequences are bit-identical cross-engine.
+    """
+    import pandas as pd
+
+    cols = list(df.columns)
+    keys = list(partition_by)
+    arranged = (df.repartition(*keys)
+                .sortWithinPartitions(*keys, *order_by))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + f", `{macd_col}` double, `{signal_col}` double"
+    af = 2.0 / (fast + 1.0)
+    asl = 2.0 / (slow + 1.0)
+    asg = 2.0 / (signal + 1.0)
+
+    def kernel(batches):
+        frames = [fr for fr in batches if len(fr)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        n = len(pdf)
+        mo, so = [0.0] * n, [0.0] * n
+        x = pdf[value_col].to_numpy()
+        gids = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        prev_gid, sf, ss, sg = None, 0.0, 0.0, 0.0
+        for i in range(n):
+            xi = float(x[i])
+            if gids[i] != prev_gid:
+                sf, ss = xi, xi
+                sg = 0.0  # first macd = sf - ss = 0.0 seeds the signal
+                prev_gid = gids[i]
+            else:
+                sf = (1.0 - af) * sf + af * xi
+                ss = (1.0 - asl) * ss + asl * xi
+                m = sf - ss
+                sg = (1.0 - asg) * sg + asg * m
+            mo[i], so[i] = sf - ss, sg
+        pdf[macd_col], pdf[signal_col] = mo, so
+        yield pdf[cols + [macd_col, signal_col]]
+
+    return arranged.mapInPandas(kernel, schema=schema)

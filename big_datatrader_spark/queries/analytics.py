@@ -5233,3 +5233,300 @@ def conformal_interval_coverage(spark, sf_dir):
         "n_test", "covered",
         _int_ratio_round6(F.col("covered"), F.col("n_test"))
         .alias("coverage6"))
+
+
+# ---------------------------------------------------------------------------
+# MACD(12,26,9) over daily bars — one-pass three-state EMA fold
+
+@query(
+    "macd_histogram",
+    oracle="""
+    WITH RECURSIVE bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             (max(struct_pack(t := ts, e := event_id,
+                              v := value))).v AS close
+      FROM events GROUP BY 1, 2),
+    ord AS (
+      SELECT user_id, bar_day, close,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY bar_day) AS rn
+      FROM bars),
+    rec AS (
+      SELECT user_id, rn, bar_day, close,
+             close AS sf, close AS ss, CAST(0.0 AS DOUBLE) AS sg
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.bar_day, o.close,
+             (1 - 2.0/13.0) * r.sf + (2.0/13.0) * o.close,
+             (1 - 2.0/27.0) * r.ss + (2.0/27.0) * o.close,
+             (1 - 2.0/10.0) * r.sg + (2.0/10.0) *
+               (((1 - 2.0/13.0) * r.sf + (2.0/13.0) * o.close)
+                - ((1 - 2.0/27.0) * r.ss + (2.0/27.0) * o.close))
+      FROM ord o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day,
+           ROUND(sf - ss, 6) AS macd,
+           ROUND(sg, 6) AS macd_signal,
+           ROUND((sf - ss) - sg, 6) AS histogram
+    FROM rec ORDER BY user_id, rn
+    """,
+    doc="MACD(12,26,9) over daily close bars per symbol: fast/slow "
+        "EMAs of close plus the signal EMA of their difference — "
+        "three coupled recursions no Spark window expresses, advanced "
+        "as ONE state tuple in a single partition-aligned mapInPandas "
+        "fold (operators/indicators.py:with_macd; one exchange, one "
+        "sort, one Arrow transfer — not three fold passes). The bar "
+        "relation is days-sized per key, so fold state and the DuckDB "
+        "recursive-CTE oracle both scale with calendar length, never "
+        "tick volume. Float recursion written identically on both "
+        "engines ((1 - 2.0/13.0)*s + (2.0/13.0)*x literal-for-literal)"
+        " -> bit-identical sequences, round6 at the edge only",
+)
+def macd_histogram(spark, sf_dir):
+    from ..operators.indicators import with_macd
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.max(tagged)["v"].alias("close")))
+    out = with_macd(bars, "close", ["user_id"], ["bar_day"])
+    return (out.select(
+                "user_id",
+                F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                F.round("macd", _R).alias("macd"),
+                F.round("macd_signal", _R).alias("macd_signal"),
+                F.round(F.col("macd") - F.col("macd_signal"), _R)
+                .alias("histogram"))
+            .orderBy("user_id", "day"))
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator %K / %D — pure window algebra in exact cents
+
+@query(
+    "stochastic_oscillator",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             CAST(ROUND(max(value) * 100) AS BIGINT) AS h,
+             CAST(ROUND(min(value) * 100) AS BIGINT) AS l,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    wnd AS (
+      SELECT user_id, bar_day, c,
+             CAST(max(h) OVER w14 AS BIGINT) AS h14,
+             CAST(min(l) OVER w14 AS BIGINT) AS l14
+      FROM bars
+      WINDOW w14 AS (PARTITION BY user_id ORDER BY bar_day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    k AS (
+      SELECT user_id, bar_day,
+             CAST((2 * CAST(c - l14 AS HUGEINT) * 1000000
+                   + (h14 - l14))
+                  // (2 * CAST(h14 - l14 AS HUGEINT)) AS BIGINT)
+                 AS k_e6
+      FROM wnd WHERE h14 > l14),
+    d AS (
+      SELECT user_id, bar_day, k_e6,
+             CAST(sum(k_e6) OVER w3 AS BIGINT) AS sk,
+             CAST(count(*) OVER w3 AS BIGINT) AS n3
+      FROM k
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY bar_day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+    SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day,
+           CAST(k_e6 AS DOUBLE) / 1000000.0 AS pct_k,
+           CAST(CAST((2 * CAST(sk AS HUGEINT) + n3)
+                     // (2 * CAST(n3 AS HUGEINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS pct_d
+    FROM d ORDER BY user_id, day
+    """,
+    doc="stochastic oscillator (Lane) per symbol over daily bars: "
+        "%K = (close - min low14) / (max high14 - min low14) over a "
+        "14-bar trailing frame, %D = 3-bar mean of %K — entirely "
+        "exact-integer window algebra (cents in, half-away integer "
+        "rounding to 1e-6 units, the _int_ratio_round6 pattern; "
+        "flat-range bars where high14 == low14 are dropped on both "
+        "engines). Two frames over ONE per-symbol window ordering of "
+        "the days-sized bar relation; %K stays an integer so the %D "
+        "mean is itself exact — no double-rounding drift",
+)
+def stochastic_oscillator(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.round(F.max("value") * 100).cast("bigint")
+                 .alias("h"),
+                 F.round(F.min("value") * 100).cast("bigint")
+                 .alias("l"),
+                 F.round(F.max(tagged)["v"] * 100).cast("bigint")
+                 .alias("c")))
+    w = Window.partitionBy("user_id").orderBy("bar_day")
+    w14 = w.rowsBetween(-13, 0)
+    wnd = bars.select(
+        "user_id", "bar_day", "c",
+        F.max("h").over(w14).alias("h14"),
+        F.min("l").over(w14).alias("l14"))
+    a = ((F.col("c") - F.col("l14")).cast("decimal(38,0)"))
+    b = ((F.col("h14") - F.col("l14")).cast("decimal(38,0)"))
+    k_e6 = (((2 * a * 1000000 + b) - (2 * a * 1000000 + b) % (2 * b))
+            / (2 * b)).cast("bigint")
+    k = (wnd.filter(F.col("h14") > F.col("l14"))
+         .select("user_id", "bar_day", k_e6.alias("k_e6")))
+    w3 = w.rowsBetween(-2, 0)
+    d = k.select(
+        "user_id", "bar_day", "k_e6",
+        F.sum("k_e6").over(w3).alias("sk"),
+        F.count(F.lit(1)).over(w3).alias("n3"))
+    sk = F.col("sk").cast("decimal(38,0)")
+    n3 = F.col("n3").cast("decimal(38,0)")
+    d_e6 = (((2 * sk + n3) - (2 * sk + n3) % (2 * n3))
+            / (2 * n3)).cast("bigint")
+    return (d.select(
+                "user_id",
+                F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                (F.col("k_e6").cast("double") / 1000000.0)
+                .alias("pct_k"),
+                (d_e6.cast("double") / 1000000.0).alias("pct_d"))
+            .orderBy("user_id", "day"))
+
+
+# ---------------------------------------------------------------------------
+# On-balance volume — integer-exact cumulative flow indicator
+
+@query(
+    "obv_indicator",
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             CAST(ROUND((max(struct_pack(t := ts, e := event_id,
+                                         v := value))).v * 100)
+                 AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n_ticks
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT user_id, bar_day, c, n_ticks,
+             CASE WHEN c > lag(c) OVER w THEN 1
+                  WHEN c < lag(c) OVER w THEN -1
+                  ELSE 0 END AS dir
+      FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_day))
+    SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day, n_ticks,
+           CAST(dir AS BIGINT) AS dir,
+           CAST(sum(dir * n_ticks) OVER (PARTITION BY user_id
+                ORDER BY bar_day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS obv
+    FROM d ORDER BY user_id, day
+    """,
+    doc="on-balance volume (Granville) per symbol: daily tick count "
+        "as volume, signed by the close-to-close direction (first bar "
+        "contributes 0 — lag NULL compares to neither side on both "
+        "engines), running-summed per symbol. Entirely integer window "
+        "algebra over the days-sized bar relation: one grouped "
+        "aggregation, one lag, one cumulative frame, same per-symbol "
+        "ordering throughout -> a single exchange at 100 TB",
+)
+def obv_indicator(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.round(F.max(tagged)["v"] * 100).cast("bigint")
+                 .alias("c"),
+                 F.count(F.lit(1)).alias("n_ticks")))
+    w = Window.partitionBy("user_id").orderBy("bar_day")
+    pc = F.lag("c").over(w)
+    d = bars.select(
+        "user_id", "bar_day", "n_ticks",
+        F.when(F.col("c") > pc, 1)
+        .when(F.col("c") < pc, -1)
+        .otherwise(0).cast("bigint").alias("dir"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (d.select(
+                "user_id",
+                F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                "n_ticks", "dir",
+                F.sum(F.col("dir") * F.col("n_ticks")).over(wcum)
+                .alias("obv"))
+            .orderBy("user_id", "day"))
+
+
+# ---------------------------------------------------------------------------
+# Sortino ratio — downside-deviation sibling of volatility_sharpe
+
+@query(
+    "sortino_downside_ratio",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM events),
+    r AS (
+      SELECT user_id,
+             CAST(ROUND(ln(value / prev) * 1000000) AS BIGINT) AS r_mu
+      FROM ord WHERE prev > 0 AND value > 0),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_returns,
+             CAST(sum(r_mu) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN r_mu < 0 THEN r_mu * r_mu ELSE 0 END)
+                  AS BIGINT) AS ssq_neg
+      FROM r GROUP BY user_id)
+    SELECT user_id, n_returns,
+           ROUND(CAST(s AS DOUBLE) / n_returns / 1000000, 6)
+               AS mean_ret,
+           ROUND(sqrt(CAST(ssq_neg AS DOUBLE) / n_returns)
+                 / 1000000, 6) AS downside_dev,
+           ROUND((CAST(s AS DOUBLE) / n_returns)
+                 / sqrt(CAST(ssq_neg AS DOUBLE) / n_returns), 6)
+               AS sortino
+    FROM m WHERE n_returns >= 2 AND ssq_neg > 0 ORDER BY user_id
+    """,
+    doc="Sortino ratio per symbol: mean log-return over downside "
+        "deviation (root mean square of NEGATIVE returns only, "
+        "target 0) — penalizes harmful volatility, not upside. Same "
+        "integer-scaled-moments exactness as volatility_sharpe: "
+        "returns in 1e-6 units as BIGINT, the conditional "
+        "sum-of-squares is exact, and both engines evaluate the "
+        "identical double expression (s/n)/sqrt(ssq_neg/n) on "
+        "identical integers. One window pass + one "
+        "map-side-combinable groupBy at any scale",
+)
+def sortino_downside_ratio(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordv = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev"))
+    r = (ordv.filter((F.col("prev") > 0) & (F.col("value") > 0))
+         .select("user_id",
+                 F.round(F.log(F.col("value") / F.col("prev"))
+                         * 1000000).cast("bigint").alias("r_mu")))
+    m = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.sum("r_mu").alias("s"),
+        F.sum(F.when(F.col("r_mu") < 0,
+                     F.col("r_mu") * F.col("r_mu"))
+              .otherwise(F.lit(0))).alias("ssq_neg"))
+    n = F.col("n_returns")
+    s = F.col("s").cast("double")
+    ssq = F.col("ssq_neg").cast("double")
+    return (
+        m.filter((n >= 2) & (F.col("ssq_neg") > 0))
+        .select(
+            "user_id", "n_returns",
+            F.round(s / n / 1000000, _R).alias("mean_ret"),
+            F.round(F.sqrt(ssq / n) / 1000000, _R)
+            .alias("downside_dev"),
+            F.round((s / n) / F.sqrt(ssq / n), _R).alias("sortino"))
+        .orderBy("user_id")
+    )

@@ -328,3 +328,19 @@ def test_round4c_exchange_budgets(spark, sf001):
     assert uses_top_k(
         REG["clickstream_paths_topk"].spark_fn(spark, sf001))
     assert uses_top_k(REG["k_core_membership"].spark_fn(spark, sf001))
+
+
+def test_round4d_exchange_budgets(spark, sf001):
+    """Shuffle budgets for the indicator wave: each rides the daily-bar
+    aggregation exchange (user, day), one re-key to the per-symbol
+    series (fold or window), and the output sort; the Sortino moments
+    collapse into the existing series window's exchange."""
+    budgets = {
+        "macd_histogram": 3,             # bars agg, series fold, sort
+        "stochastic_oscillator": 3,      # bars agg, series window, sort
+        "obv_indicator": 3,              # bars agg, series window, sort
+        "sortino_downside_ratio": 2,     # series window+agg, sort
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
