@@ -5530,3 +5530,330 @@ def sortino_downside_ratio(spark, sf_dir):
             F.round((s / n) / F.sqrt(ssq / n), _R).alias("sortino"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U z-test — tie-corrected normal approximation
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    counts AS (
+      SELECT cents, CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM base GROUP BY cents),
+    cum AS (
+      SELECT cents, c1, c0,
+             CAST(coalesce(sum(c0) OVER (
+                 ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS below0
+      FROM counts),
+    agg AS (
+      SELECT CAST(sum(CAST(c1 AS HUGEINT)
+                      * (2 * below0 + c0)) AS HUGEINT) AS u2,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(CAST(c1 + c0 AS HUGEINT) * (c1 + c0) * (c1 + c0)
+                      - (c1 + c0)) AS HUGEINT) AS tt
+      FROM cum),
+    s AS (
+      SELECT n1, n0, u2, tt,
+             CAST(n1 AS HUGEINT) * n0 AS p,
+             CAST(n1 + n0 + 1 AS BIGINT) AS np1,
+             CAST(n1 + n0 AS HUGEINT) * (n1 + n0 - 1) AS nn
+      FROM agg)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           CAST(u2 AS BIGINT) AS u_x2,
+           ROUND((CAST(u2 AS DOUBLE) - CAST(p AS DOUBLE)) / 2.0
+                 / sqrt(CAST(p AS DOUBLE) / 12.0
+                        * (CAST(np1 AS DOUBLE)
+                           - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))),
+                 6) AS z6
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test: does 'value' differ in "
+        "distribution between click and purchase events? U is kept "
+        "integral as 2U = sum over distinct values of "
+        "c1*(2*below0 + c0) (ties contribute half-ranks, so doubling "
+        "stays exact — same statistic roc_auc_exact normalizes into "
+        "AUC), and the normal-approximation z uses the standard tie "
+        "correction sum(t^3 - t) computed as an exact HUGEINT. The "
+        "ONLY float work is the final one-row z expression, written "
+        "literal-for-literal identically on both engines. Scale: one "
+        "map-side-partial count per distinct value, a value-domain "
+        "prefix sum, and a 1-row reduction — input volume never "
+        "touches a sort",
+)
+def mann_whitney_u(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    counts = (base.groupBy("cents")
+              .agg(F.sum("y").alias("c1"),
+                   F.sum(1 - F.col("y")).alias("c0"))
+              .withColumn("bkt", idiv(F.col("cents"), F.lit(2500))))
+    w_in = (Window.partitionBy("bkt").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = counts.select(
+        "cents", "bkt", "c1", "c0",
+        F.coalesce(F.sum("c0").over(w_in), F.lit(0)).alias("l0"))
+    btot = counts.groupBy("bkt").agg(F.sum("c0").alias("b0"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("b0").over(w_off), F.lit(0)).alias("o0"))
+    cum = (local.join(F.broadcast(offs), "bkt")
+           .select("c1", "c0",
+                   (F.col("l0") + F.col("o0")).alias("below0")))
+    t = (F.col("c1") + F.col("c0")).cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum(F.col("c1").cast("decimal(38,0)")
+              * (2 * F.col("below0") + F.col("c0")))
+        .cast("decimal(38,0)").alias("u2"),
+        F.sum("c1").alias("n1"), F.sum("c0").alias("n0"),
+        F.sum(t * (F.col("c1") + F.col("c0"))
+              * (F.col("c1") + F.col("c0"))
+              - (F.col("c1") + F.col("c0")))
+        .cast("decimal(38,0)").alias("tt"))
+    n1, n0 = F.col("n1"), F.col("n0")
+    p = (n1.cast("decimal(38,0)") * n0)
+    s = agg.select(
+        "n1", "n0", "u2", "tt", p.alias("p"),
+        (n1 + n0 + 1).cast("bigint").alias("np1"),
+        ((n1 + n0).cast("decimal(38,0)") * (n1 + n0 - 1)).alias("nn"))
+    u2d = F.col("u2").cast("double")
+    pd_ = F.col("p").cast("double")
+    return s.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        F.col("u2").cast("bigint").alias("u_x2"),
+        F.round((u2d - pd_) / F.lit(2.0)
+                / F.sqrt(pd_ / F.lit(12.0)
+                         * (F.col("np1").cast("double")
+                            - F.col("tt").cast("double")
+                            / F.col("nn").cast("double"))), 6)
+        .alias("z6"))
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — k-group rank ANOVA, ordered-fold exactness
+
+@query(
+    "kruskal_wallis_h",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tv AS (
+      SELECT cents, CAST(sum(n) AS BIGINT) AS t FROM counts
+      GROUP BY cents),
+    cum AS (
+      SELECT cents, t,
+             CAST(coalesce(sum(t) OVER (
+                 ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS below
+      FROM tv),
+    rg AS (
+      SELECT c.event_type,
+             CAST(sum(n) AS BIGINT) AS n_g,
+             CAST(sum(CAST(n AS HUGEINT)
+                      * (2 * cum.below + cum.t + 1)) AS HUGEINT)
+                 AS r2_g
+      FROM counts c JOIN cum ON c.cents = cum.cents
+      GROUP BY c.event_type),
+    x AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS nt,
+             list_reduce(
+               list(CAST(CAST(r2_g AS HUGEINT) * r2_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY event_type),
+               (a, b) -> a + b) AS x4
+      FROM rg),
+    tie AS (
+      SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+                 AS tt
+      FROM tv)
+    SELECT x.k, x.nt AS n_total,
+           ROUND(12.0 * (x.x4 / 4.0)
+                 / (CAST(x.nt AS DOUBLE) * CAST(x.nt + 1 AS DOUBLE))
+                 - 3.0 * CAST(x.nt + 1 AS DOUBLE), 6) AS h6,
+           ROUND((12.0 * (x.x4 / 4.0)
+                  / (CAST(x.nt AS DOUBLE) * CAST(x.nt + 1 AS DOUBLE))
+                  - 3.0 * CAST(x.nt + 1 AS DOUBLE))
+                 / (1.0 - CAST(tie.tt AS DOUBLE)
+                    / (CAST(x.nt AS DOUBLE) * CAST(x.nt AS DOUBLE)
+                       * CAST(x.nt AS DOUBLE)
+                       - CAST(x.nt AS DOUBLE))), 6) AS h_tie_adj6
+    FROM x, tie
+    """,
+    doc="Kruskal-Wallis H (rank one-way ANOVA) across ALL event "
+        "types: H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) with the "
+        "tie-corrected variant H / (1 - sum(t^3-t)/(N^3-N)). Average "
+        "ranks under ties stay exact by doubling: 2*rank_v = "
+        "2*below_v + t_v + 1, so each group's doubled rank-sum R2_g "
+        "is an exact HUGEINT and R_g^2/n_g enters float only at the "
+        "k-row reduction. That k-term float sum is made "
+        "order-deterministic by folding a SORTED list (DuckDB "
+        "list_reduce over list(...ORDER BY event_type) vs Spark "
+        "F.aggregate over array_sort(collect_list(...)) — identical "
+        "left-to-right IEEE sequence). Scale: value-domain prefix "
+        "sum (two-phase bucketed, as in roc_auc_exact — no "
+        "single-task window) + one groups-sized relation; no global "
+        "sort of raw rows",
+)
+def kruskal_wallis_h(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    counts = (ev.select(F.round(F.col("value") * 100).cast("bigint")
+                        .alias("cents"), "event_type")
+              .groupBy("cents", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tv = (counts.groupBy("cents").agg(F.sum("n").alias("t"))
+          .withColumn("bkt", idiv(F.col("cents"), F.lit(2500))))
+    # two-phase exclusive prefix sum over the value domain
+    w_in = (Window.partitionBy("bkt").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = tv.select(
+        "cents", "bkt", "t",
+        F.coalesce(F.sum("t").over(w_in), F.lit(0)).alias("lt"))
+    btot = tv.groupBy("bkt").agg(F.sum("t").alias("bt"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btot.select(
+        "bkt", F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias("ot"))
+    cum = (local.join(F.broadcast(offs), "bkt")
+           .select("cents", "t",
+                   (F.col("lt") + F.col("ot")).alias("below")))
+    rg = (counts.join(cum, "cents")
+          .groupBy("event_type")
+          .agg(F.sum("n").alias("n_g"),
+               F.sum(F.col("n").cast("decimal(38,0)")
+                     * (2 * F.col("below") + F.col("t") + 1))
+               .cast("decimal(38,0)").alias("r2_g")))
+    term = F.struct(
+        F.col("event_type").alias("g"),
+        ((F.col("r2_g") * F.col("r2_g")).cast("double")
+         / F.col("n_g").cast("double")).alias("v"))
+    x = rg.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("nt"),
+        F.aggregate(F.array_sort(F.collect_list(term)), F.lit(0.0),
+                    lambda a, s: a + s["v"]).alias("x4"))
+    tie = cum.agg(
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+              * F.col("t") - F.col("t"))
+        .cast("decimal(38,0)").alias("tt"))
+    j = x.crossJoin(F.broadcast(tie))
+    ntd = F.col("nt").cast("double")
+    np1d = (F.col("nt") + 1).cast("double")
+    h = (F.lit(12.0) * (F.col("x4") / F.lit(4.0)) / (ntd * np1d)
+         - F.lit(3.0) * np1d)
+    corr = (F.lit(1.0) - F.col("tt").cast("double")
+            / (ntd * ntd * ntd - ntd))
+    return j.select(
+        "k", F.col("nt").alias("n_total"),
+        F.round(h, 6).alias("h6"),
+        F.round(h / corr, 6).alias("h_tie_adj6"))
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — effect size on top of the chi-square grid
+
+@query(
+    "cramers_v_effect",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    ct AS (SELECT hod, CAST(sum(o) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT hod) AS BIGINT) AS nc
+            FROM cells),
+    terms AS (
+      SELECT cells.event_type, cells.hod,
+             CAST((CAST(cells.o AS HUGEINT) * tot.n
+                   - CAST(rt.r AS HUGEINT) * ct.c)
+                  * (CAST(cells.o AS HUGEINT) * tot.n
+                     - CAST(rt.r AS HUGEINT) * ct.c) AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE)
+                * CAST(CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE)) AS t
+      FROM cells
+      JOIN rt USING (event_type) JOIN ct USING (hod), tot),
+    chi AS (
+      SELECT list_reduce(list(t ORDER BY event_type, hod),
+                         (a, b) -> a + b) AS chi2
+      FROM terms)
+    SELECT tot.n, tot.nr AS n_rows_cat, tot.nc AS n_cols_cat,
+           CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
+           ROUND(chi.chi2, 6) AS chi2_6,
+           ROUND(sqrt(chi.chi2 / (CAST(tot.n AS DOUBLE)
+                 * CAST(least(tot.nr, tot.nc) - 1 AS DOUBLE))), 6)
+               AS cramers_v6
+    FROM chi, tot
+    """,
+    doc="Cramér's V effect size for the event-type x hour-of-day "
+        "association: the chi2_independence_test grid summed into one "
+        "statistic and normalized to [0,1] by sqrt(chi2/(N*(min(r,c)"
+        "-1))) — 'is the dependence LARGE', where the chi-square only "
+        "answers 'is it present'. Per-cell terms stay exact-integer "
+        "cross-multiplied (o*n - r*c in HUGEINT); the cells-sized "
+        "float sum is order-pinned by folding the list sorted by "
+        "(event_type, hod) on both engines — the same ordered-fold "
+        "determinism trick as kruskal_wallis_h. Post-agg state is "
+        "#types x 24 rows at any input scale",
+)
+def cramers_v_effect(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type",
+                        F.hour("ts").cast("bigint").alias("hod"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("hod").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"),
+                    F.countDistinct("event_type").alias("nr"),
+                    F.countDistinct("hod").alias("nc"))
+    j = (cells.join(F.broadcast(rt), "event_type")
+         .join(F.broadcast(ct), "hod")
+         .crossJoin(F.broadcast(tot)))
+    num = (F.col("o").cast("decimal(38,0)") * F.col("n")
+           - F.col("r").cast("decimal(38,0)") * F.col("c"))
+    rc = F.col("r").cast("decimal(38,0)") * F.col("c")
+    terms = j.select(
+        F.struct(F.col("event_type").alias("g"),
+                 F.col("hod").alias("h"),
+                 ((num * num).cast("double")
+                  / (F.col("n").cast("double") * rc.cast("double")))
+                 .alias("t")).alias("cell"))
+    chi = terms.agg(
+        F.aggregate(F.array_sort(F.collect_list("cell")), F.lit(0.0),
+                    lambda a, s: a + s["t"]).alias("chi2"))
+    out = chi.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mind = (F.least(F.col("nr"), F.col("nc")) - 1).cast("double")
+    return out.select(
+        "n", F.col("nr").alias("n_rows_cat"),
+        F.col("nc").alias("n_cols_cat"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint")
+        .alias("dof"),
+        F.round(F.col("chi2"), 6).alias("chi2_6"),
+        F.round(F.sqrt(F.col("chi2") / (nd * mind)), 6)
+        .alias("cramers_v6"))

@@ -195,6 +195,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "token_drift_movers",          # 1-row slice-totals scalar
         "hard_negative_mining",        # BM25 chain's 1-row scalars
         "conformal_interval_coverage",  # 1-row k/q_hat scalars
+        "kruskal_wallis_h",            # 1-row tie-term scalar
+        "cramers_v_effect",            # 1-row chi2/grand-total scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -205,7 +207,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "ks_two_sample_test", "roc_auc_exact",
                     "isotonic_calibration", "equidepth_histogram",
                     "kaplan_meier_survival", "zipf_law_fit",
-                    "conformal_interval_coverage"}
+                    "conformal_interval_coverage", "mann_whitney_u",
+                    "kruskal_wallis_h"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
@@ -340,6 +343,20 @@ def test_round4d_exchange_budgets(spark, sf001):
         "stochastic_oscillator": 3,      # bars agg, series window, sort
         "obv_indicator": 3,              # bars agg, series window, sort
         "sortino_downside_ratio": 2,     # series window+agg, sort
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
+
+
+def test_round4e_exchange_budgets(spark, sf001):
+    """Shuffle budgets for the hypothesis-test wave. Each is bounded
+    by value-domain / cells-sized relations after one map-side-partial
+    aggregation; the ordered-fold reductions are 1-row collects."""
+    budgets = {
+        "mann_whitney_u": 6,
+        "kruskal_wallis_h": 14,
+        "cramers_v_effect": 11,
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
