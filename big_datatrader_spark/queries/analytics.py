@@ -5857,3 +5857,108 @@ def cramers_v_effect(spark, sf_dir):
         F.round(F.col("chi2"), 6).alias("chi2_6"),
         F.round(F.sqrt(F.col("chi2") / (nd * mind)), 6)
         .alias("cramers_v6"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch — mergeable partials with an exact oracle
+
+_KMV_K = 16
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    h AS (
+      SELECT event_type, cents,
+             CAST('0x' || substr(md5(CAST(cents AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h60
+      FROM base),
+    ranked AS (
+      SELECT event_type, h60,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h60) AS rn
+      FROM h),
+    per_type AS (
+      SELECT r.event_type AS scope, c.n_exact, r.h60 AS kth_h60
+      FROM ranked r
+      JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+            FROM h GROUP BY 1) c USING (event_type)
+      WHERE r.rn = {_KMV_K}),
+    merged_pool AS (
+      SELECT h60 FROM ranked WHERE rn <= {_KMV_K}),
+    merged_ranked AS (
+      SELECT h60, row_number() OVER (ORDER BY h60) AS rn
+      FROM merged_pool),
+    merged AS (
+      SELECT 'ALL' AS scope,
+             (SELECT CAST(count(DISTINCT cents) AS BIGINT) FROM base)
+                 AS n_exact,
+             h60 AS kth_h60
+      FROM merged_ranked WHERE rn = {_KMV_K}),
+    uni AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged)
+    SELECT scope, n_exact, kth_h60,
+           CAST((2 * CAST({_KMV_K - 1} AS HUGEINT)
+                 * 1152921504606846976 * 1000000 + kth_h60)
+                // (2 * CAST(kth_h60 AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS kmv_est6
+    FROM uni ORDER BY scope
+    """,
+    doc=f"K-minimum-values distinct-count sketch (Bar-Yossef et al.; "
+        f"k={_KMV_K}) over the distinct value domain per event type, "
+        "PLUS the merged all-types sketch — the property that makes "
+        "KMV a distributed sketch: the union of per-partition k-"
+        "smallest-hash sets contains the global k smallest, so "
+        "partials merge losslessly (the same contract HLL partials "
+        "satisfy, here with an EXACT oracle because the md5-derived "
+        "h60 hash is deterministic on both engines). Estimate = "
+        "(k-1) * 2^60 / h_k, rounded half-away in exact HUGEINT/"
+        "DECIMAL(38) arithmetic. Scale: after the distinct, "
+        "relations are value-domain- then k-sized; each per-type "
+        "sketch is a bounded-state window, the merge is k*#types "
+        "rows. True distincts are reported alongside for the "
+        "accuracy audit",
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    from ..functions.dedup import h60
+    ev = table(spark, sf_dir, "events")
+    base = (ev.select("event_type",
+                      F.round(F.col("value") * 100).cast("bigint")
+                      .alias("cents"))
+            .distinct())
+    h = base.select("event_type",
+                    h60(F.col("cents").cast("string")).alias("h60"))
+    wt = Window.partitionBy("event_type").orderBy("h60")
+    ranked = h.select("event_type", "h60",
+                      F.row_number().over(wt).alias("rn"))
+    n_per = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    per_type = (ranked.filter(F.col("rn") == _KMV_K)
+                .join(F.broadcast(n_per), "event_type")
+                .select(F.col("event_type").alias("scope"),
+                        "n_exact", F.col("h60").alias("kth_h60")))
+    pool = ranked.filter(F.col("rn") <= _KMV_K).select("h60")
+    # the merge pool is k * #types rows by construction — the global
+    # window over it is bounded state forever
+    wm = Window.orderBy("h60")
+    merged_kth = (pool.select("h60",
+                              F.row_number().over(wm).alias("rn"))
+                  .filter(F.col("rn") == _KMV_K))
+    n_all = base.select("cents").distinct().agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    merged = (merged_kth.crossJoin(F.broadcast(n_all))
+              .select(F.lit("ALL").alias("scope"), "n_exact",
+                      F.col("h60").alias("kth_h60")))
+    uni = per_type.unionByName(merged)
+    num = (2 * F.lit(_KMV_K - 1).cast("decimal(38,0)")
+           * F.lit(1152921504606846976).cast("decimal(38,0)")
+           * 1000000 + F.col("kth_h60"))
+    den = 2 * F.col("kth_h60").cast("decimal(38,0)")
+    return (uni.select(
+                "scope", "n_exact", "kth_h60",
+                (((num - num % den) / den).cast("bigint")
+                 .cast("double") / 1000000.0).alias("kmv_est6"))
+            .orderBy("scope"))

@@ -530,3 +530,219 @@ def rec_hitrate_popularity(spark, sf_dir):
         F.sum("hit").alias("hits"),
         _int_ratio_round6(F.sum("hit"), F.count(F.lit(1)))
         .alias("hitrate6"))
+
+
+@query(
+    "rec_ndcg_popularity",
+    oracle=f"""
+    WITH held AS (
+      SELECT o.o_custkey AS cust, o.o_orderkey AS okey
+      FROM orders o
+      JOIN (SELECT o_custkey,
+                   max(o_orderdate) AS md
+            FROM orders GROUP BY 1) lx
+        ON lx.o_custkey = o.o_custkey AND o.o_orderdate = lx.md
+      QUALIFY row_number() OVER (PARTITION BY o.o_custkey
+                                 ORDER BY o.o_orderkey DESC) = 1),
+    target AS (
+      SELECT h.cust, CAST(min(l.l_partkey) AS BIGINT) AS part
+      FROM held h JOIN lineitem l ON l.l_orderkey = h.okey
+      GROUP BY 1),
+    train AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l
+      WHERE l.l_orderkey NOT IN (SELECT okey FROM held)),
+    pop AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM train GROUP BY 1
+      ORDER BY n_orders DESC, l_partkey LIMIT {_REC_K}),
+    pos AS (
+      SELECT l_partkey,
+             CAST(row_number() OVER (ORDER BY n_orders DESC,
+                                     l_partkey) AS BIGINT) AS p
+      FROM pop),
+    hitpos AS (
+      SELECT pos.p, CAST(count(*) AS BIGINT) AS c
+      FROM target t JOIN pos ON t.part = pos.l_partkey
+      GROUP BY pos.p),
+    nusers AS (SELECT CAST(count(*) AS BIGINT) AS n FROM target),
+    dcg AS (
+      SELECT coalesce(list_reduce(
+               list(CAST(c AS DOUBLE) * (ln(2.0)
+                    / ln(CAST(p + 1 AS DOUBLE))) ORDER BY p),
+               (a, b) -> a + b), 0.0) AS s,
+             CAST(coalesce(sum(c), 0) AS BIGINT) AS hits
+      FROM hitpos)
+    SELECT nusers.n AS n_users, dcg.hits,
+           ROUND(dcg.s / CAST(nusers.n AS DOUBLE), 6) AS ndcg6
+    FROM dcg, nusers
+    """,
+    doc=f"NDCG@{_REC_K} of the leave-latest-out popularity "
+        "recommender (same split/train/model as "
+        "rec_hitrate_popularity): each user has ONE relevant item, so "
+        "ideal DCG = 1 and per-user NDCG = 1/log2(p+1) at the hit "
+        "position — position-aware credit where hit-rate is flat. "
+        "Per-position hit counts are exact integers; the <=k-term "
+        "float sum folds a position-SORTED list on both engines "
+        "(ln(2)/ln(p+1) literal-for-literal), so no summation-order "
+        "drift. The model stays a k-row broadcast; position "
+        "assignment is a window over those k rows only",
+)
+def rec_ndcg_popularity(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    wlast = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    held = (orders.select("o_custkey", "o_orderkey", "o_orderdate",
+                          F.row_number().over(wlast).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("cust"),
+                    F.col("o_orderkey").alias("okey")))
+    target = (held.join(li, held["okey"] == li["l_orderkey"])
+              .groupBy("cust")
+              .agg(F.min("l_partkey").alias("part")))
+    train = (li.join(F.broadcast(held.select("okey")),
+                     li["l_orderkey"] == F.col("okey"), "left_anti")
+             .select("l_orderkey", "l_partkey").distinct())
+    pop = (train.groupBy("l_partkey")
+           .agg(F.count(F.lit(1)).alias("n_orders"))
+           .orderBy(F.desc("n_orders"), "l_partkey").limit(_REC_K))
+    # the model is _REC_K rows post-limit; this window is bounded
+    wpos = Window.orderBy(F.desc("n_orders"), "l_partkey")
+    pos = pop.select("l_partkey",
+                     F.row_number().over(wpos).cast("bigint")
+                     .alias("p"))
+    hitpos = (target.join(F.broadcast(pos),
+                          target["part"] == pos["l_partkey"])
+              .groupBy("p").agg(F.count(F.lit(1)).alias("c")))
+    nusers = target.agg(F.count(F.lit(1)).alias("n"))
+    term = F.struct(
+        F.col("p").alias("p"),
+        (F.col("c").cast("double")
+         * (F.log(F.lit(2.0)) / F.log((F.col("p") + 1)
+                                      .cast("double")))).alias("v"))
+    dcg = hitpos.agg(
+        F.coalesce(
+            F.aggregate(F.array_sort(F.collect_list(term)),
+                        F.lit(0.0), lambda a, s: a + s["v"]),
+            F.lit(0.0)).alias("s"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("hits"))
+    out = dcg.crossJoin(F.broadcast(nusers))
+    return out.select(
+        F.col("n").alias("n_users"), "hits",
+        F.round(F.col("s") / F.col("n").cast("double"), 6)
+        .alias("ndcg6"))
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+                 AS r_days,
+             CAST(count(*) AS BIGINT) AS f_orders,
+             CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY o_custkey),
+    q AS (
+      SELECT o_custkey, m_cents,
+             CAST(ntile(5) OVER (ORDER BY r_days, o_custkey)
+                  AS BIGINT) AS r_q,
+             CAST(ntile(5) OVER (ORDER BY f_orders, o_custkey)
+                  AS BIGINT) AS f_q,
+             CAST(ntile(5) OVER (ORDER BY m_cents, o_custkey)
+                  AS BIGINT) AS m_q
+      FROM cust)
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((2 * CAST(sum(m_cents) AS HUGEINT) * 10000
+                 + count(*)) // (2 * CAST(count(*) AS HUGEINT))
+                AS BIGINT) AS avg_monetary_e6
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per customer, Recency (days "
+        "since last order vs the corpus max date), Frequency (order "
+        "count) and Monetary (lifetime spend in exact cents), each "
+        "cut into quintiles, then segments counted. The quintiles "
+        "are SQL-standard ntile(5) reproduced WITHOUT a single-task "
+        "global sort: three two-phase global_rank chains (coarse "
+        "value-bucket prefix ranking + broadcast #buckets offsets, "
+        "operators/ranking.py) feed the closed-form ntile_from_rank "
+        "— bit-for-bit ntile at any customer cardinality. The max "
+        "order date is a 1-row broadcast scalar",
+)
+def rfm_segmentation(spark, sf_dir):
+    from ..operators.ranking import global_rank, ntile_from_rank
+    orders = table(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max("o_orderdate").alias("gmax"))
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_o"),
+                     F.count(F.lit(1)).alias("f_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100)
+                           .cast("bigint")).alias("m_cents")))
+    cust = (per_cust.crossJoin(F.broadcast(gmax))
+            .select("o_custkey",
+                    F.datediff(F.col("gmax"), F.col("last_o"))
+                    .cast("bigint").alias("r_days"),
+                    "f_orders", "m_cents"))
+    n = cust.agg(F.count(F.lit(1)).alias("n_total"))
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    # ONE rank chain over the melted (metric, value) relation instead
+    # of three chained/parallel global_rank calls: chaining nests each
+    # chain's offset branch inside the next (2^k plan blowup, 11
+    # orders scans measured); melting ranks all three metrics in a
+    # single two-phase pass and un-melts with rank - block*n_total
+    # (each metric block holds exactly n_total rows). Metric ids keep
+    # the block order aligned with the bucket prefix.
+    melted = cust.select(
+        "o_custkey", "m_cents",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("mid"),
+                     F.col("r_days").alias("v")),
+            F.struct(F.lit(1).alias("mid"),
+                     F.col("f_orders").alias("v")),
+            F.struct(F.lit(2).alias("mid"),
+                     F.col("m_cents").alias("v")))).alias("mv"))
+    widths = {0: 100, 1: 4, 2: 1000000}
+    vb = F.when(F.col("mv.mid") == 0,
+                idiv(F.col("mv.v"), F.lit(widths[0]))) \
+         .when(F.col("mv.mid") == 1,
+               idiv(F.col("mv.v"), F.lit(widths[1]))) \
+         .otherwise(idiv(F.col("mv.v"), F.lit(widths[2])))
+    bucket = F.struct(F.col("mv.mid").alias("b0"), vb.alias("b1"))
+    ranked = global_rank(
+        melted.select("o_custkey", "m_cents", "mv"),
+        bucket, [F.col("mv.mid"), F.col("mv.v"), "o_custkey"],
+        rank_col="__r")
+    local = (ranked.crossJoin(F.broadcast(n))
+             .select("o_custkey", "m_cents", F.col("mv.mid")
+                     .alias("mid"),
+                     ntile_from_rank(
+                         F.col("__r") - F.col("mv.mid")
+                         * F.col("n_total"), F.col("n_total"), 5)
+                     .alias("tile")))
+    q = (local.groupBy("o_custkey")
+         .agg(F.first("m_cents").alias("m_cents"),
+              F.max(F.when(F.col("mid") == 0, F.col("tile")))
+              .alias("r_q"),
+              F.max(F.when(F.col("mid") == 1, F.col("tile")))
+              .alias("f_q"),
+              F.max(F.when(F.col("mid") == 2, F.col("tile")))
+              .alias("m_q")))
+    s = F.col("sum_m").cast("decimal(38,0)")
+    c = F.col("n_customers").cast("decimal(38,0)")
+    num = 2 * s * 10000 + c
+    den = 2 * c
+    return (q.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("m_cents").alias("sum_m"))
+            .select("r_q", "f_q", "m_q", "n_customers",
+                    ((num - num % den) / den).cast("bigint")
+                    .alias("avg_monetary_e6"))
+            .orderBy("r_q", "f_q", "m_q"))

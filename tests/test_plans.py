@@ -197,6 +197,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "conformal_interval_coverage",  # 1-row k/q_hat scalars
         "kruskal_wallis_h",            # 1-row tie-term scalar
         "cramers_v_effect",            # 1-row chi2/grand-total scalars
+        "kmv_distinct_sketch",         # 1-row exact-distinct scalar
+        "rec_ndcg_popularity",         # 1-row n_users scalar
+        "rfm_segmentation",            # 1-row max-date + total scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -208,7 +211,10 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "isotonic_calibration", "equidepth_histogram",
                     "kaplan_meier_survival", "zipf_law_fit",
                     "conformal_interval_coverage", "mann_whitney_u",
-                    "kruskal_wallis_h"}
+                    "kruskal_wallis_h",
+                    # k-row bounded model/sketch relations
+                    "kmv_distinct_sketch", "rec_ndcg_popularity",
+                    "rfm_segmentation"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
@@ -357,6 +363,11 @@ def test_round4e_exchange_budgets(spark, sf001):
         "mann_whitney_u": 6,
         "kruskal_wallis_h": 14,
         "cramers_v_effect": 11,
+        "kmv_distinct_sketch": 9,
+        "rec_ndcg_popularity": 10,
+        # melted single-rank-chain form; the chained-global_rank
+        # version measured 34 (11 orders scans) — see query comment
+        "rfm_segmentation": 13,
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
