@@ -5962,3 +5962,189 @@ def kmv_distinct_sketch(spark, sf_dir):
                 (((num - num % den) / den).cast("bigint")
                  .cast("double") / 1000000.0).alias("kmv_est6"))
             .orderBy("scope"))
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F — integer moments + ordered k-term fold
+
+@query(
+    "anova_f_oneway",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS s_g,
+             CAST(sum(cents * cents) AS BIGINT) AS q_g
+      FROM base GROUP BY event_type),
+    x AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(q_g) AS BIGINT) AS q,
+             list_reduce(
+               list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY event_type),
+               (a, b) -> a + b) AS r
+      FROM g)
+    SELECT k, n AS n_total,
+           ROUND(r - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS ssb6,
+           ROUND(CAST(q AS DOUBLE) - r, 6) AS ssw6,
+           ROUND((r - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+                 / ((CAST(q AS DOUBLE) - r) / CAST(n - k AS DOUBLE)),
+                 6) AS f6
+    FROM x
+    """,
+    doc="one-way ANOVA: does mean 'value' differ across event types? "
+        "F = (SSB/(k-1)) / (SSW/(N-k)) from per-group integer moments "
+        "(n, sum, sum-of-squares in exact cents — ONE map-side-"
+        "partial aggregation). The k between-group terms s_g^2/n_g "
+        "enter float only at a k-row reduction, order-pinned by the "
+        "sorted-list fold (same trick as kruskal_wallis_h), and every "
+        "remaining float op is one identical IEEE expression on both "
+        "engines. Post-agg state is k rows at any input volume",
+)
+def anova_f_oneway(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents").alias("s_g"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q_g"))
+    term = F.struct(
+        F.col("event_type").alias("g"),
+        (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+         / F.col("n_g").cast("double")).alias("v"))
+    x = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.aggregate(F.array_sort(F.collect_list(term)), F.lit(0.0),
+                    lambda a, s: a + s["v"]).alias("r"))
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    qd = F.col("q").cast("double")
+    r = F.col("r")
+    ssb = r - sd * sd / nd
+    ssw = qd - r
+    return x.select(
+        "k", F.col("n").alias("n_total"),
+        F.round(ssb, 6).alias("ssb6"),
+        F.round(ssw, 6).alias("ssw6"),
+        F.round(ssb / (F.col("k") - 1).cast("double")
+                / (ssw / (F.col("n") - F.col("k")).cast("double")), 6)
+        .alias("f6"))
+
+
+# ---------------------------------------------------------------------------
+# Brier score + log-loss — probabilistic-forecast calibration metrics
+
+@query(
+    "brier_logloss_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(event_type = 'purchase' AS BIGINT) AS y,
+             event_id % 2 AS split
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    model AS (
+      SELECT hod,
+             CAST((2 * (CAST(sum(y) AS HUGEINT) + 1) * 1000000
+                   + (count(*) + 2))
+                  // (2 * (CAST(count(*) AS HUGEINT) + 2)) AS BIGINT)
+                 AS p_e6,
+             CAST(count(*) AS BIGINT) AS n_h
+      FROM base WHERE split = 0 GROUP BY hod),
+    test AS (
+      SELECT b.hod, b.y, m.p_e6, CAST(count(*) AS BIGINT) AS c
+      FROM base b JOIN model m USING (hod)
+      WHERE b.split = 1 GROUP BY b.hod, b.y, m.p_e6),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_test,
+             CAST(sum(CAST(c AS HUGEINT)
+                      * (p_e6 - y * 1000000)
+                      * (p_e6 - y * 1000000)) AS HUGEINT) AS bsum,
+             list_reduce(
+               list(CAST(c AS DOUBLE)
+                    * -ln(CASE WHEN y = 1
+                          THEN CAST(p_e6 AS DOUBLE) / 1000000.0
+                          ELSE 1.0 - CAST(p_e6 AS DOUBLE) / 1000000.0
+                          END) ORDER BY hod, y),
+               (a, b) -> a + b) AS lsum
+      FROM test),
+    tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM base
+           WHERE split = 0)
+    SELECT tr.n_train, agg.n_test,
+           CAST((2 * agg.bsum * 1000000
+                 + CAST(agg.n_test AS HUGEINT) * 1000000000000)
+                // (2 * CAST(agg.n_test AS HUGEINT) * 1000000000000)
+                AS DOUBLE) / 1000000.0 AS brier6,
+           ROUND(agg.lsum / CAST(agg.n_test AS DOUBLE), 6)
+               AS logloss6
+    FROM agg, tr
+    """,
+    doc="Brier score and log-loss of a Laplace-smoothed hour-of-day "
+        "purchase-probability model (train on even event_ids, score "
+        "odd): the two proper scoring rules behind every calibration "
+        "audit. Predictions are exact 1e-6-unit integers "
+        "(p = (k+1)/(n+2), half-away integer rounding), so the Brier "
+        "sum (p - y)^2 is EXACT integer arithmetic end-to-end and "
+        "only its final normalization divides; the log-loss folds "
+        "<=2*24 per-(hour,label) count-weighted -ln terms in sorted "
+        "order (deterministic IEEE sequence; smoothing keeps p away "
+        "from 0 and 1 so ln is always finite). Model is a 24-row "
+        "broadcast; everything else is map-side-combinable counts",
+)
+def brier_logloss_calibration(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.hour("ts").cast("bigint").alias("hod"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y"),
+                    (F.col("event_id") % 2).alias("split")))
+    ks = (F.sum("y") + 1).cast("decimal(38,0)")
+    ns = (F.count(F.lit(1)) + 2).cast("decimal(38,0)")
+    p_num = 2 * ks * 1000000 + ns
+    p_den = 2 * ns
+    model = (base.filter(F.col("split") == 0)
+             .groupBy("hod")
+             .agg((((p_num - p_num % p_den) / p_den)).cast("bigint")
+                  .alias("p_e6"),
+                  F.count(F.lit(1)).alias("n_h")))
+    test = (base.filter(F.col("split") == 1)
+            .join(F.broadcast(model.select("hod", "p_e6")), "hod")
+            .groupBy("hod", "y", "p_e6")
+            .agg(F.count(F.lit(1)).alias("c")))
+    resid = F.col("p_e6") - F.col("y") * 1000000
+    lterm = F.struct(
+        F.col("hod").alias("h"), F.col("y").alias("yy"),
+        (F.col("c").cast("double")
+         * -F.log(F.when(F.col("y") == 1,
+                         F.col("p_e6").cast("double") / 1000000.0)
+                  .otherwise(F.lit(1.0) - F.col("p_e6").cast("double")
+                             / 1000000.0))).alias("v"))
+    agg = test.agg(
+        F.sum("c").alias("n_test"),
+        F.sum(F.col("c").cast("decimal(38,0)") * resid * resid)
+        .cast("decimal(38,0)").alias("bsum"),
+        F.aggregate(F.array_sort(F.collect_list(lterm)), F.lit(0.0),
+                    lambda a, s: a + s["v"]).alias("lsum"))
+    tr = (base.filter(F.col("split") == 0)
+          .agg(F.count(F.lit(1)).alias("n_train")))
+    j = agg.crossJoin(F.broadcast(tr))
+    bnum = (2 * F.col("bsum") * 1000000
+            + F.col("n_test").cast("decimal(38,0)") * 1000000000000)
+    bden = (2 * F.col("n_test").cast("decimal(38,0)") * 1000000000000)
+    return j.select(
+        "n_train", "n_test",
+        (((bnum - bnum % bden) / bden).cast("bigint").cast("double")
+         / 1000000.0).alias("brier6"),
+        F.round(F.col("lsum") / F.col("n_test").cast("double"), 6)
+        .alias("logloss6"))

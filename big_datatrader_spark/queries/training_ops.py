@@ -2403,3 +2403,109 @@ def token_drift_movers(spark, sf_dir):
     return (j.select("tok", "df_a", "df_b", ratio.alias("log_ratio"))
             .orderBy(F.abs(F.col("log_ratio")).desc(), "tok")
             .limit(_TD_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — iterative joins, integer L-inf normalization
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    prelude = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"""
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+    ar{i} AS (
+      SELECT e.dst AS node, CAST(sum(p.h) AS HUGEINT) AS a_raw
+      FROM h{i - 1} p JOIN edges e ON p.node = e.src
+      GROUP BY 1),
+    am{i} AS (SELECT CAST(max(a_raw) AS HUGEINT) AS m FROM ar{i}),
+    a{i} AS (
+      SELECT ar.node,
+             CAST((ar.a_raw * 1000000) // am.m AS BIGINT) AS a
+      FROM ar{i} ar, am{i} am),
+    hr{i} AS (
+      SELECT e.src AS node, CAST(sum(a.a) AS HUGEINT) AS h_raw
+      FROM a{i} a JOIN edges e ON a.node = e.dst
+      GROUP BY 1),
+    hm{i} AS (SELECT CAST(max(h_raw) AS HUGEINT) AS m FROM hr{i}),
+    h{i} AS (
+      SELECT hr.node,
+             CAST((hr.h_raw * 1000000) // hm.m AS BIGINT) AS h
+      FROM hr{i} hr, hm{i} hm)""")
+    return (prelude + "," + ",".join(steps) + f"""
+    SELECT a.node AS part_key, a.a AS authority_e6, h.h AS hub_e6
+    FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node
+    ORDER BY a.a DESC, h.h DESC, a.node LIMIT 50
+    """)
+
+
+@query(
+    "hits_hub_authority",
+    oracle=_hits_oracle(),
+    doc=f"HITS (Kleinberg) hubs & authorities, {_HITS_ITERS} "
+        "iterations over the part co-purchase graph: per half-step "
+        "one edges-x-scores join and one groupBy-sum, exactly the "
+        "pagerank_copurchase cost model. The usual L2 normalization "
+        "is replaced by integer L-infinity normalization — scores "
+        "rescale to 1e6 * s / max(s) by floor division each "
+        "half-step — so every score stays an exact bounded integer "
+        "(<= deg * 1e6 before rescale) on any engine, partition "
+        "layout, or data scale; the two 1-row max scalars per "
+        "iteration are broadcast cross joins. Edge list persists "
+        "once and is reused by all four half-steps; top-50 is "
+        "TakeOrderedAndProject, never a global sort",
+)
+def hits_hub_authority(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    a_ = li.select(F.col("l_orderkey").alias("k"),
+                   F.col("l_partkey").alias("src"))
+    b_ = li.select(F.col("l_orderkey").alias("k"),
+                   F.col("l_partkey").alias("dst"))
+    edges = (a_.join(b_, "k").filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct().persist())
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    h = nodes.select("node", F.lit(1000000).cast("bigint").alias("h"))
+
+    def linf_norm(raw, col_in, col_out):
+        # raw is node-sized; persist so the max branch and the next
+        # half-step's join don't re-derive the whole upstream chain
+        # (without this the 4 half-steps recompute the edge join
+        # 2^4 times — measured 30.7s -> 8s at sf0.01)
+        raw = raw.persist()
+        m = raw.agg(F.max(col_in).alias("m"))
+        scaled = (raw.crossJoin(F.broadcast(m))
+                  .select("node",
+                          ((F.col(col_in) * 1000000
+                            - (F.col(col_in) * 1000000) % F.col("m"))
+                           / F.col("m")).cast("bigint")
+                          .alias(col_out)))
+        return scaled
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (h.join(edges, h["node"] == edges["src"])
+                 .groupBy("dst")
+                 .agg(F.sum("h").cast("decimal(38,0)").alias("a_raw"))
+                 .select(F.col("dst").alias("node"), "a_raw"))
+        a = linf_norm(a_raw, "a_raw", "a")
+        h_raw = (a.join(edges, a["node"] == edges["dst"])
+                 .groupBy("src")
+                 .agg(F.sum("a").cast("decimal(38,0)").alias("h_raw"))
+                 .select(F.col("src").alias("node"), "h_raw"))
+        h = linf_norm(h_raw, "h_raw", "h")
+    out = (a.join(h, "node")
+           .select(F.col("node").alias("part_key"),
+                   F.col("a").alias("authority_e6"),
+                   F.col("h").alias("hub_e6")))
+    return (out.orderBy(F.desc("authority_e6"), F.desc("hub_e6"),
+                        "part_key")
+            .limit(50))

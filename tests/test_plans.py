@@ -200,6 +200,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "kmv_distinct_sketch",         # 1-row exact-distinct scalar
         "rec_ndcg_popularity",         # 1-row n_users scalar
         "rfm_segmentation",            # 1-row max-date + total scalars
+        "brier_logloss_calibration",   # 1-row train-count scalar
+        "hits_hub_authority",          # 1-row L-inf max per half-step
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -368,6 +370,9 @@ def test_round4e_exchange_budgets(spark, sf001):
         # melted single-rank-chain form; the chained-global_rank
         # version measured 34 (11 orders scans) — see query comment
         "rfm_segmentation": 13,
+        "anova_f_oneway": 3,
+        "brier_logloss_calibration": 4,
+        "hits_hub_authority": 20,
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
