@@ -2509,3 +2509,413 @@ def hits_hub_authority(spark, sf_dir):
     return (out.orderBy(F.desc("authority_e6"), F.desc("hub_e6"),
                         "part_key")
             .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover) distance — exact cross-multiplied CDFs
+
+@query(
+    "wasserstein_distance_drift",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    counts AS (
+      SELECT cents, CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM base GROUP BY cents),
+    cum AS (
+      SELECT cents, c1, c0,
+             CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+             CAST(sum(c0) OVER w AS BIGINT) AS cum0,
+             lead(cents) OVER (ORDER BY cents) AS next_v
+      FROM counts
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c0) AS BIGINT) AS n0 FROM counts),
+    num AS (
+      SELECT CAST(sum(abs(CAST(cum1 AS HUGEINT) * tot.n0
+                          - CAST(cum0 AS HUGEINT) * tot.n1)
+                      * coalesce(next_v - cents, 0)) AS HUGEINT) AS s
+      FROM cum, tot)
+    SELECT tot.n1 AS n_purchase, tot.n0 AS n_click,
+           CAST((2 * num.s * 1000000
+                 + CAST(tot.n1 AS HUGEINT) * tot.n0)
+                // (2 * CAST(tot.n1 AS HUGEINT) * tot.n0) AS DOUBLE)
+               / 1000000.0 AS w1_cents6
+    FROM num, tot
+    """,
+    doc="Wasserstein-1 (earth mover) distance between the purchase "
+        "and click value distributions — the drift metric that, "
+        "unlike KS, weighs HOW FAR mass moved: integral of "
+        "|CDF1 - CDF2| over the value axis. Entirely exact integer "
+        "arithmetic: CDFs are cross-multiplied (cum1*n0 - cum0*n1), "
+        "segment widths are next-distinct-value gaps, and the single "
+        "division is the final half-away-rounded normalization by "
+        "n1*n0. Spark runs the cumulative sums and the "
+        "next-value lookup as the two-phase bucketed pattern (within-"
+        "bucket window + broadcast #buckets offsets; the lead "
+        "crosses bucket edges via the next bucket's min) — no "
+        "single-task sort of the value domain, unlike the textbook "
+        "ORDER BY formulation",
+)
+def wasserstein_distance_drift(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return ((x - x % y) / y).cast("bigint")
+
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.round(F.col("value") * 100).cast("bigint")
+                    .alias("cents"),
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    counts = (base.groupBy("cents")
+              .agg(F.sum("y").alias("c1"),
+                   F.sum(1 - F.col("y")).alias("c0"))
+              .withColumn("bkt", idiv(F.col("cents"), F.lit(2500))))
+    # two-phase INCLUSIVE prefix sums for both series + in-bucket lead
+    w_in = (Window.partitionBy("bkt").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    w_lead = Window.partitionBy("bkt").orderBy("cents")
+    local = counts.select(
+        "cents", "bkt", "c1", "c0",
+        F.sum("c1").over(w_in).alias("l1"),
+        F.sum("c0").over(w_in).alias("l0"),
+        F.lead("cents").over(w_lead).alias("lead_in"))
+    btot = counts.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c0").alias("b0"),
+        F.min("cents").alias("bmin"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_nxt = Window.orderBy("bkt")
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b0").over(w_off), F.lit(0)).alias("o0"),
+        F.lead("bmin").over(w_nxt).alias("next_bmin"))
+    cum = (local.join(F.broadcast(offs), "bkt")
+           .select("cents", "c1", "c0",
+                   (F.col("l1") + F.col("o1")).alias("cum1"),
+                   (F.col("l0") + F.col("o0")).alias("cum0"),
+                   F.coalesce(F.col("lead_in"), F.col("next_bmin"))
+                   .alias("next_v")))
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
+    term = (F.abs(F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+                  - F.col("cum0").cast("decimal(38,0)") * F.col("n1"))
+            * F.coalesce(F.col("next_v") - F.col("cents"), F.lit(0)))
+    num = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.sum(term).cast("decimal(38,0)").alias("s")))
+    j = num.crossJoin(F.broadcast(tot))
+    nn = F.col("n1").cast("decimal(38,0)") * F.col("n0")
+    wnum = 2 * F.col("s") * 1000000 + nn
+    wden = 2 * nn
+    return j.select(
+        F.col("n1").alias("n_purchase"), F.col("n0").alias("n_click"),
+        (((wnum - wnum % wden) / wden).cast("bigint").cast("double")
+         / 1000000.0).alias("w1_cents6"))
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence — corpus token-distribution drift
+
+@query(
+    "js_divergence_lang_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT CAST(lang = 'en' AS BIGINT) AS grp,
+             unnest(CASE WHEN trim(text) = '' THEN [] ELSE
+                    list_transform(
+                        regexp_split_to_array(trim(text), '\\s+'),
+                        t -> lower(t)) END) AS tok
+      FROM documents),
+    counts AS (
+      SELECT tok, CAST(sum(grp) AS BIGINT) AS c_a,
+             CAST(sum(1 - grp) AS BIGINT) AS c_b
+      FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS ta,
+                   CAST(sum(c_b) AS BIGINT) AS tb,
+                   CAST(count(*) AS BIGINT) AS vocab
+            FROM counts),
+    terms AS (
+      SELECT CAST(ROUND((
+               CASE WHEN c_a > 0 THEN
+                 (CAST(c_a AS DOUBLE) / CAST(tot.ta AS DOUBLE))
+                 * ln(2.0 * (CAST(c_a AS DOUBLE)
+                             / CAST(tot.ta AS DOUBLE))
+                      / (CAST(c_a AS DOUBLE) / CAST(tot.ta AS DOUBLE)
+                         + CAST(c_b AS DOUBLE)
+                           / CAST(tot.tb AS DOUBLE)))
+               ELSE 0.0 END
+               + CASE WHEN c_b > 0 THEN
+                 (CAST(c_b AS DOUBLE) / CAST(tot.tb AS DOUBLE))
+                 * ln(2.0 * (CAST(c_b AS DOUBLE)
+                             / CAST(tot.tb AS DOUBLE))
+                      / (CAST(c_a AS DOUBLE) / CAST(tot.ta AS DOUBLE)
+                         + CAST(c_b AS DOUBLE)
+                           / CAST(tot.tb AS DOUBLE)))
+               ELSE 0.0 END) * 1000000000) AS BIGINT) AS t_n9
+      FROM counts, tot),
+    s AS (SELECT CAST(sum(t_n9) AS HUGEINT) AS sn9 FROM terms)
+    SELECT tot.ta AS n_tokens_en, tot.tb AS n_tokens_rest, tot.vocab,
+           CAST((2 * s.sn9 * 1000000 + 2000000000)
+                // (2 * CAST(2000000000 AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS jsd6
+    FROM s, tot
+    """,
+    doc="Jensen-Shannon divergence between the English and "
+        "non-English token distributions (natural-log JSD/2 in "
+        "[0, ln 2]) — the bounded, symmetric corpus-drift metric "
+        "used for training-mixture monitoring. The vocabulary-sized "
+        "float sum is made order-independent by rounding each "
+        "per-token contribution to an exact 1e-9-unit integer "
+        "(per-token terms are >= 0 by the log-sum inequality, "
+        "absent-side terms are exactly 0), then summing INTEGERS — "
+        "the same scaled-moments determinism as volatility_sharpe, "
+        "but applied to a domain too large for the sorted-list fold. "
+        "One corpus explode, one token groupBy with conditional "
+        "sums (no self-join, no full outer), 1-row total broadcasts",
+)
+def js_divergence_lang_tokens(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").cast("bigint").alias("grp"),
+        F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    counts = (toks.groupBy("tok")
+              .agg(F.sum("grp").alias("c_a"),
+                   F.sum(1 - F.col("grp")).alias("c_b")))
+    tot = counts.agg(F.sum("c_a").alias("ta"),
+                     F.sum("c_b").alias("tb"),
+                     F.count(F.lit(1)).alias("vocab"))
+    j = counts.crossJoin(F.broadcast(tot))
+    pa = F.col("c_a").cast("double") / F.col("ta").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("tb").cast("double")
+    term = (F.when(F.col("c_a") > 0,
+                   pa * F.log(F.lit(2.0) * pa / (pa + pb)))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("c_b") > 0,
+                     pb * F.log(F.lit(2.0) * pb / (pa + pb)))
+            .otherwise(F.lit(0.0)))
+    terms = j.select(F.round(term * 1000000000).cast("bigint")
+                     .alias("t_n9"))
+    s = terms.agg(F.sum("t_n9").cast("decimal(38,0)").alias("sn9"))
+    out = s.crossJoin(F.broadcast(tot))
+    den = F.lit(2000000000).cast("decimal(38,0)")
+    jn = 2 * F.col("sn9") * 1000000 + den
+    jd = 2 * den
+    return out.select(
+        F.col("ta").alias("n_tokens_en"),
+        F.col("tb").alias("n_tokens_rest"), "vocab",
+        (((jn - jn % jd) / jd).cast("bigint").cast("double")
+         / 1000000.0).alias("jsd6"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI — deterministic hash-weighted resampling
+
+_BOOT_B = 40
+# cumulative Poisson(1) pmf mapped onto the h60 domain: floor(F(k)*2^60)
+# for k = 0..5 (P[w > 5] ~ 6e-5 truncates to w = 6). Same literals on
+# both engines -> the resample weights are pure functions of the data.
+_POIS_T = (424136118829305344, 848272237658610688,
+           1060340297073263360, 1131029650211480960,
+           1148701988496035328, 1152236456152946176)
+
+
+def _boot_w_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events),
+    rep AS (
+      SELECT r.b, base.cents,
+             {_boot_w_sql(
+                 "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)"
+                 " || ':' || CAST(r.b AS VARCHAR)), 1, 15) AS BIGINT)"
+             )} AS w
+      FROM base, (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
+                  AS b) r),
+    means AS (
+      SELECT b,
+             CAST((2 * CAST(sum(w * cents) AS HUGEINT) * 1000000
+                   + sum(w)) // (2 * CAST(sum(w) AS HUGEINT))
+                  AS BIGINT) AS m_e6
+      FROM rep GROUP BY b),
+    ranked AS (
+      SELECT m_e6, row_number() OVER (ORDER BY m_e6, b) AS rn
+      FROM means),
+    pt AS (
+      SELECT CAST((2 * CAST(sum(cents) AS HUGEINT) * 1000000
+                   + count(*)) // (2 * CAST(count(*) AS HUGEINT))
+                  AS BIGINT) AS m_e6,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base)
+    SELECT pt.n AS n_rows, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           CAST(pt.m_e6 AS DOUBLE) / 1000000.0 AS mean6,
+           CAST((SELECT m_e6 FROM ranked WHERE rn = 2) AS DOUBLE)
+               / 1000000.0 AS ci_lo6,
+           CAST((SELECT m_e6 FROM ranked WHERE rn = {_BOOT_B - 1})
+                AS DOUBLE) / 1000000.0 AS ci_hi6
+    FROM pt
+    """,
+    doc=f"percentile-bootstrap confidence interval for the mean "
+        f"value, via the POISSON bootstrap (Chamandy et al.'s "
+        f"single-pass formulation): each of B={_BOOT_B} replicates "
+        "weighs every row by a Poisson(1) draw, here derived "
+        "DETERMINISTICALLY from md5(event_id:b) against precomputed "
+        "cumulative-pmf thresholds on the h60 domain — so the "
+        "'random' resample is a pure function of the data and both "
+        "engines materialize the identical replicate. The CI is the "
+        f"(2nd, {_BOOT_B - 1}th) order statistic of the B exact "
+        "integer replicate means (~2.5/97.5th percentiles). Scale: "
+        "the B-fold expansion happens in the map stage as an array "
+        "explode and collapses immediately into map-side-combinable "
+        "partial sums — the shuffle carries B*partitions rows, "
+        "never B*data; this is THE bootstrap that works on data too "
+        "large to resample by index",
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+
+    def w_of(h):
+        expr = F.lit(6)
+        for k, t in reversed(list(enumerate(_POIS_T))):
+            expr = F.when(h < t, F.lit(k)).otherwise(expr)
+        return expr
+
+    reps = base.select(
+        "cents",
+        F.posexplode(F.array(*[
+            w_of(h60(F.concat(F.col("event_id").cast("string"),
+                              F.lit(f":{b}"))))
+            for b in range(_BOOT_B)])).alias("b", "w"))
+    s = F.sum(F.col("w") * F.col("cents")).cast("decimal(38,0)")
+    c = F.sum("w").cast("decimal(38,0)")
+    means = (reps.groupBy("b")
+             .agg((((2 * s * 1000000 + c)
+                    - (2 * s * 1000000 + c) % (2 * c)) / (2 * c))
+                  .cast("bigint").alias("m_e6")))
+    # B-row relation: the global order-statistic window is bounded
+    wr = Window.orderBy("m_e6", "b")
+    ranked = means.select("m_e6", F.row_number().over(wr).alias("rn"))
+    lo = (ranked.filter(F.col("rn") == 2)
+          .select(F.col("m_e6").alias("lo")))
+    hi = (ranked.filter(F.col("rn") == _BOOT_B - 1)
+          .select(F.col("m_e6").alias("hi")))
+    sp = F.sum("cents").cast("decimal(38,0)")
+    cp = F.count(F.lit(1)).cast("decimal(38,0)")
+    pt = base.agg(
+        (((2 * sp * 1000000 + cp) - (2 * sp * 1000000 + cp) % (2 * cp))
+         / (2 * cp)).cast("bigint").alias("m_e6"),
+        F.count(F.lit(1)).alias("n"))
+    out = (pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi)))
+    return out.select(
+        F.col("n").alias("n_rows"),
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        (F.col("m_e6").cast("double") / 1000000.0).alias("mean6"),
+        (F.col("lo").cast("double") / 1000000.0).alias("ci_lo6"),
+        (F.col("hi").cast("double") / 1000000.0).alias("ci_hi6"))
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel — max ordered-chain depth inside a sliding time window
+
+@query(
+    "window_funnel_depth",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_type, event_id
+      FROM events),
+    lv AS (
+      SELECT user_id, tus, event_type,
+             max(CASE WHEN event_type = 'view' THEN tus END)
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS last_view
+      FROM e),
+    cv AS (
+      SELECT user_id, tus, event_type, last_view,
+             max(CASE WHEN event_type = 'click'
+                      THEN last_view END)
+                 OVER (PARTITION BY user_id ORDER BY tus
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS best_anchor
+      FROM lv),
+    flags AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'view'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(max(CASE WHEN event_type = 'click'
+                      AND last_view >= tus - 3600000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                      AND best_anchor >= tus - 3600000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM cv GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(d1 + d1 * d2 + d1 * d2 * d3 AS BIGINT)
+               AS funnel_depth
+    FROM flags ORDER BY user_id
+    """,
+    doc="windowFunnel (ClickHouse-style sequence analytics): per "
+        "user, the deepest view -> click -> purchase chain whose "
+        "whole span fits in a 1-hour window anchored at the chain's "
+        "first event. The naive formulation is a per-user 3-way "
+        "self-join; this one is PURE WINDOW ALGEBRA via a greedy "
+        "invariant: a depth-3 chain ending at purchase p exists iff "
+        "some earlier click carried a view later than p - W — so "
+        "'latest view before each event' (window max over views) "
+        "and 'best such anchor over preceding clicks' (window max "
+        "over clicks) reduce chain existence to two row comparisons. "
+        "Timestamps are exact epoch-microsecond integers on both "
+        "engines. One exchange: everything shares the per-user "
+        "(ts, event_id) ordering; no self-join at any scale",
+)
+def window_funnel_depth(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("tus"),
+                  "event_type", "event_id")
+    w = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    lv = e.select(
+        "user_id", "tus", "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("tus")))
+        .over(w).alias("last_view"))
+    w2 = (Window.partitionBy("user_id").orderBy("tus")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cv = lv.select(
+        "user_id", "tus", "event_type", "last_view",
+        F.max(F.when(F.col("event_type") == "click",
+                     F.col("last_view"))).over(w2)
+        .alias("best_anchor"))
+    win_us = F.lit(3600000000)
+    flags = cv.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint").alias("d1"),
+        F.max(F.when((F.col("event_type") == "click")
+                     & (F.col("last_view") >= F.col("tus") - win_us),
+                     1).otherwise(0)).cast("bigint").alias("d2"),
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("best_anchor")
+                        >= F.col("tus") - win_us),
+                     1).otherwise(0)).cast("bigint").alias("d3"),
+        F.count(F.lit(1)).alias("n_events"))
+    return (flags.select(
+                "user_id", "n_events",
+                (F.col("d1") + F.col("d1") * F.col("d2")
+                 + F.col("d1") * F.col("d2") * F.col("d3"))
+                .cast("bigint").alias("funnel_depth"))
+            .orderBy("user_id"))

@@ -202,6 +202,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "rfm_segmentation",            # 1-row max-date + total scalars
         "brier_logloss_calibration",   # 1-row train-count scalar
         "hits_hub_authority",          # 1-row L-inf max per half-step
+        "wasserstein_distance_drift",  # 1-row sample-total scalars
+        "js_divergence_lang_tokens",   # 1-row token-total scalars
+        "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -216,7 +219,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "kruskal_wallis_h",
                     # k-row bounded model/sketch relations
                     "kmv_distinct_sketch", "rec_ndcg_popularity",
-                    "rfm_segmentation"}
+                    "rfm_segmentation", "wasserstein_distance_drift",
+                    "poisson_bootstrap_ci"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
@@ -373,6 +377,10 @@ def test_round4e_exchange_budgets(spark, sf001):
         "anova_f_oneway": 3,
         "brier_logloss_calibration": 4,
         "hits_hub_authority": 20,
+        "wasserstein_distance_drift": 10,
+        "js_divergence_lang_tokens": 6,
+        "poisson_bootstrap_ci": 3,
+        "window_funnel_depth": 2,
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
