@@ -5889,7 +5889,7 @@ _KMV_K = 16
             FROM h GROUP BY 1) c USING (event_type)
       WHERE r.rn = {_KMV_K}),
     merged_pool AS (
-      SELECT h60 FROM ranked WHERE rn <= {_KMV_K}),
+      SELECT DISTINCT h60 FROM ranked WHERE rn <= {_KMV_K}),
     merged_ranked AS (
       SELECT h60, row_number() OVER (ORDER BY h60) AS rn
       FROM merged_pool),
@@ -5940,9 +5940,15 @@ def kmv_distinct_sketch(spark, sf_dir):
                 .join(F.broadcast(n_per), "event_type")
                 .select(F.col("event_type").alias("scope"),
                         "n_exact", F.col("h60").alias("kth_h60")))
-    pool = ranked.filter(F.col("rn") <= _KMV_K).select("h60")
-    # the merge pool is k * #types rows by construction — the global
-    # window over it is bounded state forever
+    # KMV merge = k smallest DISTINCT hashes of the pooled sketches:
+    # the same value can sit in several per-group sketches with the
+    # same hash, and keeping duplicates would pull the k-th order
+    # statistic down (systematic overestimate) — caught by the
+    # merge-losslessness property test in tests/test_stats_ops.py
+    pool = (ranked.filter(F.col("rn") <= _KMV_K)
+            .select("h60").distinct())
+    # the merge pool is <= k * #types rows by construction — the
+    # global window over it is bounded state forever
     wm = Window.orderBy("h60")
     merged_kth = (pool.select("h60",
                               F.row_number().over(wm).alias("rn"))

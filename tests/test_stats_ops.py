@@ -597,3 +597,311 @@ def test_conformal_coverage_near_nominal(spark):
     kth = -(-(len(res) + 1) * 9 // 10)  # python floor-div ceil trick
     assert r.n_calib == len(res)
     assert r.q_hat_cents == res.iloc[kth - 1]
+
+
+# ---------------------------------------------------------------------------
+# round-4 late wave: indicators, hypothesis tests, sketches, funnel
+
+
+def _daily_close(spark):
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    return (ev.sort_values(["ts", "event_id"])
+            .groupby(["user_id", "day"])
+            .agg(close=("value", "last")).reset_index())
+
+
+def test_macd_matches_pandas_ewm(spark):
+    out = REG["macd_histogram"].spark_fn(spark, SF).toPandas()
+    bars = _daily_close(spark)
+    for uid, g in bars.groupby("user_id"):
+        s = g.sort_values("day").close
+        f = s.ewm(alpha=2.0 / 13.0, adjust=False).mean()
+        sl = s.ewm(alpha=2.0 / 27.0, adjust=False).mean()
+        macd = f - sl
+        sig = macd.ewm(alpha=2.0 / 10.0, adjust=False).mean()
+        got = out[out.user_id == uid].sort_values("day")
+        assert np.allclose(got.macd, macd, atol=1e-6)
+        assert np.allclose(got.macd_signal, sig, atol=1e-6)
+        assert np.allclose(got.histogram, macd - sig, atol=2e-6)
+
+
+def test_stochastic_bounds_and_pandas(spark):
+    out = REG["stochastic_oscillator"].spark_fn(spark, SF).toPandas()
+    assert ((out.pct_k >= 0) & (out.pct_k <= 1)).all()
+    assert ((out.pct_d >= 0) & (out.pct_d <= 1)).all()
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = (ev.sort_values(["ts", "event_id"])
+            .groupby(["user_id", "day"])
+            .agg(h=("cents", "max"), l=("cents", "min"),
+                 c=("cents", "last")).reset_index())
+    for uid, g in bars.groupby("user_id"):
+        g = g.sort_values("day").reset_index(drop=True)
+        h14 = g.h.rolling(14, min_periods=1).max()
+        l14 = g.l.rolling(14, min_periods=1).min()
+        keep = h14 > l14
+        k = ((g.c - l14) / (h14 - l14))[keep]
+        got = out[out.user_id == uid].sort_values("day")
+        assert np.allclose(got.pct_k, k, atol=1e-6)
+
+
+def test_obv_matches_pandas(spark):
+    out = REG["obv_indicator"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    bars = (ev.sort_values(["ts", "event_id"])
+            .groupby(["user_id", "day"])
+            .agg(c=("cents", "last"), n=("cents", "size"))
+            .reset_index())
+    for uid, g in bars.groupby("user_id"):
+        g = g.sort_values("day").reset_index(drop=True)
+        d = np.sign(g.c.diff().fillna(0)).astype("int64")
+        obv = (d * g.n).cumsum()
+        got = out[out.user_id == uid].sort_values("day")
+        assert (got.obv.to_numpy() == obv.to_numpy()).all()
+
+
+def test_sortino_matches_numpy(spark):
+    out = REG["sortino_downside_ratio"].spark_fn(spark, SF).toPandas()
+    ev = (table(spark, SF, "events").toPandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    for uid, g in ev.groupby("user_id"):
+        v = g.value.to_numpy()
+        r = np.round(np.log(v[1:] / v[:-1]) * 1e6).astype("int64")
+        neg = r[r < 0]
+        if len(r) < 2 or len(neg) == 0:
+            assert uid not in set(out.user_id)
+            continue
+        dd = np.sqrt((neg.astype(float) ** 2).sum() / len(r)) / 1e6
+        got = out[out.user_id == uid].iloc[0]
+        assert abs(got.downside_dev - dd) < 1e-5
+        mean = r.sum() / len(r) / 1e6
+        assert abs(got.sortino - mean / dd) < 1e-4
+
+
+def test_mann_whitney_matches_numpy(spark):
+    got = REG["mann_whitney_u"].spark_fn(spark, SF).toPandas().iloc[0]
+    ev = table(spark, SF, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    cents = (ev.value * 100).round().astype("int64")
+    y = (ev.event_type == "purchase").astype(int).to_numpy()
+    x = cents.to_numpy()
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    # tie-averaged ranks via numpy
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=float)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    r1 = ranks[y == 1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert got.u_x2 == round(2 * u1)
+    nn = n1 + n0
+    _, t = np.unique(x, return_counts=True)
+    tie = (t.astype(float) ** 3 - t).sum()
+    sigma = np.sqrt(n1 * n0 / 12.0 * ((nn + 1) - tie / (nn * (nn - 1))))
+    z = (u1 - n1 * n0 / 2.0) / sigma
+    assert abs(got.z6 - z) < 1e-4
+
+
+def test_kruskal_and_anova_match_numpy(spark):
+    ev = table(spark, SF, "events").toPandas()
+    x = (ev.value * 100).round().astype("int64").to_numpy()
+    gs = ev.event_type.to_numpy()
+    # Kruskal-Wallis with tie correction
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=float)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    nn = len(x)
+    hsum = sum(ranks[gs == g].sum() ** 2 / (gs == g).sum()
+               for g in np.unique(gs))
+    h = 12.0 * hsum / (nn * (nn + 1)) - 3 * (nn + 1)
+    _, t = np.unique(x, return_counts=True)
+    c = 1 - ((t.astype(float) ** 3 - t).sum()) / (nn ** 3 - nn)
+    kw = REG["kruskal_wallis_h"].spark_fn(spark, SF).toPandas().iloc[0]
+    assert abs(kw.h6 - h) < 1e-3
+    assert abs(kw.h_tie_adj6 - h / c) < 1e-3
+    # one-way ANOVA F
+    groups = [x[gs == g].astype(float) for g in np.unique(gs)]
+    k = len(groups)
+    gm = x.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    av = REG["anova_f_oneway"].spark_fn(spark, SF).toPandas().iloc[0]
+    assert av.k == k and av.n_total == nn
+    assert abs(av.f6 - f) < 1e-3
+
+
+def test_cramers_v_consistent_with_chi2_terms(spark):
+    v = REG["cramers_v_effect"].spark_fn(spark, SF).toPandas().iloc[0]
+    terms = (REG["chi2_independence_test"].spark_fn(spark, SF)
+             .toPandas())
+    chi2 = terms.chi2_term.sum()
+    assert abs(v.chi2_6 - chi2) < 1e-3
+    expect = np.sqrt(chi2 / (v.n * (min(v.n_rows_cat,
+                                        v.n_cols_cat) - 1)))
+    assert abs(v.cramers_v6 - expect) < 1e-4
+    assert 0 <= v.cramers_v6 <= 1
+
+
+def test_kmv_merge_property_and_accuracy(spark):
+    import hashlib
+    out = REG["kmv_distinct_sketch"].spark_fn(spark, SF).toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pools = {}
+    for et, g in ev.groupby("event_type"):
+        hs = sorted(h60(str(c)) for c in g.cents.unique())
+        pools[et] = hs[:16]
+        row = out[out.scope == et].iloc[0]
+        assert row.kth_h60 == hs[15]
+        assert row.n_exact == len(g.cents.unique())
+    merged = sorted({h for p in pools.values() for h in p})[:16]
+    row = out[out.scope == "ALL"].iloc[0]
+    assert row.kth_h60 == merged[15]
+    # merged kth == global kth (the KMV merge-losslessness property)
+    ghs = sorted(h60(str(c)) for c in ev.cents.unique())
+    assert merged[15] == ghs[15]
+    # estimator sanity: within 60% of truth at k=16
+    assert abs(row.kmv_est6 - row.n_exact) / row.n_exact < 0.6
+
+
+def test_ndcg_bounded_by_hitrate(spark):
+    nd = REG["rec_ndcg_popularity"].spark_fn(spark, SF).toPandas()
+    hr = REG["rec_hitrate_popularity"].spark_fn(spark, SF).toPandas()
+    assert nd.iloc[0].hits == hr.iloc[0].hits
+    assert 0 <= nd.iloc[0].ndcg6 <= hr.iloc[0].hitrate6 + 1e-9
+
+
+def test_rfm_quintiles_balanced(spark):
+    q = REG["rfm_segmentation"].spark_fn(spark, SF).toPandas()
+    n = q.n_customers.sum()
+    for col in ["r_q", "f_q", "m_q"]:
+        sizes = q.groupby(col).n_customers.sum()
+        assert sorted(sizes.index) == [1, 2, 3, 4, 5]
+        assert sizes.max() - sizes.min() <= 1, (col, sizes)
+        assert sizes.sum() == n
+
+
+def test_brier_logloss_match_numpy(spark):
+    got = (REG["brier_logloss_calibration"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    ev = table(spark, SF, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])].copy()
+    ev["hod"] = ev.ts.dt.hour
+    ev["y"] = (ev.event_type == "purchase").astype(int)
+    tr = ev[ev.event_id % 2 == 0]
+    te = ev[ev.event_id % 2 == 1]
+    model = tr.groupby("hod").y.agg(["sum", "size"])
+    p_e6 = ((model["sum"] + 1) * 1e6 / (model["size"] + 2)).round()
+    te = te.join(p_e6.rename("p"), on="hod", how="inner")
+    p = te.p / 1e6
+    brier = ((p - te.y) ** 2).mean()
+    logloss = (-np.log(np.where(te.y == 1, p, 1 - p))).mean()
+    assert got.n_test == len(te)
+    assert abs(got.brier6 - brier) < 1e-5
+    assert abs(got.logloss6 - logloss) < 1e-5
+
+
+def test_wasserstein_matches_numpy(spark):
+    got = (REG["wasserstein_distance_drift"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    ev = table(spark, SF, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    cents = (ev.value * 100).round().astype("int64")
+    a = np.sort(cents[ev.event_type == "purchase"].to_numpy())
+    b = np.sort(cents[ev.event_type == "click"].to_numpy())
+    # integral of |CDF difference| over the merged support
+    xs = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, xs, side="right") / len(a)
+    cb = np.searchsorted(b, xs, side="right") / len(b)
+    w1 = float((np.abs(ca - cb)[:-1] * np.diff(xs)).sum())
+    assert abs(got.w1_cents6 - w1) < 1e-4
+
+
+def test_jsd_bounds_and_numpy(spark):
+    got = (REG["js_divergence_lang_tokens"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    assert 0 <= got.jsd6 <= np.log(2) + 1e-9
+    docs = table(spark, SF, "documents").toPandas()
+    from collections import Counter
+    ca, cb = Counter(), Counter()
+    for _, d in docs.iterrows():
+        t = d.text.strip().lower()
+        toks = t.split() if t else []
+        (ca if d.lang == "en" else cb).update(toks)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for tok in set(ca) | set(cb):
+        p, q = ca[tok] / ta, cb[tok] / tb
+        m = (p + q) / 2
+        if p:
+            jsd += p * np.log(p / m)
+        if q:
+            jsd += q * np.log(q / m)
+    assert abs(got.jsd6 - jsd / 2) < 1e-3
+    assert got.n_tokens_en == ta and got.n_tokens_rest == tb
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    got = (REG["poisson_bootstrap_ci"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    assert got.n_replicates == 40
+    assert got.ci_lo6 <= got.ci_hi6
+    # the CI should bracket the full-sample mean on this data
+    assert got.ci_lo6 <= got.mean6 <= got.ci_hi6
+    # and be meaningfully tighter than the value range
+    assert (got.ci_hi6 - got.ci_lo6) < 30 * 100
+
+
+def test_window_funnel_matches_bruteforce(spark):
+    out = (REG["window_funnel_depth"].spark_fn(spark, SF)
+           .toPandas().set_index("user_id"))
+    ev = (table(spark, SF, "events").toPandas()
+          .sort_values(["ts", "event_id"]))
+    W = 3600 * 1_000_000
+    for uid, g in ev.groupby("user_id"):
+        t = (g.ts.astype("int64") // 1000).to_numpy() \
+            if g.ts.dtype.kind == "M" else g.ts.to_numpy()
+        t = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        et = g.event_type.to_numpy()
+        vs = t[et == "view"]
+        cs = t[et == "click"]
+        ps = t[et == "purchase"]
+        d = 1 if len(vs) else 0
+        if d and any((c > v) and (c - v <= W)
+                     for v in vs for c in cs):
+            d = 2
+            if any((p > c > v) and (p - v <= W)
+                   for v in vs for c in cs for p in ps):
+                d = 3
+        assert out.loc[uid].funnel_depth == d, uid
+
+
+def test_hits_scores_normalized_and_bounded(spark):
+    out = REG["hits_hub_authority"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 50
+    assert ((out.authority_e6 > 0) & (out.authority_e6 <= 1e6)).all()
+    assert ((out.hub_e6 >= 0) & (out.hub_e6 <= 1e6)).all()
+    # L-inf normalization pins the top authority at exactly 1e6
+    assert out.authority_e6.max() == 1_000_000
