@@ -218,3 +218,69 @@ def with_macd(df: DataFrame, value_col: str,
         yield pdf[cols + [macd_col, signal_col]]
 
     return arranged.mapInPandas(kernel, schema=schema)
+
+
+def with_holt_winters(df: DataFrame, value_col: str,
+                      partition_by: Sequence[str],
+                      order_by: Sequence[str],
+                      period: int = 7,
+                      alpha: float = 0.25, beta: float = 0.125,
+                      gamma: float = 0.25,
+                      level_col: str = "level",
+                      trend_col: str = "trend",
+                      seasonal_col: str = "seasonal") -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing:
+    ``l_i = alpha*(x_i - s_{i-m}) + (1-alpha)*(l_{i-1} + b_{i-1});
+    b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1};
+    s_i = gamma*(x_i - l_i) + (1-gamma)*s_{i-m}``
+    with the deterministic cold start ``l_0 = x_0, b_0 = 0`` and a
+    zero seasonal ring (``s_j = 0`` for the first m lags).
+
+    The state is (level, trend, m-slot seasonal ring) — the deepest
+    recursion in the fold family, still ONE exchange + ONE partition
+    sort + ONE Arrow transfer. Alphas default to dyadic rationals so
+    ``1 - a`` is exact; every expression is written as the DuckDB
+    recursive-CTE oracle (list-typed seasonal ring) evaluates it.
+    """
+    import pandas as pd
+
+    cols = list(df.columns)
+    keys = list(partition_by)
+    arranged = (df.repartition(*keys)
+                .sortWithinPartitions(*keys, *order_by))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + (f", `{level_col}` double, `{trend_col}` double,"
+         f" `{seasonal_col}` double")
+    a, b_, g_ = float(alpha), float(beta), float(gamma)
+
+    def kernel(batches):
+        frames = [fr for fr in batches if len(fr)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        n = len(pdf)
+        lv, tr, sv = [0.0] * n, [0.0] * n, [0.0] * n
+        x = pdf[value_col].to_numpy()
+        gids = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        prev_gid, l, t, ring = None, 0.0, 0.0, []
+        for i in range(n):
+            xi = float(x[i])
+            if gids[i] != prev_gid:
+                l, t = xi, 0.0
+                ring = [0.0] * period
+                s_new = g_ * (xi - l) + (1.0 - g_) * ring[0]
+                ring = ring[1:] + [s_new]
+                prev_gid = gids[i]
+            else:
+                s_old = ring[0]
+                l_new = a * (xi - s_old) + (1.0 - a) * (l + t)
+                t = b_ * (l_new - l) + (1.0 - b_) * t
+                l = l_new
+                s_new = g_ * (xi - l) + (1.0 - g_) * s_old
+                ring = ring[1:] + [s_new]
+            lv[i], tr[i], sv[i] = l, t, ring[-1]
+        pdf[level_col], pdf[trend_col], pdf[seasonal_col] = lv, tr, sv
+        yield pdf[cols + [level_col, trend_col, seasonal_col]]
+
+    return arranged.mapInPandas(kernel, schema=schema)

@@ -5265,9 +5265,10 @@ def conformal_interval_coverage(spark, sf_dir):
       FROM ord o JOIN rec r
         ON o.user_id = r.user_id AND o.rn = r.rn + 1)
     SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day,
-           ROUND(sf - ss, 6) AS macd,
-           ROUND(sg, 6) AS macd_signal,
-           ROUND((sf - ss) - sg, 6) AS histogram
+           floor((sf - ss) * 1000000.0 + 0.5) / 1000000.0 AS macd,
+           floor(sg * 1000000.0 + 0.5) / 1000000.0 AS macd_signal,
+           floor(((sf - ss) - sg) * 1000000.0 + 0.5) / 1000000.0
+               AS histogram
     FROM rec ORDER BY user_id, rn
     """,
     doc="MACD(12,26,9) over daily close bars per symbol: fast/slow "
@@ -5293,12 +5294,20 @@ def macd_histogram(spark, sf_dir):
                        .alias("bar_day"))
             .agg(F.max(tagged)["v"].alias("close")))
     out = with_macd(bars, "close", ["user_id"], ["bar_day"])
+
+    # floor(x*1e6 + 0.5)/1e6 instead of ROUND(x, 6): identical IEEE
+    # sequence on both engines, immune to the 5e-7 representability
+    # boundary where Spark/DuckDB ROUND disagree (bit HW at sf0.01)
+    def r6(c):
+        return (F.floor(c * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0))
+
     return (out.select(
                 "user_id",
                 F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
-                F.round("macd", _R).alias("macd"),
-                F.round("macd_signal", _R).alias("macd_signal"),
-                F.round(F.col("macd") - F.col("macd_signal"), _R)
+                r6(F.col("macd")).alias("macd"),
+                r6(F.col("macd_signal")).alias("macd_signal"),
+                r6(F.col("macd") - F.col("macd_signal"))
                 .alias("histogram"))
             .orderBy("user_id", "day"))
 
@@ -6154,3 +6163,197 @@ def brier_logloss_calibration(spark, sf_dir):
          / 1000000.0).alias("brier6"),
         F.round(F.col("lsum") / F.col("n_test").cast("double"), 6)
         .alias("logloss6"))
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple smoothing — level + trend + weekly seasonal ring
+
+@query(
+    "holt_winters_seasonal",
+    oracle="""
+    WITH RECURSIVE bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_day,
+             (max(struct_pack(t := ts, e := event_id,
+                              v := value))).v AS close
+      FROM events GROUP BY 1, 2),
+    ord AS (
+      SELECT user_id, bar_day, close,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY bar_day) AS rn
+      FROM bars),
+    rec AS (
+      SELECT user_id, rn, bar_day, close,
+             close AS l, CAST(0.0 AS DOUBLE) AS t,
+             [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                 AS ring
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.bar_day, o.close,
+             0.25 * (o.close - r.ring[1]) + 0.75 * (r.l + r.t),
+             0.125 * ((0.25 * (o.close - r.ring[1])
+                       + 0.75 * (r.l + r.t)) - r.l) + 0.875 * r.t,
+             list_append(r.ring[2:7],
+                 0.25 * (o.close - (0.25 * (o.close - r.ring[1])
+                                    + 0.75 * (r.l + r.t)))
+                 + 0.75 * r.ring[1])
+      FROM ord o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, strftime(bar_day, '%Y-%m-%d') AS day,
+           floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+           floor(t * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           floor(ring[7] * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+    FROM rec ORDER BY user_id, rn
+    """,
+    doc="Holt-Winters additive triple exponential smoothing over "
+        "daily close bars (weekly period m=7, dyadic alphas 0.25/"
+        "0.125/0.25 so 1-a is float-exact): level, trend, AND an "
+        "m-slot seasonal ring advanced per step — the deepest "
+        "sequential recursion in the fold family, still ONE "
+        "partition-aligned mapInPandas pass "
+        "(operators/indicators.py:with_holt_winters). The DuckDB "
+        "oracle carries the ring as a LIST column through a "
+        "recursive CTE, rotated with list slicing — every float "
+        "expression literal-for-literal identical, so the triple "
+        "state is bit-exact cross-engine; the edge rounding is "
+        "floor(x*1e6 + 0.5)/1e6 evaluated as the SAME IEEE sequence "
+        "on both engines (plain ROUND(x, 6) differs cross-engine on "
+        "5e-7 representability boundaries — one row in 4006 at "
+        "sf0.01 flipped). Bar relation is days-sized per key: fold "
+        "state and oracle both scale with calendar length, never "
+        "tick volume",
+)
+def holt_winters_seasonal(spark, sf_dir):
+    from ..operators.indicators import with_holt_winters
+    ev = table(spark, sf_dir, "events")
+    tagged = F.struct(F.col("ts").alias("t"),
+                      F.col("event_id").alias("e"),
+                      F.col("value").alias("v"))
+    bars = (ev.groupBy("user_id",
+                       F.date_trunc("day", F.col("ts"))
+                       .alias("bar_day"))
+            .agg(F.max(tagged)["v"].alias("close")))
+    out = with_holt_winters(bars, "close", ["user_id"], ["bar_day"])
+
+    def r6(c):
+        return (F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0))
+
+    return (out.select(
+                "user_id",
+                F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
+                r6("level").alias("level"),
+                r6("trend").alias("trend"),
+                r6("seasonal").alias("seasonal"))
+            .orderBy("user_id", "day"))
+
+
+# ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability ratio test, integer LLR units
+
+_SPRT = {
+    # H0: purchase share p0 = 0.25   H1: p1 = 0.35   alpha = beta = 0.05
+    # per-observation LLR increments and the decision thresholds,
+    # pre-rounded to exact 1e-6 integers (identical literals on both
+    # engines -> every decision is pure integer arithmetic)
+    "c1": 336472,    # round(ln(0.35/0.25) * 1e6)   success increment
+    "c0": -143101,   # round(ln(0.65/0.75) * 1e6)   failure increment
+    "up": 2944439,   # round(ln(0.95/0.05) * 1e6)   accept H1 at >=
+    "dn": -2944439,  # accept H0 at <=
+}
+
+
+@query(
+    "sprt_sequential_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    seq AS (
+      SELECT user_id,
+             row_number() OVER w AS rn,
+             CAST(sum(y) OVER (PARTITION BY user_id ORDER BY ts,
+                  event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS k
+      FROM base WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+    llr AS (
+      SELECT user_id, rn, k,
+             k * {_SPRT['c1']} + (rn - k) * ({_SPRT['c0']}) AS v
+      FROM seq),
+    hit AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             min(CASE WHEN v >= {_SPRT['up']}
+                 THEN struct_pack(rn := rn, k := k) END) AS up_hit,
+             min(CASE WHEN v <= {_SPRT['dn']}
+                 THEN struct_pack(rn := rn, k := k) END) AS dn_hit
+      FROM llr GROUP BY user_id)
+    SELECT user_id, n_obs,
+           CASE
+             WHEN up_hit IS NOT NULL AND (dn_hit IS NULL
+                  OR up_hit.rn < dn_hit.rn) THEN 'accept_h1'
+             WHEN dn_hit IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision,
+           CAST(coalesce(
+             CASE WHEN up_hit IS NOT NULL AND (dn_hit IS NULL
+                  OR up_hit.rn < dn_hit.rn) THEN up_hit.rn
+                  ELSE dn_hit.rn END, 0) AS BIGINT) AS n_at_decision,
+           CAST(coalesce(
+             CASE WHEN up_hit IS NOT NULL AND (dn_hit IS NULL
+                  OR up_hit.rn < dn_hit.rn) THEN up_hit.k
+                  ELSE dn_hit.k END, 0) AS BIGINT) AS k_at_decision
+    FROM hit ORDER BY user_id
+    """,
+    doc="Wald's SPRT per user: is this user's purchase share 0.35 "
+        "(H1) or 0.25 (H0), alpha = beta = 0.05, decided at the "
+        "FIRST crossing of the log-likelihood-ratio random walk — "
+        "the always-valid sequential A/B test that stops early "
+        "instead of fixing n. The LLR increments and Wald "
+        "thresholds are pre-rounded to exact 1e-6-unit integers "
+        "(identical literals both engines), so the walk, the "
+        "crossing predicates, and the argmin are ALL integer "
+        "arithmetic — no float ever touches a decision. First "
+        "crossing is min(struct(rn, k)) under a crossing flag (no "
+        "second pass); everything shares one per-user window "
+        "ordering -> a single exchange at any scale",
+)
+def sprt_sequential_test(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select("user_id", "ts", "event_id",
+                    (F.col("event_type") == "purchase").cast("bigint")
+                    .alias("y")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = base.select(
+        "user_id",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.sum("y").over(w).alias("k"))
+    v = (F.col("k") * _SPRT["c1"]
+         + (F.col("rn") - F.col("k")) * _SPRT["c0"])
+    llr = seq.select("user_id", "rn", "k", v.alias("v"))
+    hitstruct = F.struct(F.col("rn").alias("rn"),
+                         F.col("k").alias("k"))
+    hit = llr.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(F.when(F.col("v") >= _SPRT["up"], hitstruct))
+        .alias("up_hit"),
+        F.min(F.when(F.col("v") <= _SPRT["dn"], hitstruct))
+        .alias("dn_hit"))
+    up, dn = F.col("up_hit"), F.col("dn_hit")
+    h1_first = up.isNotNull() & (dn.isNull()
+                                 | (up["rn"] < dn["rn"]))
+    decision = (F.when(h1_first, F.lit("accept_h1"))
+                .when(dn.isNotNull(), F.lit("accept_h0"))
+                .otherwise(F.lit("continue")))
+    n_at = F.coalesce(F.when(h1_first, up["rn"]).otherwise(dn["rn"]),
+                      F.lit(0)).cast("bigint")
+    k_at = F.coalesce(F.when(h1_first, up["k"]).otherwise(dn["k"]),
+                      F.lit(0)).cast("bigint")
+    return (hit.select("user_id", "n_obs",
+                       decision.alias("decision"),
+                       n_at.alias("n_at_decision"),
+                       k_at.alias("k_at_decision"))
+            .orderBy("user_id"))

@@ -369,7 +369,7 @@ def test_round4e_exchange_budgets(spark, sf001):
         "mann_whitney_u": 6,
         "kruskal_wallis_h": 14,
         "cramers_v_effect": 11,
-        "kmv_distinct_sketch": 9,
+        "kmv_distinct_sketch": 10,  # +1: merge-pool DISTINCT (k-sized)
         "rec_ndcg_popularity": 10,
         # melted single-rank-chain form; the chained-global_rank
         # version measured 34 (11 orders scans) — see query comment
@@ -381,6 +381,8 @@ def test_round4e_exchange_budgets(spark, sf001):
         "js_divergence_lang_tokens": 6,
         "poisson_bootstrap_ci": 3,
         "window_funnel_depth": 2,
+        "holt_winters_seasonal": 3,      # bars agg, series fold, sort
+        "sprt_sequential_test": 2,       # series window+agg, sort
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))

@@ -905,3 +905,53 @@ def test_hits_scores_normalized_and_bounded(spark):
     assert ((out.hub_e6 >= 0) & (out.hub_e6 <= 1e6)).all()
     # L-inf normalization pins the top authority at exactly 1e6
     assert out.authority_e6.max() == 1_000_000
+
+
+def test_holt_winters_matches_python_recursion(spark):
+    out = REG["holt_winters_seasonal"].spark_fn(spark, SF).toPandas()
+    bars = _daily_close(spark)
+    a, b, g, m = 0.25, 0.125, 0.25, 7
+    for uid, grp in bars.groupby("user_id"):
+        xs = grp.sort_values("day").close.to_numpy()
+        l, t, ring = float(xs[0]), 0.0, [0.0] * m
+        ring = ring[1:] + [g * (xs[0] - l) + (1 - g) * ring[0]]
+        lv, tv, sv = [l], [t], [ring[-1]]
+        for x in xs[1:]:
+            s_old = ring[0]
+            l_new = a * (x - s_old) + (1 - a) * (l + t)
+            t = b * (l_new - l) + (1 - b) * t
+            l = l_new
+            s_new = g * (x - l) + (1 - g) * s_old
+            ring = ring[1:] + [s_new]
+            lv.append(l); tv.append(t); sv.append(s_new)
+        got = out[out.user_id == uid].sort_values("day")
+        assert np.allclose(got.level, lv, atol=1e-6)
+        assert np.allclose(got.trend, tv, atol=1e-6)
+        assert np.allclose(got.seasonal, sv, atol=1e-6)
+
+
+def test_sprt_matches_python_walk(spark):
+    out = (REG["sprt_sequential_test"].spark_fn(spark, SF)
+           .toPandas().set_index("user_id"))
+    ev = (table(spark, SF, "events").toPandas()
+          .sort_values(["ts", "event_id"]))
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    c1, c0, up, dn = 336472, -143101, 2944439, -2944439
+    for uid, g in ev.groupby("user_id"):
+        y = (g.event_type == "purchase").astype(int).to_numpy()
+        llr, k, hit = 0, 0, None
+        for i, yi in enumerate(y, start=1):
+            k += yi
+            llr += c1 if yi else c0
+            if llr >= up:
+                hit = ("accept_h1", i, k); break
+            if llr <= dn:
+                hit = ("accept_h0", i, k); break
+        row = out.loc[uid]
+        if hit is None:
+            assert row.decision == "continue"
+            assert row.n_at_decision == 0 and row.k_at_decision == 0
+        else:
+            assert (row.decision, row.n_at_decision,
+                    row.k_at_decision) == hit
+        assert row.n_obs == len(y)
