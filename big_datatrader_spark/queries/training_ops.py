@@ -2919,3 +2919,202 @@ def window_funnel_depth(spark, sf_dir):
                  + F.col("d1") * F.col("d2") * F.col("d3"))
                 .cast("bigint").alias("funnel_depth"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Graph modularity — partition quality in exact integer arithmetic
+
+@query(
+    "modularity_brand_partition",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    lab AS (
+      SELECT p.x, p.y, px.p_brand AS bx, py.p_brand AS by_
+      FROM pairs p
+      JOIN part px ON p.x = px.p_partkey
+      JOIN part py ON p.y = py.p_partkey),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+    within AS (
+      SELECT bx AS brand, CAST(count(*) AS BIGINT) AS m_c
+      FROM lab WHERE bx = by_ GROUP BY 1),
+    deg AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS d_c
+      FROM (SELECT bx AS brand FROM lab
+            UNION ALL SELECT by_ FROM lab)
+      GROUP BY 1),
+    comm AS (
+      SELECT deg.brand, coalesce(w.m_c, 0) AS m_c, deg.d_c,
+             4 * CAST(m.m AS HUGEINT) * coalesce(w.m_c, 0)
+             - CAST(deg.d_c AS HUGEINT) * deg.d_c AS num,
+             4 * CAST(m.m AS HUGEINT) * m.m AS den
+      FROM deg LEFT JOIN within w USING (brand), m)
+    SELECT brand, m_c, d_c,
+           CAST(CASE WHEN num >= 0
+                THEN (2 * num * 1000000 + den) // (2 * den)
+                ELSE -((2 * (-num) * 1000000 + den) // (2 * den))
+                END AS DOUBLE) / 1000000.0 AS contrib6
+    FROM comm ORDER BY brand
+    """,
+    doc="Newman modularity of the brand partition over the part "
+        "co-purchase graph, reported per community: contribution_c = "
+        "(4*m*m_c - d_c^2) / (4*m^2), where m = |E|, m_c = "
+        "within-community edges, d_c = total degree of community c — "
+        "Q is their sum, and keeping the numerator cross-multiplied "
+        "makes every contribution an exact signed integer ratio "
+        "(half-away rounded once at the edge). Cost model: one "
+        "order self-join builds the edge list, brands arrive via two "
+        "broadcast dimension joins, then everything is "
+        "community-sized aggregates and a 1-row m scalar",
+)
+def modularity_brand_partition(spark, sf_dir):
+    from .analytics import _sgn_ratio_round6
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("x"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("y"))
+    pairs = (a.join(b, "k").filter(F.col("x") < F.col("y"))
+             .select("x", "y").distinct())
+    px = F.broadcast(part.select(F.col("p_partkey").alias("x"),
+                                 F.col("p_brand").alias("bx")))
+    py = F.broadcast(part.select(F.col("p_partkey").alias("y"),
+                                 F.col("p_brand").alias("by_")))
+    lab = pairs.join(px, "x").join(py, "y")
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    within = (lab.filter(F.col("bx") == F.col("by_"))
+              .groupBy(F.col("bx").alias("brand"))
+              .agg(F.count(F.lit(1)).alias("m_c")))
+    deg = (lab.select(F.col("bx").alias("brand"))
+           .unionAll(lab.select(F.col("by_").alias("brand")))
+           .groupBy("brand").agg(F.count(F.lit(1)).alias("d_c")))
+    comm = (deg.join(within, "brand", "left")
+            .select("brand",
+                    F.coalesce(F.col("m_c"), F.lit(0)).alias("m_c"),
+                    "d_c")
+            .crossJoin(F.broadcast(m)))
+    md = F.col("m").cast("decimal(38,0)")
+    num = (4 * md * F.col("m_c")
+           - F.col("d_c").cast("decimal(38,0)") * F.col("d_c"))
+    den = 4 * md * F.col("m")
+    return (comm.select("brand", "m_c", "d_c",
+                        _sgn_ratio_round6(num, den).alias("contrib6"))
+            .orderBy("brand"))
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient — per-node triangle closure ratio
+
+@query(
+    "local_clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT x AS node FROM pairs
+                  UNION ALL SELECT y FROM pairs)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN dx.deg * 1000000000 + x
+                           < dy.deg * 1000000000 + y
+                      THEN x ELSE y END AS u,
+                 CASE WHEN dx.deg * 1000000000 + x
+                           < dy.deg * 1000000000 + y
+                      THEN y ELSE x END AS v
+          FROM pairs
+          JOIN deg dx ON x = dx.node JOIN deg dy ON y = dy.node),
+    ov AS (SELECT o.u, o.v, d.deg * 1000000000 + o.v AS vord
+           FROM o JOIN deg d ON o.v = d.node),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM ov e1 JOIN ov e2
+              ON e1.u = e2.u AND e1.vord < e2.vord
+            JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+             FROM corners GROUP BY 1)
+    SELECT d.node AS part_key, d.deg,
+           coalesce(t.n_tri, 0) AS n_tri,
+           CAST((2 * CAST(2 * coalesce(t.n_tri, 0) AS HUGEINT)
+                 * 1000000 + CAST(d.deg AS HUGEINT) * (d.deg - 1))
+                // (2 * CAST(d.deg AS HUGEINT) * (d.deg - 1))
+                AS DOUBLE) / 1000000.0 AS lcc6
+    FROM deg d LEFT JOIN tcnt t USING (node)
+    WHERE d.deg >= 2
+    ORDER BY lcc6 DESC, d.deg DESC, d.node LIMIT 50
+    """,
+    doc="local clustering coefficient per node: 2*triangles / "
+        "(deg*(deg-1)) over the part co-purchase graph — how close "
+        "each node's neighborhood is to a clique (the local "
+        "small-world diagnostic; triangle_count_copurchase reports "
+        "raw counts, this closes the ratio). Reuses the degree-"
+        "oriented triangle enumeration (wedge fan-out bounded by "
+        "O(sqrt|E|), equi-joins only), then one corner explode, one "
+        "count, and an exact half-away integer ratio. Top-50 is "
+        "TakeOrderedAndProject",
+)
+def local_clustering_coefficient(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("x"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("y"))
+    pairs = (a.join(b, "k").filter(F.col("x") < F.col("y"))
+             .select("x", "y").distinct())
+    deg = (pairs.select(F.col("x").alias("node"))
+           .unionAll(pairs.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+           .persist())
+    dx = deg.select(F.col("node").alias("x"),
+                    F.col("deg").alias("degx"))
+    dy = deg.select(F.col("node").alias("y"),
+                    F.col("deg").alias("degy"))
+    keyed = (pairs.join(dx, "x").join(dy, "y")
+             .select("x", "y",
+                     (F.col("degx") * 1000000000 + F.col("x"))
+                     .alias("ordx"),
+                     (F.col("degy") * 1000000000 + F.col("y"))
+                     .alias("ordy")))
+    o = keyed.select(
+        F.when(F.col("ordx") < F.col("ordy"), F.col("x"))
+        .otherwise(F.col("y")).alias("u"),
+        F.when(F.col("ordx") < F.col("ordy"), F.col("y"))
+        .otherwise(F.col("x")).alias("v")).persist()
+    ov = (o.join(deg.select(F.col("node").alias("v"),
+                            F.col("deg").alias("degv")), "v")
+          .select("u", "v",
+                  (F.col("degv") * 1000000000 + F.col("v"))
+                  .alias("vord")))
+    e1 = ov.select(F.col("u").alias("wu"), F.col("v").alias("b"),
+                   F.col("vord").alias("o1"))
+    e2 = ov.select(F.col("u").alias("wu"), F.col("v").alias("c"),
+                   F.col("vord").alias("o2"))
+    wedges = (e1.join(e2, "wu").filter(F.col("o1") < F.col("o2")))
+    tri = wedges.join(
+        o.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"])
+    corners = (tri.select(F.col("wu").alias("node"))
+               .unionAll(tri.select(F.col("b").alias("node")))
+               .unionAll(tri.select(F.col("c").alias("node"))))
+    tcnt = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri"))
+    j = (deg.filter(F.col("deg") >= 2)
+         .join(tcnt, "node", "left")
+         .select("node", "deg",
+                 F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri")))
+    num = (2 * (2 * F.col("n_tri")).cast("decimal(38,0)") * 1000000
+           + F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1))
+    den = (2 * F.col("deg").cast("decimal(38,0)")
+           * (F.col("deg") - 1))
+    return (j.select(F.col("node").alias("part_key"), "deg", "n_tri",
+                     (((num - num % den) / den).cast("bigint")
+                      .cast("double") / 1000000.0).alias("lcc6"))
+            .orderBy(F.desc("lcc6"), F.desc("deg"), "part_key")
+            .limit(50))

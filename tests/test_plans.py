@@ -205,6 +205,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "wasserstein_distance_drift",  # 1-row sample-total scalars
         "js_divergence_lang_tokens",   # 1-row token-total scalars
         "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
+        "modularity_brand_partition",  # 1-row edge-total scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -383,6 +384,11 @@ def test_round4e_exchange_budgets(spark, sf001):
         "window_funnel_depth": 2,
         "holt_winters_seasonal": 3,      # bars agg, series fold, sort
         "sprt_sequential_test": 2,       # series window+agg, sort
+        "modularity_brand_partition": 8,
+        # degree-oriented triangle pipeline: every exchange is a
+        # node-/edge-scale equi-join key, same family as
+        # triangle_count_copurchase
+        "local_clustering_coefficient": 34,
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))

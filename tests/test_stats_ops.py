@@ -955,3 +955,43 @@ def test_sprt_matches_python_walk(spark):
             assert (row.decision, row.n_at_decision,
                     row.k_at_decision) == hit
         assert row.n_obs == len(y)
+
+
+def test_modularity_sums_and_bounds(spark):
+    out = (REG["modularity_brand_partition"].spark_fn(spark, SF)
+           .toPandas())
+    # Q = sum of contributions, bounded in [-1, 1]
+    q = out.contrib6.sum()
+    assert -1.0 <= q <= 1.0
+    # degree totals count every edge endpoint exactly twice
+    # (sum d_c = 2m, and m >= sum of within-community edges)
+    assert out.d_c.sum() % 2 == 0
+    m = out.d_c.sum() // 2
+    assert out.m_c.sum() <= m
+    # independent recomputation of each contribution
+    expect = (4 * m * out.m_c - out.d_c ** 2) / (4 * m * m)
+    assert np.allclose(out.contrib6, expect, atol=1e-6)
+
+
+def test_lcc_matches_bruteforce(spark):
+    out = (REG["local_clustering_coefficient"].spark_fn(spark, SF)
+           .toPandas())
+    li = table(spark, SF, "lineitem").toPandas()
+    from collections import defaultdict
+    nbrs = defaultdict(set)
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g.l_partkey.unique())
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                nbrs[x].add(y)
+                nbrs[y].add(x)
+    for _, row in out.iterrows():
+        ns = nbrs[row.part_key]
+        assert len(ns) == row.deg
+        tri = sum(1 for i in ns for j in ns
+                  if i < j and j in nbrs[i])
+        assert tri == row.n_tri, row.part_key
+        lcc = 2 * tri / (row.deg * (row.deg - 1))
+        assert abs(row.lcc6 - lcc) < 1e-6
+    # ordering contract: lcc descending
+    assert (out.lcc6.diff().dropna() <= 1e-12).all()
