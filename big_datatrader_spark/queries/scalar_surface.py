@@ -251,3 +251,56 @@ def approx_aggregates(spark, sf_dir):
             .alias("approx_median_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion — semi-structured columns without a declared schema
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             json_type(json(props)) AS top_type
+      FROM events)
+    SELECT event_type, top_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="semi-structured ingestion through Spark 4's VARIANT type: "
+        "parse_json(props) -> variant, fields extracted with "
+        "variant_get path expressions and the top-level shape "
+        "audited via the variant's own type introspection — the "
+        "schema-on-read path for payloads whose structure is not "
+        "declared up front (from_json with an explicit schema is the "
+        "schema-on-write sibling, json_props_extract). VARIANT keeps "
+        "the binary-encoded value columnar and pushes path access "
+        "into the JVM (no regex, no per-row Python); DuckDB's "
+        "native JSON functions are the oracle twin. One map-side-"
+        "combinable aggregate over the extracted fields",
+)
+def variant_props_stats(spark, sf_dir):
+    from ..sources.parquet_source import table
+    ev = table(spark, sf_dir, "events")
+    var = F.parse_json(F.col("props"))
+    # schema_of_variant returns e.g. 'OBJECT<k: BIGINT>'; the oracle
+    # audits the same fact via DuckDB json_type -> 'OBJECT'. Map both
+    # to the common top-level tag.
+    top = F.when(F.schema_of_variant(var).startswith("OBJECT"),
+                 F.lit("OBJECT")).otherwise(F.lit("OTHER"))
+    v = ev.select(
+        "event_type",
+        F.variant_get(var, "$.k", "bigint").alias("k"),
+        top.alias("top_type"))
+    return (v.groupBy("event_type", "top_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("k").alias("n_distinct_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type", "top_type"))

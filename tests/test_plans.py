@@ -385,6 +385,7 @@ def test_round4e_exchange_budgets(spark, sf001):
         "holt_winters_seasonal": 3,      # bars agg, series fold, sort
         "sprt_sequential_test": 2,       # series window+agg, sort
         "modularity_brand_partition": 8,
+        "variant_props_stats": 3,        # distinct partials + sort
         # degree-oriented triangle pipeline: every exchange is a
         # node-/edge-scale equi-join key, same family as
         # triangle_count_copurchase
