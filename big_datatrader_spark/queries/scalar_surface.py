@@ -304,3 +304,52 @@ def variant_props_stats(spark, sf_dir):
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k"))
             .orderBy("event_type", "top_type"))
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source connector — partition-parallel programmatic feed
+
+@query(
+    "python_datasource_ticks",
+    oracle="""
+    WITH ticks AS (
+      SELECT s.sym, i.i,
+             CAST('0x' || substr(md5(CAST(s.sym AS VARCHAR) || ':'
+                  || CAST(i.i AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 10000 AS price_cents
+      FROM (SELECT unnest(generate_series(0, 7)) AS sym) s,
+           (SELECT unnest(generate_series(0, 499)) AS i) i)
+    SELECT CAST(sym AS BIGINT) AS sym,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+           CAST(min(price_cents) AS BIGINT) AS min_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_cents,
+           CAST((max(struct_pack(i := i, p := price_cents))).p
+                AS BIGINT) AS last_cents
+    FROM ticks GROUP BY sym ORDER BY sym
+    """,
+    doc="a CUSTOM CONNECTOR through Spark 4's Python Data Source API "
+        "(sources/python_datasource.py): programmatic tick feed read "
+        "partition-parallel (one InputPartition per symbol — the "
+        "read itself distributes, not just the processing), then "
+        "aggregated per symbol with the lexicographic-struct "
+        "last-price trick. The feed is deterministic (md5-h60 mod "
+        "10000), so the connector output is verified hash-exact "
+        "against DuckDB regenerating the identical stream — a "
+        "connector inside the correctness gate, not beside it. "
+        "sf_dir is unused: this query exercises the source surface",
+)
+def python_datasource_ticks(spark, sf_dir):
+    from ..sources import python_datasource as PDS
+    PDS.register(spark)
+    df = (spark.read.format(PDS.FORMAT_NAME)
+          .option("syms", "8").option("ticks", "500").load())
+    tagged = F.struct(F.col("i").alias("i"),
+                      F.col("price_cents").alias("p"))
+    return (df.groupBy(F.col("sym").cast("bigint").alias("sym"))
+            .agg(F.count(F.lit(1)).alias("n_ticks"),
+                 F.sum("price_cents").alias("sum_cents"),
+                 F.min("price_cents").alias("min_cents"),
+                 F.max("price_cents").alias("max_cents"),
+                 F.max(tagged)["p"].alias("last_cents"))
+            .orderBy("sym"))

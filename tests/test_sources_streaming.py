@@ -329,3 +329,19 @@ def test_latest_merge_sink_is_batch_boundary_invariant(spark, tmp_path):
     got = sorted(map(tuple, store.select(
         "user_id", "ts", "event_id", "cents").collect()))
     assert got == sorted(map(tuple, expect.collect()))
+
+
+def test_python_datasource_partition_parallel_read(spark):
+    """The custom connector's unit of parallelism is one partition
+    per symbol; registration is idempotent."""
+    from big_datatrader_spark.sources import python_datasource as PDS
+    PDS.register(spark)
+    PDS.register(spark)  # re-register must not raise
+    df = (spark.read.format(PDS.FORMAT_NAME)
+          .option("syms", "5").option("ticks", "20").load())
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 100
+    # the feed contract: price = h60(sym:i) mod 10000
+    for r in rows[:10]:
+        assert r.price_cents == PDS.price_cents(r.sym, r.i)
