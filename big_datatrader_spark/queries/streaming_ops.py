@@ -348,3 +348,47 @@ def streaming_cdc_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming custom connector — Python Data Source as a stream
+
+@query(
+    "streaming_python_datasource",
+    oracle="""
+    WITH ticks AS (
+      SELECT i.i,
+             CAST('0x' || substr(md5('0:' || CAST(i.i AS VARCHAR)),
+                  1, 15) AS BIGINT) % 10000 AS price_cents
+      FROM (SELECT unnest(generate_series(0, 499)) AS i) i)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+           CAST(max(price_cents) AS BIGINT) AS max_cents
+    FROM ticks GROUP BY 1 ORDER BY 1
+    """,
+    doc="the custom Python Data Source connector as a STREAM: "
+        "synthetic_tick_stream tracks a tick-index offset per "
+        "micro-batch and replays committed ranges via "
+        "readBetweenOffsets (the replayability contract behind "
+        "exactly-once sinks; offset progression and replay are "
+        "driven directly in tests/test_sources_streaming.py since "
+        "Spark's Python micro-batch wrapper downgrades AvailableNow "
+        "to a single batch). The drained aggregation is hash-exact "
+        "against DuckDB regenerating the identical deterministic "
+        "feed — a streaming connector inside the correctness gate",
+)
+def streaming_python_datasource(spark, sf_dir):
+    from ..sources import python_datasource as PDS
+    PDS.register_stream(spark)
+    df = (spark.readStream.format("synthetic_tick_stream")
+          .option("ticks", "500").option("batch", "500")
+          .option("sym", "0").load())
+    agg = (df.groupBy((F.col("i") % 10).cast("bigint")
+                      .alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_ticks"),
+                F.sum("price_cents").alias("sum_cents"),
+                F.max("price_cents").alias("max_cents")))
+    out = run_stream_to_memory(agg, spark, output_mode="complete",
+                               shuffle_partitions=4)
+    return out.orderBy("bucket")

@@ -345,3 +345,30 @@ def test_python_datasource_partition_parallel_read(spark):
     # the feed contract: price = h60(sym:i) mod 10000
     for r in rows[:10]:
         assert r.price_cents == PDS.price_cents(r.sym, r.i)
+
+
+def test_python_stream_source_offsets_and_replay():
+    """Offset progression and committed-range replay of the streaming
+    connector, driven directly (Spark's Python micro-batch wrapper
+    downgrades AvailableNow to one batch, so the multi-batch contract
+    is exercised at the reader level)."""
+    from big_datatrader_spark.sources.python_datasource import (
+        _TickStreamReader, price_cents)
+    r = _TickStreamReader({"ticks": "100", "batch": "40", "sym": "3"})
+    off = r.initialOffset()
+    assert off == {"i": 0}
+    seen = []
+    offsets = [off]
+    while off["i"] < 100:
+        rows, off = r.read(off)
+        seen.extend(rows)
+        offsets.append(off)
+    # three batches: 40 + 40 + 20, then exhausted
+    assert [o["i"] for o in offsets] == [0, 40, 80, 100]
+    rows, off2 = r.read(off)
+    assert list(rows) == [] and off2 == {"i": 100}
+    assert [i for i, _ in seen] == list(range(100))
+    assert all(p == price_cents(3, i) for i, p in seen)
+    # replay of any committed range is identical to the original read
+    replay = list(r.readBetweenOffsets({"i": 40}, {"i": 80}))
+    assert replay == seen[40:80]
