@@ -284,3 +284,62 @@ def with_holt_winters(df: DataFrame, value_col: str,
         yield pdf[cols + [level_col, trend_col, seasonal_col]]
 
     return arranged.mapInPandas(kernel, schema=schema)
+
+
+def with_time_decay_ewma(df: DataFrame, value_col: str, time_col: str,
+                         partition_by: Sequence[str],
+                         order_by: Sequence[str],
+                         tau_sec: float = 3600.0,
+                         out_col: str = "tdewma") -> DataFrame:
+    """Time-decay EMA for IRREGULARLY-spaced series: the decay weight
+    is a function of the actual gap, ``w_i = exp(-dt_i / tau)``,
+    ``s_i = w_i * s_{i-1} + (1 - w_i) * x_i`` (``s_0 = x_0``) — the
+    fixed-alpha EWMA silently assumes equal spacing; this one does not.
+
+    ``time_col`` must be epoch MICROSECONDS (exact integers). The
+    weight is snapped to 1e-9 — ``floor(exp(..)*1e9 + 0.5)/1e9`` —
+    before use, so the only transcendental both engines must agree on
+    is libm ``exp`` at 1e-9 granularity (kernel runs in CPython and
+    the oracle in DuckDB: the same C library on this platform). Same
+    one-exchange fold layout as ``with_ewma``.
+    """
+    import math
+
+    import pandas as pd
+
+    cols = list(df.columns)
+    keys = list(partition_by)
+    arranged = (df.repartition(*keys)
+                .sortWithinPartitions(*keys, *order_by))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + f", `{out_col}` double"
+    tau = float(tau_sec)
+
+    def kernel(batches):
+        frames = [fr for fr in batches if len(fr)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        n = len(pdf)
+        out = [0.0] * n
+        x = pdf[value_col].to_numpy()
+        t = pdf[time_col].to_numpy()
+        gids = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        prev_gid, s, last_t = None, 0.0, 0
+        for i in range(n):
+            xi = float(x[i])
+            ti = int(t[i])
+            if gids[i] != prev_gid:
+                s = xi
+                prev_gid = gids[i]
+            else:
+                dt = (ti - last_t) / 1000000.0
+                w = math.floor(math.exp(-dt / tau) * 1e9 + 0.5) / 1e9
+                s = w * s + (1.0 - w) * xi
+            last_t = ti
+            out[i] = s
+        pdf[out_col] = out
+        yield pdf[cols + [out_col]]
+
+    return arranged.mapInPandas(kernel, schema=schema)

@@ -6357,3 +6357,60 @@ def sprt_sequential_test(spark, sf_dir):
                        n_at.alias("n_at_decision"),
                        k_at.alias("k_at_decision"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Time-decay EMA — the irregular-interval indicator
+
+@query(
+    "time_decay_ewma",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, epoch_us(ts) AS tus, event_id, value
+      FROM events),
+    ord AS (
+      SELECT user_id, tus, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS rn
+      FROM base),
+    rec AS (
+      SELECT user_id, rn, tus, event_id, value, value AS s
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.tus, o.event_id, o.value,
+             (floor(exp(-((o.tus - r.tus) / 1000000.0) / 3600.0)
+                    * 1000000000 + 0.5) / 1000000000)
+             * r.s
+             + (1.0 - floor(exp(-((o.tus - r.tus) / 1000000.0)
+                            / 3600.0) * 1000000000 + 0.5)
+                / 1000000000) * o.value
+      FROM ord o JOIN rec r
+        ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, tus, event_id,
+           floor(s * 1000000.0 + 0.5) / 1000000.0 AS tdewma
+    FROM rec ORDER BY user_id, rn
+    """,
+    doc="time-decay EMA over the raw irregular tick stream (tau = "
+        "1h): weight = exp(-dt/tau) from the ACTUAL gap between "
+        "ticks, so bursts and lulls decay correctly where the "
+        "fixed-alpha ewma_indicator silently assumes equal spacing. "
+        "The weight snaps to 1e-9 before use and the recursion is "
+        "evaluated literal-for-literal on both engines (CPython and "
+        "DuckDB share libm exp; timestamps are exact epoch-micro "
+        "integers), with the fold family's floor-based edge "
+        "rounding. One partition-aligned mapInPandas fold "
+        "(operators/indicators.py:with_time_decay_ewma)",
+)
+def time_decay_ewma(spark, sf_dir):
+    from ..operators.indicators import with_time_decay_ewma
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("user_id", F.unix_micros("ts").alias("tus"),
+                     "event_id", "value")
+    out = with_time_decay_ewma(base, "value", "tus", ["user_id"],
+                               ["tus", "event_id"])
+    return (out.select(
+                "user_id", "tus", "event_id",
+                (F.floor(F.col("tdewma") * F.lit(1000000.0)
+                         + F.lit(0.5)) / F.lit(1000000.0))
+                .alias("tdewma"))
+            .orderBy("user_id", "tus", "event_id"))

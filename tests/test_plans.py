@@ -387,6 +387,7 @@ def test_round4e_exchange_budgets(spark, sf001):
         "modularity_brand_partition": 8,
         "variant_props_stats": 3,        # distinct partials + sort
         "python_datasource_ticks": 2,    # per-sym agg + output sort
+        "time_decay_ewma": 2,            # series fold + output sort
         # degree-oriented triangle pipeline: every exchange is a
         # node-/edge-scale equi-join key, same family as
         # triangle_count_copurchase

@@ -995,3 +995,26 @@ def test_lcc_matches_bruteforce(spark):
         assert abs(row.lcc6 - lcc) < 1e-6
     # ordering contract: lcc descending
     assert (out.lcc6.diff().dropna() <= 1e-12).all()
+
+
+def test_time_decay_ewma_matches_python(spark):
+    import math
+    out = REG["time_decay_ewma"].spark_fn(spark, SF).toPandas()
+    ev = (table(spark, SF, "events").toPandas()
+          .sort_values(["ts", "event_id"]))
+    ev["tus"] = ev.ts.astype("datetime64[us]").astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        s, last_t, ref = None, None, []
+        for _, r in g.iterrows():
+            if s is None:
+                s = r.value
+            else:
+                dt = (r.tus - last_t) / 1e6
+                w = math.floor(math.exp(-dt / 3600.0) * 1e9 + 0.5) / 1e9
+                s = w * s + (1 - w) * r.value
+            last_t = r.tus
+            ref.append(s)
+        got = out[out.user_id == uid].sort_values(["tus", "event_id"])
+        assert np.allclose(got.tdewma, ref, atol=1e-6)
+        # decay sanity: after a long gap the EMA hugs the new tick
+        assert len(got) == len(g)
