@@ -388,6 +388,8 @@ def test_round4e_exchange_budgets(spark, sf001):
         "variant_props_stats": 3,        # distinct partials + sort
         "python_datasource_ticks": 2,    # per-sym agg + output sort
         "time_decay_ewma": 2,            # series fold + output sort
+        # five branches over the persisted value-domain count relation
+        "mad_robust_outliers": 18,
         # degree-oriented triangle pipeline: every exchange is a
         # node-/edge-scale equi-join key, same family as
         # triangle_count_copurchase

@@ -1018,3 +1018,22 @@ def test_time_decay_ewma_matches_python(spark):
         assert np.allclose(got.tdewma, ref, atol=1e-6)
         # decay sanity: after a long gap the EMA hugs the new tick
         assert len(got) == len(g)
+
+
+def test_mad_outliers_match_numpy(spark):
+    out = (REG["mad_robust_outliers"].spark_fn(spark, SF)
+           .toPandas().set_index("event_type"))
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        x = np.sort(g.cents.to_numpy())
+        n = len(x)
+        med = x[(n + 1) // 2 - 1]          # lower median
+        ad = np.sort(np.abs(x - med))
+        mad = ad[(n + 1) // 2 - 1]
+        row = out.loc[et]
+        assert row.n == n
+        assert row.median_cents == med
+        assert row.mad_cents == mad
+        flag = 10000 * np.abs(x - med) > 44478 * mad
+        assert row.n_outliers == int(flag.sum())
