@@ -6529,3 +6529,90 @@ def mad_robust_outliers(spark, sf_dir):
                     F.col("mad").cast("bigint").alias("mad_cents"),
                     "n_outliers")
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix — all event-type pairs from exact integer moments
+
+@query(
+    "correlation_matrix_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST((2 * CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                   AS HUGEINT) + count(*))
+                  // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT)
+                 AS mean_cents
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.mean_cents) AS HUGEINT) AS sx,
+             CAST(sum(b.mean_cents) AS HUGEINT) AS sy,
+             CAST(sum(CAST(a.mean_cents AS HUGEINT) * a.mean_cents)
+                  AS HUGEINT) AS sxx,
+             CAST(sum(CAST(b.mean_cents AS HUGEINT) * b.mean_cents)
+                  AS HUGEINT) AS syy,
+             CAST(sum(CAST(a.mean_cents AS HUGEINT) * b.mean_cents)
+                  AS HUGEINT) AS sxy
+      FROM daily a JOIN daily b
+        ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))), 6) AS corr6
+    FROM pairs WHERE n >= 2 ORDER BY type_a, type_b
+    """,
+    doc="full Pearson correlation matrix (upper triangle) between "
+        "the event types' daily mean-value series: daily means "
+        "collapse to exact half-away-rounded integer cents (one "
+        "map-side-combinable aggregate), the day-aligned self-join "
+        "is days x types-sized, and each pair's five moments are "
+        "exact HUGEINTs — the correlation is ONE identical IEEE "
+        "expression on identical integers (the "
+        "integer-scaled-moments pattern, generalized from the "
+        "pairwise rolling_market_correlation to every pair at "
+        "once). Post-agg state is types^2 rows at any scale",
+)
+def correlation_matrix_daily(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    s = F.sum(F.round(F.col("value") * 100).cast("bigint")) \
+        .cast("decimal(38,0)")
+    c = F.count(F.lit(1)).cast("decimal(38,0)")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("d"))
+             .agg((((2 * s + c) - (2 * s + c) % (2 * c)) / (2 * c))
+                  .cast("bigint").alias("mean_cents")))
+    a = daily.select(F.col("event_type").alias("type_a"), "d",
+                     F.col("mean_cents").alias("xa"))
+    b = daily.select(F.col("event_type").alias("type_b"),
+                     F.col("d").alias("d2"),
+                     F.col("mean_cents").alias("xb"))
+    j = a.join(b, (F.col("d") == F.col("d2"))
+               & (F.col("type_a") < F.col("type_b")))
+    xa = F.col("xa").cast("decimal(38,0)")
+    xb = F.col("xb").cast("decimal(38,0)")
+    pairs = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").cast("decimal(38,0)").alias("sx"),
+        F.sum("xb").cast("decimal(38,0)").alias("sy"),
+        F.sum(xa * F.col("xa")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xb * F.col("xb")).cast("decimal(38,0)").alias("syy"),
+        F.sum(xa * F.col("xb")).cast("decimal(38,0)").alias("sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col("sxx").cast("double"),
+                     F.col("syy").cast("double"),
+                     F.col("sxy").cast("double"))
+    corr = ((nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx)
+               * F.sqrt(nd * syy - sy * sy)))
+    return (pairs.filter(F.col("n") >= 2)
+            .select("type_a", "type_b", "n",
+                    F.round(corr, 6).alias("corr6"))
+            .orderBy("type_a", "type_b"))

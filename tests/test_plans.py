@@ -390,6 +390,7 @@ def test_round4e_exchange_budgets(spark, sf001):
         "time_decay_ewma": 2,            # series fold + output sort
         # five branches over the persisted value-domain count relation
         "mad_robust_outliers": 18,
+        "correlation_matrix_daily": 4,   # daily agg x2, pair agg, sort
         # degree-oriented triangle pipeline: every exchange is a
         # node-/edge-scale equi-join key, same family as
         # triangle_count_copurchase

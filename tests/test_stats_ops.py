@@ -1037,3 +1037,22 @@ def test_mad_outliers_match_numpy(spark):
         assert row.mad_cents == mad
         flag = 10000 * np.abs(x - med) > 44478 * mad
         assert row.n_outliers == int(flag.sum())
+
+
+def test_correlation_matrix_matches_pandas(spark):
+    out = (REG["correlation_matrix_daily"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    # half-away integer mean, as the query computes it
+    daily = (ev.groupby(["event_type", "day"]).cents
+             .agg(lambda s: (2 * s.sum() + len(s)) // (2 * len(s)))
+             .unstack(0))
+    for _, r in out.iterrows():
+        pair = daily[[r.type_a, r.type_b]].dropna()
+        assert r.type_a < r.type_b
+        assert len(pair) == r.n
+        c = np.corrcoef(pair[r.type_a], pair[r.type_b])[0, 1]
+        assert abs(r.corr6 - c) < 1e-5
+        assert -1.0 <= r.corr6 <= 1.0
