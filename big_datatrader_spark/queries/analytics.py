@@ -6616,3 +6616,134 @@ def correlation_matrix_daily(spark, sf_dir):
             .select("type_a", "type_b", "n",
                     F.round(corr, 6).alias("corr6"))
             .orderBy("type_a", "type_b"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — closed-form integer rank mapping
+
+@query(
+    "quantile_normalization",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g
+             FROM cnt GROUP BY 1),
+    grand AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    pooled AS (
+      SELECT cents, CAST(sum(c) AS BIGINT) AS pc FROM cnt
+      GROUP BY 1),
+    cdf AS (
+      SELECT cents, pc,
+             CAST(sum(pc) OVER (ORDER BY cents ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS phi
+      FROM pooled),
+    mapped AS (
+      SELECT t.event_type, c.cents,
+             (CAST(c.phi AS HUGEINT) * t.n_g) // g.n
+             - (CAST(c.phi - c.pc AS HUGEINT) * t.n_g) // g.n
+                 AS rows_here
+      FROM cdf c CROSS JOIN tots t CROSS JOIN grand g),
+    norm AS (
+      SELECT event_type,
+             CAST(sum(rows_here) AS BIGINT) AS n_check,
+             CAST(sum(rows_here * CAST(cents AS HUGEINT))
+                  AS HUGEINT) AS nsum
+      FROM mapped GROUP BY 1),
+    orig AS (
+      SELECT event_type,
+             CAST(sum(CAST(c AS HUGEINT) * cents) AS HUGEINT)
+                 AS osum
+      FROM cnt GROUP BY 1)
+    SELECT t.event_type, t.n_g,
+           CAST((2 * o.osum * 10000 + t.n_g)
+                // (2 * CAST(t.n_g AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS orig_mean6,
+           CAST((2 * nm.nsum * 10000 + t.n_g)
+                // (2 * CAST(t.n_g AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS norm_mean6,
+           nm.n_check
+    FROM tots t JOIN norm nm USING (event_type)
+    JOIN orig o USING (event_type)
+    ORDER BY t.event_type
+    """,
+    doc="quantile normalization (the microarray/batch-effect "
+        "preprocessing step): every group's empirical distribution "
+        "is mapped onto the POOLED distribution, rank r in a group "
+        "of n_g landing at pooled order statistic ceil(r*N/n_g). "
+        "The naive formulation is a per-row distributed searchsorted; "
+        "this one is CLOSED FORM on the value domain — the number of "
+        "a group's rows landing on pooled value v is "
+        "floor(phi_v*n_g/N) - floor((phi_v - pc_v)*n_g/N), exact "
+        "integers from the pooled CDF — so the whole operator is "
+        "counts, one domain-sized cumulative window, and a "
+        "groups-sized broadcast. Reported per group: original vs "
+        "normalized mean (normalized means coincide across groups up "
+        "to discreteness — the invariant the property test pins) "
+        "and the row-conservation check sum(rows_here) = n_g",
+)
+def quantile_normalization(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def idiv(x, y):
+        return (x - x % y) / y
+
+    cnt = (ev.select("event_type",
+                     F.round(F.col("value") * 100).cast("bigint")
+                     .alias("cents"))
+           .groupBy("event_type", "cents")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .persist())
+    tots = cnt.groupBy("event_type").agg(F.sum("c").alias("n_g"))
+    grand = cnt.agg(F.sum("c").alias("n"))
+    pooled = (cnt.groupBy("cents").agg(F.sum("c").alias("pc"))
+              .withColumn("bkt", ((F.col("cents")
+                                   - F.col("cents") % 2500) / 2500)
+                          .cast("bigint")))
+    # two-phase inclusive prefix sum over the value domain (the
+    # roc_auc_exact pattern — no single-task window over the CDF)
+    w_in = (Window.partitionBy("bkt").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = pooled.select("cents", "bkt", "pc",
+                          F.sum("pc").over(w_in).alias("lphi"))
+    w_off = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (pooled.groupBy("bkt").agg(F.sum("pc").alias("bp"))
+            .select("bkt", F.coalesce(F.sum("bp").over(w_off),
+                                      F.lit(0)).alias("ophi")))
+    cdf = (local.join(F.broadcast(offs), "bkt")
+           .select("cents", "pc",
+                   (F.col("lphi") + F.col("ophi")).alias("phi")))
+    mapped = (cdf.crossJoin(F.broadcast(tots))
+              .crossJoin(F.broadcast(grand))
+              .select("event_type", "cents",
+                      (idiv(F.col("phi").cast("decimal(38,0)")
+                            * F.col("n_g"), F.col("n"))
+                       - idiv((F.col("phi") - F.col("pc"))
+                              .cast("decimal(38,0)") * F.col("n_g"),
+                              F.col("n"))).alias("rows_here")))
+    norm = mapped.groupBy("event_type").agg(
+        F.sum("rows_here").cast("bigint").alias("n_check"),
+        F.sum(F.col("rows_here")
+              * F.col("cents").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("nsum"))
+    orig = cnt.groupBy("event_type").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)").alias("osum"))
+    j = (tots.join(norm, "event_type").join(orig, "event_type"))
+    ng = F.col("n_g").cast("decimal(38,0)")
+
+    def mean6(s):
+        num = 2 * s * 10000 + ng
+        den = 2 * ng
+        return (((num - num % den) / den).cast("bigint")
+                .cast("double") / 1000000.0)
+
+    return (j.select("event_type", "n_g",
+                     mean6(F.col("osum")).alias("orig_mean6"),
+                     mean6(F.col("nsum")).alias("norm_mean6"),
+                     "n_check")
+            .orderBy("event_type"))

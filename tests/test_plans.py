@@ -206,6 +206,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "js_divergence_lang_tokens",   # 1-row token-total scalars
         "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
         "modularity_brand_partition",  # 1-row edge-total scalar
+        "quantile_normalization",      # 1-row grand-total scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -221,7 +222,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     # k-row bounded model/sketch relations
                     "kmv_distinct_sketch", "rec_ndcg_popularity",
                     "rfm_segmentation", "wasserstein_distance_drift",
-                    "poisson_bootstrap_ci"}
+                    "poisson_bootstrap_ci", "quantile_normalization"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
@@ -391,6 +392,7 @@ def test_round4e_exchange_budgets(spark, sf001):
         # five branches over the persisted value-domain count relation
         "mad_robust_outliers": 18,
         "correlation_matrix_daily": 4,   # daily agg x2, pair agg, sort
+        "quantile_normalization": 12,    # persisted cnt, 2-phase CDF
         # degree-oriented triangle pipeline: every exchange is a
         # node-/edge-scale equi-join key, same family as
         # triangle_count_copurchase

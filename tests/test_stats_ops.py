@@ -1056,3 +1056,26 @@ def test_correlation_matrix_matches_pandas(spark):
         c = np.corrcoef(pair[r.type_a], pair[r.type_b])[0, 1]
         assert abs(r.corr6 - c) < 1e-5
         assert -1.0 <= r.corr6 <= 1.0
+
+
+def test_quantile_normalization_equalizes_and_conserves(spark):
+    out = (REG["quantile_normalization"].spark_fn(spark, SF)
+           .toPandas())
+    # row conservation: every group's mapped counts sum to n_g
+    assert (out.n_check == out.n_g).all()
+    # the whole point: normalized means coincide across groups up to
+    # discreteness (different n_g sample the pooled distribution at
+    # slightly different grids)
+    assert out.norm_mean6.max() - out.norm_mean6.min() < 2.0
+    # and match an independent numpy reference of the same mapping
+    ev = table(spark, SF, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    pooled = np.sort(ev.cents.to_numpy())
+    N = len(pooled)
+    for _, r in out.iterrows():
+        n_g = int(r.n_g)
+        pos = np.ceil(np.arange(1, n_g + 1) * N / n_g).astype(int)
+        mapped = pooled[pos - 1]
+        ref = ((2 * mapped.sum() + n_g) // (2 * n_g)) / 100
+        # mean6 rounds at 1e-6 of dollars; ref reproduces the idiv
+        assert abs(r.norm_mean6 - ref) < 5e-3, r.event_type
