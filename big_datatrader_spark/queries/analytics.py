@@ -6472,8 +6472,9 @@ def time_decay_ewma(spark, sf_dir):
     doc="robust anomaly detection per event type: lower median "
         "(2*cum >= n integer threshold, exact at both parities) and "
         "MAD (median absolute deviation) as EXACT order statistics "
-        "over the value-domain count relation — 2*cum >= n+1 integer "
-        "threshold predicates, never a sort of raw rows — and the "
+        "over the value-domain count relation — 2*cum >= n integer "
+        "threshold predicates (lower median for both order "
+        "statistics), never a sort of raw rows — and the "
         "outlier rule |x - med| > 3 * 1.4826 * MAD kept integral by "
         "cross-multiplying (10000*|dev| > 44478*MAD). The robust "
         "alternative to zscore_anomalies: one contaminated tick "

@@ -421,19 +421,20 @@ def lang_mixture_rebalance(spark, sf_dir):
             FROM (SELECT x AS node FROM pairs
                   UNION ALL SELECT y FROM pairs)
             GROUP BY 1),
-    o AS (SELECT CASE WHEN dx.deg * 1000000000 + x
-                           < dy.deg * 1000000000 + y
+    o AS (SELECT CASE WHEN dx.deg < dy.deg
+                           OR (dx.deg = dy.deg AND x < y)
                       THEN x ELSE y END AS u,
-                 CASE WHEN dx.deg * 1000000000 + x
-                           < dy.deg * 1000000000 + y
+                 CASE WHEN dx.deg < dy.deg
+                           OR (dx.deg = dy.deg AND x < y)
                       THEN y ELSE x END AS v
           FROM pairs
           JOIN deg dx ON x = dx.node JOIN deg dy ON y = dy.node),
-    ov AS (SELECT o.u, o.v, d.deg * 1000000000 + o.v AS vord
+    ov AS (SELECT o.u, o.v, d.deg AS dv
            FROM o JOIN deg d ON o.v = d.node),
     tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM ov e1 JOIN ov e2
-              ON e1.u = e2.u AND e1.vord < e2.vord
+              ON e1.u = e2.u AND (e1.dv < e2.dv
+                 OR (e1.dv = e2.dv AND e1.v < e2.v))
             JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
     corners AS (SELECT a AS part_key FROM tri
                 UNION ALL SELECT b FROM tri
@@ -463,13 +464,17 @@ def triangle_count_copurchase(spark, sf_dir):
     deg = (pairs.select(F.col("x").alias("node"))
            .unionAll(pairs.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # Orientation key is lexicographic (deg, node), not an arithmetic
+    # deg*1e9+node packing: packing stops being injective once partkey
+    # reaches 1e9 (true at the 100 TB design point) and collisions
+    # would silently undercount triangles.
     dx = deg.select(F.col("node").alias("x"),
-                    (F.col("deg") * 1000000000 + F.col("node"))
-                    .alias("xord"))
+                    F.col("deg").alias("degx"))
     dy = deg.select(F.col("node").alias("y"),
-                    (F.col("deg") * 1000000000 + F.col("node"))
-                    .alias("yord"))
-    lt = F.col("xord") < F.col("yord")
+                    F.col("deg").alias("degy"))
+    lt = ((F.col("degx") < F.col("degy"))
+          | ((F.col("degx") == F.col("degy"))
+             & (F.col("x") < F.col("y"))))
     o = (pairs.join(dx, "x").join(dy, "y")
          .select(F.when(lt, F.col("x")).otherwise(F.col("y"))
                  .alias("u"),
@@ -477,14 +482,16 @@ def triangle_count_copurchase(spark, sf_dir):
                  .alias("v"))
          .persist())  # reused by the wedge pair AND the closure probe
     ov = (o.join(deg.withColumnRenamed("node", "v"), "v")
-          .select("u", "v", (F.col("deg") * 1000000000 + F.col("v"))
-                  .alias("vord")))
+          .select("u", "v", F.col("deg").alias("dv")))
     e1 = ov.select(F.col("u"), F.col("v").alias("b"),
-                   F.col("vord").alias("bord"))
+                   F.col("dv").alias("db"))
     e2 = ov.select(F.col("u"), F.col("v").alias("c"),
-                   F.col("vord").alias("cord"))
+                   F.col("dv").alias("dc"))
     closure = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tri = (e1.join(e2, "u").filter(F.col("bord") < F.col("cord"))
+    tri = (e1.join(e2, "u")
+           .filter((F.col("db") < F.col("dc"))
+                   | ((F.col("db") == F.col("dc"))
+                      & (F.col("b") < F.col("c"))))
            .join(closure, ["b", "c"])
            .select(F.col("u").alias("a"), "b", "c"))
     corners = (tri.select(F.col("a").alias("part_key"))

@@ -262,7 +262,8 @@ def approx_aggregates(spark, sf_dir):
     WITH v AS (
       SELECT event_type,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-             json_type(json(props)) AS top_type
+             CASE WHEN json_type(json(props)) = 'OBJECT'
+                  THEN 'OBJECT' ELSE 'OTHER' END AS top_type
       FROM events)
     SELECT event_type, top_type,
            CAST(count(*) AS BIGINT) AS n_events,

@@ -2839,7 +2839,7 @@ def poisson_bootstrap_ci(spark, sf_dir):
       SELECT user_id, epoch_us(ts) AS tus, event_type, event_id
       FROM events),
     lv AS (
-      SELECT user_id, tus, event_type,
+      SELECT user_id, tus, event_type, event_id,
              max(CASE WHEN event_type = 'view' THEN tus END)
                  OVER (PARTITION BY user_id ORDER BY tus, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2849,7 +2849,7 @@ def poisson_bootstrap_ci(spark, sf_dir):
       SELECT user_id, tus, event_type, last_view,
              max(CASE WHEN event_type = 'click'
                       THEN last_view END)
-                 OVER (PARTITION BY user_id ORDER BY tus
+                 OVER (PARTITION BY user_id ORDER BY tus, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING) AS best_anchor
       FROM lv),
@@ -2891,10 +2891,12 @@ def window_funnel_depth(spark, sf_dir):
     w = (Window.partitionBy("user_id").orderBy("tus", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     lv = e.select(
-        "user_id", "tus", "event_type",
+        "user_id", "tus", "event_type", "event_id",
         F.max(F.when(F.col("event_type") == "view", F.col("tus")))
         .over(w).alias("last_view"))
-    w2 = (Window.partitionBy("user_id").orderBy("tus")
+    # (tus, event_id) — a ROWS frame over tus alone is nondeterministic
+    # when a user has two events at the same timestamp (ADVICE r4).
+    w2 = (Window.partitionBy("user_id").orderBy("tus", "event_id")
           .rowsBetween(Window.unboundedPreceding, -1))
     cv = lv.select(
         "user_id", "tus", "event_type", "last_view",
@@ -3020,19 +3022,20 @@ def modularity_brand_partition(spark, sf_dir):
             FROM (SELECT x AS node FROM pairs
                   UNION ALL SELECT y FROM pairs)
             GROUP BY 1),
-    o AS (SELECT CASE WHEN dx.deg * 1000000000 + x
-                           < dy.deg * 1000000000 + y
+    o AS (SELECT CASE WHEN dx.deg < dy.deg
+                           OR (dx.deg = dy.deg AND x < y)
                       THEN x ELSE y END AS u,
-                 CASE WHEN dx.deg * 1000000000 + x
-                           < dy.deg * 1000000000 + y
+                 CASE WHEN dx.deg < dy.deg
+                           OR (dx.deg = dy.deg AND x < y)
                       THEN y ELSE x END AS v
           FROM pairs
           JOIN deg dx ON x = dx.node JOIN deg dy ON y = dy.node),
-    ov AS (SELECT o.u, o.v, d.deg * 1000000000 + o.v AS vord
+    ov AS (SELECT o.u, o.v, d.deg AS dv
            FROM o JOIN deg d ON o.v = d.node),
     tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM ov e1 JOIN ov e2
-              ON e1.u = e2.u AND e1.vord < e2.vord
+              ON e1.u = e2.u AND (e1.dv < e2.dv
+                 OR (e1.dv = e2.dv AND e1.v < e2.v))
             JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
     corners AS (SELECT a AS node FROM tri
                 UNION ALL SELECT b FROM tri
@@ -3076,27 +3079,29 @@ def local_clustering_coefficient(spark, sf_dir):
                     F.col("deg").alias("degx"))
     dy = deg.select(F.col("node").alias("y"),
                     F.col("deg").alias("degy"))
-    keyed = (pairs.join(dx, "x").join(dy, "y")
-             .select("x", "y",
-                     (F.col("degx") * 1000000000 + F.col("x"))
-                     .alias("ordx"),
-                     (F.col("degy") * 1000000000 + F.col("y"))
-                     .alias("ordy")))
+    # Orientation key is lexicographic (deg, node) — NOT an arithmetic
+    # packing like deg*1e9 + node, which stops being injective once
+    # partkey >= 1e9 at the 100 TB design point (ADVICE r4) and can
+    # silently undercount triangles via key collisions.
+    lt = ((F.col("degx") < F.col("degy"))
+          | ((F.col("degx") == F.col("degy"))
+             & (F.col("x") < F.col("y"))))
+    keyed = pairs.join(dx, "x").join(dy, "y")
     o = keyed.select(
-        F.when(F.col("ordx") < F.col("ordy"), F.col("x"))
-        .otherwise(F.col("y")).alias("u"),
-        F.when(F.col("ordx") < F.col("ordy"), F.col("y"))
-        .otherwise(F.col("x")).alias("v")).persist()
+        F.when(lt, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v")
+    ).persist()
     ov = (o.join(deg.select(F.col("node").alias("v"),
                             F.col("deg").alias("degv")), "v")
-          .select("u", "v",
-                  (F.col("degv") * 1000000000 + F.col("v"))
-                  .alias("vord")))
+          .select("u", "v", F.col("degv").alias("dv")))
     e1 = ov.select(F.col("u").alias("wu"), F.col("v").alias("b"),
-                   F.col("vord").alias("o1"))
+                   F.col("dv").alias("d1"))
     e2 = ov.select(F.col("u").alias("wu"), F.col("v").alias("c"),
-                   F.col("vord").alias("o2"))
-    wedges = (e1.join(e2, "wu").filter(F.col("o1") < F.col("o2")))
+                   F.col("dv").alias("d2"))
+    wedges = (e1.join(e2, "wu")
+              .filter((F.col("d1") < F.col("d2"))
+                      | ((F.col("d1") == F.col("d2"))
+                         & (F.col("b") < F.col("c")))))
     tri = wedges.join(
         o.select(F.col("u").alias("b"), F.col("v").alias("c")),
         ["b", "c"])
