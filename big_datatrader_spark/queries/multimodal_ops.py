@@ -40,21 +40,68 @@ def multimodal_binary_meta(spark, sf_dir):
 
 @query(
     "multimodal_feature_extract",
-    oracle=None,
-    doc="mapInPandas feature extraction over binary payloads (decode "
-        "stubbed, deterministic fake features; schema/batching real)",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+      FROM documents),
+    nz AS (SELECT doc_id, text FROM t WHERE length(text) > 0),
+    pp AS (SELECT doc_id,
+                  repeat(text, CAST(ceil({MM._PPM_PIXELS}.0
+                      / length(text)) + 1 AS INT)) AS r
+           FROM nz WHERE doc_id % 2 = 0),
+    px AS (SELECT doc_id, ascii(substr(r, p + 1, 1)) AS byte
+           FROM pp, (SELECT unnest(generate_series(
+               0, {MM._PPM_PIXELS - 1})) AS p)),
+    pa AS (SELECT doc_id, CAST(sum(byte) AS BIGINT) AS fs
+           FROM px GROUP BY 1),
+    wv AS (SELECT doc_id,
+                  repeat(text, CAST(ceil({MM._WAV_DATA_BYTES}.0
+                      / length(text)) + 1 AS INT)) AS r
+           FROM nz WHERE doc_id % 2 = 1),
+    sm AS (SELECT doc_id,
+                  ascii(substr(r, 2 * j + 1, 1))
+                  + 256 * ascii(substr(r, 2 * j + 2, 1)) AS s
+           FROM wv, (SELECT unnest(generate_series(
+               0, {MM.WAV_SAMPLES - 1})) AS j)),
+    wa AS (SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS fs
+           FROM sm GROUP BY 1),
+    u AS (
+      SELECT doc_id, 'image/x-portable-pixmap' AS mime,
+             CAST({MM.PPM_HEADER_LEN + MM._PPM_PIXELS} AS BIGINT)
+                 AS n_bytes,
+             CAST({MM._PPM_PIXELS} AS BIGINT) AS n_units, fs
+      FROM pa
+      UNION ALL
+      SELECT doc_id, 'audio/wav',
+             CAST({MM.WAV_HEADER_LEN + MM._WAV_DATA_BYTES} AS BIGINT),
+             CAST({MM.WAV_SAMPLES} AS BIGINT), fs
+      FROM wa)
+    SELECT doc_id, mime, n_bytes, n_units,
+           fs AS feat_sum,
+           CAST((2 * fs * 1000000 + n_units) // (2 * n_units)
+                AS DOUBLE) / 1000000.0 AS feat6,
+           TRUE AS decode_ok
+    FROM u ORDER BY doc_id
+    """,
+    doc="the GENERIC media feature-extract slot, now value-verified "
+        "end to end: a mixed-format media lake (even doc_id -> real P6 "
+        "image, odd -> real PCM16 WAV, synthesized in one scan) flows "
+        "through one magic-byte-dispatching mapInPandas kernel that "
+        "routes each payload to the REAL decoder (decode_ppm / "
+        "decode_wav); decode_stub is reached only for formats the "
+        "container genuinely cannot parse (JPEG/PNG/FLAC — dead branch "
+        "on this table, live in production). Features are exact "
+        "integers (byte sum / energy) plus one 6-dp mean computed by "
+        "the same integer half-away formula on both engines. Narrow "
+        "Arrow-batched map, zero shuffle",
 )
 def multimodal_feature_extract(spark, sf_dir):
-    media = MM.with_binary_content(table(spark, sf_dir, "documents"))
-    feats = MM.extract_features(media)
-    return feats.select(
-        "doc_id", "n_bytes",
-        F.round("byte_mean", 6).alias("byte_mean"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", MM.FEATURE_DIM), 6)
-         .alias("f_last"),
-        "decode_ok",
-    )
+    media = MM.with_mixed_media(table(spark, sf_dir, "documents"))
+    return (MM.extract_media_features(media)
+            .select("doc_id", "mime", "n_bytes", "n_units", "feat_sum",
+                    "feat6", "decode_ok")
+            .orderBy("doc_id"))
 
 
 @query(

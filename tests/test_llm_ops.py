@@ -344,3 +344,38 @@ def test_multimodal_payloads_survive_non_ascii_text(spark):
     row = out[out.doc_id == 1].iloc[0]
     assert row.mean_r == b[:, 0].astype(int).sum() / 64
     assert row.mean_b == b[:, 2].astype(int).sum() / 64
+
+
+def test_media_dispatch_routes_by_magic(spark):
+    # even doc_id -> P6 image, odd -> RIFF/WAVE; the extractor must
+    # sniff magic bytes and route to the matching REAL decoder.
+    df = spark.createDataFrame(
+        [(2, "abcdefgh"), (3, "abcdefgh")], "doc_id long, text string")
+    media = MM.with_mixed_media(df)
+    out = {r.doc_id: r for r in
+           MM.extract_media_features(media).collect()}
+    img, wav = out[2], out[3]
+    assert img.mime == "image/x-portable-pixmap"
+    assert img.n_bytes == MM.PPM_HEADER_LEN + MM._PPM_PIXELS
+    assert img.n_units == MM._PPM_PIXELS
+    # 192 bytes of "abcdefgh" repeated: 24 full cycles
+    assert img.feat_sum == 24 * sum(ord(c) for c in "abcdefgh")
+    assert img.decode_ok
+    assert wav.mime == "audio/wav"
+    assert wav.n_bytes == MM.WAV_HEADER_LEN + MM._WAV_DATA_BYTES
+    assert wav.n_units == MM.WAV_SAMPLES
+    # sample_j = b[2j] + 256*b[2j+1] over the repeated text
+    t = ("abcdefgh" * 16)[:128].encode()
+    ssq = sum((t[2 * j] + 256 * t[2 * j + 1]) ** 2 for j in range(64))
+    assert wav.feat_sum == ssq
+    assert wav.decode_ok
+
+
+def test_media_dispatch_unknown_format_falls_to_stub(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(b"\x89PNG\r\n\x1a\nxxxx"))])
+    row = MM.extract_media_features(df).collect()[0]
+    assert row.mime == "application/octet-stream"
+    assert not row.decode_ok
+    assert row.feat_sum == 0 and row.feat6 == 0.0
