@@ -44,53 +44,29 @@ def query(name: str, oracle: str | None, *, doc: str = "",
     return wrap
 
 
-# Round-4 window head: the driver's correctness gate only checks the
-# FIRST 50 registry entries, so order by evidence priority. Round 3's
-# window came back 50/50 green, which leaves exactly one class of
-# correctness debt: the 22 round-3 queries that registered after the
-# window filled and have NEVER seen a driver row. They go first,
-# followed by the four rows-only-by-design queries whose last clean
-# evidence is round 2.
-_R4_HEAD = (
-    # 22-query evidence backlog (registered r3, never driver-checked)
-    'corpus_dedup_pipeline', 'triangle_count_copurchase',
-    'embedding_kmeans_assign', 'per_group_reservoir',
-    'salted_hot_key_agg', 'value_histogram', 'ohlc_bars',
-    'resample_forward_fill', 'deterministic_sample',
-    'sql_revenue_by_priority', 'ewma_indicator', 'fk_integrity_checks',
-    'snapshot_diff', 'hll_partial_merge', 'negative_sampling',
-    'sequence_packing_bins', 'stratified_sample_events',
-    'lang_mixture_rebalance', 'chunk_dedup_substrings',
-    'corpus_quality_filter', 'cross_doc_repetition', 'zorder_locality',
-    # rows-only-by-design, last evidenced r2 — re-run for fresh rows
-    'ann_lsh_topk', 'ann_ivf_topk', 'approx_aggregates',
-    'multimodal_feature_extract',
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The driver's correctness gate only checks the
+# FIRST 50 registry entries each round, so ordering IS the evidence
+# pipeline: the window head carries queries changed this round plus the
+# oldest never-driver-evidenced backlog; the tail carries already-green
+# queries oldest-evidence-first so every query keeps accumulating
+# recent driver rows. Round 5 freezes registry growth (VERDICT r4 ask
+# #1): zero new queries, the whole window spends on clearing the
+# 88-query backlog (49 backlog entries + multimodal_feature_extract,
+# whose oracle is NEW this round — ask #4 — and needs fresh evidence).
+
+_WINDOW = 50
+
+# Queries whose code or oracle changed this round — they need fresh
+# driver evidence regardless of prior greens, so they lead the window.
+_R5_CHANGED = (
+    'multimodal_feature_extract',   # rows-only -> full value oracle (r5)
+    'window_funnel_depth',          # (tus, event_id) window order fix
+    'variant_props_stats',          # oracle OBJECT/OTHER collapse fix
+    'local_clustering_coefficient',  # lexicographic orientation key
 )
 
-# Queries verified green per round (CORRECTNESS_r01.json /
-# CORRECTNESS_r02.json). Never-verified (new) queries are ordered
-# before these, and r1-only greens (stale evidence) before r2 greens
-# (fresh), so every query keeps accumulating recent driver rows.
-_R2_GREEN = frozenset({
-    'q2_min_cost_supplier', 'q8_market_share', 'q9_profit_by_nation_year',
-    'q11_important_parts', 'q20_excess_suppliers', 'q21_waiting_suppliers',
-    'json_props_extract', 'regex_doc_numbers', 'text_token_stats',
-    'text_quality_score', 'lang_id', 'doc_fingerprint',
-    'token_frequencies', 'token_count_bpe_ish', 'dedup_exact',
-    'dedup_ngram_jaccard', 'dedup_minhash_lsh', 'dedup_simhash',
-    'dedup_clusters', 'dedup_exact_kept', 'dedup_embedding_cosine',
-    'ann_bruteforce_topk', 'embedding_norms', 'multimodal_binary_meta',
-    'streaming_hourly_rollup', 'streaming_distinct_user_types',
-    'streaming_click_purchase_join', 'sessionize_events',
-    'incremental_dedup_exact', 'incremental_dedup_minhash',
-    'dedup_ngram_jaccard_capped',
-    # r2-window repeats of r1 greens (fresh evidence)
-    'q1_pricing_summary', 'q3_top_unshipped_orders',
-    'q5_supplier_volume_by_nation', 'top_orders_per_customer',
-    'running_total_per_user', 'set_ops_high_value_customers',
-    'set_ops_except', 'union_distinct_event_users',
-})
-
+# Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
     'anti_join_parts_no_bulk_orders', 'asof_join_purchase_to_click',
     'crossover_signals', 'cube_order_stats', 'date_range_filter',
@@ -117,6 +93,26 @@ _R1_GREEN = frozenset({
     'value_percentiles',
 })
 
+_R2_GREEN = frozenset({
+    'q2_min_cost_supplier', 'q8_market_share', 'q9_profit_by_nation_year',
+    'q11_important_parts', 'q20_excess_suppliers', 'q21_waiting_suppliers',
+    'json_props_extract', 'regex_doc_numbers', 'text_token_stats',
+    'text_quality_score', 'lang_id', 'doc_fingerprint',
+    'token_frequencies', 'token_count_bpe_ish', 'dedup_exact',
+    'dedup_ngram_jaccard', 'dedup_minhash_lsh', 'dedup_simhash',
+    'dedup_clusters', 'dedup_exact_kept', 'dedup_embedding_cosine',
+    'ann_bruteforce_topk', 'embedding_norms', 'multimodal_binary_meta',
+    'streaming_hourly_rollup', 'streaming_distinct_user_types',
+    'streaming_click_purchase_join', 'sessionize_events',
+    'incremental_dedup_exact', 'incremental_dedup_minhash',
+    'dedup_ngram_jaccard_capped',
+    # r2-window repeats of r1 greens (fresh evidence)
+    'q1_pricing_summary', 'q3_top_unshipped_orders',
+    'q5_supplier_volume_by_nation', 'top_orders_per_customer',
+    'running_total_per_user', 'set_ops_high_value_customers',
+    'set_ops_except', 'union_distinct_event_users',
+})
+
 _R3_GREEN = frozenset({
     'ann_pq_adc_topk', 'array_values_per_user', 'autocorr_lag1',
     'bigram_conditional_prob', 'candle_patterns', 'cms_heavy_hitters',
@@ -140,15 +136,65 @@ _R3_GREEN = frozenset({
     'zscore_anomalies',
 })
 
-_DRIVER_VERIFIED = _R1_GREEN | _R2_GREEN | _R3_GREEN
+_R4_GREEN = frozenset({
+    'atr_breakout_signals', 'benford_first_digit_audit',
+    'cdc_apply_changes', 'chi2_independence_test',
+    'chunk_dedup_substrings', 'corpus_dedup_pipeline',
+    'corpus_quality_filter', 'cross_doc_repetition',
+    'cusum_change_detection', 'deterministic_sample',
+    'embedding_kmeans_assign', 'ewma_indicator',
+    'exact_global_quantiles', 'feature_standardize',
+    'fk_integrity_checks', 'interval_overlap_join', 'k_anonymity_audit',
+    'kelly_position_sizing', 'ks_two_sample_test',
+    'lang_mixture_rebalance', 'market_basket_lift',
+    'mutual_information_features', 'negative_sampling', 'ohlc_bars',
+    'per_group_reservoir', 'precision_recall_thresholds',
+    'psi_feature_drift', 'recursive_interest_schedule',
+    'resample_forward_fill', 'roc_auc_exact',
+    'rolling_market_correlation', 'rsi_bollinger_bands',
+    'salted_hot_key_agg', 'seasonal_decompose_additive',
+    'sequence_packing_bins', 'skyline_parts_per_brand', 'snapshot_diff',
+    'spearman_value_k_corr', 'sql_revenue_by_priority',
+    'stratified_sample_events', 'triangle_count_copurchase',
+    'value_histogram', 'welch_t_test', 'winsorized_user_stats',
+    'zorder_locality',
+})
+
+# Rows-only-by-design queries the r4 window re-ran clean (no oracle —
+# approximate/sketch semantics). They count as r4-evidenced for
+# rotation; re-evidence on a 2-round cadence (next due r6).
+_R4_ROWS_ONLY = frozenset({
+    'hll_partial_merge', 'ann_lsh_topk', 'ann_ivf_topk',
+    'approx_aggregates', 'multimodal_feature_extract',
+})
+
+_ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
+                 _R4_GREEN | _R4_ROWS_ONLY)
+
+_DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
+
+
+def _window_order(names):
+    """Codified window rotation (VERDICT r4 ask #7, so head ordering
+    can't regress to hand-curation): changed-this-round first, then the
+    never-driver-evidenced backlog alphabetically, then evidenced
+    queries oldest-round-first (alphabetical within a round). The
+    driver checks the first _WINDOW entries; everything after that
+    order is immaterial but kept deterministic."""
+    def last_evidence_round(n):
+        rounds = [i + 1 for i, s in enumerate(_ROUND_GREENS) if n in s]
+        return max(rounds) if rounds else 0  # 0 = never evidenced
+    changed = {n: i for i, n in enumerate(_R5_CHANGED)}
+    return sorted(names, key=lambda n: (
+        changed.get(n, len(_R5_CHANGED)),       # changed queries lead
+        last_evidence_round(n),                  # backlog (0) next
+        n))
+
 
 def load_registry() -> dict[str, Query]:
     """Import all query modules (registration happens at import), then
-    order the registry so the driver's 50-query prefix window sees, in
-    order: the round-4 head (the 22-query evidence backlog + the four
-    rows-only re-evidence slots), queries added this round (never
-    driver-verified), then already-green queries oldest-evidence
-    first (r1-only greens before r2 before r3)."""
+    order the registry so the driver's 50-query prefix window sees the
+    rotation head computed by _window_order."""
     from . import tpch_extra  # noqa: F401
     from . import scalar_surface  # noqa: F401
     from . import llm_text  # noqa: F401
@@ -163,16 +209,7 @@ def load_registry() -> dict[str, Query]:
     from . import corpus_ops  # noqa: F401
     from . import vector_ops  # noqa: F401
     from . import retrieval_ops  # noqa: F401
-    ordered = {n: REGISTRY[n] for n in _R4_HEAD if n in REGISTRY}
-    ordered.update((n, q) for n, q in REGISTRY.items()  # new this round
-                   if n not in _DRIVER_VERIFIED and n not in ordered)
-    ordered.update((n, q) for n, q in REGISTRY.items()  # stale r1 greens
-                   if n not in _R2_GREEN and n not in _R3_GREEN
-                   and n not in ordered)
-    ordered.update((n, q) for n, q in REGISTRY.items()  # r2 greens
-                   if n not in _R3_GREEN and n not in ordered)
-    ordered.update((n, q) for n, q in REGISTRY.items()
-                   if n not in ordered)
+    ordered = {n: REGISTRY[n] for n in _window_order(REGISTRY)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY
