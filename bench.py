@@ -13,6 +13,8 @@ materialization of the full result (collect on small results).
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import sys
@@ -22,6 +24,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from big_datatrader_spark.queries import load_registry  # noqa: E402
 from big_datatrader_spark.session import get_spark  # noqa: E402
+
+
+def dataset_fingerprint(sf_dir: str) -> dict:
+    """Identify the exact input data the timings were taken against
+    (VERDICT r4: a +27% drift on scan-heavy queries could not be
+    attributed to regenerated testdata vs box state because BENCH
+    recorded neither). Per table: footer row count (no data read) and
+    on-disk bytes; plus one md5 over every parquet file's bytes so two
+    BENCH records are comparable with a single diff."""
+    import pyarrow.parquet as pq
+
+    tables: dict[str, dict] = {}
+    digest = hashlib.md5()
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        files = ([path] if os.path.isfile(path) else
+                 sorted(glob.glob(os.path.join(path, "*.parquet"))))
+        rows = n_bytes = 0
+        for f in files:
+            rows += pq.ParquetFile(f).metadata.num_rows
+            n_bytes += os.path.getsize(f)
+            with open(f, "rb") as fh:
+                digest.update(fh.read())
+        name = os.path.basename(path).replace(".parquet", "")
+        tables[name] = {"rows": rows, "bytes": n_bytes}
+    return {"tables": tables, "content_md5": digest.hexdigest()}
 
 
 def main():
@@ -57,6 +84,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "dataset": dataset_fingerprint(sf_dir),
     }))
 
 

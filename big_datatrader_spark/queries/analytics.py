@@ -6624,6 +6624,7 @@ def correlation_matrix_daily(spark, sf_dir):
 
 @query(
     "quantile_normalization",
+    bench=True,
     oracle="""
     WITH cnt AS (
       SELECT event_type,

@@ -249,6 +249,7 @@ _POS_BITS = 1 << 20  # pack = h40 * 2^20 + (2^20-1-pos); h40 < 2^40
 
 @query(
     "winnowing_fingerprints",
+    bench=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id,

@@ -195,6 +195,7 @@ def _merge_pair_udf(left: str, right: str):
 
 @query(
     "bpe_learn_merges",
+    bench=True,
     oracle=None,  # iterative: greedy within-word merges have no SQL
                   # twin; exact pytest oracle vs a pure-Python BPE
                   # reference in tests/test_retrieval_ops.py
@@ -368,6 +369,7 @@ _RRF_OUT = 10
 
 @query(
     "hybrid_rrf_retrieval",
+    bench=True,
     oracle=f"""
     WITH {{bm25_ctes}},
     atop AS (SELECT doc_id, bm25 FROM total

@@ -2449,6 +2449,7 @@ def _hits_oracle() -> str:
 
 @query(
     "hits_hub_authority",
+    bench=True,
     oracle=_hits_oracle(),
     doc=f"HITS (Kleinberg) hubs & authorities, {_HITS_ITERS} "
         "iterations over the part co-purchase graph: per half-step "
