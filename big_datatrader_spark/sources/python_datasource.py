@@ -74,8 +74,11 @@ class _TickStreamReader(SimpleDataSourceStreamReader):
     Note: Spark's Python micro-batch wrapper does not support
     Trigger.AvailableNow (it falls back to a SINGLE batch), so a
     one-shot drain sees only the first ``read`` — callers wanting
-    the whole feed in one drain set batch >= ticks; offset
-    progression and replay are covered by the direct-reader tests.
+    the whole feed in one drain set batch >= ticks. Multi-batch
+    offset progression IS exercised through a real StreamingQuery
+    with a processingTime trigger (tests/test_sources_streaming.py::
+    test_python_stream_source_multibatch_drain); committed-range
+    replay is covered by the direct-reader test.
     """
 
     def __init__(self, options):

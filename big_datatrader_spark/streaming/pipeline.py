@@ -23,6 +23,21 @@ from pyspark.sql import types as T
 
 from ..session import ensure_confs
 
+# Drain-time executed-plan capture: a streaming query's physical plan
+# only exists once a micro-batch has run, so the registry-wide plan
+# gate (which walks lazy batch plans) cannot see it. Every drain helper
+# records the executed plan of its StreamingQuery here; the streaming
+# plan audit (tests/test_streaming_plans.py) clears the list, drains a
+# query, and asserts over what actually ran.
+DRAIN_PLANS: list[str] = []
+
+
+def _record_drain_plan(q) -> None:
+    try:
+        DRAIN_PLANS.append(q._jsq.explainInternal(False))
+    except Exception:
+        pass  # no batch executed (empty source) — nothing to audit
+
 
 def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Explicit source schema (a streaming source cannot infer). The
@@ -151,6 +166,7 @@ def run_stream_to_memory(result: DataFrame, spark: SparkSession,
         )
         try:
             q.awaitTermination(timeout_sec)
+            _record_drain_plan(q)
         finally:
             if q.isActive:
                 q.stop()
@@ -207,6 +223,7 @@ def run_stream_merge_to_parquet(result: DataFrame, spark: SparkSession,
          .start())
     try:
         q.awaitTermination(timeout_sec)
+        _record_drain_plan(q)
     finally:
         if q.isActive:
             q.stop()
@@ -265,6 +282,7 @@ def run_stream_latest_merge_to_parquet(
          .start())
     try:
         q.awaitTermination(timeout_sec)
+        _record_drain_plan(q)
     finally:
         if q.isActive:
             q.stop()
