@@ -171,23 +171,31 @@ def bm25_more_like_this(spark, sf_dir):
 _BPE_ROUNDS = 8
 
 
-def _merge_pair_udf(left: str, right: str):
-    """Arrow-batched greedy left-to-right merge of one (left, right)
-    pair inside each symbol sequence — the only sequential-within-word
-    step of BPE, and the reason the algorithm has no SQL twin."""
+def _apply_merges_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched greedy left-to-right application of the learned
+    merge list IN RANK ORDER (one pass per merge, the standard BPE
+    apply) — the only sequential-within-word step of BPE, and the
+    reason the algorithm has no SQL twin. Taking the whole list in one
+    kernel matters: chaining one pandas_udf per merge would ship the
+    vocabulary across the JVM<->Python Arrow boundary once per learned
+    merge (O(rounds^2) crossings over the training loop); this kernel
+    keeps the per-round cost at ONE crossing and loops in memory."""
 
     @F.pandas_udf("array<string>")
     def merge(seqs: pd.Series) -> pd.Series:
         def one(sym):
-            out, i, n = [], 0, len(sym)
-            while i < n:
-                if i + 1 < n and sym[i] == left and sym[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(sym[i])
-                    i += 1
-            return out
+            for left, right in merges:
+                out, i, n = [], 0, len(sym)
+                while i < n:
+                    if (i + 1 < n and sym[i] == left
+                            and sym[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return sym
         return seqs.map(one)
 
     return merge
@@ -216,26 +224,40 @@ def bpe_learn_merges(spark, sf_dir):
     words = (docs.select(F.explode(TX.tokens(F.col("text")))
                          .alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("wcount")))
-    seqs = words.select(
+    # Persist the INITIAL vocabulary: without it, every round's pair
+    # count re-runs tokenize + explode + word groupBy — a full corpus
+    # scan per merge round, which is the 100 TB killer. Rounds then
+    # recompute only the chained merge kernels over the vocab-sized
+    # relation (KB..MB-scale Arrow batches; measured at parity with
+    # per-round caching locally, without its per-round materialization
+    # overhead). The corpus is touched exactly once.
+    seqs0 = seqs = words.select(
         "wcount",
-        F.expr("filter(split(word, ''), x -> x <> '')").alias("seq"))
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("seq")
+    ).persist()
     merges = []
-    for rnd in range(1, _BPE_ROUNDS + 1):
-        pairs = (seqs.select(
-            "wcount",
-            F.explode(F.arrays_zip(
-                F.expr("slice(seq, 1, size(seq) - 1)"),
-                F.expr("slice(seq, 2, size(seq) - 1)"))).alias("p"))
-            .select("wcount", F.col("p.0").alias("l"),
-                    F.col("p.1").alias("r"))
-            .groupBy("l", "r").agg(F.sum("wcount").alias("cnt")))
-        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
-        if not top:
-            break
-        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
-        merges.append((rnd, l, r, l + r, cnt))
-        seqs = seqs.select(
-            "wcount", _merge_pair_udf(l, r)(F.col("seq")).alias("seq"))
+    try:
+        for rnd in range(1, _BPE_ROUNDS + 1):
+            pairs = (seqs.select(
+                "wcount",
+                F.explode(F.arrays_zip(
+                    F.expr("slice(seq, 1, size(seq) - 1)"),
+                    F.expr("slice(seq, 2, size(seq) - 1)"))).alias("p"))
+                .select("wcount", F.col("p.0").alias("l"),
+                        F.col("p.1").alias("r"))
+                .groupBy("l", "r").agg(F.sum("wcount").alias("cnt")))
+            top = (pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+                   .collect())
+            if not top:
+                break
+            l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+            merges.append((rnd, l, r, l + r, cnt))
+            seqs = seqs0.select(
+                "wcount",
+                _apply_merges_udf([(m[1], m[2]) for m in merges])(
+                    F.col("seq")).alias("seq"))
+    finally:
+        seqs0.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, "
                 "merged string, pair_count long")
