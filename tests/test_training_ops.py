@@ -142,14 +142,21 @@ def test_round4_ops_partition_invariant(spark):
     Bollinger integer-cent windows) and the per-series Holt fold must
     produce bit-identical results at ANY shuffle-partition count."""
     import os
+
+    def canon(pdf):
+        # row order is not part of any query's contract (winnowing has
+        # no output sort at all) — compare as canonicalized relations
+        return (pdf.sort_values(list(pdf.columns))
+                .reset_index(drop=True))
+
     for name in ("naive_bayes_lang_score", "winnowing_fingerprints",
                  "dsir_importance_weights", "rsi_bollinger_bands",
                  "holt_linear_smoothing"):
-        base = REG[name].spark_fn(spark, SF).toPandas()
+        base = canon(REG[name].spark_fn(spark, SF).toPandas())
         for p in (1, 7):
             os.environ["SPARK_GRAFT_CPUS"] = str(p)
             try:
-                again = REG[name].spark_fn(spark, SF).toPandas()
+                again = canon(REG[name].spark_fn(spark, SF).toPandas())
             finally:
                 os.environ["SPARK_GRAFT_CPUS"] = "32"
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -438,3 +445,44 @@ def test_feature_hashing_conserves_tokens_and_bounds_buckets(spark):
     assert out.bucket.between(0, 63).all()
     # signed sum can never exceed the raw count
     assert (out.signed_sum.abs() <= out.cnt).all()
+
+
+def test_window_funnel_deterministic_under_ts_ties(spark, tmp_path):
+    """Round-4 advice regression: the funnel's window order is
+    (tus, event_id) on BOTH window stages, so same-timestamp events
+    cannot make the depth partition-layout-dependent. Synthesizes the
+    tie the real testdata lacks: user 1 has click and view at the SAME
+    instant, then a purchase inside the window — a depth-3 chain exists
+    only if the view (event_id 1, before the click's event_id 2) is
+    visible to the click; any tus-only ROWS frame could order the pair
+    either way."""
+    import pandas as pd
+
+    rows = [
+        # user 1: view & click at identical ts (ids pin view first)
+        (1, pd.Timestamp("2024-01-01 00:00:00"), 1, "view", 1.0, "{}"),
+        (2, pd.Timestamp("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+        (3, pd.Timestamp("2024-01-01 00:30:00"), 1, "purchase", 1.0,
+         "{}"),
+        # user 2: click BEFORE its view at the same instant -> the
+        # click has no anchor; depth stops at 1 (view exists)
+        (4, pd.Timestamp("2024-01-02 00:00:00"), 2, "click", 1.0, "{}"),
+        (5, pd.Timestamp("2024-01-02 00:00:00"), 2, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(1).write.mode(
+        "overwrite").parquet(sf + "/events.parquet")
+    # user 1: full chain -> d1 + d1*d2 + d1*d2*d3 = 3; user 2: the
+    # click precedes its view in (tus, event_id) order, so no anchor
+    expected = {1: 3, 2: 1}
+    for p in (1, 5):
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        try:
+            got = {r.user_id: r.funnel_depth
+                   for r in REG["window_funnel_depth"]
+                   .spark_fn(spark, sf).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert got == expected, (p, got)
