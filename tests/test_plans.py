@@ -401,3 +401,17 @@ def test_round4e_exchange_budgets(spark, sf001):
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
         assert n <= budget, (name, n, budget)
+
+
+def test_round5_exchange_budgets(spark, sf001):
+    """Round-5 changes re-pinned: the generic media extract is a
+    narrow decode (its ONE exchange is the output sort of a doc-sized
+    relation), and winnowing dropped its output sort so the per-doc
+    window exchange — which the distinct rides — is the whole plan."""
+    budgets = {
+        "multimodal_feature_extract": 1,  # orderBy only; decode narrow
+        "winnowing_fingerprints": 1,      # doc_id window; no output sort
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
