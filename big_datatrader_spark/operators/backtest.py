@@ -33,9 +33,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .signals import with_stride_signals
 
 
+def _as_order_cols(order_col) -> list[str]:
+    """Accept a single column name or a sequence. Pass a composite key
+    (e.g. ["ts", "event_id"]) whenever the primary order can tie —
+    row_number/lag/fold results over an underspecified order are
+    nondeterministic the moment two rows share a timestamp, which at
+    100 TB is routine (same-millisecond ticks)."""
+    return [order_col] if isinstance(order_col, str) else list(order_col)
+
+
 def evenly_spaced_backtest(df: DataFrame, *,
                            symbol_col: str,
-                           order_col: str,
+                           order_col: str | Sequence[str],
                            price_col: str,
                            budget: float = 10_000.0,
                            per_trade: float = 1_000.0,
@@ -59,12 +68,13 @@ def evenly_spaced_backtest(df: DataFrame, *,
     eff_max = int(max_trades) if max_trades is not None \
         else int(budget // per_trade)
     cap = int(budget // per_trade)
+    ocols = _as_order_cols(order_col)
 
-    sig = with_stride_signals(df, [symbol_col], [order_col],
+    sig = with_stride_signals(df, [symbol_col], ocols,
                               max_trades=max_trades)
 
-    w_buy = Window.partitionBy(symbol_col).orderBy(order_col)
-    w_all = (Window.partitionBy(symbol_col).orderBy(order_col)
+    w_buy = Window.partitionBy(symbol_col).orderBy(*ocols)
+    w_all = (Window.partitionBy(symbol_col).orderBy(*ocols)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
     buys = (
@@ -85,10 +95,17 @@ def evenly_spaced_backtest(df: DataFrame, *,
         F.max("n_buys").alias("n_buys"),
     )
     # last price of the FULL series (reference main.py:383 uses gdf, the
-    # unfiltered frame) — max_by keeps this a single hash aggregate, no
-    # extra window pass.
-    finals = df.groupBy(symbol_col).agg(
-        F.max_by(F.col(price_col), F.col(order_col)).alias("final_price"))
+    # unfiltered frame) — a single hash aggregate, no extra window pass.
+    # Composite order keys use a lexicographic struct max (DuckDB's
+    # max_by has no struct key, so the oracle twin is
+    # (max({..., 'p': price})).p — field-order comparison on both).
+    if len(ocols) == 1:
+        last_price = F.max_by(F.col(price_col), F.col(ocols[0]))
+    else:
+        last_price = F.max(F.struct(
+            *[F.col(c) for c in ocols],
+            F.col(price_col).alias("__p"))).getField("__p")
+    finals = df.groupBy(symbol_col).agg(last_price.alias("final_price"))
 
     res = finals.join(per_symbol_buys, on=symbol_col, how="left")
     invested = F.col("trades_executed") * F.lit(per_trade)
@@ -115,13 +132,14 @@ def evenly_spaced_backtest(df: DataFrame, *,
     )
 
 
-def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
+def _crossover_fold(pdf: pd.DataFrame, price_col: str,
+                    order_cols: list[str],
                     budget: float, per_trade: float,
                     max_trades: int | None):
     """Exact re-expression of the reference state machine
     (main.py:398-439): golden cross buys (budget-gated), death cross
     sells, forced close of an open position at the final price."""
-    pdf = pdf.sort_values(order_col).reset_index(drop=True)
+    pdf = pdf.sort_values(order_cols).reset_index(drop=True)
     close_s = pdf[price_col].astype("float64")
     # numpy views: the fold touches every row, and pandas scalar .iloc is
     # ~50x slower than ndarray indexing — this loop is the per-group hot
@@ -129,7 +147,7 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
     close = close_s.to_numpy()
     short_ma = close_s.rolling(window=5, min_periods=1).mean().to_numpy()
     long_ma = close_s.rolling(window=20, min_periods=1).mean().to_numpy()
-    times = pdf[order_col].to_numpy()
+    times = pdf[order_cols[0]].to_numpy()
 
     cash = float(budget)
     in_position = False
@@ -171,15 +189,17 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str, order_col: str,
 
 
 def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
-                           per_trade: float, max_trades: int | None):
+                           per_trade: float, max_trades: int | None,
+                           sort_cols: list[str] = ["__ts"]):
     """Fold over CROSS-EVENT rows plus each symbol's last-row sentinel
-    (columns: __ts, __price, __g, __d). State changes only at cross
-    events, so iterating events is exactly equivalent to the reference's
-    every-row loop — including the max_trades break, which can only trip
-    before an event — while shipping ~1% of the rows to Python. The
-    sentinel guarantees every symbol emits a row and provides the
-    forced-close price; it trades only if it is itself a cross row."""
-    pdf = pdf.sort_values("__ts")
+    (columns: __ts [, __t1 ...], __price, __g, __d). State changes only
+    at cross events, so iterating events is exactly equivalent to the
+    reference's every-row loop — including the max_trades break, which
+    can only trip before an event — while shipping ~1% of the rows to
+    Python. The sentinel guarantees every symbol emits a row and
+    provides the forced-close price; it trades only if it is itself a
+    cross row."""
+    pdf = pdf.sort_values(sort_cols)
     cash = float(budget)
     in_position = False
     entry_price = 0.0
@@ -219,7 +239,7 @@ def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
 
 def ma_crossover_backtest(df: DataFrame, *,
                           symbol_col: str,
-                          order_col: str,
+                          order_col: str | Sequence[str],
                           price_col: str,
                           budget: float = 10_000.0,
                           per_trade: float = 1_000.0,
@@ -250,26 +270,31 @@ def ma_crossover_backtest(df: DataFrame, *,
     if mode not in ("compressed", "full"):
         raise ValueError("mode must be 'compressed' or 'full'")
 
+    ocols = _as_order_cols(order_col)
     sym_field = df.schema[symbol_col]
-    ts_type = df.schema[order_col].dataType.simpleString()
+    ts_type = df.schema[ocols[0]].dataType.simpleString()
 
     if mode == "compressed":
         from pyspark.sql import Window
         from .indicators import with_crossover_signals, with_rolling_mean
+        tie_aliases = [f"__t{i}" for i in range(1, len(ocols))]
+        sort_cols = ["__ts", *tie_aliases]
         slim = df.select(F.col(symbol_col),
-                         F.col(order_col).alias("__ts"),
+                         F.col(ocols[0]).alias("__ts"),
+                         *[F.col(c).alias(a)
+                           for c, a in zip(ocols[1:], tie_aliases)],
                          F.col(price_col).alias("__price"))
         ma = with_rolling_mean(slim, "__price", 5, [symbol_col],
-                               ["__ts"], "__s")
+                               sort_cols, "__s")
         ma = with_rolling_mean(ma, "__price", 20, [symbol_col],
-                               ["__ts"], "__l")
+                               sort_cols, "__l")
         cx = with_crossover_signals(ma, "__s", "__l", [symbol_col],
-                                    ["__ts"], "__g", "__d")
+                                    sort_cols, "__g", "__d")
         # same window spec as the means/lags -> still ONE exchange, ONE
         # scan; the last row rides along as a sentinel so every symbol
         # emits a row and the forced close needs no second scan/join
-        w = Window.partitionBy(symbol_col).orderBy("__ts")
-        w_all = (Window.partitionBy(symbol_col).orderBy("__ts")
+        w = Window.partitionBy(symbol_col).orderBy(*sort_cols)
+        w_all = (Window.partitionBy(symbol_col).orderBy(*sort_cols)
                  .rowsBetween(Window.unboundedPreceding,
                               Window.unboundedFollowing))
         grouped_src = (
@@ -277,17 +302,19 @@ def ma_crossover_backtest(df: DataFrame, *,
             .withColumn("__cnt", F.count(F.lit(1)).over(w_all))
             .filter(F.col("__g") | F.col("__d")
                     | (F.col("__rn") == F.col("__cnt")))
-            .select(symbol_col, "__ts", "__price", "__g", "__d")
+            .select(symbol_col, "__ts", *tie_aliases, "__price",
+                    "__g", "__d")
         )
 
         def fold(pdf):
             return _crossover_fold_events(pdf, budget, per_trade,
-                                          max_trades)
+                                          max_trades,
+                                          sort_cols=sort_cols)
     else:
-        grouped_src = df.select(symbol_col, order_col, price_col)
+        grouped_src = df.select(symbol_col, *ocols, price_col)
 
         def fold(pdf):
-            return _crossover_fold(pdf, price_col, order_col, budget,
+            return _crossover_fold(pdf, price_col, ocols, budget,
                                    per_trade, max_trades)
 
     if emit == "summary":

@@ -201,7 +201,8 @@ def top_orders_per_customer(spark, sf_dir):
     "running_total_per_user",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+           ROUND(sum(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS running_value
     FROM events
@@ -210,7 +211,7 @@ def top_orders_per_customer(spark, sf_dir):
 )
 def running_total_per_user(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return ev.select(
         "event_id", "user_id", "ts",
@@ -1176,8 +1177,10 @@ def orders_above_customer_avg(spark, sf_dir):
     oracle="""
     SELECT user_id,
            min(ts) AS first_ts, max(ts) AS last_ts,
-           ROUND(min_by(value, ts), 6) AS first_value,
-           ROUND(max_by(value, ts), 6) AS last_value,
+           ROUND((min({'t': ts, 'i': event_id, 'v': value})).v, 6)
+               AS first_value,
+           ROUND((max({'t': ts, 'i': event_id, 'v': value})).v, 6)
+               AS last_value,
            count(*) AS n_ticks
     FROM events GROUP BY user_id
     """,
@@ -1186,11 +1189,19 @@ def orders_above_customer_avg(spark, sf_dir):
 )
 def last_tick_per_user(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
+    # first/last by the COMPOSITE (ts, event_id) key: min_by/max_by on
+    # ts alone picks an arbitrary tied row, and the two engines need
+    # not agree on which — lexicographic struct extrema are the
+    # deterministic twin (same field order on both sides)
+    key = lambda: [F.col("ts"), F.col("event_id"),
+                   F.col("value").alias("__v")]
     return ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(F.min_by("value", "ts"), 6).alias("first_value"),
-        F.round(F.max_by("value", "ts"), 6).alias("last_value"),
+        F.round(F.min(F.struct(*key())).getField("__v"), 6)
+        .alias("first_value"),
+        F.round(F.max(F.struct(*key())).getField("__v"), 6)
+        .alias("last_value"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
 
@@ -1280,14 +1291,16 @@ def q10_top_return_customers(spark, sf_dir):
     WITH gaps AS (
       SELECT event_id, user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                  ORDER BY ts) > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id)
                      IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     sess AS (
       SELECT event_id, user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS session_id
       FROM gaps)
@@ -1302,7 +1315,7 @@ def q10_top_return_customers(spark, sf_dir):
 )
 def sessionize_events(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     # microsecond-exact gap compare (unix_timestamp truncates to seconds
     # and would disagree with the oracle's interval comparison on
@@ -1312,7 +1325,7 @@ def sessionize_events(spark, sf_dir):
         | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts))
            > 1800 * 1_000_000),
         1).otherwise(0)
-    run = (Window.partitionBy("user_id").orderBy("ts")
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         ev.withColumn("new_session", new_session)
@@ -1341,19 +1354,23 @@ def sessionize_events(spark, sf_dir):
 
 _CROSSOVER_KEPT_SQL = """
     ma AS (
-      SELECT user_id, ts, value,
-             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, ts, event_id, value,
+             avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
-             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             avg(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
       FROM events
     ), lagged AS (
-      SELECT user_id, ts, value, s, l,
-             lag(s) OVER (PARTITION BY user_id ORDER BY ts) AS ps,
-             lag(l) OVER (PARTITION BY user_id ORDER BY ts) AS pl
+      SELECT user_id, ts, event_id, value, s, l,
+             lag(s) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS ps,
+             lag(l) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS pl
       FROM ma
     ), ev AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              COALESCE(ps <= pl AND s > l, FALSE) AS g
       FROM lagged
       WHERE COALESCE(ps <= pl AND s > l, FALSE)
@@ -1364,14 +1381,17 @@ _CROSSOVER_KEPT_SQL = """
             GROUP BY user_id) f
         ON e.user_id = f.user_id AND e.ts >= f.g0
     ), runs AS (
-      SELECT *, lag(g) OVER (PARTITION BY user_id ORDER BY ts) AS pg
+      SELECT *, lag(g) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS pg
       FROM gated
     ), kept AS (
       SELECT user_id, ts, value, g,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS krn
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS krn
       FROM runs WHERE pg IS NULL OR g <> pg
     ), lastrow AS (
-      SELECT user_id, max(ts) AS last_ts, arg_max(value, ts) AS last_price
+      SELECT user_id, max(ts) AS last_ts,
+             (max({'t': ts, 'i': event_id, 'v': value})).v AS last_price
       FROM events GROUP BY user_id
     ), trades AS (
       SELECT k.user_id, k.ts AS entry_date, k.value AS entry_price,
@@ -1411,10 +1431,11 @@ _CROSSOVER_KEPT_SQL = """
     bench=True,
 )
 def ma_crossover_backtest_q(spark, sf_dir):
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts",
+                                               "event_id", "value")
     res = ma_crossover_backtest(
-        ev, symbol_col="user_id", order_col="ts", price_col="value",
-        budget=10_000.0, per_trade=1_000.0)
+        ev, symbol_col="user_id", order_col=["ts", "event_id"],
+        price_col="value", budget=10_000.0, per_trade=1_000.0)
     return res.select(
         "user_id", F.col("n_trades").cast("long").alias("n_trades"),
         F.round("final_value", _R).alias("final_value"),
@@ -1436,10 +1457,12 @@ def ma_crossover_backtest_q(spark, sf_dir):
         "accumulation enters the comparison at all",
 )
 def ma_crossover_positions_q(spark, sf_dir):
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts",
+                                               "event_id", "value")
     pos = ma_crossover_backtest(
-        ev, symbol_col="user_id", order_col="ts", price_col="value",
-        budget=10_000.0, per_trade=1_000.0, emit="positions")
+        ev, symbol_col="user_id", order_col=["ts", "event_id"],
+        price_col="value", budget=10_000.0, per_trade=1_000.0,
+        emit="positions")
     return pos.select(
         "user_id", "entry_date",
         F.round("entry_price", _R).alias("entry_price"),
@@ -1456,22 +1479,23 @@ def ma_crossover_positions_q(spark, sf_dir):
     "scd2_user_state",
     oracle="""
     WITH ch AS (
-      SELECT user_id, ts, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)
                  AS prev
       FROM events
     ), kept AS (
-      SELECT user_id, event_type AS state, ts AS valid_from
+      SELECT user_id, event_id, event_type AS state, ts AS valid_from
       FROM ch WHERE prev IS NULL OR event_type <> prev
     )
     SELECT user_id, state, valid_from,
            lead(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                 ORDER BY valid_from, event_id) AS valid_to,
            CAST(row_number() OVER (PARTITION BY user_id
-                                   ORDER BY valid_from) AS BIGINT)
+                 ORDER BY valid_from, event_id) AS BIGINT)
                AS version,
            (lead(valid_from) OVER (PARTITION BY user_id
-                                   ORDER BY valid_from) IS NULL)
+                 ORDER BY valid_from, event_id) IS NULL)
                AS is_current
     FROM kept ORDER BY user_id, valid_from
     """,
@@ -1482,20 +1506,23 @@ def ma_crossover_positions_q(spark, sf_dir):
 )
 def scd2_user_state(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts")
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     kept = (
         ev.withColumn("prev", F.lag("event_type").over(w))
         .filter(F.col("prev").isNull()
                 | (F.col("event_type") != F.col("prev")))
-        .select("user_id", F.col("event_type").alias("state"),
+        .select("user_id", "event_id",
+                F.col("event_type").alias("state"),
                 F.col("ts").alias("valid_from"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return (
         kept.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("version", F.row_number().over(w2).cast("long"))
         .withColumn("is_current", F.col("valid_to").isNull())
+        .select("user_id", "state", "valid_from", "valid_to",
+                "version", "is_current")
         .orderBy("user_id", "valid_from")
     )
 
@@ -4775,16 +4802,18 @@ def interarrival_burstiness(spark, sf_dir):
     "pit_dimension_lookup",
     oracle="""
     WITH ch AS (
-      SELECT user_id, ts, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)
                  AS prev
       FROM events),
     scd AS (
       SELECT user_id, event_type AS state, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)
                  AS valid_to,
              CAST(row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts) AS BIGINT)
+                 ORDER BY ts, event_id) AS BIGINT)
                  AS version
       FROM ch WHERE prev IS NULL OR event_type <> prev),
     px AS (
@@ -4816,19 +4845,20 @@ def interarrival_burstiness(spark, sf_dir):
 )
 def pit_dimension_lookup(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    scd = (ev.select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = (ev.select("user_id", "ts", "event_id", "event_type")
            .withColumn("prev", F.lag("event_type").over(w))
            .filter(F.col("prev").isNull()
                    | (F.col("event_type") != F.col("prev")))
-           .select("user_id", F.col("ts").alias("pit_ts"),
+           .select("user_id", "event_id",
+                   F.col("ts").alias("pit_ts"),
                    F.col("event_type").alias("state"),
                    F.row_number().over(
-                       Window.partitionBy("user_id").orderBy("ts"))
+                       Window.partitionBy("user_id")
+                       .orderBy("ts", "event_id"))
                    .cast("bigint").alias("version")))
     states = scd.select("user_id", F.col("pit_ts").alias("ts"),
-                        F.lit(0).alias("is_event"),
-                        F.lit(None).cast("long").alias("event_id"),
+                        F.lit(0).alias("is_event"), "event_id",
                         "state", "version")
     facts = (ev.filter(F.col("event_type") == "purchase")
              .select("user_id", "ts", F.lit(1).alias("is_event"),
@@ -4836,8 +4866,10 @@ def pit_dimension_lookup(spark, sf_dir):
                      F.lit(None).cast("string").alias("state"),
                      F.lit(None).cast("bigint").alias("version")))
     # state rows sort before fact rows at equal ts: the version
-    # beginning at ts applies to events at that instant
-    wff = (Window.partitionBy("user_id").orderBy("ts", "is_event")
+    # beginning at ts applies to events at that instant; event_id
+    # breaks remaining ties deterministically
+    wff = (Window.partitionBy("user_id")
+           .orderBy("ts", "is_event", "event_id")
            .rowsBetween(Window.unboundedPreceding, 0))
     u = states.unionByName(facts)
     carried = u.select(

@@ -77,16 +77,16 @@ def json_filter(spark, sf_dir):
     "stride_signals",
     oracle="""
     SELECT event_id, user_id,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
            CAST(10 AS BIGINT) AS step,
-           ((row_number() OVER (PARTITION BY user_id ORDER BY ts)) - 1)
+           ((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1)
                % 10 = 0 AS buy_signal
     FROM events
     """,
     doc="W4 stride buy signals, default step 10 (main.py:349-360)",
 )
 def stride_signals(spark, sf_dir):
-    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"])
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts", "event_id"])
     return sig.select(
         "event_id", "user_id",
         F.col("rn").cast("long").alias("rn"),
@@ -99,7 +99,7 @@ def stride_signals(spark, sf_dir):
     oracle="""
     WITH base AS (
       SELECT event_id, user_id,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
              GREATEST(count(*) OVER (PARTITION BY user_id) // 7, 1) AS step
       FROM events
     )
@@ -110,7 +110,7 @@ def stride_signals(spark, sf_dir):
         "max_trades=7 (main.py:354-357)",
 )
 def stride_signals_derived_step(spark, sf_dir):
-    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"],
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts", "event_id"],
                               max_trades=7)
     return sig.select(
         "event_id", "user_id",
@@ -126,9 +126,9 @@ def stride_signals_derived_step(spark, sf_dir):
     "rolling_ma",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS short_ma,
-           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+           ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS long_ma
     FROM events
     """,
@@ -137,8 +137,8 @@ def stride_signals_derived_step(spark, sf_dir):
 )
 def rolling_ma(spark, sf_dir):
     df = _ticks(spark, sf_dir)
-    df = with_rolling_mean(df, "value", 5, ["user_id"], ["ts"], "short_ma")
-    df = with_rolling_mean(df, "value", 20, ["user_id"], ["ts"], "long_ma")
+    df = with_rolling_mean(df, "value", 5, ["user_id"], ["ts", "event_id"], "short_ma")
+    df = with_rolling_mean(df, "value", 20, ["user_id"], ["ts", "event_id"], "long_ma")
     return df.select(
         "event_id", "user_id", "ts",
         F.round("short_ma", _R).alias("short_ma"),
@@ -153,15 +153,15 @@ def rolling_ma(spark, sf_dir):
     oracle="""
     WITH ma AS (
       SELECT event_id, user_id, ts,
-             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS short_ma,
-             avg(value) OVER (PARTITION BY user_id ORDER BY ts
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS long_ma
       FROM events
     ), lagged AS (
       SELECT event_id, user_id, ts, short_ma, long_ma,
-             lag(short_ma) OVER (PARTITION BY user_id ORDER BY ts) AS ps,
-             lag(long_ma) OVER (PARTITION BY user_id ORDER BY ts) AS pl
+             lag(short_ma) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ps,
+             lag(long_ma) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pl
       FROM ma
     )
     SELECT event_id, user_id, ts,
@@ -173,10 +173,10 @@ def rolling_ma(spark, sf_dir):
 )
 def crossover_signals(spark, sf_dir):
     df = _ticks(spark, sf_dir)
-    df = with_rolling_mean(df, "value", 5, ["user_id"], ["ts"], "short_ma")
-    df = with_rolling_mean(df, "value", 20, ["user_id"], ["ts"], "long_ma")
+    df = with_rolling_mean(df, "value", 5, ["user_id"], ["ts", "event_id"], "short_ma")
+    df = with_rolling_mean(df, "value", 20, ["user_id"], ["ts", "event_id"], "long_ma")
     df = with_crossover_signals(df, "short_ma", "long_ma",
-                                ["user_id"], ["ts"])
+                                ["user_id"], ["ts", "event_id"])
     return df.select("event_id", "user_id", "ts",
                      "golden_cross", "death_cross")
 
@@ -189,7 +189,7 @@ def crossover_signals(spark, sf_dir):
     oracle="""
     WITH sig AS (
       SELECT event_id, user_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     )
     SELECT event_id, user_id, ts, value
@@ -201,7 +201,7 @@ def crossover_signals(spark, sf_dir):
         "(main.py:380-381)",
 )
 def topk_earliest_buys(spark, sf_dir):
-    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"])
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts", "event_id"])
     return (
         sig.filter(F.col("buy_signal"))
         .select("event_id", "user_id", "ts", "value")
@@ -216,12 +216,12 @@ def topk_earliest_buys(spark, sf_dir):
 
 _EVENLY_ORACLE_DEFAULT = """
 WITH sig AS (
-  SELECT user_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ), buys AS (
-  SELECT user_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS buy_rn,
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS buy_rn,
          count(*) OVER (PARTITION BY user_id) AS n_buys
   FROM sig WHERE (rn - 1) % 10 = 0
 ), agg AS (
@@ -230,7 +230,8 @@ WITH sig AS (
   FROM buys WHERE buy_rn <= LEAST(n_buys, 10)
   GROUP BY user_id
 ), finals AS (
-  SELECT user_id, max_by(value, ts) AS final_price
+  SELECT user_id, (max({'t': ts, 'i': event_id, 'v': value})).v
+             AS final_price
   FROM events GROUP BY user_id
 )
 SELECT f.user_id AS user_id,
@@ -274,20 +275,20 @@ def _rounded_backtest(df):
 )
 def evenly_spaced_backtest_q(spark, sf_dir):
     res = evenly_spaced_backtest(
-        _ticks(spark, sf_dir), symbol_col="user_id", order_col="ts",
+        _ticks(spark, sf_dir), symbol_col="user_id", order_col=["ts", "event_id"],
         price_col="value", budget=BUDGET, per_trade=PER_TRADE)
     return _rounded_backtest(res)
 
 
 _EVENLY_ORACLE_MAXTRADES = """
 WITH base AS (
-  SELECT user_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          GREATEST(count(*) OVER (PARTITION BY user_id) // 5, 1) AS step
   FROM events
 ), buys AS (
-  SELECT user_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS buy_rn,
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS buy_rn,
          count(*) OVER (PARTITION BY user_id) AS n_buys
   FROM base WHERE (rn - 1) % step = 0
 ), agg AS (
@@ -296,7 +297,8 @@ WITH base AS (
   FROM buys WHERE buy_rn <= LEAST(n_buys, 5)
   GROUP BY user_id
 ), finals AS (
-  SELECT user_id, max_by(value, ts) AS final_price
+  SELECT user_id, (max({'t': ts, 'i': event_id, 'v': value})).v
+             AS final_price
   FROM events GROUP BY user_id
 )
 SELECT f.user_id AS user_id,
@@ -329,7 +331,7 @@ FROM finals f LEFT JOIN agg a USING (user_id)
     oracle="""
     WITH sig AS (
       SELECT event_id, user_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     )
     SELECT event_id, user_id, ts, value,
@@ -341,7 +343,7 @@ FROM finals f LEFT JOIN agg a USING (user_id)
         "columns (main.py:526-528)",
 )
 def export_buy_rows(spark, sf_dir):
-    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts"])
+    sig = with_stride_signals(_ticks(spark, sf_dir), ["user_id"], ["ts", "event_id"])
     return (
         sig.filter(F.col("buy_signal"))
         .select("event_id", "user_id", "ts", "value",
@@ -396,7 +398,7 @@ def shares_vectorized_udf(spark, sf_dir):
 )
 def evenly_spaced_backtest_maxtrades_q(spark, sf_dir):
     res = evenly_spaced_backtest(
-        _ticks(spark, sf_dir), symbol_col="user_id", order_col="ts",
+        _ticks(spark, sf_dir), symbol_col="user_id", order_col=["ts", "event_id"],
         price_col="value", budget=BUDGET, per_trade=PER_TRADE,
         max_trades=5)
     return _rounded_backtest(res)
@@ -404,12 +406,12 @@ def evenly_spaced_backtest_maxtrades_q(spark, sf_dir):
 
 _PORTFOLIO_ORACLE = """
 WITH sig AS (
-  SELECT user_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ), buys AS (
-  SELECT user_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS buy_rn,
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS buy_rn,
          count(*) OVER (PARTITION BY user_id) AS n_buys
   FROM sig WHERE (rn - 1) % 10 = 0
 ), agg AS (
@@ -418,7 +420,8 @@ WITH sig AS (
   FROM buys WHERE buy_rn <= LEAST(n_buys, 10)
   GROUP BY user_id
 ), finals AS (
-  SELECT user_id, max_by(value, ts) AS final_price
+  SELECT user_id, (max({'t': ts, 'i': event_id, 'v': value})).v
+             AS final_price
   FROM events GROUP BY user_id
 ), per AS (
   SELECT f.user_id,
@@ -456,7 +459,7 @@ FROM per
 )
 def evenly_spaced_portfolio(spark, sf_dir):
     res = evenly_spaced_backtest(
-        _ticks(spark, sf_dir), symbol_col="user_id", order_col="ts",
+        _ticks(spark, sf_dir), symbol_col="user_id", order_col=["ts", "event_id"],
         price_col="value", budget=BUDGET, per_trade=PER_TRADE)
     per = res.select(
         "user_id",

@@ -209,17 +209,19 @@ def streaming_topk_trending(spark, sf_dir):
     "streaming_session_window",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)
                        IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id
-                                        ORDER BY ts)
+                                        ORDER BY ts, event_id)
                      >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS sid
       FROM gaps)

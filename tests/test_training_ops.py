@@ -486,3 +486,44 @@ def test_window_funnel_deterministic_under_ts_ties(spark, tmp_path):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
         assert got == expected, (p, got)
+
+
+def test_tie_sensitive_queries_deterministic_under_ties(spark, tmp_path):
+    """The round-5 tie-order sweep: every window that feeds a
+    tie-sensitive function (row_number/lag/lead/ROWS frames/folds)
+    orders by (ts, event_id) on both engines. On a synthetic events
+    table where EVERY user timestamp is duplicated, results must be
+    identical across partition layouts."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k in range(6):
+            t = pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=10 * k)
+            for typ in ("view", "click"):   # every ts duplicated
+                eid += 1
+                rows.append((eid, t, u, typ, float(eid % 7 + 1), "{}"))
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(3).write.mode(
+        "overwrite").parquet(sf + "/events.parquet")
+
+    def canon(df):
+        p = df.toPandas()
+        return (p.sort_values(list(p.columns))
+                .reset_index(drop=True))
+
+    for name in ("running_total_per_user", "sessionize_events",
+                 "scd2_user_state", "pit_dimension_lookup",
+                 "stride_signals", "rolling_ma", "crossover_signals",
+                 "evenly_spaced_backtest", "ma_crossover_backtest"):
+        outs = []
+        for p in (1, 5):
+            spark.conf.set("spark.sql.shuffle.partitions", str(p))
+            try:
+                outs.append(canon(REG[name].spark_fn(spark, sf)))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert outs[0].equals(outs[1]), name
