@@ -995,7 +995,11 @@ def sliding_window_rollup(spark, sf_dir):
            c.ts AS last_click_ts,
            ROUND(c.value, 6) AS last_click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id, ts,
+             (max({'i': event_id, 'v': value})).v AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     doc="as-of join: each purchase matched to the user's most recent "
@@ -1004,11 +1008,20 @@ def sliding_window_rollup(spark, sf_dir):
 )
 def asof_join_purchase_to_click(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # reduce clicks to ONE row per (user, ts) first — with two clicks
+    # at the same instant the as-of match is otherwise engine-arbitrary;
+    # the kept value is the max-event_id row (lexicographic struct max,
+    # the oracle's (max({'i','v'})).v twin)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max(F.struct(F.col("event_id"),
+                                  F.col("value").alias("__v")))
+                   .getField("__v").alias("click_value"))
+              .select(
         "user_id", "ts",
-        F.col("ts").alias("click_ts"), F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"), "click_value",
         F.lit(None).cast("long").alias("p_event_id"),
-        F.lit(0).alias("side"))
+        F.lit(0).alias("side")))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts",
         F.lit(None).cast("timestamp").alias("click_ts"),
