@@ -415,3 +415,54 @@ def test_python_stream_source_multibatch_drain(spark):
     assert sorted(r.i for r in rows) == list(range(total))
     assert sum(r.price_cents for r in rows) == sum(
         PDS.price_cents(sym, i) for i in range(total))
+
+
+def test_nanos_timestamp_encoding_end_to_end(spark, tmp_path):
+    """Driver testdata alternates between TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS) parquet across generations (verify-skill note).
+    Re-encode sf0.001 with ns timestamps and run real queries through
+    BOTH engines on it: the source layer's int64-ns decode
+    (parquet_source._NANOS_TS_COLS under nanosAsLong) must land on the
+    same instants DuckDB's TIMESTAMP_NS truncation does, keeping the
+    value hashes identical on either encoding."""
+    import glob
+    import os
+    import shutil
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from check_oracle import canon
+
+    src, dst = "/root/testdata/sf0.001", str(tmp_path)
+    ns_cols = {"events": ["ts"], "orders": ["o_orderdate"],
+               "lineitem": ["l_shipdate"]}
+    for p in glob.glob(src + "/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        t = pq.read_table(p)
+        for c in ns_cols.get(name, []):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t.column(c).cast(pa.timestamp("ns")))
+        pq.write_table(t, os.path.join(dst, os.path.basename(p)))
+
+    from big_datatrader_spark.queries import load_registry
+    reg = load_registry()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{dst}/{t}.parquet')")
+    for name in ("date_range_filter", "sessionize_events",
+                 "q1_pricing_summary", "ohlc_bars",
+                 "asof_join_purchase_to_click"):
+        q = reg[name]
+        s = canon(q.spark_fn(spark, dst).toPandas())
+        d = canon(con.execute(q.oracle).fetchdf())
+        assert list(s.columns) == list(d.columns), name
+        assert len(s) == len(d) and len(s) > 0, name
+        assert s.equals(d), f"{name}: value mismatch on ns encoding"
