@@ -85,6 +85,14 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "dataset": dataset_fingerprint(sf_dir),
+        # box/runtime identity: with the dataset fingerprint this makes
+        # any round-over-round drift attributable (data vs environment)
+        "env": {
+            "spark": spark.version,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "python": ".".join(map(str, sys.version_info[:3])),
+            "os_cpus": os.cpu_count(),
+        },
     }))
 
 
