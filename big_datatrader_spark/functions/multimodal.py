@@ -27,9 +27,6 @@ from pyspark.sql import DataFrame, functions as F
 
 FEATURE_DIM = 8
 
-MEDIA_META_COLS = (
-    "n_bytes bigint, mime string, magic_hex string")
-
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, byte_mean double, "
     "feature array<double>, decode_ok boolean")
