@@ -5291,7 +5291,7 @@ def conformal_interval_coverage(spark, sf_dir):
              (max(struct_pack(t := ts, e := event_id,
                               v := value))).v AS close
       FROM events GROUP BY 1, 2),
-    ord AS (
+    ord AS MATERIALIZED (
       SELECT user_id, bar_day, close,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY bar_day) AS rn
@@ -6221,7 +6221,7 @@ def brier_logloss_calibration(spark, sf_dir):
              (max(struct_pack(t := ts, e := event_id,
                               v := value))).v AS close
       FROM events GROUP BY 1, 2),
-    ord AS (
+    ord AS MATERIALIZED (
       SELECT user_id, bar_day, close,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY bar_day) AS rn
@@ -6413,7 +6413,7 @@ def sprt_sequential_test(spark, sf_dir):
     WITH RECURSIVE base AS (
       SELECT user_id, epoch_us(ts) AS tus, event_id, value
       FROM events),
-    ord AS (
+    ord AS MATERIALIZED (
       SELECT user_id, tus, event_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY tus, event_id) AS rn

@@ -1074,7 +1074,7 @@ _BFS_MAX_HOPS = 6
     oracle=f"""
     WITH RECURSIVE op AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e AS (SELECT a.p AS x, b.p AS y
+    e AS MATERIALIZED (SELECT a.p AS x, b.p AS y
           FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
     walk(node, dist) AS (
       SELECT CAST({_BFS_SRC} AS BIGINT), 0

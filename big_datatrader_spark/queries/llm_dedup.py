@@ -194,7 +194,7 @@ _JACCARD_PAIRS_SQL = f"""
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_JACCARD_PAIRS_SQL},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM near
       UNION ALL
       SELECT doc_b AS u, doc_a AS v FROM near),

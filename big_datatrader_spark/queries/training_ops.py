@@ -548,7 +548,7 @@ def table_profile(spark, sf_dir):
 @query(
     "ewma_indicator",
     oracle="""
-    WITH RECURSIVE ord AS (
+    WITH RECURSIVE ord AS MATERIALIZED (
       SELECT user_id, ts, event_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
@@ -1853,7 +1853,7 @@ def dsir_importance_weights(spark, sf_dir):
 @query(
     "holt_linear_smoothing",
     oracle="""
-    WITH RECURSIVE ord AS (
+    WITH RECURSIVE ord AS MATERIALIZED (
       SELECT user_id, ts, event_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
