@@ -413,15 +413,15 @@ def lang_mixture_rebalance(spark, sf_dir):
 @query(
     "triangle_count_copurchase",
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey < b.l_partkey),
-    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+    deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
             FROM (SELECT x AS node FROM pairs
                   UNION ALL SELECT y FROM pairs)
             GROUP BY 1),
-    o AS (SELECT CASE WHEN dx.deg < dy.deg
+    o AS MATERIALIZED (SELECT CASE WHEN dx.deg < dy.deg
                            OR (dx.deg = dy.deg AND x < y)
                       THEN x ELSE y END AS u,
                  CASE WHEN dx.deg < dy.deg
@@ -429,7 +429,7 @@ def lang_mixture_rebalance(spark, sf_dir):
                       THEN y ELSE x END AS v
           FROM pairs
           JOIN deg dx ON x = dx.node JOIN deg dy ON y = dy.node),
-    ov AS (SELECT o.u, o.v, d.deg AS dv
+    ov AS MATERIALIZED (SELECT o.u, o.v, d.deg AS dv
            FROM o JOIN deg d ON o.v = d.node),
     tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM ov e1 JOIN ov e2
