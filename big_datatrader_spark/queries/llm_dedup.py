@@ -272,9 +272,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     "lsh_vs_exact_eval",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
-    srows AS (SELECT doc_id, unnest(sh) AS s FROM shing),
-    counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+    shing AS MATERIALIZED (
+      SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    srows AS MATERIALIZED (
+      SELECT doc_id, unnest(sh) AS s FROM shing),
+    counts AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
                FROM srows GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -293,7 +296,7 @@ def dedup_embedding_cosine(spark, sf_dir):
                           AS hs
                FROM shing WHERE len(sh) > 0),
     sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashes),
-    bandrows AS (
+    bandrows AS MATERIALIZED (
       SELECT doc_id, sig, unnest({_band_struct_sql()}, recursive := true)
       FROM sigs),
     lsh AS (

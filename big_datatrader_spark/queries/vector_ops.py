@@ -86,7 +86,7 @@ def _cluster_of(qv, cents: list[list[int]]):
 # SemDeDup oracle CTE chain (shared shape with embedding_kmeans_assign's
 # oracle; HUGEINT keeps dot^2 exact where BIGINT would overflow).
 _SD_ORACLE = f"""
-    WITH iv AS (
+    WITH iv AS MATERIALIZED (
       SELECT vec_id, i,
              CAST(ROUND(CAST(e AS DOUBLE) * {_SCALE}) AS BIGINT) AS q
       FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -100,12 +100,12 @@ _SD_ORACLE = f"""
                     CAST(sum((iv.q - cv.cq) * (iv.q - cv.cq)) AS BIGINT)
                         AS dist
              FROM iv JOIN cv USING (i) GROUP BY 1, 2),
-    asgn AS (SELECT vec_id, cid AS cluster FROM (
+    asgn AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM (
                SELECT vec_id, cid,
                       row_number() OVER (PARTITION BY vec_id
                                          ORDER BY dist, cid) AS rn
                FROM dist) t WHERE rn = 1),
-    pd AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+    pd AS MATERIALIZED (SELECT a.vec_id AS ida, b.vec_id AS idb,
                   CAST(sum(ia.q * ib.q) AS BIGINT) AS dot
            FROM asgn a
            JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
