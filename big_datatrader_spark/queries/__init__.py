@@ -59,6 +59,10 @@ _WINDOW = 50
 
 # Queries whose code or oracle changed this round — they need fresh
 # driver evidence regardless of prior greens, so they lead the window.
+# (The round-5 tie-determinism sweep touched ~20 more queries, but
+# only their ORDERING keys: outputs are provably identical on tie-free
+# data — re-verified hash-exact at sf0.001/0.01/0.1 — so their prior
+# driver evidence stands and they don't claim backlog slots.)
 _R5_CHANGED = (
     'multimodal_feature_extract',   # rows-only -> full value oracle (r5)
     'window_funnel_depth',          # (tus, event_id) window order fix
