@@ -47,27 +47,27 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The driver's correctness gate only checks the
 # FIRST 50 registry entries each round, so ordering IS the evidence
-# pipeline: the window head carries queries changed this round plus the
-# oldest never-driver-evidenced backlog; the tail carries already-green
-# queries oldest-evidence-first so every query keeps accumulating
-# recent driver rows. Round 5 freezes registry growth (VERDICT r4 ask
-# #1): zero new queries, the whole window spends on clearing the
-# 88-query backlog (49 backlog entries + multimodal_feature_extract,
-# whose oracle is NEW this round — ask #4 — and needs fresh evidence).
+# pipeline: the window head carries queries changed this round, then
+# the never-driver-evidenced backlog, then rows-only-by-design queries
+# due for their 2-round re-evidence, then already-green queries
+# oldest-evidence-first so every query keeps accumulating recent
+# driver rows. Round 6 (VERDICT r5 asks #1/#2/#5): registry stays
+# frozen except the judge-requested `bpe_pair_counts_round1`; the
+# window = that new query + the final 39 backlog entries + the 4
+# rows-only re-evidence dues (last clean rows r4) + 6 stalest r1
+# greens — backlog reaches 0.
 
 _WINDOW = 50
+_CURRENT_ROUND = 6
 
-# Queries whose code or oracle changed this round — they need fresh
-# driver evidence regardless of prior greens, so they lead the window.
-# (The round-5 tie-determinism sweep touched ~20 more queries, but
-# only their ORDERING keys: outputs are provably identical on tie-free
-# data — re-verified hash-exact at sf0.001/0.01/0.1 — so their prior
-# driver evidence stands and they don't claim backlog slots.)
-_R5_CHANGED = (
-    'multimodal_feature_extract',   # rows-only -> full value oracle (r5)
-    'window_funnel_depth',          # (tus, event_id) window order fix
-    'variant_props_stats',          # oracle OBJECT/OTHER collapse fix
-    'local_clustering_coefficient',  # lexicographic orientation key
+# Queries whose code or oracle changed (or are new) this round — they
+# need fresh driver evidence regardless of prior greens, so they lead
+# the window. The r5 graph-query unpersist sweep (hits/sssp/k_core)
+# touched only cache lifecycle, not plans or values — re-verified
+# hash-exact at sf0.001/0.01/0.1 — so those keep their prior evidence.
+_R6_CHANGED = (
+    'bpe_pair_counts_round1',  # NEW (VERDICT r5 ask #5): BPE round-1
+                               # pair counts with a full DuckDB oracle
 )
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
@@ -166,14 +166,52 @@ _R4_GREEN = frozenset({
 
 # Rows-only-by-design queries the r4 window re-ran clean (no oracle —
 # approximate/sketch semantics). They count as r4-evidenced for
-# rotation; re-evidence on a 2-round cadence (next due r6).
+# rotation; re-evidence on a 2-round cadence (due r6).
 _R4_ROWS_ONLY = frozenset({
     'hll_partial_merge', 'ann_lsh_topk', 'ann_ivf_topk',
     'approx_aggregates', 'multimodal_feature_extract',
 })
 
+# CORRECTNESS_r05.json via tools/record_round.py (49 hash-exact,
+# 1 rows-only, 0 RED) — pasted verbatim, per VERDICT r5 ask #1.
+_R5_GREEN = frozenset({
+    'ann_dim_truncation_recall', 'ann_pq_adc_trained_topk',
+    'anova_f_oneway', 'audio_frame_features', 'bm25_more_like_this',
+    'boilerplate_chunk_removal', 'brier_logloss_calibration',
+    'char_entropy_quality', 'clickstream_paths_topk',
+    'cohort_ltv_curves', 'conformal_interval_coverage',
+    'cooccurrence_pmi', 'correlation_matrix_daily',
+    'cramers_v_effect', 'cuped_adjusted_lift',
+    'doc_perplexity_trigram_backoff', 'domain_cap_sample',
+    'dsir_importance_weights', 'embedding_pq_trained_codes',
+    'equidepth_histogram', 'event_markov_transitions',
+    'feature_hashing_vectors', 'gini_spend_concentration',
+    'haar_wavelet_coeffs', 'hard_negative_mining',
+    'hits_hub_authority', 'holt_linear_smoothing',
+    'holt_winters_seasonal', 'hybrid_rrf_retrieval', 'image_patchify',
+    'incremental_agg_maintenance', 'interarrival_burstiness',
+    'isotonic_calibration', 'item_item_similarity',
+    'jl_random_projection', 'js_divergence_lang_tokens',
+    'k_core_membership', 'kaplan_meier_survival',
+    'kmv_distinct_sketch', 'kruskal_wallis_h', 'lag_feature_matrix',
+    'local_clustering_coefficient', 'lsh_vs_exact_eval',
+    'macd_histogram', 'mad_robust_outliers', 'mann_whitney_u',
+    'multimodal_feature_extract', 'variant_props_stats',
+    'window_funnel_depth',
+})
+
+_R5_ROWS_ONLY = frozenset({
+    'bpe_learn_merges',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
-                 _R4_GREEN | _R4_ROWS_ONLY)
+                 _R4_GREEN | _R4_ROWS_ONLY,
+                 _R5_GREEN | _R5_ROWS_ONLY)
+
+# Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
+# cadence: membership here per round records WHICH round last produced
+# a clean rows-only row, so the due check below is mechanical.
+_ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 
@@ -181,17 +219,34 @@ _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 def _window_order(names):
     """Codified window rotation (VERDICT r4 ask #7, so head ordering
     can't regress to hand-curation): changed-this-round first, then the
-    never-driver-evidenced backlog alphabetically, then evidenced
-    queries oldest-round-first (alphabetical within a round). The
-    driver checks the first _WINDOW entries; everything after that
-    order is immaterial but kept deterministic."""
+    never-driver-evidenced backlog alphabetically, then rows-only
+    queries whose last clean run is >= 2 rounds old (their re-evidence
+    cadence), then evidenced queries oldest-round-first (alphabetical
+    within a round). The driver checks the first _WINDOW entries;
+    everything after that order is immaterial but kept deterministic."""
     def last_evidence_round(n):
         rounds = [i + 1 for i, s in enumerate(_ROUND_GREENS) if n in s]
         return max(rounds) if rounds else 0  # 0 = never evidenced
-    changed = {n: i for i, n in enumerate(_R5_CHANGED)}
+    changed = {n: i for i, n in enumerate(_R6_CHANGED)}
+    last_rows_only = {}
+    for rnd, s in _ROWS_ONLY_ROUNDS.items():
+        for n in s:
+            last_rows_only[n] = max(rnd, last_rows_only.get(n, 0))
+    rows_only_due = frozenset(
+        n for n, rnd in last_rows_only.items()
+        if rnd <= _CURRENT_ROUND - 2)
+
+    def tier(n):
+        last = last_evidence_round(n)
+        if last == 0:
+            return 0                    # backlog: never evidenced
+        if n in rows_only_due:
+            return 1                    # rows-only re-evidence due
+        return 1 + last                 # greens, stalest first
+
     return sorted(names, key=lambda n: (
-        changed.get(n, len(_R5_CHANGED)),       # changed queries lead
-        last_evidence_round(n),                  # backlog (0) next
+        changed.get(n, len(_R6_CHANGED)),       # changed queries lead
+        tier(n),
         n))
 
 

@@ -30,7 +30,14 @@ def main() -> int:
     rec = json.load(open(path))
     green, rows_only, red = [], [], []
     for name, row in rec.items():
-        if row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0:
+        # A no-oracle row is clean rows-only evidence ONLY if the query
+        # actually produced rows (strictly positive int) and nothing
+        # else went wrong. A 0-row / None-row / extra-error record must
+        # be RED: this tool drives window rotation, and a silently-empty
+        # rows-only query must not be rotated out as evidenced.
+        spark_rows = row.get("spark_rows")
+        if (row.get("err") == "no_oracle"
+                and isinstance(spark_rows, int) and spark_rows > 0):
             rows_only.append(name)
         elif (row.get("rows_match") and row.get("schema_match")
               and row.get("hash_match")):
