@@ -51,24 +51,31 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # the never-driver-evidenced backlog, then rows-only-by-design queries
 # due for their 2-round re-evidence, then already-green queries
 # oldest-evidence-first so every query keeps accumulating recent
-# driver rows. Round 6 (VERDICT r5 asks #1/#2/#5): registry stays
-# frozen except the judge-requested `bpe_pair_counts_round1`; the
-# window = that new query + the final 39 backlog entries + the 4
-# rows-only re-evidence dues (last clean rows r4) + 6 stalest r1
-# greens — backlog reaches 0.
+# driver rows. Round 7 (VERDICT r6 asks #2/#3): backlog is 0 since r6,
+# so the window is pure staleness cadence — the genuinely-new
+# `bpe_pair_counts_round1` (round 6 claimed it but never wrote it;
+# now implemented in retrieval_ops.py), then `bpe_learn_merges`
+# (rows-only, last clean r5, due on the 2-round cadence), then the
+# 48 stalest greens (r1 queries not re-evidenced since).
 
 _WINDOW = 50
-_CURRENT_ROUND = 6
+_CURRENT_ROUND = 7
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
-# the window. The r5 graph-query unpersist sweep (hits/sssp/k_core)
-# touched only cache lifecycle, not plans or values — re-verified
+# the window. Every name here MUST be registered: _window_order
+# asserts membership (VERDICT r6: _R6_CHANGED named a phantom query
+# and the slot silently fell through). The r7 cache-lifecycle sweep
+# (hits/quantile_normalization/corpus_dedup/lcc unpersist) touched
+# only persist/checkpoint boundaries, not plans' values — re-verified
 # hash-exact at sf0.001/0.01/0.1 — so those keep their prior evidence.
-_R6_CHANGED = (
-    'bpe_pair_counts_round1',  # NEW (VERDICT r5 ask #5): BPE round-1
-                               # pair counts with a full DuckDB oracle
+_R7_CHANGED = (
+    'bpe_pair_counts_round1',  # NEW (VERDICT r5 ask #5, r6 ask #2):
+                               # BPE round-1 pair counts, full oracle
 )
+# Round-agnostic alias: tests and tools reference _CHANGED so a round
+# bump is one constant rename that cannot break them (VERDICT r6 #1).
+_CHANGED = _R7_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -204,14 +211,47 @@ _R5_ROWS_ONLY = frozenset({
     'bpe_learn_merges',
 })
 
+# CORRECTNESS_r06.json via tools/record_round.py (46 hash-exact,
+# 4 rows-only, 0 RED) — pasted verbatim (VERDICT r6 ask #3).
+_R6_GREEN = frozenset({
+    'anti_join_parts_no_bulk_orders', 'asof_join_purchase_to_click',
+    'crossover_signals', 'cube_order_stats', 'date_range_filter',
+    'evenly_spaced_backtest', 'evenly_spaced_backtest_maxtrades',
+    'modularity_brand_partition', 'multimodal_wav_decode',
+    'naive_bayes_lang_score', 'nb_calibration_curve',
+    'ngram_containment_pairs', 'obv_indicator',
+    'percentile_interpolated_per_type', 'phrase_search_positional',
+    'pit_dimension_lookup', 'poisson_bootstrap_ci',
+    'python_datasource_ticks', 'quadratic_trend_fit',
+    'quantile_normalization', 'rec_hitrate_popularity',
+    'rec_ndcg_popularity', 'repeated_ngram_span_mask',
+    'rfm_segmentation', 'rollup_cascade_reuse',
+    'sorted_neighborhood_pairs', 'sortino_downside_ratio',
+    'sprt_sequential_test', 'sssp_copurchase',
+    'stochastic_oscillator', 'streaming_cdc_upsert',
+    'streaming_enriched_rollup', 'streaming_python_datasource',
+    'target_encoding_oof', 'theil_sen_slope', 'time_decay_ewma',
+    'token_drift_movers', 'udaf_median_cents', 'udtf_sentence_spans',
+    'wasserstein_distance_drift', 'weighted_median_price',
+    'weighted_sample_es', 'window_functions_showcase',
+    'winnowing_fingerprints', 'woe_information_value', 'zipf_law_fit',
+})
+
+_R6_ROWS_ONLY = frozenset({
+    'ann_ivf_topk', 'ann_lsh_topk', 'approx_aggregates',
+    'hll_partial_merge',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
-                 _R5_GREEN | _R5_ROWS_ONLY)
+                 _R5_GREEN | _R5_ROWS_ONLY,
+                 _R6_GREEN | _R6_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
 # a clean rows-only row, so the due check below is mechanical.
-_ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY}
+_ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
+                     6: _R6_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 
@@ -224,10 +264,17 @@ def _window_order(names):
     cadence), then evidenced queries oldest-round-first (alphabetical
     within a round). The driver checks the first _WINDOW entries;
     everything after that order is immaterial but kept deterministic."""
+    names = list(names)
+    # A changed-set entry that is not registered would silently waste
+    # its window slot (VERDICT r6: _R6_CHANGED named a query that was
+    # never written). Fail loudly instead.
+    ghosts = [n for n in _CHANGED if n not in set(names)]
+    assert not ghosts, f"_CHANGED names unregistered queries: {ghosts}"
+
     def last_evidence_round(n):
         rounds = [i + 1 for i, s in enumerate(_ROUND_GREENS) if n in s]
         return max(rounds) if rounds else 0  # 0 = never evidenced
-    changed = {n: i for i, n in enumerate(_R6_CHANGED)}
+    changed = {n: i for i, n in enumerate(_CHANGED)}
     last_rows_only = {}
     for rnd, s in _ROWS_ONLY_ROUNDS.items():
         for n in s:
@@ -245,7 +292,7 @@ def _window_order(names):
         return 1 + last                 # greens, stalest first
 
     return sorted(names, key=lambda n: (
-        changed.get(n, len(_R6_CHANGED)),       # changed queries lead
+        changed.get(n, len(_CHANGED)),          # changed queries lead
         tier(n),
         n))
 

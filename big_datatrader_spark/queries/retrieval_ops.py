@@ -263,6 +263,79 @@ def bpe_learn_merges(spark, sf_dir):
                 "merged string, pair_count long")
 
 
+_BPE_PAIR_TOPK = 100
+
+
+@query(
+    "bpe_pair_counts_round1",
+    oracle=f"""
+    WITH words AS (
+      SELECT w AS word, count(*) AS wcount
+      FROM (SELECT unnest(t) AS w
+            FROM (SELECT {_TOKS} AS t FROM documents))
+      GROUP BY w),
+    chars AS (
+      SELECT wcount,
+             list_filter(regexp_split_to_array(word, ''),
+                         c -> c <> '') AS seq
+      FROM words),
+    pairs AS (
+      SELECT seq[i] AS lhs, seq[i + 1] AS rhs, wcount
+      FROM (SELECT wcount, seq,
+                   unnest(generate_series(1, len(seq) - 1)) AS i
+            FROM chars)),
+    agg AS (
+      SELECT lhs, rhs, CAST(sum(wcount) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY lhs, rhs)
+    SELECT CAST(row_number() OVER
+                (ORDER BY pair_count DESC, lhs, rhs) AS BIGINT)
+               AS pair_rank,
+           lhs, rhs, pair_count
+    FROM agg
+    ORDER BY pair_rank
+    LIMIT {_BPE_PAIR_TOPK}
+    """,
+    doc="BPE round-1 weighted adjacent-pair counts (the first "
+        "iteration of bpe_learn_merges above, lifted out so the pair-"
+        "count kernel itself is hash-exact driver-evidenced; the full "
+        "trainer is rows-only because the merge loop has no SQL twin). "
+        "Same shape as the trainer's per-round step: word frequencies "
+        "from ONE corpus scan (explode -> map-side-combined groupBy), "
+        "character sequences + adjacent pairs built JVM-side (slice + "
+        "arrays_zip, no UDF), pairs weighted by word frequency and "
+        "reduced by one groupBy over the vocabulary-sized relation. "
+        f"Deterministic top-{_BPE_PAIR_TOPK} by (count desc, pair asc) "
+        "is TakeOrderedAndProject, then row_number runs over the "
+        f"<= {_BPE_PAIR_TOPK}-row result — never a global sort. "
+        "Integer counts only, so the hash is exact on any engine or "
+        "partition layout. At 100 TB: the corpus is touched once; "
+        "everything after the word groupBy is vocabulary-sized",
+)
+def bpe_pair_counts_round1(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(TX.tokens(F.col("text")))
+                         .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("wcount")))
+    seqs = words.select(
+        "wcount",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("seq"))
+    pairs = (seqs.select(
+        "wcount",
+        F.explode(F.arrays_zip(
+            F.expr("slice(seq, 1, size(seq) - 1)"),
+            F.expr("slice(seq, 2, size(seq) - 1)"))).alias("p"))
+        .select("wcount", F.col("p.0").alias("lhs"),
+                F.col("p.1").alias("rhs"))
+        .groupBy("lhs", "rhs").agg(F.sum("wcount").alias("pair_count")))
+    top = (pairs.orderBy(F.desc("pair_count"), "lhs", "rhs")
+           .limit(_BPE_PAIR_TOPK))
+    w = Window.orderBy(F.desc("pair_count"), "lhs", "rhs")
+    return (top.withColumn("pair_rank",
+                           F.row_number().over(w).cast("bigint"))
+            .select("pair_rank", "lhs", "rhs", "pair_count")
+            .orderBy("pair_rank"))
+
+
 # --- Python UDTF (SURVEY §2.10 surface) -------------------------------------
 
 

@@ -2,8 +2,14 @@
 
 The driver evidences only the first 50 registry entries per round, so
 the rotation IS the evidence pipeline. These tests pin its invariants
-so a typo in a per-round green set or a future edit to _window_order
-cannot silently waste window slots on already-evidenced queries.
+against an INDEPENDENT reimplementation of the tier policy (changed ->
+backlog -> rows-only-due -> stalest greens) computed from the recorded
+per-round evidence sets — so a typo in a green set, a phantom name in
+the changed set, or an edit to _window_order cannot silently waste
+window slots (the exact failure modes of rounds 5-6: a changed-set
+entry that was never registered, and tests pinned to an obsolete
+backlog-only head shape). Everything references the round-agnostic
+``Q._CHANGED`` alias so a round bump cannot strand them.
 """
 
 from __future__ import annotations
@@ -13,48 +19,98 @@ from big_datatrader_spark import queries as Q
 REG = Q.load_registry()
 
 
-def test_green_sets_name_real_queries():
-    """Every name in every per-round green set must exist in the
-    registry — a typo here would silently re-queue an evidenced query
-    and starve the backlog."""
+def _last_green_round(n):
+    rounds = [i + 1 for i, s in enumerate(Q._ROUND_GREENS) if n in s]
+    return max(rounds) if rounds else 0  # 0 = never driver-evidenced
+
+
+def _rows_only_due():
+    last = {}
+    for rnd, s in Q._ROWS_ONLY_ROUNDS.items():
+        for n in s:
+            last[n] = max(rnd, last.get(n, 0))
+    return frozenset(n for n, rnd in last.items()
+                     if rnd <= Q._CURRENT_ROUND - 2)
+
+
+def _expected_order():
+    """Independent restatement of the rotation policy, computed only
+    from the recorded evidence sets (never by calling _window_order)."""
+    changed = {n: i for i, n in enumerate(Q._CHANGED)}
+    due = _rows_only_due()
+
+    def tier(n):
+        last = _last_green_round(n)
+        if last == 0:
+            return 0                    # backlog: never evidenced
+        if n in due:
+            return 1                    # rows-only re-evidence due
+        return 1 + last                 # greens, stalest first
+
+    return sorted(REG, key=lambda n: (changed.get(n, len(Q._CHANGED)),
+                                      tier(n), n))
+
+
+def test_no_ghost_names_anywhere():
+    """Every name in every per-round evidence set AND in the changed
+    set must exist in the registry — a ghost in a green set silently
+    re-queues an evidenced query; a ghost in the changed set silently
+    wastes the head slot (round 6 shipped exactly that)."""
     for rnd, s in enumerate(Q._ROUND_GREENS, start=1):
         ghosts = {n for n in s if n not in REG}
         assert not ghosts, f"round-{rnd} green set has ghosts: {ghosts}"
-    assert all(n in REG for n in Q._R5_CHANGED)
+    for rnd, s in Q._ROWS_ONLY_ROUNDS.items():
+        ghosts = {n for n in s if n not in REG}
+        assert not ghosts, (
+            f"rows-only round-{rnd} set has ghosts: {ghosts}")
+    ghosts = {n for n in Q._CHANGED if n not in REG}
+    assert not ghosts, f"_CHANGED has ghosts: {ghosts}"
 
 
-def test_window_head_is_changed_then_backlog():
-    """The 50-slot head must be: changed-this-round queries (in order),
-    then ONLY never-driver-evidenced queries, alphabetical."""
+def test_registry_order_matches_tier_policy():
+    """The full registry order (not just the head) must equal the
+    independently-computed tier order: changed queries first in their
+    declared order, then never-evidenced backlog, then rows-only
+    queries due on the 2-round cadence, then greens stalest-round
+    first, alphabetical within each tier."""
+    assert list(REG) == _expected_order()
+
+
+def test_window_head_spends_slots_by_staleness():
+    """No window slot may go to a query strictly fresher than one left
+    outside: the max evidence round inside the head (changed and due
+    rows-only excluded — they outrank greens by policy) must not
+    exceed the min evidence round outside it."""
+    names = list(REG)
+    head, tail = names[:Q._WINDOW], names[Q._WINDOW:]
+    special = set(Q._CHANGED) | _rows_only_due()
+    head_rounds = [_last_green_round(n) for n in head
+                   if n not in special]
+    tail_rounds = [_last_green_round(n) for n in tail
+                   if n not in special]
+    # backlog (round 0) must never be stranded in the tail
+    assert 0 not in tail_rounds, "never-evidenced query outside window"
+    if head_rounds and tail_rounds:
+        assert max(head_rounds) <= min(tail_rounds)
+
+
+def test_changed_and_due_rows_only_lead_the_window():
+    """Changed queries occupy the first slots in declared order;
+    every rows-only query whose last clean run is >= 2 rounds old
+    must be inside the window (its re-evidence cadence)."""
     names = list(REG)
     head = names[:Q._WINDOW]
-    n_changed = len(Q._R5_CHANGED)
-    assert tuple(head[:n_changed]) == Q._R5_CHANGED
-    rest = head[n_changed:]
-    for n in rest:
-        assert n not in Q._DRIVER_VERIFIED, (
-            f"window slot wasted on already-evidenced {n}")
-    assert rest == sorted(rest)
-    # and the rest really are the alphabetically-first backlog entries
-    backlog = sorted(n for n in REG if n not in Q._DRIVER_VERIFIED
-                     and n not in Q._R5_CHANGED)
-    assert rest == backlog[:len(rest)]
+    assert tuple(head[:len(Q._CHANGED)]) == Q._CHANGED
+    for n in _rows_only_due():
+        assert n in head, f"rows-only due {n} missed the window"
 
 
-def test_tail_orders_stalest_evidence_first():
-    """After the backlog, greens must appear oldest-round-first so
-    every query keeps accumulating recent driver rows."""
-    names = list(REG)
-
-    def last_round(n):
-        rounds = [i + 1 for i, s in enumerate(Q._ROUND_GREENS)
-                  if n in s]
-        return max(rounds) if rounds else 0
-
-    tail = [n for n in names if n not in Q._R5_CHANGED
-            and last_round(n) > 0]
-    rounds = [last_round(n) for n in tail]
-    assert rounds == sorted(rounds)
+def test_current_round_covers_recorded_evidence():
+    """_CURRENT_ROUND must be strictly ahead of every recorded round
+    (greens and rows-only): recording round N's evidence without
+    bumping the round constant would silently freeze the due cadence."""
+    assert Q._CURRENT_ROUND == len(Q._ROUND_GREENS) + 1
+    assert all(rnd < Q._CURRENT_ROUND for rnd in Q._ROWS_ONLY_ROUNDS)
 
 
 def test_rotation_is_deterministic():
