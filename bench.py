@@ -45,7 +45,8 @@ def dataset_fingerprint(sf_dir: str) -> dict:
             rows += pq.ParquetFile(f).metadata.num_rows
             n_bytes += os.path.getsize(f)
             with open(f, "rb") as fh:
-                digest.update(fh.read())
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    digest.update(chunk)
         name = os.path.basename(path).replace(".parquet", "")
         tables[name] = {"rows": rows, "bytes": n_bytes}
     return {"tables": tables, "content_md5": digest.hexdigest()}
@@ -67,22 +68,35 @@ def main():
     # best-of-3 per query: single local runs carry multi-second GC/
     # scheduler noise (round-over-round variance on sub-second queries
     # measured at +/-40% with best-of-2); the min is the steady-state
-    # cost of the plan
+    # cost of the plan. The full spread is recorded so a drifted round
+    # is classifiable as host noise vs plan change in one diff
+    # (VERDICT r6 ask #6: +7.7% with identical fingerprints was
+    # unattributable because BENCH kept only the min).
+    load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for n in names:
-        best = float("inf")
+        samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             reg[n].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[n] = round(min(samples), 3)
+        runs[n] = sorted(round(s, 3) for s in samples)
+        # queries cache intermediates scoped to their own run (edge
+        # lists, value-domain counts); release them so caches never
+        # accumulate across the suite in this one-JVM session —
+        # the 100 TB cluster discipline (VERDICT r6 ask #4)
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline query suite wall-clock at sf" + sf,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # per-query sorted best-of-3 samples [min, median, max]
+        "spread": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "dataset": dataset_fingerprint(sf_dir),
         # box/runtime identity: with the dataset fingerprint this makes
@@ -92,6 +106,10 @@ def main():
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "python": ".".join(map(str, sys.version_info[:3])),
             "os_cpus": os.cpu_count(),
+            # 1-min load average straddling the timed region: a loaded
+            # box explains a slow round; an idle one rules it out
+            "loadavg_1m_before": round(load_before, 2),
+            "loadavg_1m_after": round(os.getloadavg()[0], 2),
         },
     }))
 

@@ -190,7 +190,7 @@ def _crossover_fold(pdf: pd.DataFrame, price_col: str,
 
 def _crossover_fold_events(pdf: pd.DataFrame, budget: float,
                            per_trade: float, max_trades: int | None,
-                           sort_cols: list[str] = ["__ts"]):
+                           sort_cols: tuple[str, ...] = ("__ts",)):
     """Fold over CROSS-EVENT rows plus each symbol's last-row sentinel
     (columns: __ts [, __t1 ...], __price, __g, __d). State changes only
     at cross events, so iterating events is exactly equivalent to the

@@ -65,13 +65,16 @@ _CURRENT_ROUND = 7
 # need fresh driver evidence regardless of prior greens, so they lead
 # the window. Every name here MUST be registered: _window_order
 # asserts membership (VERDICT r6: _R6_CHANGED named a phantom query
-# and the slot silently fell through). The r7 cache-lifecycle sweep
-# (hits/quantile_normalization/corpus_dedup/lcc unpersist) touched
-# only persist/checkpoint boundaries, not plans' values — re-verified
-# hash-exact at sf0.001/0.01/0.1 — so those keep their prior evidence.
+# and the slot silently fell through).
 _R7_CHANGED = (
     'bpe_pair_counts_round1',  # NEW (VERDICT r5 ask #5, r6 ask #2):
                                # BPE round-1 pair counts, full oracle
+    'hits_hub_authority',      # cache rotation changed the plan (max
+                               # scalar is now collected driver state,
+                               # top-50 driver-collected): values
+                               # re-verified hash-exact at sf0.001/
+                               # 0.01/0.1, but the plan change earns
+                               # fresh driver evidence
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -2462,10 +2462,18 @@ def _hits_oracle() -> str:
         "rescale to 1e6 * s / max(s) by floor division each "
         "half-step — so every score stays an exact bounded integer "
         "(<= deg * 1e6 before rescale) on any engine, partition "
-        "layout, or data scale; the two 1-row max scalars per "
-        "iteration are broadcast cross joins. Edge list persists "
-        "once and is reused by all four half-steps; top-50 is "
-        "TakeOrderedAndProject, never a global sort",
+        "layout, or data scale; the 1-row max per half-step is "
+        "collected as driver state (the codebook precedent). Cache "
+        "lifecycle (VERDICT r5 ask #4 / r6 ask #4): each half-step "
+        "persists node-sized scores and is materialized by that max "
+        "collect, at which point every half-step before its "
+        "predecessor is released — the GraphX/Pregel rotation — so "
+        "at most 2 score relations + the edge list are live at any "
+        "moment instead of 2*iters accumulating. The top-50 is "
+        "TakeOrderedAndProject inside a driver collect (the "
+        "bpe_learn_merges precedent for iterative algorithms), after "
+        "which ALL caches incl. the edge list are released: the query "
+        "exits with zero live persisted relations",
 )
 def hits_hub_authority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
@@ -2479,20 +2487,27 @@ def hits_hub_authority(spark, sf_dir):
     nodes = edges.select(F.col("src").alias("node")).distinct()
     h = nodes.select("node", F.lit(1000000).cast("bigint").alias("h"))
 
+    live = []  # persisted half-steps not yet released
+
     def linf_norm(raw, col_in, col_out):
-        # raw is node-sized; persist so the max branch and the next
+        # raw is node-sized; persist so the max collect and the next
         # half-step's join don't re-derive the whole upstream chain
         # (without this the 4 half-steps recompute the edge join
-        # 2^4 times — measured 30.7s -> 8s at sf0.01)
+        # 2^4 times — measured 30.7s -> 8s at sf0.01). Only the
+        # immediately preceding half-step feeds this one, so release
+        # everything older BEFORE materializing; the predecessor
+        # itself stays live until the next call so no job ever
+        # recomputes an unpersisted chain.
+        while len(live) > 1:
+            live.pop(0).unpersist()
         raw = raw.persist()
-        m = raw.agg(F.max(col_in).alias("m"))
-        scaled = (raw.crossJoin(F.broadcast(m))
-                  .select("node",
-                          ((F.col(col_in) * 1000000
-                            - (F.col(col_in) * 1000000) % F.col("m"))
-                           / F.col("m")).cast("bigint")
-                          .alias(col_out)))
-        return scaled
+        m = int(raw.agg(F.max(col_in).alias("m")).collect()[0]["m"])
+        live.append(raw)
+        return raw.select(
+            "node",
+            ((F.col(col_in) * 1000000
+              - (F.col(col_in) * 1000000) % F.lit(m))
+             / F.lit(m)).cast("bigint").alias(col_out))
 
     a = None
     for _ in range(_HITS_ITERS):
@@ -2509,10 +2524,17 @@ def hits_hub_authority(spark, sf_dir):
     out = (a.join(h, "node")
            .select(F.col("node").alias("part_key"),
                    F.col("a").alias("authority_e6"),
-                   F.col("h").alias("hub_e6")))
-    return (out.orderBy(F.desc("authority_e6"), F.desc("hub_e6"),
-                        "part_key")
-            .limit(50))
+                   F.col("h").alias("hub_e6"))
+           .orderBy(F.desc("authority_e6"), F.desc("hub_e6"),
+                    "part_key")
+           .limit(50))
+    # top-50 is KB driver state: collect it (TakeOrderedAndProject
+    # runs in this job), then release every cache deterministically
+    rows = out.collect()
+    for df in [edges, *live]:
+        df.unpersist()
+    return spark.createDataFrame(
+        rows, "part_key long, authority_e6 long, hub_e6 long")
 
 
 # ---------------------------------------------------------------------------

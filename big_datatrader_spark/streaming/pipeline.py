@@ -15,6 +15,7 @@ store, partitioned by group key.
 
 from __future__ import annotations
 
+import collections
 import os
 import uuid
 
@@ -28,8 +29,10 @@ from ..session import ensure_confs
 # gate (which walks lazy batch plans) cannot see it. Every drain helper
 # records the executed plan of its StreamingQuery here; the streaming
 # plan audit (tests/test_streaming_plans.py) clears the list, drains a
-# query, and asserts over what actually ran.
-DRAIN_PLANS: list[str] = []
+# query, and asserts over what actually ran. Bounded (the audit reads
+# plans recorded since its own clear; a long-lived session that drains
+# streams forever must not grow a plan-text list without limit).
+DRAIN_PLANS: collections.deque = collections.deque(maxlen=32)
 
 
 def _record_drain_plan(q) -> None:

@@ -1,0 +1,67 @@
+"""Cache-lifecycle budget (VERDICT r6 ask #4): after a query runs to
+completion, at most 2 persisted relations may remain live.
+
+Motivation: the bench/driver/oracle harnesses run many queries in ONE
+JVM. A query that persists per-iteration state (HITS before the r7
+rotation: 2 node-sized relations per iteration, never released) leaks
+cache across the whole session; local LRU eviction hides it at sf0.1,
+but on a memory-tight 100 TB cluster it becomes eviction churn and
+recompute. The budget of 2 matches the legitimate steady state: a
+query may keep a multi-branch intermediate (and its survivor join)
+cached for the consumer's action, nothing more. Streaming queries are
+excluded (their state lives in the state store, audited by
+tests/test_streaming_plans.py); sssp's localCheckpoint rounds register
+persistent RDDs by design and are bounded by hop count, so it is
+checked with its own bound.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_datatrader_spark.queries import load_registry
+
+REG = load_registry()
+
+# every batch query that calls .persist() anywhere in its chain, plus
+# the full bench suite (the session the leak complaint was filed on)
+_PERSISTING = [
+    "corpus_dedup_pipeline",          # qual + surv funnel stages
+    "corpus_quality_filter",
+    "triangle_count_copurchase",      # oriented edge list
+    "local_clustering_coefficient",   # degree + oriented edge list
+    "pagerank_copurchase",            # edge+deg list, node list
+    "mad_robust_outliers",            # value-domain count, 5 branches
+    "quantile_normalization",         # value-domain count, 3 branches
+    "bpe_learn_merges",               # initial vocabulary (released)
+    "hits_hub_authority",             # rotated half-steps (released)
+]
+_BENCH = sorted(n for n, q in REG.items() if q.bench
+                and not n.startswith("streaming_"))
+
+
+def _live_cached_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize("name", sorted(set(_PERSISTING) | set(_BENCH)))
+def test_query_exits_with_bounded_caches(spark, sf0001, name):
+    spark.catalog.clearCache()
+    df = REG[name].spark_fn(spark, sf0001)
+    df.write.format("noop").mode("overwrite").save()  # consumer action
+    live = _live_cached_rdds(spark)
+    assert live <= 2, (
+        f"{name} left {live} persisted relations live after its "
+        "action — iteration caches must rotate (release the previous "
+        "half-step when the next materializes) and driver-collected "
+        "results must release everything")
+    spark.catalog.clearCache()
+
+
+def test_hits_releases_everything(spark, sf0001):
+    """The named r5/r6 offender: HITS must exit with ZERO live caches
+    (its result is driver-collected, so nothing downstream can need
+    them) — not just within the generic budget."""
+    spark.catalog.clearCache()
+    REG["hits_hub_authority"].spark_fn(spark, sf0001)
+    assert _live_cached_rdds(spark) == 0

@@ -201,7 +201,6 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "rec_ndcg_popularity",         # 1-row n_users scalar
         "rfm_segmentation",            # 1-row max-date + total scalars
         "brier_logloss_calibration",   # 1-row train-count scalar
-        "hits_hub_authority",          # 1-row L-inf max per half-step
         "wasserstein_distance_drift",  # 1-row sample-total scalars
         "js_divergence_lang_tokens",   # 1-row token-total scalars
         "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
@@ -378,7 +377,11 @@ def test_round4e_exchange_budgets(spark, sf001):
         "rfm_segmentation": 13,
         "anova_f_oneway": 3,
         "brier_logloss_calibration": 4,
-        "hits_hub_authority": 20,
+        # hits_hub_authority returns a driver-collected top-50
+        # (LocalTableScan) since the r7 cache rotation: its
+        # iterative jobs run inside the query fn, so there is no
+        # lazy plan left to budget here; its per-half-step shape
+        # is pinned by tests/test_cache_lifecycle.py instead
         "wasserstein_distance_drift": 10,
         "js_divergence_lang_tokens": 6,
         "poisson_bootstrap_ci": 3,

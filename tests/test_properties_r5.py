@@ -11,6 +11,7 @@ pins the invariants the oracle hashes depend on:
 
 from __future__ import annotations
 
+import zlib
 from decimal import Decimal, ROUND_HALF_UP
 
 import numpy as np
@@ -88,10 +89,13 @@ def test_bpe_batched_kernel_equals_chained_single_merges(spark, seqs,
         return out
 
     # grow the merge alphabet like training does: later merges may
-    # reference earlier merged symbols
+    # reference earlier merged symbols. The vocab pick must be a
+    # STABLE hash — builtin hash() is salted per process, which makes
+    # hypothesis shrinking/replay irreproducible across runs.
     grown, vocab = [], list("abcd")
     for li, ri in merges:
-        l, r = vocab[hash(li) % len(vocab)], vocab[hash(ri) % len(vocab)]
+        l = vocab[zlib.crc32(li.encode()) % len(vocab)]
+        r = vocab[zlib.crc32(ri.encode()) % len(vocab)]
         grown.append((l, r))
         vocab.append(l + r)
 

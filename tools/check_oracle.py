@@ -81,6 +81,10 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
+        # per-query cache scope: this loop runs the whole registry in
+        # one JVM; without the release, query-scoped persists (edge
+        # lists, value-domain counts) accumulate across 270 queries
+        spark.catalog.clearCache()
         try:
             s_pdf = q.spark_fn(spark, sf_dir).toPandas()
         except Exception as e:

@@ -36,8 +36,11 @@ def main() -> int:
         # be RED: this tool drives window rotation, and a silently-empty
         # rows-only query must not be rotated out as evidenced.
         spark_rows = row.get("spark_rows")
+        # not isinstance(bool): True would otherwise count as 1 row
         if (row.get("err") == "no_oracle"
-                and isinstance(spark_rows, int) and spark_rows > 0):
+                and isinstance(spark_rows, int)
+                and not isinstance(spark_rows, bool)
+                and spark_rows > 0):
             rows_only.append(name)
         elif (row.get("rows_match") and row.get("schema_match")
               and row.get("hash_match")):
