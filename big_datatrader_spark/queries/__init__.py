@@ -75,6 +75,10 @@ _R7_CHANGED = (
                                # re-verified hash-exact at sf0.001/
                                # 0.01/0.1, but the plan change earns
                                # fresh driver evidence
+    'span_corruption_mask',    # NEW: T5 denoising-mask selection,
+                               # hash-gated spans, full oracle
+    'ngram_novelty_score',     # NEW: per-doc 5-gram novelty vs
+                               # earlier docs, full oracle
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

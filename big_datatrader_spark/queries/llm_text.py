@@ -734,3 +734,149 @@ def nb_calibration_curve(spark, sf_dir):
                          / F.count(F.lit(1)), 6)
                  .alias("avg_margin_nats"))
             .orderBy("margin_bucket"))
+
+
+# --- T5-style span corruption masks (Raffel et al. 2020) --------------------
+
+_SC_RATE = 10   # a span STARTS where md5(doc_id:pos) % _SC_RATE == 0
+_SC_LEN = 3     # tokens masked per span (overlaps union)
+
+
+@query(
+    "span_corruption_mask",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    m AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_filter(generate_series(1, len(t)),
+                 p -> ('0x' || substr(md5(doc_id || ':' || p), 1, 4))
+                          ::BIGINT % {_SC_RATE} = 0) AS starts,
+             generate_series(1, len(t)) AS pos
+      FROM toks WHERE len(t) >= 1),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(len(starts) AS BIGINT) AS n_spans,
+             CAST(len(list_filter(pos, i -> len(list_filter(starts,
+                 s -> s <= i AND s + {_SC_LEN - 1} >= i)) > 0))
+                 AS BIGINT) AS n_masked
+      FROM m)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_spans,
+           n_masked,
+           CAST((2 * CAST(n_masked AS HUGEINT) * 1000000 + n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS corrupt_ratio
+    FROM c ORDER BY doc_id
+    """,
+    doc="T5-style span-corruption mask selection (Raffel et al. 2020 "
+        "denoising objective): deterministic hash-gated span starts "
+        f"(md5(doc_id:pos) % {_SC_RATE} == 0), span length {_SC_LEN}, "
+        "overlapping spans union; reports per-doc span count, masked-"
+        "token count and corruption ratio (exact half-away e6 ratio). "
+        "The gate is content-independent and reproducible on any "
+        "engine/partitioning — the property a distributed pretraining "
+        "pipeline needs so workers mask identically without "
+        "coordination. Scale: pure per-doc narrow compute inside "
+        "whole-stage codegen (higher-order array functions, no UDF, "
+        "no shuffle except the output sort)",
+)
+def span_corruption_mask(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = (docs.select("doc_id", toks.alias("t"))
+         .withColumn("n_tokens", F.size("t"))
+         .filter(F.col("n_tokens") >= 1))
+
+    def gate(p):
+        h = F.md5(F.concat_ws(":", F.col("doc_id"), p))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") \
+            % _SC_RATE == 0
+
+    d = d.withColumn("pos", F.sequence(F.lit(1), F.col("n_tokens")))
+    d = d.withColumn("starts", F.filter("pos", gate))
+    masked = F.size(F.filter(
+        "pos", lambda i: F.exists(
+            "starts", lambda s: (s <= i) & (s + (_SC_LEN - 1) >= i))))
+    num = F.col("n_masked").cast("decimal(38,0)") * 1000000
+    den = F.col("n_tokens").cast("decimal(38,0)")
+    e6 = (((2 * num + den) - (2 * num + den) % (2 * den)) / (2 * den))
+    return (d.select("doc_id",
+                     F.col("n_tokens").cast("bigint")
+                     .alias("n_tokens"),
+                     F.size("starts").cast("bigint").alias("n_spans"),
+                     masked.cast("bigint").alias("n_masked"))
+            .withColumn("corrupt_ratio",
+                        e6.cast("bigint").cast("double") / 1000000.0)
+            .orderBy("doc_id"))
+
+
+# --- N-gram novelty vs earlier docs (contamination direction) ---------------
+
+_NOV_N = 5  # token n-gram width
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(1, len(t) - {_NOV_N - 1}),
+                 j -> substr(md5(array_to_string(
+                         list_slice(t, j, j + {_NOV_N - 1}), ' ')),
+                         1, 16)))) AS fp
+      FROM toks WHERE len(t) >= {_NOV_N}),
+    firsts AS (
+      SELECT fp, min(doc_id) AS first_doc FROM sh GROUP BY fp),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh s JOIN firsts f ON s.fp = f.fp
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST((2 * CAST(n_novel AS HUGEINT) * 1000000 + n_shingles)
+                // (2 * CAST(n_shingles AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS novelty_ratio
+    FROM per_doc ORDER BY doc_id
+    """,
+    doc=f"Per-document {_NOV_N}-gram novelty vs every EARLIER doc "
+        "(doc_id order): the share of a doc's distinct token "
+        f"{_NOV_N}-gram shingles whose first corpus occurrence is the "
+        "doc itself — the directional form of contamination_check "
+        "that curation uses to decide whether late-arriving data adds "
+        "anything (novelty ~0 = the doc is stitched from seen text). "
+        "Scale: shingles are fingerprinted to 16-hex md5 prefixes "
+        "BEFORE any shuffle (the dedup-family fingerprint-only-"
+        "shuffle rule), per-doc distinct happens array-side in the "
+        "narrow stage, and the plan is one groupBy(fp) + one "
+        "fp-equi-join + one per-doc agg — all map-side-combinable, "
+        "nothing all-pairs",
+)
+def ngram_novelty_score(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = (docs.select("doc_id", toks.alias("t"))
+         .filter(F.size("t") >= _NOV_N))
+    fps = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("t") - (_NOV_N - 1)),
+        lambda j: F.substring(
+            F.md5(F.concat_ws(
+                " ", F.slice("t", j, _NOV_N))), 1, 16)))
+    sh = d.select("doc_id", F.explode(fps).alias("fp"))
+    firsts = sh.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(firsts, "fp")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                                 1).otherwise(0)).cast("bigint")
+                    .alias("n_novel")))
+    num = F.col("n_novel").cast("decimal(38,0)") * 1000000
+    den = F.col("n_shingles").cast("decimal(38,0)")
+    e6 = (((2 * num + den) - (2 * num + den) % (2 * den)) / (2 * den))
+    return (per_doc.select("doc_id", "n_shingles", "n_novel")
+            .withColumn("novelty_ratio",
+                        e6.cast("bigint").cast("double") / 1000000.0)
+            .orderBy("doc_id"))
