@@ -95,6 +95,17 @@ def running_position_stream(df: DataFrame) -> DataFrame:
     sequential state, parallel across keys, state bounded by key
     cardinality (GroupState timeout would evict idle users in a
     production deployment).
+
+    Environment bound (verified round 7): Spark 4.1's successor API,
+    ``transformWithStateInPandas`` (typed ValueState/ListState/MapState,
+    timers, TTL), is present in this PySpark build but its state-server
+    protocol requires the ``protobuf`` Python package, which this
+    container does not ship (`import google.protobuf` fails; the
+    driver worker crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE before the first batch). Same class of bound as the
+    JPEG/FLAC codecs in functions/multimodal.py — the
+    applyInPandasWithState kernel here carries the custom-stateful
+    coverage instead.
     """
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout)

@@ -379,3 +379,47 @@ def test_media_dispatch_unknown_format_falls_to_stub(spark):
     assert row.mime == "application/octet-stream"
     assert not row.decode_ok
     assert row.feat_sum == 0 and row.feat6 == 0.0
+
+
+# --- round-7 additions: span corruption + n-gram novelty --------------------
+
+
+def test_span_corruption_mask_invariants(spark, sf0001):
+    from big_datatrader_spark.queries import load_registry
+    from big_datatrader_spark.queries.llm_text import _SC_LEN, _SC_RATE
+    reg = load_registry()
+    rows = (reg["span_corruption_mask"].spark_fn(spark, sf0001)
+            .collect())
+    assert rows, "corpus has tokenized docs"
+    for r in rows:
+        # a span masks at most _SC_LEN tokens and overlaps union:
+        # n_spans <= n_masked <= min(n_tokens, n_spans * _SC_LEN)
+        assert 0 <= r.n_spans <= r.n_tokens
+        if r.n_spans:
+            assert r.n_spans <= r.n_masked
+        assert r.n_masked <= min(r.n_tokens, r.n_spans * _SC_LEN)
+        assert 0.0 <= r.corrupt_ratio <= 1.0
+    # the hash gate fires at ~1/_SC_RATE of positions corpus-wide
+    tot = sum(r.n_tokens for r in rows)
+    starts = sum(r.n_spans for r in rows)
+    assert abs(starts / tot - 1 / _SC_RATE) < 0.02
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf0001):
+    from big_datatrader_spark.queries import load_registry
+    from big_datatrader_spark.queries.llm_text import _NOV_N
+    reg = load_registry()
+    out = reg["ngram_novelty_score"].spark_fn(spark, sf0001)
+    rows = out.collect()
+    assert rows
+    # rows come back ordered by doc_id; the earliest doc with >= _NOV_N
+    # tokens cannot repeat anything: novelty must be exactly 1.0
+    first = rows[0]
+    assert first.n_novel == first.n_shingles
+    assert first.novelty_ratio == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0.0 <= r.novelty_ratio <= 1.0
+    # monotone sanity: at least one later doc repeats an earlier
+    # shingle in a synthetic corpus built from a shared vocabulary
+    assert any(r.n_novel < r.n_shingles for r in rows[1:])
