@@ -58,6 +58,17 @@ def test_query_exits_with_bounded_caches(spark, sf0001, name):
     spark.catalog.clearCache()
 
 
+def test_hits_restores_session_confs(spark, sf0001):
+    """hits scopes AQE-off + narrow shuffle width to its iteration
+    jobs via try/finally; the session the caller handed in must come
+    back untouched (the driver runs 49 more queries on it)."""
+    keys = ["spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"]
+    before = {k: spark.conf.get(k) for k in keys}
+    REG["hits_hub_authority"].spark_fn(spark, sf0001)
+    assert {k: spark.conf.get(k) for k in keys} == before
+    spark.catalog.clearCache()
+
+
 def test_hits_releases_iteration_caches(spark, sf0001):
     """The named r5/r6 offender: HITS may keep ONLY its reusable edge
     list cached (the pagerank precedent — it makes repeat runs skip

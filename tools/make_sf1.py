@@ -72,8 +72,11 @@ def main() -> int:
 
     spans = {}
     for col, (tbl, owner_col) in OWNER.items():
+        # span = max+1: keys are 0-based, so offsetting by max alone
+        # would collide each copy's key 0 with the previous copy's max
+        # (caught by tests/test_make_sf1.py)
         spans[col] = con.execute(
-            f"SELECT max({owner_col}) FROM "
+            f"SELECT max({owner_col}) + 1 FROM "
             f"read_parquet('{SRC}/{tbl}.parquet')").fetchone()[0]
 
     for t in TABLES:
