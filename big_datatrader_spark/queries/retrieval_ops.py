@@ -169,6 +169,54 @@ def bm25_more_like_this(spark, sf_dir):
 # --- BPE merge learning -----------------------------------------------------
 
 _BPE_ROUNDS = 8
+# The merge LOOP operates on the vocabulary aggregate, not the corpus.
+# When that aggregate fits driver memory, run the loop driver-side —
+# the codebook precedent (functions/pq.py), and how production BPE
+# trainers actually work (the corpus-scale pass is the word count;
+# HuggingFace/SentencePiece train the merges single-node from it).
+# 65536 (word, count, chars) rows is MBs of driver state. Above the
+# threshold — a 100 TB corpus has a much larger raw-token vocabulary —
+# the distributed loop below runs instead; both paths produce
+# IDENTICAL merges (tie-break (count desc, pair asc) on both; pinned
+# by tests/test_retrieval_ops.py equivalence + reference tests).
+_BPE_DRIVER_VOCAB_MAX = 1 << 16
+
+
+def _bpe_merge_word(sym: list, left: str, right: str) -> list:
+    """One greedy left-to-right merge pass over a symbol sequence —
+    the same kernel _apply_merges_udf runs per merge, shared so the
+    driver-side and Arrow-batched paths cannot drift."""
+    out, i, n = [], 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _bpe_driver_loop(vocab: list, rounds: int) -> list:
+    """BPE merge learning over a driver-resident vocabulary:
+    ``vocab`` is [(wcount, [sym, ...]), ...]. Same argmax tie-break as
+    the distributed loop: count desc, then (left, right) ascending —
+    Python str comparison is code-point order, matching Spark's
+    UTF8String byte order. Returns [(rank, l, r, merged, count)]."""
+    seqs = [(int(c), list(s)) for c, s in vocab]
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts: dict = {}
+        for c, sym in seqs:
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, cnt))
+        seqs = [(c, _bpe_merge_word(sym, l, r)) for c, sym in seqs]
+    return merges
 
 
 def _apply_merges_udf(merges: list[tuple[str, str]]):
@@ -184,17 +232,9 @@ def _apply_merges_udf(merges: list[tuple[str, str]]):
     @F.pandas_udf("array<string>")
     def merge(seqs: pd.Series) -> pd.Series:
         def one(sym):
+            sym = list(sym)
             for left, right in merges:
-                out, i, n = [], 0, len(sym)
-                while i < n:
-                    if (i + 1 < n and sym[i] == left
-                            and sym[i + 1] == right):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(sym[i])
-                        i += 1
-                sym = out
+                sym = _bpe_merge_word(sym, left, right)
             return sym
         return seqs.map(one)
 
@@ -208,16 +248,23 @@ def _apply_merges_udf(merges: list[tuple[str, str]]):
                   # twin; exact pytest oracle vs a pure-Python BPE
                   # reference in tests/test_retrieval_ops.py
     doc=f"BPE tokenizer training (Sennrich et al. 2016): {_BPE_ROUNDS} "
-        "merge rounds over the corpus word-frequency table. Per round: "
-        "adjacent symbol pairs are built JVM-side (slice + arrays_zip, "
-        "no UDF), weighted by word frequency, reduced by one map-side-"
-        "combined groupBy; the winning pair (count desc, pair asc) is "
-        "KB driver state (the codebook precedent); applying the merge "
-        "is an Arrow-batched kernel over the vocabulary. At 100 TB the "
-        "word-frequency table is millions of rows — this loop never "
-        "touches the corpus again after the initial token count, which "
-        "is how production BPE trainers scale. Returns the learned "
-        "merge table (rank, left, right, merged, weighted pair count)",
+        "merge rounds over the corpus word-frequency table. The "
+        "corpus-scale pass — tokenize, explode, word count — is "
+        "always distributed and runs exactly once. The merge loop "
+        "operates on the VOCABULARY aggregate: when that fits driver "
+        "memory (<= 2^16 rows — MBs; this is how production BPE "
+        "trainers work: the corpus pass is distributed, the merge "
+        "loop is single-node over the word-count table) it runs "
+        "driver-side with zero per-round jobs; above the threshold "
+        "the distributed loop runs — per round, adjacent pairs built "
+        "JVM-side (slice + arrays_zip, no UDF), weighted by word "
+        "frequency, reduced by one map-side-combined groupBy, the "
+        "winning pair (count desc, pair asc) collected as KB driver "
+        "state, and merge application one Arrow-batched kernel over "
+        "the vocabulary. Both paths produce identical merges (shared "
+        "_bpe_merge_word kernel, same tie-break; equivalence pinned "
+        "in tests/test_retrieval_ops.py). Returns the learned merge "
+        "table (rank, left, right, merged, weighted pair count)",
 )
 def bpe_learn_merges(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -226,36 +273,41 @@ def bpe_learn_merges(spark, sf_dir):
              .groupBy("word").agg(F.count(F.lit(1)).alias("wcount")))
     # Persist the INITIAL vocabulary: without it, every round's pair
     # count re-runs tokenize + explode + word groupBy — a full corpus
-    # scan per merge round, which is the 100 TB killer. Rounds then
-    # recompute only the chained merge kernels over the vocab-sized
-    # relation (KB..MB-scale Arrow batches; measured at parity with
-    # per-round caching locally, without its per-round materialization
-    # overhead). The corpus is touched exactly once.
+    # scan per merge round, which is the 100 TB killer. The corpus is
+    # touched exactly once; everything after is vocabulary-sized.
     seqs0 = seqs = words.select(
         "wcount",
         F.expr("filter(split(word, ''), x -> x <> '')").alias("seq")
     ).persist()
     merges = []
     try:
-        for rnd in range(1, _BPE_ROUNDS + 1):
-            pairs = (seqs.select(
-                "wcount",
-                F.explode(F.arrays_zip(
-                    F.expr("slice(seq, 1, size(seq) - 1)"),
-                    F.expr("slice(seq, 2, size(seq) - 1)"))).alias("p"))
-                .select("wcount", F.col("p.0").alias("l"),
-                        F.col("p.1").alias("r"))
-                .groupBy("l", "r").agg(F.sum("wcount").alias("cnt")))
-            top = (pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
-                   .collect())
-            if not top:
-                break
-            l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
-            merges.append((rnd, l, r, l + r, cnt))
-            seqs = seqs0.select(
-                "wcount",
-                _apply_merges_udf([(m[1], m[2]) for m in merges])(
-                    F.col("seq")).alias("seq"))
+        n_vocab = seqs0.count()
+        if n_vocab <= _BPE_DRIVER_VOCAB_MAX:
+            merges = _bpe_driver_loop(
+                [(row.wcount, row.seq) for row in seqs0.collect()],
+                _BPE_ROUNDS)
+        else:
+            for rnd in range(1, _BPE_ROUNDS + 1):
+                pairs = (seqs.select(
+                    "wcount",
+                    F.explode(F.arrays_zip(
+                        F.expr("slice(seq, 1, size(seq) - 1)"),
+                        F.expr("slice(seq, 2, size(seq) - 1)")))
+                    .alias("p"))
+                    .select("wcount", F.col("p.0").alias("l"),
+                            F.col("p.1").alias("r"))
+                    .groupBy("l", "r")
+                    .agg(F.sum("wcount").alias("cnt")))
+                top = (pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+                       .collect())
+                if not top:
+                    break
+                l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+                merges.append((rnd, l, r, l + r, cnt))
+                seqs = seqs0.select(
+                    "wcount",
+                    _apply_merges_udf([(m[1], m[2]) for m in merges])(
+                        F.col("seq")).alias("seq"))
     finally:
         seqs0.unpersist()
     return spark.createDataFrame(

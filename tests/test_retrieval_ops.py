@@ -178,3 +178,19 @@ def test_hard_negatives_are_not_near_dups(spark):
     qdoc = table(spark, SF, "documents").agg(
         {"doc_id": "min"}).collect()[0][0]
     assert qdoc not in set(out.doc_id)
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The vocabulary-size gate picks between the driver-side merge
+    loop and the distributed one; both must learn IDENTICAL merge
+    tables (shared _bpe_merge_word kernel, same (count desc, pair asc)
+    argmax). Forcing the threshold to 0 exercises the distributed path
+    on the same corpus the driver path handles by default."""
+    from big_datatrader_spark.queries import retrieval_ops as RO
+    fast = REG["bpe_learn_merges"].spark_fn(spark, SF).collect()
+    monkeypatch.setattr(RO, "_BPE_DRIVER_VOCAB_MAX", 0)
+    slow = REG["bpe_learn_merges"].spark_fn(spark, SF).collect()
+    key = lambda rows: [(r.merge_rank, r.left, r.right, r.merged,
+                         r.pair_count) for r in rows]
+    assert key(fast) == key(slow)
+    assert len(fast) == RO._BPE_ROUNDS
