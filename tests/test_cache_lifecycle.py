@@ -82,3 +82,30 @@ def test_hits_releases_iteration_caches(spark, sf0001):
     REG["hits_hub_authority"].spark_fn(spark, sf0001)
     assert _live_cached_rdds(spark) <= first
     spark.catalog.clearCache()
+
+
+def test_hits_stage_budget(spark, sf0001):
+    """Regression pin for the iteration-cache rotation: if a half-step
+    persist is dropped, every max-collect job re-runs the whole
+    upstream chain (edge join + all earlier half-steps) and the stage
+    count blows up (the 2^iters recompute the persist exists to
+    prevent). Measured healthy baseline: 16 jobs / 44 stages cold at
+    sf0.001 (AQE splits the edge build into several jobs); the bound
+    leaves ~35% headroom while sitting far under the recompute
+    explosion."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.setJobGroup("hits-stage-audit", "cache-rotation regression pin")
+    try:
+        REG["hits_hub_authority"].spark_fn(spark, sf0001)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    ids = tracker.getJobIdsForGroup("hits-stage-audit")
+    stages = [s for j in ids for s in tracker.getJobInfo(j).stageIds]
+    assert ids, "no jobs captured — job-group plumbing broke"
+    assert len(stages) <= 60, (
+        f"hits ran {len(stages)} stages (baseline 44): an iteration "
+        "persist was probably dropped and half-steps are recomputing "
+        "their upstream chains")
+    spark.catalog.clearCache()
