@@ -60,10 +60,17 @@ def main():
     spark = get_spark("bdt-bench")
 
     # one warm-up pass on the smallest SF so JVM/codegen/Python-worker
-    # startup doesn't pollute per-query numbers
+    # startup doesn't pollute per-query numbers. A query that errors is
+    # recorded and skipped rather than erasing the whole record: the
+    # round's bench evidence must survive a single regression.
+    errors: dict[str, str] = {}
     for n in names:
-        reg[n].spark_fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop").mode("overwrite").save()
+        try:
+            reg[n].spark_fn(spark, "/root/testdata/sf0.001"
+                            ).write.format("noop").mode(
+                                "overwrite").save()
+        except Exception as ex:  # noqa: BLE001
+            errors[n] = repr(ex)[:300]
 
     # best-of-3 per query: single local runs carry multi-second GC/
     # scheduler noise (round-over-round variance on sub-second queries
@@ -76,14 +83,19 @@ def main():
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for n in names:
+        if n in errors:
+            continue
         samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            reg[n].spark_fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[n] = round(min(samples), 3)
-        runs[n] = sorted(round(s, 3) for s in samples)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                reg[n].spark_fn(spark, sf_dir).write.format(
+                    "noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[n] = round(min(samples), 3)
+            runs[n] = sorted(round(s, 3) for s in samples)
+        except Exception as ex:  # noqa: BLE001
+            errors[n] = repr(ex)[:300]
         # queries cache intermediates scoped to their own run (edge
         # lists, value-domain counts); release them so caches never
         # accumulate across the suite in this one-JVM session —
@@ -95,6 +107,9 @@ def main():
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # non-empty ONLY if a query errored (it is then absent from
+        # queries/value — a partial record, flagged by exit code 1)
+        "errors": errors,
         # per-query sorted best-of-3 samples [min, median, max]
         "spread": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -112,7 +127,8 @@ def main():
             "loadavg_1m_after": round(os.getloadavg()[0], 2),
         },
     }))
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -65,7 +65,13 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
 def get_spark(app_name: str = "big-datatrader-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Local session sized for this container; multi-executor semantics
-    come from partitioning, which is what we actually design for."""
+    come from partitioning, which is what we actually design for.
+
+    Startup is retried once: two local JVMs launching at the same
+    moment occasionally collide on gateway/port setup and the first
+    attempt dies with a transient launcher error — observed repeatedly
+    on this box, and a one-retry turns a lost bench/correctness round
+    into a 3-second delay."""
     cpus = _cpus()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -78,5 +84,10 @@ def get_spark(app_name: str = "big-datatrader-spark",
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    try:
+        spark = builder.getOrCreate()
+    except Exception:
+        import time
+        time.sleep(3)
+        spark = builder.getOrCreate()
     return ensure_confs(spark)
