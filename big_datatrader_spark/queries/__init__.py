@@ -79,6 +79,15 @@ _R7_CHANGED = (
                                # hash-gated spans, full oracle
     'ngram_novelty_score',     # NEW: per-doc 5-gram novelty vs
                                # earlier docs, full oracle
+    # one-scan co-purchase edge build (functions/graph.py) replaced
+    # the lineitem self-join in the whole graph family: identical
+    # edge sets, re-verified hash-exact at sf0.001/0.01/0.1, but the
+    # plan change earns fresh driver evidence
+    'pagerank_copurchase',
+    'sssp_copurchase',
+    'triangle_count_copurchase',
+    'local_clustering_coefficient',
+    'modularity_brand_partition',
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -19,6 +19,7 @@ from pyspark.sql import Window, functions as F
 from ..functions import dedup as DD
 from ..functions import text as TX
 from ..functions.dedup import h60
+from ..functions import graph as GR
 from ..sources.parquet_source import table
 from . import query
 from .llm_dedup import (BANDS, NUM_HASHES, _SHINGLES, _band_struct_sql,
@@ -455,12 +456,7 @@ def lang_mixture_rebalance(spark, sf_dir):
 def triangle_count_copurchase(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("x"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("y"))
-    pairs = (a.join(b, "k").filter(F.col("x") < F.col("y"))
-             .select("x", "y").distinct())
+    pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
     deg = (pairs.select(F.col("x").alias("node"))
            .unionAll(pairs.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -1099,16 +1095,11 @@ _BFS_MAX_HOPS = 6
         "compute the identical min-hop map",
 )
 def sssp_copurchase(spark, sf_dir):
-    op = (table(spark, sf_dir, "lineitem")
-          .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    a = op.select(F.col("o"), F.col("p").alias("x"))
-    b = op.select(F.col("o").alias("o2"), F.col("p").alias("y"))
-    edges = (a.join(b, (a.o == b.o2) & (F.col("x") != F.col("y")))
-             .select("x", "y").distinct()
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey"))
+    edges = (GR.copurchase_pairs(li, "x", "y")
              .localCheckpoint(eager=True))
-    spark_ = op.sparkSession
+    spark_ = li.sparkSession
     dist = spark_.createDataFrame([( _BFS_SRC, 0)],
                                   "node long, hop_dist long")
     frontier = dist

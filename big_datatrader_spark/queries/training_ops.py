@@ -19,6 +19,7 @@ from pyspark.sql import Window, functions as F
 
 from ..functions import text as TX
 from ..functions.dedup import h60
+from ..functions import graph as GR
 from ..sources.parquet_source import table
 from . import query
 
@@ -975,20 +976,15 @@ def _pagerank_oracle() -> str:
 def pagerank_copurchase(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("dst"))
-    edges = (a.join(b, "k").filter(F.col("src") != F.col("dst"))
-             .select("src", "dst").distinct())
+    edges = GR.copurchase_pairs(li, "src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     # the graph is reused by every iteration: persist it once instead
     # of re-deriving the edge-build subtree per iteration (without
-    # this the 3-iteration plan re-runs the lineitem self-join 4x —
-    # 45 exchanges vs 17; at scale, caching the edge list IS the
-    # distributed-PageRank cost model)
+    # this the 3-iteration plan re-runs the one-scan edge build 4x —
+    # measured 45 exchanges vs 17 on the join-era build; at scale,
+    # caching the edge list IS the distributed-PageRank cost model)
     ewd = edges.join(outdeg, "src").persist()  # (src, dst, deg)
     nodes = nodes.persist()
 
@@ -2494,20 +2490,9 @@ def _hits_oracle() -> str:
 def hits_hub_authority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    # Edge build via groupBy + within-order pair explode instead of the
-    # lineitem self-join: ONE scan and one map-side-combinable shuffle
-    # (collect_set partials) feed the same k^2-per-order fan-out the
-    # join produced, then the same distinct — identical 2.39M-edge set
-    # at sf0.1, measured 2x faster cold (2.9s -> 1.6s). Same
-    # asymptotics under a hot order (k^2 either way).
-    parts = (li.groupBy("l_orderkey")
-             .agg(F.collect_set("l_partkey").alias("ps")))
-    edges = (parts.select(F.explode(F.expr(
-        "flatten(transform(ps, x -> "
-        "transform(ps, y -> struct(x AS src, y AS dst))))")).alias("p"))
-        .select("p.src", "p.dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct().persist())
+    # one-scan edge build (functions/graph.py): 2x faster cold than
+    # the lineitem self-join, identical edge set
+    edges = GR.copurchase_pairs(li, "src", "dst").persist()
     # materialize the edge build under the session confs (AQE handles
     # its skew); the conf override below applies only to action time,
     # so count() pins the build plan before the switch
@@ -3039,12 +3024,7 @@ def modularity_brand_partition(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("x"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("y"))
-    pairs = (a.join(b, "k").filter(F.col("x") < F.col("y"))
-             .select("x", "y").distinct())
+    pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
     px = F.broadcast(part.select(F.col("p_partkey").alias("x"),
                                  F.col("p_brand").alias("bx")))
     py = F.broadcast(part.select(F.col("p_partkey").alias("y"),
@@ -3128,12 +3108,7 @@ def modularity_brand_partition(spark, sf_dir):
 def local_clustering_coefficient(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("x"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_partkey").alias("y"))
-    pairs = (a.join(b, "k").filter(F.col("x") < F.col("y"))
-             .select("x", "y").distinct())
+    pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
     deg = (pairs.select(F.col("x").alias("node"))
            .unionAll(pairs.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))

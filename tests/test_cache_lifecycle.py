@@ -47,9 +47,14 @@ def _live_cached_rdds(spark) -> int:
 @pytest.mark.parametrize("name", sorted(set(_PERSISTING) | set(_BENCH)))
 def test_query_exits_with_bounded_caches(spark, sf0001, name):
     spark.catalog.clearCache()
+    # Delta, not absolute: clearCache does NOT drop localCheckpoint
+    # RDDs (sssp's rounds, run by other tests in this session), and
+    # the ContextCleaner GCs them nondeterministically — an absolute
+    # count is order-dependent across the suite.
+    base = _live_cached_rdds(spark)
     df = REG[name].spark_fn(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()  # consumer action
-    live = _live_cached_rdds(spark)
+    live = _live_cached_rdds(spark) - base
     assert live <= 2, (
         f"{name} left {live} persisted relations live after its "
         "action — iteration caches must rotate (release the previous "
@@ -76,11 +81,12 @@ def test_hits_releases_iteration_caches(spark, sf0001):
     released before the function returns, and running it TWICE must
     not grow the cache set (the accumulation the verdict flagged)."""
     spark.catalog.clearCache()
+    base = _live_cached_rdds(spark)  # localCheckpoint leftovers, GC'd
     REG["hits_hub_authority"].spark_fn(spark, sf0001)
-    first = _live_cached_rdds(spark)
+    first = _live_cached_rdds(spark) - base
     assert first <= 2  # edge list (+ an in-flight async unpersist)
     REG["hits_hub_authority"].spark_fn(spark, sf0001)
-    assert _live_cached_rdds(spark) <= first
+    assert _live_cached_rdds(spark) - base <= first
     spark.catalog.clearCache()
 
 
