@@ -88,6 +88,12 @@ _R7_CHANGED = (
     'triangle_count_copurchase',
     'local_clustering_coefficient',
     'modularity_brand_partition',
+    # NEW (late r7, queries/scale_ops.py): the distribution-strategy
+    # trio — runtime-filter pre-join, salt-replicated skew join,
+    # curriculum interleave — each with a full oracle
+    'runtime_filter_semi_join',
+    'skew_salted_join',
+    'curriculum_interleave',
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
@@ -331,6 +337,7 @@ def load_registry() -> dict[str, Query]:
     from . import corpus_ops  # noqa: F401
     from . import vector_ops  # noqa: F401
     from . import retrieval_ops  # noqa: F401
+    from . import scale_ops  # noqa: F401
     ordered = {n: REGISTRY[n] for n in _window_order(REGISTRY)}
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -221,7 +221,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     # k-row bounded model/sketch relations
                     "kmv_distinct_sketch", "rec_ndcg_popularity",
                     "rfm_segmentation", "wasserstein_distance_drift",
-                    "poisson_bootstrap_ci", "quantile_normalization"}
+                    "poisson_bootstrap_ci", "quantile_normalization",
+                    # languages-sized distinct (rows = #langs)
+                    "curriculum_interleave"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
