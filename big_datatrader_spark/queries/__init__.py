@@ -94,6 +94,17 @@ _R7_CHANGED = (
     'runtime_filter_semi_join',
     'skew_salted_join',
     'curriculum_interleave',
+    # NEW (late r7, second batch): smoothed-LM scoring, tokenizer
+    # budgeting, embedding-quality audit, diversity re-ranking —
+    # each with a full hash-exact oracle
+    'kneser_ney_bigram_ppl',   # training_ops.py: interpolated KN
+                               # bigram perplexity, exact fractions
+    'tokenizer_fertility',     # llm_text.py: tokens/word +
+                               # chars/token per (lang, source)
+    'knn_prototype_accuracy',  # vector_ops.py: 5-NN majority vote
+                               # over a 64-prototype broadcast
+    'mmr_diverse_rerank',      # vector_ops.py: integer-exact MMR
+                               # over a bounded candidate pool
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -880,3 +880,74 @@ def ngram_novelty_score(spark, sf_dir):
             .withColumn("novelty_ratio",
                         e6.cast("bigint").cast("double") / 1000000.0)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: the tokens-per-word / chars-per-token profile a
+# pretraining pipeline tracks per (lang, source) slice to budget
+# sequence lengths and spot slices the tokenizer fragments badly
+# (high fertility = many sub-word pieces per whitespace word). Pure
+# counting: one scan, one (lang, source) groupBy; ratios are exact
+# integer fractions rounded half-away in DECIMAL(38)/HUGEINT.
+
+@query(
+    "tokenizer_fertility",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS BIGINT) AS ws,
+             CAST(length(text) AS BIGINT) AS nch
+      FROM documents),
+    g AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(nch) AS BIGINT) AS n_chars
+      FROM d GROUP BY 1, 2)
+    SELECT lang, source, n_docs, bpe_tokens, ws_tokens,
+           CAST((2 * CAST(bpe_tokens AS HUGEINT) * 1000000 + ws_tokens)
+                // (2 * CAST(ws_tokens AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS fertility6,
+           CAST((2 * CAST(n_chars AS HUGEINT) * 1000000 + bpe_tokens)
+                // (2 * CAST(bpe_tokens AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS chars_per_token6
+    FROM g ORDER BY lang, source
+    """,
+    doc="tokenizer fertility per (lang, source): BPE-ish tokens per "
+        "whitespace word and chars per BPE-ish token — the sequence-"
+        "length budgeting metric of a pretraining pipeline (fertility "
+        "far above ~1.3 flags slices the pre-tokenizer fragments). "
+        "Counts reuse the token_count_bpe_ish regex convention; both "
+        "ratios are exact integer fractions rounded half-away-from-"
+        "zero (the _int_ratio_round6 convention), so the result is "
+        "hash-exact under any partitioning. One scan, one tiny "
+        "groupBy — trivially 100 TB-safe",
+)
+def tokenizer_fertility(spark, sf_dir):
+    from .analytics import _int_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    g = (docs.select(
+            "lang", "source",
+            TX.bpe_ish_token_count(F.col("text")).cast("long")
+              .alias("bpe"),
+            TX.token_count(F.col("text")).cast("long").alias("ws"),
+            F.length("text").cast("long").alias("nch"))
+         .groupBy("lang", "source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("bpe").cast("long").alias("bpe_tokens"),
+              F.sum("ws").cast("long").alias("ws_tokens"),
+              F.sum("nch").cast("long").alias("n_chars")))
+    return (g.select(
+                "lang", "source", "n_docs", "bpe_tokens", "ws_tokens",
+                _int_ratio_round6(F.col("bpe_tokens"),
+                                  F.col("ws_tokens")).alias("fertility6"),
+                _int_ratio_round6(F.col("n_chars"),
+                                  F.col("bpe_tokens"))
+                .alias("chars_per_token6"))
+            .orderBy("lang", "source"))

@@ -1701,6 +1701,97 @@ def doc_perplexity_bigram(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram perplexity (the standard smoothed-LM
+# quality score; Kneser & Ney 1995, Chen & Goodman 1999). Discount
+# D = 3/4 is kept rational so every probability is an EXACT integer
+# fraction:
+#   P_KN(w2|w1) = (c(w1 w2) - D)/c(w1) + D * N1+(w1 .)/c(w1) * Pcont(w2)
+#   Pcont(w2)   = N1+(. w2) / N1+(. .)
+# With D = 3/4 and T = N1+(. .) total distinct bigram types:
+#   P = ((4*c2 - 3) * T + 3 * n1f * nctx) / (4 * c1 * T)
+# where n1f = N1+(w1 .), nctx = N1+(. w2). Scored bigrams come from the
+# training corpus itself, so c2 >= 1 and the discounted term never goes
+# negative: no max() needed, and ln() is always defined.
+
+@query(
+    "kneser_ney_bigram_ppl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bi AS (SELECT doc_id, unnest({_grams_sql(2)}) AS gram FROM toks),
+    sp AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1,
+                  string_split(gram, ' ')[2] AS w2
+           FROM bi),
+    cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM sp GROUP BY 1, 2),
+    tot AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM cnt GROUP BY 1),
+    ctx AS (SELECT w2, CAST(count(*) AS BIGINT) AS nctx
+            FROM cnt GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM cnt),
+    terms AS (
+      SELECT sp.doc_id,
+             CAST(ROUND(ln(
+                 CAST((4 * cnt.c2 - 3) * tt.t_types
+                      + 3 * tot.n1f * ctx.nctx AS DOUBLE)
+                 / CAST(4 * tot.c1 * tt.t_types AS DOUBLE))
+                 * {_PPL_SCALE}) AS BIGINT) AS nll
+      FROM sp
+      JOIN cnt USING (w1, w2) JOIN tot USING (w1) JOIN ctx USING (w2)
+      CROSS JOIN tt)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(sum(nll) AS DOUBLE) / count(*) / {_PPL_SCALE},
+                 4) AS avg_nll
+    FROM terms GROUP BY 1 ORDER BY doc_id
+    """,
+    doc="interpolated Kneser-Ney bigram perplexity, the smoothing that "
+        "actual n-gram LM quality filters use (absolute discount "
+        "D=3/4 plus a continuation-probability backoff that scores a "
+        "word by how many distinct contexts it follows, not raw "
+        "frequency). Every P_KN is the exact integer fraction "
+        "((4*c2-3)*T + 3*n1f*nctx) / (4*c1*T): numerator and "
+        "denominator are BIGINTs well under 2^53, so both engines "
+        "divide the same doubles and ln() is bit-identical; each ln "
+        "term rounds to 1e-4 units and sums as BIGINT (the "
+        "doc_perplexity_bigram convention) so per-doc scores are "
+        "exact under any partitioning. Model tables (cnt/tot/ctx) are "
+        "vocabulary-sized; T is a 1-row broadcast scalar — at 100 TB "
+        "the corpus streams once through the model join exactly like "
+        "doc_perplexity_bigram, and the heavy (w1,w2) count shuffle "
+        "is shared with it when both run",
+)
+def kneser_ney_bigram_ppl(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sp = _gram_rows(docs, 2).select(
+        "doc_id",
+        F.split("gram", " ")[0].alias("w1"),
+        F.split("gram", " ")[1].alias("w2"))
+    cnt = sp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2"))
+    tot = cnt.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"))
+    ctx = cnt.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nctx"))
+    tt = cnt.agg(F.count(F.lit(1)).cast("long").alias("t_types"))
+    num = ((4 * F.col("c2") - 3) * F.col("t_types")
+           + 3 * F.col("n1f") * F.col("nctx")).cast("double")
+    den = (4 * F.col("c1") * F.col("t_types")).cast("double")
+    nll = F.round(F.log(num / den) * _PPL_SCALE).cast("bigint")
+    terms = (sp.join(cnt, ["w1", "w2"]).join(tot, "w1").join(ctx, "w2")
+             .crossJoin(F.broadcast(tt))
+             .select("doc_id", nll.alias("nll")))
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.round(-F.sum("nll").cast("double") / F.count(F.lit(1))
+                     / _PPL_SCALE, 4).alias("avg_nll"))
+        .orderBy("doc_id")
+    )
+
+
 # --- Incremental view maintenance (delta-apply == full recompute) ----------
 
 _IVM_CUT = "2024-01-20"

@@ -674,3 +674,224 @@ def ann_dim_truncation_recall(spark, sf_dir):
                     _int_ratio_round6(F.col("overlap"), F.lit(_TR_K))
                     .alias("recall6"))
             .orderBy("query_id"))
+
+
+# ---------------------------------------------------------------------------
+# Prototype k-NN classifier evaluation: the label-quality audit a
+# training-data pipeline runs on its embedding table. A FIXED, bounded
+# prototype memory (the _KNN_P lowest vec_ids, standing in for a
+# curated labeled set) classifies every other vector by majority vote
+# of its _KNN_K nearest prototypes; per-label accuracy exposes which
+# classes the embedding space actually separates. Scale shape: the
+# prototype set is O(1) driver-sized and BROADCAST, the corpus streams
+# once through a nested-loop join whose per-row work is O(_KNN_P) —
+# never corpus x corpus.
+
+_KNN_P = 64   # prototype memory size (lowest vec_ids)
+_KNN_K = 5
+
+_KNN_COS = ("list_dot_product(c.v::DOUBLE[], p.pv::DOUBLE[])"
+            " / (sqrt(list_dot_product(c.v::DOUBLE[], c.v::DOUBLE[]))"
+            " * sqrt(list_dot_product(p.pv::DOUBLE[], p.pv::DOUBLE[])))")
+
+
+@query(
+    "knn_prototype_accuracy",
+    oracle=f"""
+    WITH p AS MATERIALIZED (
+      SELECT vec_id AS p_id, label AS p_label, embedding AS pv
+      FROM embeddings WHERE vec_id < {_KNN_P}),
+    c AS (SELECT vec_id, label, embedding AS v
+          FROM embeddings WHERE vec_id >= {_KNN_P}),
+    scored AS (
+      SELECT c.vec_id, c.label, p.p_id, p.p_label,
+             ROUND({_KNN_COS}, 6) AS cos6
+      FROM c CROSS JOIN p),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos6 DESC, p_id) AS rn
+      FROM scored),
+    votes AS (
+      SELECT vec_id, label, p_label, CAST(count(*) AS BIGINT) AS nv
+      FROM ranked WHERE rn <= {_KNN_K} GROUP BY 1, 2, 3),
+    winner AS (
+      SELECT vec_id, label, p_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY nv DESC, p_label) AS wr
+        FROM votes) t WHERE wr = 1),
+    acc AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN p_label = label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM winner GROUP BY 1)
+    SELECT label, n, n_correct,
+           CAST((2 * CAST(n_correct AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS accuracy6
+    FROM acc ORDER BY label
+    """,
+    doc=f"per-label accuracy of a {_KNN_K}-NN majority-vote classifier "
+        f"over a fixed {_KNN_P}-prototype memory (lowest vec_ids): the "
+        "embedding-quality audit of a training pipeline. Ranking is "
+        "rounded-cosine desc with prototype-id tiebreak and the vote "
+        "breaks ties (count desc, label asc) — deterministic across "
+        "engines (the ann_bruteforce_topk convention). The prototype "
+        "side is a bounded broadcast, so the only corpus-scale costs "
+        "are one scan and the per-vector top-k window on vec_id — "
+        "hash-partitioned, never single-partition",
+)
+def knn_prototype_accuracy(spark, sf_dir):
+    from ..functions import similarity as SIM
+    from .analytics import _int_ratio_round6
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label",
+                      SIM.as_double(F.col("embedding")).alias("v"))
+    protos = (base.filter(F.col("vec_id") < _KNN_P)
+              .select(F.col("vec_id").alias("p_id"),
+                      F.col("label").alias("p_label"),
+                      F.col("v").alias("pv")))
+    cand = (base.filter(F.col("vec_id") >= _KNN_P)
+            .crossJoin(F.broadcast(protos))
+            .withColumn("cos6", F.round(SIM.cosine("v", "pv"), 6)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos6"), "p_id")
+    votes = (cand.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= _KNN_K)
+             .groupBy("vec_id", "label", "p_label")
+             .agg(F.count(F.lit(1)).cast("long").alias("nv")))
+    ww = Window.partitionBy("vec_id").orderBy(F.desc("nv"), "p_label")
+    winner = (votes.withColumn("wr", F.row_number().over(ww))
+              .filter(F.col("wr") == 1))
+    return (winner.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum((F.col("p_label") == F.col("label"))
+                       .cast("bigint")).cast("long").alias("n_correct"))
+            .select("label", "n", "n_correct",
+                    _int_ratio_round6(F.col("n_correct"), F.col("n"))
+                    .alias("accuracy6"))
+            .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+# the diversity-aware final stage of a retrieval pipeline. Candidate
+# generation is the distributed part (exact top-_MMR_CAND by cosine to
+# the query vector, the ann_bruteforce shape); the greedy selection
+# then runs over that k-capped candidate set as driver state (the PQ
+# codebook precedent: production rerankers do exactly this, because
+# MMR is inherently sequential and its input is bounded by
+# construction). All scoring is INTEGER once cosines are rounded to
+# 1e-6 units in-engine: with lambda = 7/10,
+#   mmr_units = 7 * rel6 - 3 * max(sim6 to selected)   (1e-7 units)
+# so the Python selection does no float arithmetic at all and the
+# DuckDB oracle (the same 5 greedy steps unrolled as CTEs) is
+# hash-exact by construction.
+
+_MMR_Q = 0        # query vector id
+_MMR_CAND = 12    # candidate pool (exact top-N by relevance)
+_MMR_K = 5        # results to select
+
+_MMR_COS = ("list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+            " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+            " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))")
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+    sc{i} AS (
+      SELECT c.vec_id, c.rel6,
+             CAST(7 * c.rel6 - 3 * max(s.sim6) AS BIGINT) AS mmr_units
+      FROM cand c
+      JOIN sims s ON s.ida = c.vec_id
+      JOIN sel{i - 1} ON s.idb = sel{i - 1}.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY c.vec_id, c.rel6),
+    s{i} AS (SELECT vec_id, rel6, mmr_units, CAST({i} AS BIGINT) AS rank
+             FROM sc{i} ORDER BY mmr_units DESC, vec_id LIMIT 1),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM s{i})""")
+    unioned = "\n      UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, _MMR_K + 1))
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {_MMR_Q}),
+    rel AS (
+      SELECT c.vec_id, c.embedding,
+             CAST(ROUND({_MMR_COS.format(a='q.qv', b='c.embedding')}
+                        * 1000000) AS BIGINT) AS rel6
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> {_MMR_Q}),
+    cand AS MATERIALIZED (
+      SELECT vec_id, embedding, rel6 FROM rel
+      ORDER BY rel6 DESC, vec_id LIMIT {_MMR_CAND}),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(ROUND({_MMR_COS.format(a='a.embedding',
+                                         b='b.embedding')}
+                        * 1000000) AS BIGINT) AS sim6
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, rel6, CAST(7 * rel6 AS BIGINT) AS mmr_units,
+                  CAST(1 AS BIGINT) AS rank
+           FROM cand ORDER BY rel6 DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1),{','.join(steps)}
+    SELECT rank, vec_id, rel6, mmr_units FROM (
+      {unioned}) u ORDER BY rank
+    """
+
+
+@query(
+    "mmr_diverse_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"MMR diversity re-ranking (lambda=0.7): exact top-{_MMR_CAND} "
+        f"candidates by cosine to query vec_id={_MMR_Q} (distributed, "
+        "broadcast 1-row query — the ann_bruteforce shape), then "
+        f"{_MMR_K} greedy selections maximizing 0.7*relevance - "
+        "0.3*max-similarity-to-selected. Cosines are rounded to 1e-6 "
+        "units IN-ENGINE (F.round / DuckDB ROUND, identical "
+        "half-away-from-zero), after which scores are pure BIGINT "
+        "(mmr_units = 7*rel6 - 3*max(sim6), 1e-7 units) with vec_id "
+        "tiebreak — the greedy argmax is bit-deterministic. The "
+        "selection loop runs on the collected candidate pool "
+        f"({_MMR_CAND} ids + {_MMR_CAND}x{_MMR_CAND} sims, KB driver "
+        "state, the PQ-codebook precedent); at 100 TB only candidate "
+        "generation touches the corpus",
+)
+def mmr_diverse_rerank(spark, sf_dir):
+    from ..functions import similarity as SIM
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id",
+                      SIM.as_double(F.col("embedding")).alias("v"))
+    q = (base.filter(F.col("vec_id") == _MMR_Q)
+         .select(F.col("v").alias("qv")))
+    rel6 = F.round(SIM.cosine("qv", "v") * 1000000).cast("bigint")
+    cand = (base.filter(F.col("vec_id") != _MMR_Q)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "v", rel6.alias("rel6"))
+            .orderBy(F.desc("rel6"), "vec_id").limit(_MMR_CAND))
+    rows = cand.select("vec_id", "rel6").collect()
+    rel = {r["vec_id"]: r["rel6"] for r in rows}
+    a = cand.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    sim6 = F.round(SIM.cosine("va", "vb") * 1000000).cast("bigint")
+    sim_rows = (a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+                .select("ida", "idb", sim6.alias("sim6")).collect())
+    sims = {(r["ida"], r["idb"]): r["sim6"] for r in sim_rows}
+    # greedy integer MMR over the bounded pool (no float arithmetic)
+    selected: list[int] = []
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for cid, r6 in rel.items():
+            if cid in selected:
+                continue
+            units = (7 * r6 if not selected else
+                     7 * r6 - 3 * max(sims[(cid, s)] for s in selected))
+            key = (-units, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, r6, units)
+        selected.append(best[1])
+        out.append((rank, best[1], best[2], best[3]))
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, rel6 long, mmr_units long")

@@ -206,6 +206,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
         "modularity_brand_partition",  # 1-row edge-total scalar
         "quantile_normalization",      # 1-row grand-total scalar
+        "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
+        "knn_prototype_accuracy",      # 64-row prototype broadcast
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

@@ -1,0 +1,214 @@
+"""Tests for the second round-7 query batch: Kneser-Ney perplexity,
+tokenizer fertility, prototype k-NN accuracy, and MMR re-ranking —
+semantic invariants against independent Python/numpy reimplementations
+(oracle parity is covered by tools/check_oracle.py and the driver
+gate), plus plan-shape checks for the scale-critical pieces."""
+
+import math
+import re
+
+import numpy as np
+
+from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.queries.vector_ops import (
+    _KNN_K, _KNN_P, _MMR_CAND, _MMR_K, _MMR_Q)
+from big_datatrader_spark.sources.parquet_source import table
+
+REG = load_registry()
+SF = "/root/testdata/sf0.001"
+
+
+def _rha(x: float) -> int:
+    """Round half away from zero (Spark F.round / DuckDB ROUND), NOT
+    Python's banker's rounding."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _docs(spark):
+    return table(spark, SF, "documents").toPandas().sort_values("doc_id")
+
+
+def test_kneser_ney_matches_pure_python_model(spark):
+    out = (REG["kneser_ney_bigram_ppl"].spark_fn(spark, SF)
+           .toPandas().set_index("doc_id"))
+    docs = _docs(spark)
+    bigrams = {}  # doc_id -> list[(w1, w2)]
+    for _, r in docs.iterrows():
+        toks = r.text.strip().lower().split()
+        bigrams[r.doc_id] = list(zip(toks, toks[1:]))
+    from collections import Counter
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    c1, n1f, nctx = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        nctx[w2] += 1
+    T = len(c2)
+    for doc_id, bs in bigrams.items():
+        if not bs:
+            assert doc_id not in out.index
+            continue
+        units = 0
+        for w1, w2 in bs:
+            num = (4 * c2[(w1, w2)] - 3) * T + 3 * n1f[w1] * nctx[w2]
+            den = 4 * c1[w1] * T
+            assert 0 < num <= den  # P_KN is a true probability here
+            units += _rha(math.log(num / den) * 10000)
+        # ROUND(-units/n/1e4, 4) with half-AWAY semantics (Spark/
+        # DuckDB), as an exact integer fraction: units < 0 so -units
+        # is a non-negative numerator over denominator n
+        nb = len(bs)
+        expect = ((2 * -units + nb) // (2 * nb)) / 10000
+        assert out.loc[doc_id, "n_bigrams"] == nb
+        assert out.loc[doc_id, "avg_nll"] == expect
+
+
+def test_kneser_ney_sums_to_one_over_vocab(spark):
+    """P_KN(. | w1) must sum to exactly 1 over the continuation-closed
+    vocabulary for every observed context — the property Laplace lacks
+    and KN is designed around. Checked as exact fractions."""
+    docs = _docs(spark)
+    from collections import Counter
+    from fractions import Fraction
+    c2 = Counter()
+    for _, r in docs.iterrows():
+        toks = r.text.strip().lower().split()
+        c2.update(zip(toks, toks[1:]))
+    c1, n1f, nctx = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        nctx[w2] += 1
+    T = len(c2)
+    w1s = list(c1)[:25]  # spot-check a bounded sample of contexts
+    vocab = set(nctx)
+    for w1 in w1s:
+        tot = Fraction(0)
+        for w2 in vocab:
+            seen = c2.get((w1, w2), 0)
+            disc = Fraction(max(4 * seen - 3, 0), 4 * c1[w1])
+            back = (Fraction(3 * n1f[w1], 4 * c1[w1])
+                    * Fraction(nctx[w2], T))
+            tot += disc + back
+        assert tot == 1, (w1, tot)
+
+
+def test_tokenizer_fertility_matches_python_counts(spark):
+    out = (REG["tokenizer_fertility"].spark_fn(spark, SF)
+           .toPandas().set_index(["lang", "source"]))
+    docs = _docs(spark)
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    agg = {}
+    for _, r in docs.iterrows():
+        k = (r.lang, r.source)
+        d = agg.setdefault(k, [0, 0, 0, 0])  # docs, bpe, ws, chars
+        d[0] += 1
+        d[1] += len(pat.findall(r.text))
+        d[2] += len(r.text.strip().split()) if r.text.strip() else 0
+        d[3] += len(r.text)
+    assert set(out.index) == set(agg)
+    for k, (nd, bpe, ws, nch) in agg.items():
+        row = out.loc[k]
+        assert (row.n_docs, row.bpe_tokens, row.ws_tokens) \
+            == (nd, bpe, ws)
+        # exact half-away integer-fraction rounding
+        assert row.fertility6 == ((2 * bpe * 10**6 + ws)
+                                  // (2 * ws)) / 1e6
+        assert row.chars_per_token6 == ((2 * nch * 10**6 + bpe)
+                                        // (2 * bpe)) / 1e6
+
+
+def _emb(spark):
+    pdf = table(spark, SF, "embeddings").toPandas().sort_values("vec_id")
+    V = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    return (pdf.vec_id.to_numpy(), pdf.label.to_numpy(), V)
+
+
+def _cos_matrix(A, B):
+    na = np.sqrt((A * A).sum(axis=1))
+    nb = np.sqrt((B * B).sum(axis=1))
+    return (A @ B.T) / np.outer(na, nb)
+
+
+def test_knn_prototype_accuracy_matches_numpy(spark):
+    out = (REG["knn_prototype_accuracy"].spark_fn(spark, SF)
+           .toPandas().set_index("label"))
+    ids, labels, V = _emb(spark)
+    pmask = ids < _KNN_P
+    P, pl, pid = V[pmask], labels[pmask], ids[pmask]
+    C, cl = V[~pmask], labels[~pmask]
+    cos6 = np.round(_cos_matrix(C, P), 6)
+    n = {}
+    n_correct = {}
+    for i in range(len(C)):
+        # rank: cos desc, prototype id asc
+        order = sorted(range(len(P)), key=lambda j: (-cos6[i, j], pid[j]))
+        top = [pl[j] for j in order[:_KNN_K]]
+        votes = {}
+        for lb in top:
+            votes[lb] = votes.get(lb, 0) + 1
+        winner = min(votes, key=lambda lb: (-votes[lb], lb))
+        n[cl[i]] = n.get(cl[i], 0) + 1
+        if winner == cl[i]:
+            n_correct[cl[i]] = n_correct.get(cl[i], 0) + 1
+    assert set(out.index) == set(n)
+    for lb in n:
+        row = out.loc[lb]
+        nc = n_correct.get(lb, 0)
+        assert (row.n, row.n_correct) == (n[lb], nc)
+        assert row.accuracy6 == ((2 * nc * 10**6 + n[lb])
+                                 // (2 * n[lb])) / 1e6
+    # sanity: prototypes classify SOME vectors correctly overall
+    assert sum(n_correct.values()) > 0
+
+
+def test_mmr_rerank_is_the_greedy_integer_argmax(spark):
+    out = (REG["mmr_diverse_rerank"].spark_fn(spark, SF)
+           .toPandas().sort_values("rank"))
+    ids, _, V = _emb(spark)
+    qi = int(np.where(ids == _MMR_Q)[0][0])
+    mask = ids != _MMR_Q
+    cid, C = ids[mask], V[mask]
+    rel6 = {int(i): int(_rha(c * 1e6)) for i, c in
+            zip(cid, _cos_matrix(C, V[qi:qi + 1]).ravel())}
+    pool = sorted(rel6, key=lambda i: (-rel6[i], i))[:_MMR_CAND]
+    pos = {int(i): k for k, i in enumerate(cid)}
+    sim = _cos_matrix(C, C)
+    sim6 = {(a, b): int(_rha(sim[pos[a], pos[b]] * 1e6))
+            for a in pool for b in pool if a != b}
+    selected, expect = [], []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for c in pool:
+            if c in selected:
+                continue
+            units = (7 * rel6[c] if not selected else
+                     7 * rel6[c] - 3 * max(sim6[(c, s)]
+                                           for s in selected))
+            if best is None or (-units, c) < best[0]:
+                best = ((-units, c), c, units)
+        selected.append(best[1])
+        expect.append((rank, best[1], rel6[best[1]], best[2]))
+    got = list(out[["rank", "vec_id", "rel6", "mmr_units"]]
+               .itertuples(index=False, name=None))
+    assert got == expect
+    # diversity actually bit: the MMR order differs from pure
+    # relevance order OR every selected pair is far apart
+    pure = [i for i in pool][:_MMR_K]
+    if [v for _, v, _, _ in expect] == pure:
+        assert all(sim6[(a, b)] < 900000
+                   for a in selected for b in selected if a != b)
+
+
+def test_new_plans_are_scale_safe(spark):
+    """The kNN join must be a broadcast nested-loop over the bounded
+    prototype side (never CartesianProduct); KN's only BNLJ is the
+    1-row type-total scalar; fertility has no join at all."""
+    from big_datatrader_spark.plans.explain import physical_plan
+    knn = physical_plan(REG["knn_prototype_accuracy"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in knn
+    assert "BroadcastNestedLoopJoin" in knn
+    kn = physical_plan(REG["kneser_ney_bigram_ppl"].spark_fn(spark, SF))
+    assert "CartesianProduct" not in kn
+    fert = physical_plan(REG["tokenizer_fertility"].spark_fn(spark, SF))
+    assert "Join" not in fert
