@@ -105,6 +105,11 @@ _R7_CHANGED = (
                                # over a 64-prototype broadcast
     'mmr_diverse_rerank',      # vector_ops.py: integer-exact MMR
                                # over a bounded candidate pool
+    # NEW (late r7, third batch, training_ops.py)
+    'label_propagation_communities',  # deterministic sync LPA over
+                                      # the co-purchase graph
+    'sparse_tfidf_cosine_pairs',      # inverted-index sparse cosine
+                                      # with exact integer gate
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

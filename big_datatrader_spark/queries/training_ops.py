@@ -1011,6 +1011,183 @@ def pagerank_copurchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Synchronous label propagation (Raghavan et al. 2007) over the
+# co-purchase graph: the cheap community-detection pass that needs no
+# modularity optimization — every node adopts the most frequent label
+# among its neighbors each round, ties to the SMALLEST label so the
+# sync update is fully deterministic (classic async LPA is not).
+
+_LP_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    prelude = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    steps = []
+    for i in range(1, _LP_ITERS + 1):
+        steps.append(f"""
+    v{i} AS (
+      SELECT e.src AS node, l.lbl, CAST(count(*) AS BIGINT) AS nv
+      FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+      GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (PARTITION BY node
+                   ORDER BY nv DESC, lbl) AS rn
+        FROM v{i}) t WHERE rn = 1)""")
+    return (prelude + "," + ",".join(steps) + f"""
+    SELECT node AS part_key, lbl AS community
+    FROM l{_LP_ITERS} ORDER BY part_key
+    """)
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    doc=f"synchronous label propagation ({_LP_ITERS} rounds) over the "
+        "part co-purchase graph: labels init to node ids; each round "
+        "every node adopts its neighbors' modal label with "
+        "(count desc, label asc) tie-break, so the sync schedule is "
+        "bit-deterministic where textbook async LPA is run-order-"
+        "dependent. Per round: one edges-to-labels join, one "
+        "(node, label) count, one per-node argmax window — all "
+        "hash-partitioned on node, labels stay node-sized while only "
+        "edges are big, exactly the PageRank cost model; edge list "
+        "persisted once (functions/graph.py one-scan build) and the "
+        "oracle unrolls the same rounds as chained CTEs",
+)
+def label_propagation_communities(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    lbl = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.desc("nv"), "lbl")
+    for _ in range(_LP_ITERS):
+        votes = (edges.join(lbl, edges["dst"] == lbl["node"])
+                 .groupBy(edges["src"].alias("node"), "lbl")
+                 .agg(F.count(F.lit(1)).cast("long").alias("nv")))
+        lbl = (votes.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).select("node", "lbl"))
+    return (lbl.select(F.col("node").alias("part_key"),
+                       F.col("lbl").alias("community"))
+            .orderBy("part_key"))
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs through an inverted index: the document-
+# similarity shape that scales where dense all-pairs cannot. Weights
+# are quantized to 1e-3 units so dot products and norms are exact
+# BIGINTs; the cosine threshold is a pure HUGEINT/DECIMAL(38) cross-
+# multiplication (dot^2 * 100 >= 9 * |a|^2 * |b|^2 for tau = 0.3).
+
+_STC_TAU2_NUM, _STC_TAU2_DEN = 9, 100  # tau = 0.3, tau^2 = 9/100
+_STC_W = 1000  # 1e-3-unit tf-idf weights -> exact BIGINT dots
+
+
+@query(
+    "sparse_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    per AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM tk GROUP BY 1, 2),
+    docfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                FROM per GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    post AS MATERIALIZED (
+      SELECT per.doc_id, per.tok,
+             CAST(ROUND(per.tf * ln(CAST(nn.n_docs AS DOUBLE) / df.df)
+                        * {_STC_W}) AS BIGINT) AS w
+      FROM per JOIN docfreq df USING (tok) CROSS JOIN nn
+      WHERE df.df >= 2 AND df.df * 10 <= nn.n_docs),
+    n2 AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2
+      FROM post GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM post a JOIN post b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos6
+    FROM dots
+    JOIN n2 na ON na.doc_id = dots.doc_a
+    JOIN n2 nb ON nb.doc_id = dots.doc_b
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * dot * {_STC_TAU2_DEN}
+          >= {_STC_TAU2_NUM} * CAST(na.n2 AS HUGEINT) * nb.n2
+    ORDER BY doc_a, doc_b
+    """,
+    doc="document-pair cosine similarity over SPARSE tf-idf vectors "
+        "via an inverted-index self-join — the similarity shape that "
+        "survives 100 TB where dense all-pairs (embedding_gram_matrix "
+        "style) cannot: candidate pairs exist only where a term is "
+        "SHARED, and the df band (2 <= df <= N/10) bounds every "
+        "posting list, killing both hapax noise and the stopword "
+        "quadratic blow-up — the standard df-cut of sparse all-pairs "
+        "similarity search (Bayardo et al. 2007). Weights are "
+        "1e-3-unit BIGINTs, so dots/norms are exact integers; the "
+        "tau=0.3 gate is a DECIMAL(38)/HUGEINT cross-multiplication "
+        "(no division, no fp), and only the REPORTED cosine touches "
+        "floats (identical double ops both engines, rounded to 6)",
+)
+def sparse_tfidf_cosine_pairs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    per = tk.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    docfreq = per.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    post = (per.join(docfreq, "tok").crossJoin(F.broadcast(nn))
+            .filter((F.col("df") >= 2)
+                    & (F.col("df") * 10 <= F.col("n_docs")))
+            .select("doc_id", "tok",
+                    F.round(F.col("tf")
+                            * F.log(F.col("n_docs").cast("double")
+                                    / F.col("df")) * _STC_W)
+                    .cast("bigint").alias("w")))
+    n2 = post.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    a = post.select(F.col("doc_id").alias("doc_a"), "tok",
+                    F.col("w").alias("wa"))
+    b = post.select(F.col("doc_id").alias("doc_b"), "tok",
+                    F.col("w").alias("wb"))
+    dots = (a.join(b, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"),
+                 F.sum(F.col("wa") * F.col("wb")).cast("long")
+                 .alias("dot")))
+    na = n2.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n2").alias("n2b"))
+    d38 = F.col("dot").cast("decimal(38,0)")
+    gate = (d38 * F.col("dot") * _STC_TAU2_DEN
+            >= F.lit(_STC_TAU2_NUM)
+            * F.col("n2a").cast("decimal(38,0)") * F.col("n2b"))
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .filter((F.col("dot") > 0) & gate)
+            .select("doc_a", "doc_b", "n_shared",
+                    F.round(F.col("dot").cast("double")
+                            / (F.sqrt(F.col("n2a").cast("double"))
+                               * F.sqrt(F.col("n2b").cast("double"))),
+                            6).alias("cos6"))
+            .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic uniform sample (hash-gated, reproducible anywhere)
 
 @query(

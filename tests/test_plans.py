@@ -208,6 +208,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "quantile_normalization",      # 1-row grand-total scalar
         "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
         "knn_prototype_accuracy",      # 64-row prototype broadcast
+        "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

@@ -212,3 +212,69 @@ def test_new_plans_are_scale_safe(spark):
     assert "CartesianProduct" not in kn
     fert = physical_plan(REG["tokenizer_fertility"].spark_fn(spark, SF))
     assert "Join" not in fert
+
+
+def test_label_propagation_matches_python_sync_lpa(spark):
+    out = (REG["label_propagation_communities"].spark_fn(spark, SF)
+           .toPandas())
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey").toPandas()
+    nbrs = {}
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for x in ps:
+            for y in ps:
+                if x != y:
+                    nbrs.setdefault(x, set()).add(y)
+    lbl = {v: v for v in nbrs}
+    for _ in range(3):
+        new = {}
+        for v, ns in nbrs.items():
+            votes = {}
+            for u in ns:
+                votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+            new[v] = min(votes, key=lambda c: (-votes[c], c))
+        lbl = new
+    got = dict(zip(out.part_key, out.community))
+    assert got == lbl
+    # communities actually coarsen: fewer distinct labels than nodes
+    assert len(set(lbl.values())) < len(lbl)
+
+
+def test_sparse_tfidf_pairs_match_python_and_respect_gate(spark):
+    out = (REG["sparse_tfidf_cosine_pairs"].spark_fn(spark, SF)
+           .toPandas())
+    docs = _docs(spark)
+    from collections import Counter
+    per = {}
+    for _, r in docs.iterrows():
+        toks = r.text.strip().lower().split()
+        if toks:
+            per[r.doc_id] = Counter(toks)
+    df = Counter(t for c in per.values() for t in c)
+    n = len(docs)
+    post = {}
+    for d, c in per.items():
+        w = {t: _rha(tf * math.log(n / df[t]) * 1000)
+             for t, tf in c.items() if 2 <= df[t] and df[t] * 10 <= n}
+        if w:
+            post[d] = w
+    n2 = {d: sum(v * v for v in w.values()) for d, w in post.items()}
+    expect = {}
+    ids = sorted(post)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            shared = set(post[da]) & set(post[db])
+            if not shared:
+                continue
+            dot = sum(post[da][t] * post[db][t] for t in shared)
+            if dot > 0 and dot * dot * 100 >= 9 * n2[da] * n2[db]:
+                expect[(da, db)] = (len(shared), dot)
+    got = {(r.doc_a, r.doc_b): (r.n_shared,) for r in
+           out.itertuples()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        # reported cosine passes the gate it was selected by
+        row = out[(out.doc_a == k[0]) & (out.doc_b == k[1])].iloc[0]
+        assert row.cos6 >= 0.299999
