@@ -110,6 +110,11 @@ _R7_CHANGED = (
                                       # the co-purchase graph
     'sparse_tfidf_cosine_pairs',      # inverted-index sparse cosine
                                       # with exact integer gate
+    # NEW (late r7, fourth batch)
+    'asof_join_nearest_tolerance',    # analytics.py: merge_asof
+                                      # 'nearest' with 4h tolerance
+    'decision_split_information_gain',  # training_ops.py: binned
+                                        # split scan, exact gain
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

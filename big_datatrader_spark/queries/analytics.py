@@ -1048,6 +1048,112 @@ def asof_join_purchase_to_click(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Nearest as-of join with tolerance (pandas merge_asof
+# direction='nearest' semantics): each purchase matches the CLOSEST
+# click either side within 4 hours, ties to the backward match.
+# Same shuffle-once union shape as asof_join_purchase_to_click — the
+# backward candidate carries forward via last(ignorenulls) and the
+# forward candidate carries backward via first(ignorenulls) over the
+# SAME user partitioning (one exchange, two sorts), never a range
+# cross join.
+
+_NEAR_TOL_US = 4 * 3600 * 1_000_000  # 4 h in microseconds
+
+
+@query(
+    "asof_join_nearest_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, (max({{'i': event_id, 'v': value}})).v AS cv
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    ranked AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.ts AS click_ts, ROUND(c.cv, 6) AS click_value,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS dist_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END)
+                 AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= {_NEAR_TOL_US})
+    SELECT event_id, user_id, ts, click_ts, click_value,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+    doc="nearest as-of join with a 4-hour tolerance (pandas "
+        "merge_asof direction='nearest'): each purchase matched to the "
+        "closest click on either side, ties to the earlier (backward) "
+        "click; clicks are pre-deduped per (user, ts) with the max-"
+        "event_id convention so the match is engine-deterministic. "
+        "Implemented as ONE hash exchange on user_id with two sorts "
+        "over the unioned stream — backward candidate via "
+        "last(ignorenulls) over preceding rows, forward candidate via "
+        "first(ignorenulls) over following rows — then a scalar "
+        "nearest/tolerance pick per row; the oracle may pair-join "
+        "because DuckDB runs at oracle scale, the engine plan never "
+        "does. At 100 TB this is the standard sorted-merge as-of "
+        "cost: no range cross join, state bounded by one row per side",
+)
+def asof_join_nearest_tolerance(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max(F.struct(F.col("event_id"),
+                                  F.col("value").alias("__v")))
+                   .getField("__v").alias("cv"))
+              .select("user_id", "ts",
+                      F.col("ts").alias("click_ts"),
+                      F.col("cv").alias("click_value"),
+                      F.lit(None).cast("long").alias("p_event_id"),
+                      F.lit(0).alias("side")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(1).alias("side"))
+    merged = clicks.unionByName(purchases)
+    # Backward pass: clicks sort BEFORE purchases at equal ts
+    # (side 0 < 1) so an equal-ts click is visible — inclusive <=.
+    wb = (Window.partitionBy("user_id").orderBy("ts", "side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Forward pass: same partitioning, reversed tie order (purchases
+    # first at equal ts) so an equal-ts click is in the following
+    # frame — inclusive >=. Equal-ts ties resolve to BACKWARD below,
+    # so both frames seeing the same click is correct.
+    wf = (Window.partitionBy("user_id")
+          .orderBy("ts", F.desc("side"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    out = (merged
+           .withColumn("bk_ts", F.last("click_ts", True).over(wb))
+           .withColumn("bk_v", F.last("click_value", True).over(wb))
+           .withColumn("fw_ts", F.first("click_ts", True).over(wf))
+           .withColumn("fw_v", F.first("click_value", True).over(wf))
+           .filter(F.col("side") == 1))
+    bd = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bk_ts"))
+    fd = F.unix_micros(F.col("fw_ts")) - F.unix_micros(F.col("ts"))
+    bk_ok = F.col("bk_ts").isNotNull() & (bd <= _NEAR_TOL_US)
+    fw_ok = F.col("fw_ts").isNotNull() & (fd <= _NEAR_TOL_US)
+    # nearest with backward tie-preference
+    use_bk = bk_ok & (~fw_ok | (bd <= fd))
+    return (out.filter(bk_ok | fw_ok)
+            .select(
+                F.col("p_event_id").alias("event_id"), "user_id", "ts",
+                F.when(use_bk, F.col("bk_ts")).otherwise(F.col("fw_ts"))
+                 .alias("click_ts"),
+                F.round(F.when(use_bk, F.col("bk_v"))
+                         .otherwise(F.col("fw_v")), 6)
+                 .alias("click_value"),
+                F.when(use_bk, bd).otherwise(fd).cast("bigint")
+                 .alias("dist_us"))
+            .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
 # Simple filter-aggregate (TPC-H Q6 shape): the pushdown showcase —
 # every predicate reaches the parquet scan, the agg is one partial+final
 

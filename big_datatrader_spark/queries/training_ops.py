@@ -1188,6 +1188,104 @@ def sparse_tfidf_cosine_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Distributed decision-tree split finder: the binned-statistics scan
+# every tree learner (Spark MLlib, XGBoost hist mode) runs — ONE pass
+# over the facts builds per-bin (count, positives), then candidate
+# thresholds are evaluated over that bounded bin relation. Information
+# gain is scored in exact integer units: total-weighted entropy
+# WH(n, pos) = -(pos*lnu(pos/n) + neg*lnu(neg/n)) with lnu = the
+# ln of an exact integer fraction rounded to 1e-6 nats (BIGINT), so
+# gain_units = WH_parent - WH_left - WH_right is bit-deterministic.
+
+def _wh_sql(pos: str, n: str) -> str:
+    """Total-weighted binary entropy in 1e-6 nat-row BIGINT units."""
+    term = ("CASE WHEN {p} = 0 THEN 0 ELSE {p} * CAST(ROUND("
+            "ln(CAST({p} AS DOUBLE) / {n}) * 1000000) AS BIGINT) END")
+    return ("-(" + term.format(p=pos, n=n) + " + "
+            + term.format(p=f"({n} - {pos})", n=n) + ")")
+
+
+@query(
+    "decision_split_information_gain",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(pos) AS BIGINT) AS post
+            FROM per),
+    cum AS (
+      SELECT q AS threshold,
+             CAST(sum(n) OVER (ORDER BY q) AS BIGINT) AS n_left,
+             CAST(sum(pos) OVER (ORDER BY q) AS BIGINT) AS pos_left
+      FROM per),
+    scored AS (
+      SELECT threshold, n_left, pos_left,
+             nt - n_left AS n_right, post - pos_left AS pos_right,
+             CAST({_wh_sql('post', 'nt')}
+                  - {_wh_sql('pos_left', 'n_left')}
+                  - {_wh_sql('(post - pos_left)', '(nt - n_left)')}
+                  AS BIGINT) AS gain_units
+      FROM cum CROSS JOIN tot
+      WHERE n_left > 0 AND nt - n_left > 0)
+    SELECT threshold, n_left, pos_left, n_right, pos_right, gain_units
+    FROM scored ORDER BY gain_units DESC, threshold LIMIT 10
+    """,
+    doc="decision-tree split finder over l_quantity for the binary "
+        "target l_returnflag='R' (the binned-statistics pattern of "
+        "MLlib/XGBoost-hist): one corpus scan aggregates per-bin "
+        "(count, positives); thresholds are then scored on that "
+        "~50-row bin relation via a cumulative window — the window is "
+        "partition-less but BOUNDED by the bin count by construction, "
+        "never corpus-sized. Information gain is the exact BIGINT "
+        "total-weighted entropy difference (each ln term is an exact "
+        "integer fraction's log rounded to 1e-6 nats), so the split "
+        "ranking is bit-identical across engines and partitionings. "
+        "At 100 TB: the scan is embarrassingly parallel with map-side "
+        "combine into <=50 bins; everything after costs nothing",
+)
+def decision_split_information_gain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"))
+    per = li.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"))
+    tot = per.agg(F.sum("n").cast("long").alias("nt"),
+                  F.sum("pos").cast("long").alias("post"))
+    wc = Window.orderBy("q").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    cum = per.select(
+        F.col("q").alias("threshold"),
+        F.sum("n").over(wc).cast("long").alias("n_left"),
+        F.sum("pos").over(wc).cast("long").alias("pos_left"))
+
+    def wh(pos, n):
+        def term(p):
+            lnu = F.round(F.log(p.cast("double") / n) * 1000000) \
+                .cast("bigint")
+            return F.when(p == 0, F.lit(0).cast("bigint")) \
+                .otherwise(p * lnu)
+        return -(term(pos) + term(n - pos))
+
+    nl, pl = F.col("n_left"), F.col("pos_left")
+    nt, pt = F.col("nt"), F.col("post")
+    scored = (cum.crossJoin(F.broadcast(tot))
+              .filter((nl > 0) & (nt - nl > 0))
+              .select("threshold", "n_left", "pos_left",
+                      (nt - nl).alias("n_right"),
+                      (pt - pl).alias("pos_right"),
+                      (wh(pt, nt) - wh(pl, nl)
+                       - wh(pt - pl, nt - nl)).cast("bigint")
+                      .alias("gain_units")))
+    return (scored.orderBy(F.desc("gain_units"), "threshold")
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic uniform sample (hash-gated, reproducible anywhere)
 
 @query(

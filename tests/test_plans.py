@@ -209,6 +209,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
         "knn_prototype_accuracy",      # 64-row prototype broadcast
         "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
+        "decision_split_information_gain",  # 1-row bin-totals scalar
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -226,7 +227,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     "rfm_segmentation", "wasserstein_distance_drift",
                     "poisson_bootstrap_ci", "quantile_normalization",
                     # languages-sized distinct (rows = #langs)
-                    "curriculum_interleave"}
+                    "curriculum_interleave",
+                    # quantity-bin-sized cumulative (rows = #bins <=50)
+                    "decision_split_information_gain"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

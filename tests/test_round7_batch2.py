@@ -278,3 +278,78 @@ def test_sparse_tfidf_pairs_match_python_and_respect_gate(spark):
         # reported cosine passes the gate it was selected by
         row = out[(out.doc_a == k[0]) & (out.doc_b == k[1])].iloc[0]
         assert row.cos6 >= 0.299999
+
+
+def test_asof_nearest_tolerance_matches_pandas_merge_asof_semantics(spark):
+    out = (REG["asof_join_nearest_tolerance"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    tol = 4 * 3600 * 1_000_000
+    clicks = {}
+    for _, r in ev[ev.event_type == "click"].iterrows():
+        k = (r.user_id, r.ts.value // 1000)
+        cur = clicks.get(k)
+        if cur is None or r.event_id > cur[0]:
+            clicks[k] = (r.event_id, r.value)
+    by_user = {}
+    for (u, ts_us), (_, v) in clicks.items():
+        by_user.setdefault(u, []).append((ts_us, v))
+    expect = {}
+    for _, p in ev[ev.event_type == "purchase"].iterrows():
+        pts = p.ts.value // 1000
+        best = None
+        for cts, cv in sorted(by_user.get(p.user_id, [])):
+            d = abs(pts - cts)
+            if d > tol:
+                continue
+            side = 0 if cts <= pts else 1  # backward preferred
+            key = (d, side)
+            if best is None or key < best[0]:
+                best = (key, cts, cv, d)
+        if best is not None:
+            expect[p.event_id] = (best[1], round(best[2], 6), best[3])
+    got = {r.event_id: (r.click_ts.value // 1000, r.click_value,
+                        r.dist_us) for r in out.itertuples()}
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_decision_split_gain_matches_python_entropy(spark):
+    out = (REG["decision_split_information_gain"].spark_fn(spark, SF)
+           .toPandas())
+    li = table(spark, SF, "lineitem").select(
+        "l_quantity", "l_returnflag").toPandas()
+    q = li.l_quantity.astype(int)
+    y = (li.l_returnflag == "R").astype(int)
+    bins = {}
+    for qi, yi in zip(q, y):
+        n, p = bins.get(qi, (0, 0))
+        bins[qi] = (n + 1, p + yi)
+    nt, pt = sum(n for n, _ in bins.values()), \
+        sum(p for _, p in bins.values())
+
+    def wh(n, pos):
+        tot = 0
+        for p in (pos, n - pos):
+            if p:
+                tot += p * _rha(math.log(p / n) * 1e6)
+        return -tot
+
+    scored = []
+    n_l = pos_l = 0
+    for t in sorted(bins):
+        n_l += bins[t][0]
+        pos_l += bins[t][1]
+        if 0 < n_l < nt:
+            gain = wh(nt, pt) - wh(n_l, pos_l) - wh(nt - n_l, pt - pos_l)
+            scored.append((t, n_l, pos_l, nt - n_l, pt - pos_l, gain))
+    scored.sort(key=lambda r: (-r[5], r[0]))
+    got = list(out[["threshold", "n_left", "pos_left", "n_right",
+                    "pos_right", "gain_units"]]
+               .itertuples(index=False, name=None))
+    assert got == scored[:10]
+    # gain is non-negative up to quantization: each of the <=6 lnu
+    # terms carries <=0.5 units of rounding error WEIGHTED by its
+    # count, so the slack bound is ~3*nt units, not a constant
+    assert all(r[5] >= -3 * nt for r in scored)
+    assert max(r[5] for r in scored) > 0  # some threshold has signal
