@@ -115,6 +115,9 @@ _R7_CHANGED = (
                                       # 'nearest' with 4h tolerance
     'decision_split_information_gain',  # training_ops.py: binned
                                         # split scan, exact gain
+    'streaming_watermark_late_drop',  # streaming_ops.py: 3-batch
+                                      # drain, exact two-watermark
+                                      # late-drop oracle
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -394,3 +394,147 @@ def streaming_python_datasource(spark, sf_dir):
     out = run_stream_to_memory(agg, spark, output_mode="complete",
                                shuffle_partitions=4)
     return out.orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Watermark LATE-DATA DROP made visible and exactly checkable. Every
+# other streaming query here drains in one availableNow pass where the
+# watermark never advances mid-stream, so nothing is ever late. This
+# one stages the events into THREE deterministic arrival batches
+# (single-file parquet drops, mtime-ordered, maxFilesPerTrigger=1) in
+# which a deterministic straggler subset (event_id % 17 == 0) arrives
+# two batches after its event time. The 1-hour watermark then advances
+# between micro-batches exactly as in continuous operation, and the
+# oracle replays Spark's TWO-watermark semantics arithmetically
+# (SPARK-24634: stateful operators filter late INPUT with the previous
+# batch's watermark but evict/emit state with the current one):
+#   W_late(b) = max event-time-ms over batches <= b-2, minus 1h
+#               (the watermark that was already current while batch
+#               b-1 ran is what filters batch b's input)
+#   kept      = row's window END (ms) > W_late(arrival batch)
+#   emitted (append) = window end <= eviction watermark after the
+#               final batch = global max event-time-ms minus 1h
+# Calibrated against the engine: modelling the late filter with the
+# CURRENT batch's watermark over-drops (observed on this data: 20
+# straggler windows in the W1..W2 band that Spark keeps, because
+# their filter watermark lags one batch). Stragglers older than
+# W_late are provably MISSING from the emitted windows — the
+# late-drop contract, hash-exact instead of hand-waved.
+
+_WM_DELAY_MS = 3_600_000  # 1 hour
+_WM_STRAGGLER = 17
+
+
+def _wm_batch_expr(u, eid, t0: int, t1: int):
+    span = t1 - t0
+    return (F.when(eid % _WM_STRAGGLER == 0, F.lit(2))
+            .when(u < t0 + span // 3, F.lit(0))
+            .when(u < t0 + (2 * span) // 3, F.lit(1))
+            .otherwise(F.lit(2)))
+
+
+@query(
+    "streaming_watermark_late_drop",
+    oracle=f"""
+    WITH us AS (
+      SELECT event_id, ts, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS u
+      FROM events),
+    bounds AS (SELECT min(u) AS t0, max(u) AS t1 FROM us),
+    tagged AS (
+      SELECT us.*,
+             CASE WHEN event_id % {_WM_STRAGGLER} = 0 THEN 2
+                  WHEN u < t0 + (t1 - t0) // 3 THEN 0
+                  WHEN u < t0 + (2 * (t1 - t0)) // 3 THEN 1
+                  ELSE 2 END AS b,
+             epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+                 AS wend_ms
+      FROM us CROSS JOIN bounds),
+    wm AS (
+      SELECT
+        -- W_late for batch 2 = watermark current DURING batch 1,
+        -- i.e. derived from batch 0 alone; batches 0/1 are filtered
+        -- by the initial (zero) watermark and always pass
+        (SELECT max(u) // 1000 FROM tagged WHERE b = 0)
+            - {_WM_DELAY_MS} AS w1,
+        (SELECT max(u) // 1000 FROM tagged) - {_WM_DELAY_MS} AS wf),
+    kept AS (
+      SELECT t.* FROM tagged t CROSS JOIN wm
+      WHERE t.b <= 1 OR t.wend_ms > wm.w1)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM kept CROSS JOIN wm
+    WHERE wend_ms <= wm.wf
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="watermark late-drop, exactly evidenced: events staged into 3 "
+        "arrival batches (time terciles, plus an event_id%17 straggler "
+        "subset arriving in the LAST batch), drained availableNow with "
+        "maxFilesPerTrigger=1 so the 1h watermark advances between "
+        "micro-batches; tumbling-hour counts + integer-cent sums in "
+        "append mode. The oracle computes the watermarks "
+        "arithmetically and applies Spark's ACTUAL two-watermark rule "
+        "(SPARK-24634: late input filtered with the previous batch's "
+        "watermark — window end <= W_late drops — while append "
+        "emission uses the final eviction watermark), so the result "
+        "is hash-exact AND the stragglers' absence from early windows "
+        "is the proven late-drop behavior. At scale this is the "
+        "state-bound contract: watermark caps how long any window's "
+        "state lives regardless of corpus size",
+)
+def streaming_watermark_late_drop(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("u"))
+    t0, t1 = ev.agg(F.min("u"), F.max("u")).first()
+    b = _wm_batch_expr(F.col("u"), F.col("event_id"), t0, t1)
+    staged = ev.withColumn("b", b)
+
+    root = tempfile.mkdtemp(prefix="bdt_wm_")
+    stage = os.path.join(root, "arrivals")
+    os.makedirs(stage)
+    try:
+        for i in range(3):
+            part_dir = os.path.join(root, f"part{i}")
+            (staged.filter(F.col("b") == i)
+             .select("event_id", "ts", "event_type", "value")
+             .coalesce(1).write.parquet(part_dir))
+            src = next(f for f in os.listdir(part_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(stage, f"b{i}.parquet")
+            os.rename(os.path.join(part_dir, src), dst)
+            # file-source ordering is by modification time: pin a
+            # strictly increasing mtime so arrival order is b0,b1,b2
+            os.utime(dst, (1_000_000_000 + i * 1000,
+                           1_000_000_000 + i * 1000))
+
+        work = spark.newSession()
+        schema = ("event_id long, ts timestamp, event_type string, "
+                  "value double")
+        stream = (work.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(stage))
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"),
+                        "event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    .cast("long").alias("sum_cents")))
+        drained = run_stream_to_memory(
+            agg.select(F.col("w.start").alias("wstart"), "event_type",
+                       "n_events", "sum_cents"),
+            work, output_mode="append", shuffle_partitions=4)
+        # memory-sink tables are session-scoped and lazy: materialize
+        # before the staging dir disappears
+        out = drained.orderBy("wstart", "event_type").localCheckpoint(
+            eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

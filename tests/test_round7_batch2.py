@@ -353,3 +353,48 @@ def test_decision_split_gain_matches_python_entropy(spark):
     # count, so the slack bound is ~3*nt units, not a constant
     assert all(r[5] >= -3 * nt for r in scored)
     assert max(r[5] for r in scored) > 0  # some threshold has signal
+
+
+def test_watermark_late_drop_semantics(spark):
+    """The two-watermark contract (SPARK-24634), proven on the data:
+    (a) straggler rows whose window closed before the batch-0 watermark
+    are ABSENT from the emitted result; (b) stragglers in the band
+    between the batch-0 and batch-1 watermarks ARE present (the late
+    filter lags one batch — modelling it with the current watermark
+    would wrongly drop these); (c) every shared window's counts equal
+    the oracle's (checked wholesale by check_oracle; spot-checked
+    here against an independent replay)."""
+    out = (REG["streaming_watermark_late_drop"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    us = ev.ts.astype("int64") // 1000  # epoch micros
+    t0, t1 = int(us.min()), int(us.max())
+    span = t1 - t0
+    b = np.where(ev.event_id % 17 == 0, 2,
+                 np.where(us < t0 + span // 3, 0,
+                          np.where(us < t0 + (2 * span) // 3, 1, 2)))
+    wend_ms = ((us // 3_600_000_000) + 1) * 3_600_000
+    w1 = int(us[b == 0].max()) // 1000 - 3_600_000
+    wf = t1 // 1000 - 3_600_000
+    kept = (b <= 1) | (wend_ms > w1)
+    emitted = wend_ms <= wf
+    import pandas as pd
+    wstart = pd.to_datetime((wend_ms - 3_600_000) * 1_000_000)
+    frame = pd.DataFrame({"wstart": wstart, "event_type": ev.event_type,
+                          "b": b, "kept": kept, "emitted": emitted})
+    got = set(zip(out.wstart, out.event_type))
+    # (a) dropped-straggler-only windows are absent
+    only_late = frame[frame.emitted].groupby(
+        ["wstart", "event_type"]).kept.any()
+    absent = set(only_late[~only_late].index)
+    assert absent and not (absent & got)
+    # (b) kept stragglers in the lag band are present
+    band = frame[(frame.b == 2) & frame.kept & frame.emitted]
+    assert len(band) and set(
+        zip(band.wstart, band.event_type)) <= got
+    # (c) replayed group counts equal the engine's
+    expect = (frame[frame.kept & frame.emitted]
+              .groupby(["wstart", "event_type"]).size())
+    got_n = out.set_index(["wstart", "event_type"]).n_events
+    assert got_n.sort_index().equals(
+        expect.sort_index().astype("int64"))

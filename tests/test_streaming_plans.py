@@ -43,6 +43,8 @@ EXCHANGE_BUDGET = {
     "streaming_running_position": 1,      # groupBy before state fold
     "streaming_session_window": 1,
     "streaming_topk_trending": 1,
+    "streaming_watermark_late_drop": 1,   # windowed agg over the
+                                          # staged 3-batch file source
 }
 
 
