@@ -118,6 +118,11 @@ _R7_CHANGED = (
     'streaming_watermark_late_drop',  # streaming_ops.py: 3-batch
                                       # drain, exact two-watermark
                                       # late-drop oracle
+    # NEW (late r7, fifth batch, queries/format_ops.py): sink+source
+    # format round-trips proven lossless by original-table oracles
+    'orc_roundtrip_revenue',
+    'jsonl_roundtrip_events',
+    'partitioned_pruned_event_scan',
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
@@ -362,6 +367,7 @@ def load_registry() -> dict[str, Query]:
     from . import vector_ops  # noqa: F401
     from . import retrieval_ops  # noqa: F401
     from . import scale_ops  # noqa: F401
+    from . import format_ops  # noqa: F401
     ordered = {n: REGISTRY[n] for n in _window_order(REGISTRY)}
     REGISTRY.clear()
     REGISTRY.update(ordered)

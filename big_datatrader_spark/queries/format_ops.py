@@ -1,0 +1,162 @@
+"""Source/sink format coverage beyond parquet+CSV: ORC and JSON-lines
+round-trips, and a partition-pruned parquet layout — each as a query
+whose oracle runs on the ORIGINAL table, so the driver's hash equality
+IS the proof that the format round-trip lost nothing (values, nulls,
+timestamps) and that the re-read plan computes the same answer.
+
+Each query stages its sink in a temp dir, materializes the (small)
+aggregated result with an eager localCheckpoint, then removes the
+staging — the sink side-effect never outlives the call and repeated
+driver runs are hermetic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.parquet_source import table
+from . import query
+
+
+@query(
+    "orc_roundtrip_revenue",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="ORC sink + source round-trip, proven lossless by the oracle "
+        "running on the ORIGINAL parquet: a lineitem projection is "
+        "written as ORC (snappy), re-read, and aggregated to per-year "
+        "integer-cent revenue — any value/timestamp corruption in "
+        "either direction flips the hash. The quantity filter is "
+        "applied on the RE-READ side, so ORC predicate pushdown is on "
+        "the tested path (plan-asserted in tests/test_format_ops.py)",
+)
+def orc_roundtrip_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    root = tempfile.mkdtemp(prefix="bdt_orc_")
+    try:
+        path = os.path.join(root, "lineitem_orc")
+        li.write.option("compression", "snappy").orc(path)
+        back = spark.read.orc(path)
+        out = (back.filter(F.col("l_quantity") < 25)
+               .groupBy(F.year("l_shipdate").cast("bigint")
+                        .alias("ship_year"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                    F.sum(F.round(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount")) * 100)
+                          .cast("bigint")).cast("long")
+                    .alias("revenue_cents"))
+               .orderBy("ship_year")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "jsonl_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="JSON-lines sink + source round-trip, proven lossless by the "
+        "oracle running on the ORIGINAL parquet: events are written "
+        "as JSONL and re-read under an explicit schema (a production "
+        "ingest never infers), then aggregated per type — counts, "
+        "distinct users, integer-cent sums, and microsecond min/max "
+        "timestamps, so double shortest-round-trip serialization AND "
+        "sub-second timestamp fidelity are both on the hash. "
+        "Timestamps travel as ISO-8601 with microseconds "
+        "(timestampFormat pinned on both write and read)",
+)
+def jsonl_roundtrip_events(spark, sf_dir):
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_jsonl_")
+    try:
+        path = os.path.join(root, "events_jsonl")
+        ev.write.option("timestampFormat", fmt).json(path)
+        back = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double").option(
+            "timestampFormat", fmt).json(path)
+        out = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.countDistinct("user_id").cast("long")
+                    .alias("n_users"),
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    .cast("long").alias("sum_cents"),
+                    F.min(F.unix_micros("ts")).cast("long")
+                    .alias("first_us"),
+                    F.max(F.unix_micros("ts")).cast("long")
+                    .alias("last_us"))
+               .orderBy("event_type")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "partitioned_pruned_event_scan",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="hive-partitioned parquet layout + partition pruning: events "
+        "re-written partitionBy(event_type), re-read with an "
+        "event_type predicate that must prune to ONE directory "
+        "(PartitionFilters, plan-asserted in tests/test_format_ops.py "
+        "— at 100 TB pruning is the difference between scanning one "
+        "partition and the whole corpus), then rolled up per day with "
+        "integer-cent sums; the oracle filters the original unsplit "
+        "table, so the partitioned re-write provably preserved every "
+        "row and value",
+)
+def partitioned_pruned_event_scan(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_part_")
+    try:
+        path = os.path.join(root, "events_by_type")
+        ev.write.partitionBy("event_type").parquet(path)
+        out = (pruned_purchase_rollup(spark, path)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def pruned_purchase_rollup(spark, path: str):
+    """The pruned re-read, exposed unmaterialized so the plan test can
+    assert PartitionFilters on the exact DataFrame the query runs."""
+    back = spark.read.parquet(path)
+    return (back.filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .cast("long").alias("sum_cents"))
+            .orderBy("day"))
