@@ -690,30 +690,40 @@ def ann_dim_truncation_recall(spark, sf_dir):
 _KNN_P = 64   # prototype memory size (lowest vec_ids)
 _KNN_K = 5
 
-_KNN_COS = ("list_dot_product(c.v::DOUBLE[], p.pv::DOUBLE[])"
-            " / (sqrt(list_dot_product(c.v::DOUBLE[], c.v::DOUBLE[]))"
-            " * sqrt(list_dot_product(p.pv::DOUBLE[], p.pv::DOUBLE[])))")
-
 
 @query(
     "knn_prototype_accuracy",
     oracle=f"""
-    WITH p AS MATERIALIZED (
-      SELECT vec_id AS p_id, label AS p_label, embedding AS pv
-      FROM embeddings WHERE vec_id < {_KNN_P}),
-    c AS (SELECT vec_id, label, embedding AS v
-          FROM embeddings WHERE vec_id >= {_KNN_P}),
-    scored AS (
-      SELECT c.vec_id, c.label, p.p_id, p.p_label,
-             ROUND({_KNN_COS}, 6) AS cos6
-      FROM c CROSS JOIN p),
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(e AS DOUBLE) * {_SCALE}) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    pv AS (SELECT vec_id AS p_id, i, q AS pq FROM iv
+           WHERE vec_id < {_KNN_P}),
+    pn AS (SELECT p_id, CAST(sum(pq * pq) AS BIGINT) AS n2p
+           FROM pv GROUP BY 1),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+      SELECT iv.vec_id, pv.p_id, CAST(sum(iv.q * pv.pq) AS BIGINT)
+                 AS dot
+      FROM iv JOIN pv USING (i)
+      WHERE iv.vec_id >= {_KNN_P} GROUP BY 1, 2),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY vec_id
-                 ORDER BY cos6 DESC, p_id) AS rn
-      FROM scored),
+      SELECT d.vec_id, d.p_id,
+             row_number() OVER (PARTITION BY d.vec_id
+               ORDER BY CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(pn.n2p AS DOUBLE)) DESC,
+                        d.p_id) AS rn
+      FROM dots d JOIN pn USING (p_id)),
     votes AS (
-      SELECT vec_id, label, p_label, CAST(count(*) AS BIGINT) AS nv
-      FROM ranked WHERE rn <= {_KNN_K} GROUP BY 1, 2, 3),
+      SELECT r.vec_id, l.label, pl.label AS p_label,
+             CAST(count(*) AS BIGINT) AS nv
+      FROM ranked r
+      JOIN lab l ON l.vec_id = r.vec_id
+      JOIN lab pl ON pl.vec_id = r.p_id
+      WHERE r.rn <= {_KNN_K} GROUP BY 1, 2, 3),
     winner AS (
       SELECT vec_id, label, p_label FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -732,39 +742,65 @@ _KNN_COS = ("list_dot_product(c.v::DOUBLE[], p.pv::DOUBLE[])"
     """,
     doc=f"per-label accuracy of a {_KNN_K}-NN majority-vote classifier "
         f"over a fixed {_KNN_P}-prototype memory (lowest vec_ids): the "
-        "embedding-quality audit of a training pipeline. Ranking is "
-        "rounded-cosine desc with prototype-id tiebreak and the vote "
-        "breaks ties (count desc, label asc) — deterministic across "
-        "engines (the ann_bruteforce_topk convention). The prototype "
-        "side is a bounded broadcast, so the only corpus-scale costs "
-        "are one scan and the per-vector top-k window on vec_id — "
-        "hash-partitioned, never single-partition",
+        "embedding-quality audit of a training pipeline. Components "
+        "quantize to 1e-6-unit BIGINTs, so prototype dots are EXACT "
+        "integers on both engines; the ranking key dot/sqrt(|p|^2) is "
+        "the same IEEE doubles from the same integers (query norm is "
+        "a per-row constant, so this IS cosine order), ties to the "
+        "prototype id, votes tie (count desc, label asc). The Spark "
+        "side is an Arrow-batched mapInPandas int64 matmul against "
+        "the 64-row prototype matrix carried as driver state (the "
+        "gram_matrix_micro kernel precedent — an interpreted "
+        "higher-order-function fold measured 7x slower at sf1): one "
+        "corpus scan, per-row O(P) work, the only shuffle is the "
+        "final label rollup",
 )
 def knn_prototype_accuracy(spark, sf_dir):
-    from ..functions import similarity as SIM
+    import numpy as np
+    import pandas as pd
+
     from .analytics import _int_ratio_round6
 
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", "label",
-                      SIM.as_double(F.col("embedding")).alias("v"))
-    protos = (base.filter(F.col("vec_id") < _KNN_P)
-              .select(F.col("vec_id").alias("p_id"),
-                      F.col("label").alias("p_label"),
-                      F.col("v").alias("pv")))
-    cand = (base.filter(F.col("vec_id") >= _KNN_P)
-            .crossJoin(F.broadcast(protos))
-            .withColumn("cos6", F.round(SIM.cosine("v", "pv"), 6)))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos6"), "p_id")
-    votes = (cand.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= _KNN_K)
-             .groupBy("vec_id", "label", "p_label")
-             .agg(F.count(F.lit(1)).cast("long").alias("nv")))
-    ww = Window.partitionBy("vec_id").orderBy(F.desc("nv"), "p_label")
-    winner = (votes.withColumn("wr", F.row_number().over(ww))
-              .filter(F.col("wr") == 1))
-    return (winner.groupBy("label")
+
+    def quant(M):
+        X = M * float(_SCALE)
+        return (np.floor(np.abs(X) + 0.5) * np.sign(X)).astype("int64")
+
+    prows = (emb.filter(F.col("vec_id") < _KNN_P)
+             .select("vec_id", "label", "embedding")
+             .orderBy("vec_id").collect())
+    P = quant(np.vstack([r["embedding"] for r in prows])
+              .astype(np.float64))
+    p_ids = np.array([r["vec_id"] for r in prows], dtype="int64")
+    p_labels = np.array([r["label"] for r in prows], dtype="int64")
+    inv_pnorm = 1.0 / np.sqrt((P * P).sum(axis=1).astype(np.float64))
+
+    def classify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = quant(np.vstack(pdf["embedding"].to_numpy())
+                      .astype(np.float64))
+            key = (Q @ P.T).astype(np.float64) * inv_pnorm[None, :]
+            # top-k by (key desc, p_id asc): lexsort is stable and
+            # sorts by the LAST key first
+            order = np.lexsort(
+                (np.broadcast_to(p_ids, key.shape), -key), axis=1)
+            top = p_labels[order[:, :_KNN_K]]
+            preds = np.empty(len(Q), dtype="int64")
+            for r in range(len(Q)):
+                lbs, cnt = np.unique(top[r], return_counts=True)
+                preds[r] = int(lbs[cnt == cnt.max()].min())
+            yield pd.DataFrame({"label": pdf["label"].to_numpy(),
+                                "pred": preds})
+
+    scored = (emb.filter(F.col("vec_id") >= _KNN_P)
+              .select("label", "embedding")
+              .mapInPandas(classify, schema="label int, pred long"))
+    return (scored.groupBy("label")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.sum((F.col("p_label") == F.col("label"))
+                 F.sum((F.col("pred") == F.col("label").cast("long"))
                        .cast("bigint")).cast("long").alias("n_correct"))
             .select("label", "n", "n_correct",
                     _int_ratio_round6(F.col("n_correct"), F.col("n"))

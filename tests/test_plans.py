@@ -207,7 +207,6 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "modularity_brand_partition",  # 1-row edge-total scalar
         "quantile_normalization",      # 1-row grand-total scalar
         "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
-        "knn_prototype_accuracy",      # 64-row prototype broadcast
         "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
         "decision_split_information_gain",  # 1-row bin-totals scalar
     }

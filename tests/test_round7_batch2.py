@@ -135,14 +135,20 @@ def test_knn_prototype_accuracy_matches_numpy(spark):
            .toPandas().set_index("label"))
     ids, labels, V = _emb(spark)
     pmask = ids < _KNN_P
-    P, pl, pid = V[pmask], labels[pmask], ids[pmask]
-    C, cl = V[~pmask], labels[~pmask]
-    cos6 = np.round(_cos_matrix(C, P), 6)
+
+    def quant(M):
+        X = M * 1e6
+        return (np.floor(np.abs(X) + 0.5) * np.sign(X)).astype("int64")
+
+    P, pl, pid = quant(V[pmask]), labels[pmask], ids[pmask]
+    C, cl = quant(V[~pmask]), labels[~pmask]
+    key = (C @ P.T).astype(np.float64) \
+        / np.sqrt((P * P).sum(axis=1).astype(np.float64))[None, :]
     n = {}
     n_correct = {}
     for i in range(len(C)):
-        # rank: cos desc, prototype id asc
-        order = sorted(range(len(P)), key=lambda j: (-cos6[i, j], pid[j]))
+        # rank: dot/|p| desc (== cosine order), prototype id asc
+        order = sorted(range(len(P)), key=lambda j: (-key[i, j], pid[j]))
         top = [pl[j] for j in order[:_KNN_K]]
         votes = {}
         for lb in top:
@@ -201,13 +207,15 @@ def test_mmr_rerank_is_the_greedy_integer_argmax(spark):
 
 
 def test_new_plans_are_scale_safe(spark):
-    """The kNN join must be a broadcast nested-loop over the bounded
-    prototype side (never CartesianProduct); KN's only BNLJ is the
-    1-row type-total scalar; fertility has no join at all."""
+    """The kNN scoring is an Arrow kernel over one corpus scan — no
+    join of any kind (the prototype matrix is driver state in the
+    closure); KN's only BNLJ is the 1-row type-total scalar; fertility
+    has no join at all."""
     from big_datatrader_spark.plans.explain import physical_plan
     knn = physical_plan(REG["knn_prototype_accuracy"].spark_fn(spark, SF))
     assert "CartesianProduct" not in knn
-    assert "BroadcastNestedLoopJoin" in knn
+    assert "Join" not in knn
+    assert "MapInPandas" in knn
     kn = physical_plan(REG["kneser_ney_bigram_ppl"].spark_fn(spark, SF))
     assert "CartesianProduct" not in kn
     fert = physical_plan(REG["tokenizer_fertility"].spark_fn(spark, SF))
