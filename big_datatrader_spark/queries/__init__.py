@@ -123,6 +123,12 @@ _R7_CHANGED = (
     'orc_roundtrip_revenue',
     'jsonl_roundtrip_events',
     'partitioned_pruned_event_scan',
+    # NEW (late r7, sixth batch): eval metrics over the engine's own
+    # outputs — blocker quality and ranking drift
+    'blocking_quality_metrics',       # llm_dedup.py: LSH pairs-
+                                      # completeness / reduction ratio
+    'rank_biased_overlap_parts',      # training_ops.py: RBO between
+                                      # qty- and revenue-ranked tops
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -390,3 +390,101 @@ def lsh_vs_exact_eval(spark, sf_dir):
         .alias("precision6"),
         _int_ratio_round6(F.col("tp"), F.col("n_exact"))
         .alias("recall6"))
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality metrics: measure the LSH blocker itself. Every
+# blocked dedup trades recall for candidate count; production pipelines
+# track that trade as pairs-completeness (share of true near-dup pairs
+# the blocker surfaces) and reduction-ratio (share of the quadratic
+# pair space the blocker avoids). Ground truth = exact n-gram Jaccard
+# >= 0.8 (the dedup_ngram_jaccard relation); candidates = ALL MinHash
+# band collisions (threshold 0 — the blocker's raw output, before any
+# verification).
+
+@query(
+    "blocking_quality_metrics",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    jpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM jpairs
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+            >= 0.8),
+    shing AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks),
+    hashes AS (SELECT doc_id,
+                      list_transform(sh, s -> {_h60('s')} % {DD._MIX_P})
+                        AS hs
+               FROM shing WHERE len(sh) > 0),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hashes),
+    bandrows AS (
+      SELECT doc_id, unnest({_band_struct_sql()}, recursive := true)
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth t
+              WHERE EXISTS (SELECT 1 FROM cand c
+                            WHERE c.doc_a = t.doc_a
+                              AND c.doc_b = t.doc_b)) AS n_caught)
+    SELECT n_docs, n_true, n_cand, n_caught,
+           CAST((2 * CAST(n_caught AS HUGEINT) * 1000000 + n_true)
+                // (2 * CAST(n_true AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS pairs_completeness6,
+           CAST((2 * CAST((n_docs * (n_docs - 1)) // 2 - n_cand AS HUGEINT)
+                    * 1000000 + (n_docs * (n_docs - 1)) // 2)
+                // (2 * CAST((n_docs * (n_docs - 1)) // 2 AS HUGEINT))
+                AS DOUBLE) / 1000000.0 AS reduction_ratio6
+    FROM m
+    """,
+    doc="blocking-quality audit of the MinHash-LSH blocker: "
+        "pairs-completeness (true Jaccard>=0.8 pairs the raw band "
+        "collisions surface) and reduction-ratio (share of the "
+        "quadratic pair space never considered), over docs with >= 1 "
+        "shingle. Both engines derive truth AND candidates from the "
+        "same md5-based hash family, so the one-row metric relation "
+        "is hash-exact. This is the measurement a 100 TB dedup run "
+        "makes BEFORE committing to a blocker: completeness bounds "
+        "recall, reduction bounds cost",
+)
+def blocking_quality_metrics(spark, sf_dir):
+    from .analytics import _int_ratio_round6
+
+    docs = table(spark, sf_dir, "documents")
+    truth = (DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+             .select("doc_a", "doc_b"))
+    cand = (DD.minhash_lsh_pairs(docs, num_hashes=NUM_HASHES,
+                                 bands=BANDS, threshold=0.0)
+            .select("doc_a", "doc_b"))
+    # docs with >= 1 shingle == docs with non-empty trimmed text (the
+    # _SHINGLES convention: only len(t) = 0 yields no shingles)
+    n_docs = (docs.filter(F.trim(F.col("text")) != "")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_caught = (truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_caught")))
+    m = (n_docs.crossJoin(F.broadcast(n_true))
+         .crossJoin(F.broadcast(n_cand))
+         .crossJoin(F.broadcast(n_caught)))
+    all_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2) \
+        .cast("long")
+    return m.select(
+        "n_docs", "n_true", "n_cand", "n_caught",
+        _int_ratio_round6(F.col("n_caught"), F.col("n_true"))
+        .alias("pairs_completeness6"),
+        _int_ratio_round6(all_pairs - F.col("n_cand"), all_pairs)
+        .alias("reduction_ratio6"))

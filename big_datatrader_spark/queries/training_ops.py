@@ -3527,3 +3527,91 @@ def local_clustering_coefficient(spark, sf_dir):
                       .cast("double") / 1000000.0).alias("lcc6"))
             .orderBy(F.desc("lcc6"), F.desc("deg"), "part_key")
             .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap (Webber et al. 2010) between two part rankings:
+# THE metric for "did changing the scorer reorder what matters", used
+# to compare retrieval/popularity rankings without a relevance oracle.
+# RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |top_d(X) ∩ top_d(Y)| / d.
+# Exactness: the per-depth weights (1-p)p^(d-1)/d are pre-rounded to
+# integer 1e-12 units IN PYTHON and embedded as identical literals in
+# both engines, and sum_d overlap_d * w_d re-associates per PART as
+# suffixW[max(rx, ry)] — so the whole metric is one BIGINT sum, exact
+# under any partitioning, no cross-engine libm pow() anywhere.
+
+_RBO_P = 0.9
+_RBO_D = 50
+_RBO_W = [round((1 - _RBO_P) * _RBO_P ** (d - 1) / d * 10**12)
+          for d in range(1, _RBO_D + 1)]
+# suffix sums: suffixW[k] = sum of w_d for d in k..D (1-indexed)
+_RBO_SUFFIX = [sum(_RBO_W[k:]) for k in range(_RBO_D)]
+
+
+def _rbo_rank_sql(measure: str) -> str:
+    return f"""(
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY {measure} DESC, l_partkey)
+                 AS r
+      FROM (SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS qty,
+                   CAST(sum(CAST(ROUND(l_extendedprice
+                        * (1 - l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS rev
+            FROM lineitem GROUP BY 1) t
+      ORDER BY {measure} DESC, l_partkey LIMIT {_RBO_D})"""
+
+
+@query(
+    "rank_biased_overlap_parts",
+    oracle=f"""
+    WITH rx AS ({_rbo_rank_sql('qty')}),
+    ry AS ({_rbo_rank_sql('rev')}),
+    shared AS (
+      SELECT greatest(rx.r, ry.r) AS m
+      FROM rx JOIN ry USING (l_partkey)),
+    sfx AS (SELECT [{', '.join(str(w) for w in _RBO_SUFFIX)}] AS s)
+    SELECT CAST({_RBO_D} AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(coalesce(sum(sfx.s[m]), 0) AS BIGINT) AS rbo_units,
+           CAST(coalesce(sum(sfx.s[m]), 0) AS DOUBLE) / 1e12 AS rbo12
+    FROM shared CROSS JOIN sfx
+    """,
+    doc=f"rank-biased overlap (p={_RBO_P}, depth {_RBO_D}) between the "
+        "quantity-ranked and revenue-ranked part top lists — the "
+        "ranking-drift metric an eval pipeline tracks across scorer "
+        "changes. Per-depth RBO weights are pre-rounded 1e-12-unit "
+        "BIGINT literals identical in both engines (no runtime pow), "
+        "and the depth sum re-associates per part as a suffix-weight "
+        "lookup at max(rank_x, rank_y), so the metric is a single "
+        "exact integer sum. Each top-50 comes from "
+        "TakeOrderedAndProject (distributed top-k, never a global "
+        "sort); everything after runs on 50-row relations",
+)
+def rank_biased_overlap_parts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("long")
+        .alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")) * 100).cast("bigint"))
+        .cast("long").alias("rev"))
+
+    def top(measure):
+        t = per.orderBy(F.desc(measure), "l_partkey").limit(_RBO_D)
+        w = Window.orderBy(F.desc(measure), "l_partkey")
+        return t.select("l_partkey", F.row_number().over(w).alias("r"))
+
+    rx = top("qty").withColumnRenamed("r", "rx")
+    ry = top("rev").withColumnRenamed("r", "ry")
+    sfx = F.array(*[F.lit(w).cast("bigint") for w in _RBO_SUFFIX])
+    both = (rx.join(ry, "l_partkey")
+            .select(F.greatest("rx", "ry").alias("m")))
+    return both.agg(
+        F.lit(_RBO_D).cast("bigint").alias("depth"),
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.coalesce(F.sum(F.element_at(sfx, F.col("m"))), F.lit(0))
+         .cast("long").alias("rbo_units"),
+        (F.coalesce(F.sum(F.element_at(sfx, F.col("m"))), F.lit(0))
+         .cast("double") / 1e12).alias("rbo12"))

@@ -209,6 +209,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
         "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
         "decision_split_information_gain",  # 1-row bin-totals scalar
+        "blocking_quality_metrics",    # four 1-row metric scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -228,7 +229,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     # languages-sized distinct (rows = #langs)
                     "curriculum_interleave",
                     # quantity-bin-sized cumulative (rows = #bins <=50)
-                    "decision_split_information_gain"}
+                    "decision_split_information_gain",
+                    # rank window over a TakeOrdered top-50 relation
+                    "rank_biased_overlap_parts"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

@@ -406,3 +406,84 @@ def test_watermark_late_drop_semantics(spark):
     got_n = out.set_index(["wstart", "event_type"]).n_events
     assert got_n.sort_index().equals(
         expect.sort_index().astype("int64"))
+
+
+def test_blocking_metrics_match_python_ground_truth(spark):
+    """Independent replay: exact shingle-Jaccard truth and the LSH
+    candidate count both recomputed in pure Python over the md5 hash
+    family the engine uses."""
+    import hashlib
+
+    out = (REG["blocking_quality_metrics"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    docs = _docs(spark)
+
+    def shingle_set(text):
+        t = text.strip().lower().split()
+        if not t:
+            return set()
+        if len(t) >= 3:
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+        return {" ".join(t)}
+
+    sh = {r.doc_id: shingle_set(r.text) for _, r in docs.iterrows()}
+    sh = {d: s for d, s in sh.items() if s}
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.8:
+                truth.add((a, b))
+
+    from big_datatrader_spark.functions.dedup import _MIX_P, mix_consts
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    consts = mix_consts(12)
+    sigs = {}
+    for d, ss in sh.items():
+        hs = [h60(s) % _MIX_P for s in ss]
+        sigs[d] = [min((a * h + b) % _MIX_P for h in hs)
+                   for a, b in consts]
+    buckets = {}
+    for d, sig in sigs.items():
+        for band in range(4):
+            key = (band, ",".join(str(x) for x in
+                                  sig[band * 3:band * 3 + 3]))
+            buckets.setdefault(key, []).append(d)
+    cand = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cand.add((a, b))
+    assert (out.n_docs, out.n_true, out.n_cand, out.n_caught) == (
+        len(ids), len(truth), len(cand), len(truth & cand))
+
+
+def test_rbo_matches_python_reference(spark):
+    out = (REG["rank_biased_overlap_parts"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    li = table(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount").toPandas()
+    li["qty"] = li.l_quantity.astype("int64")
+    li["rev"] = [(int(_rha(p * (1 - d) * 100)))
+                 for p, d in zip(li.l_extendedprice, li.l_discount)]
+    g = li.groupby("l_partkey")[["qty", "rev"]].sum()
+    topq = sorted(g.index, key=lambda k: (-g.qty[k], k))[:50]
+    topr = sorted(g.index, key=lambda k: (-g.rev[k], k))[:50]
+    from big_datatrader_spark.queries.training_ops import (
+        _RBO_D, _RBO_W)
+    # definitional RBO sum (per-depth overlaps), vs the engine's
+    # per-part suffix-weight re-association — must agree exactly
+    units = 0
+    for d in range(1, _RBO_D + 1):
+        ov = len(set(topq[:d]) & set(topr[:d]))
+        units += ov * _RBO_W[d - 1]
+    assert out.rbo_units == units
+    assert out.n_shared == len(set(topq) & set(topr))
+    assert out.rbo12 == units / 1e12
+    assert 0 <= out.rbo12 <= 1.001
