@@ -129,6 +129,8 @@ _R7_CHANGED = (
                                       # completeness / reduction ratio
     'rank_biased_overlap_parts',      # training_ops.py: RBO between
                                       # qty- and revenue-ranked tops
+    'recursive_cte_date_spine',       # training_ops.py: WITH
+                                      # RECURSIVE run BY SPARK (4.x)
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

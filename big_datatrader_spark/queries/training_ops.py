@@ -3615,3 +3615,61 @@ def rank_biased_overlap_parts(spark, sf_dir):
          .cast("long").alias("rbo_units"),
         (F.coalesce(F.sum(F.element_at(sfx, F.col("m"))), F.lit(0))
          .cast("double") / 1e12).alias("rbo12"))
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE executed BY SPARK (SQL:1999 recursion landed in Spark
+# 4.x): the date-spine gap-fill every reporting pipeline needs — a
+# contiguous calendar between the first and last event, left-joined to
+# daily activity so silent gaps become visible rows instead of missing
+# ones. Other recursive oracles in this repo (SSSP, interest schedule,
+# dedup closure) pair a Spark ITERATIVE implementation with a DuckDB
+# recursive CTE; this one runs WITH RECURSIVE on both engines.
+
+@query(
+    "recursive_cte_date_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT CAST(min(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine
+      WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+    SELECT CAST(spine.d AS TIMESTAMP) AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+           coalesce(daily.n, 0) = 0 AS is_gap
+    FROM spine LEFT JOIN daily ON daily.d = spine.d
+    ORDER BY day
+    """,
+    doc="date-spine gap-fill via WITH RECURSIVE executed by Spark's "
+        "own SQL engine (UnionLoop — recursion support new in Spark "
+        "4.x), matched against DuckDB's recursive CTE: a contiguous "
+        "calendar between the corpus's first and last event day, "
+        "left-joined to per-day counts so zero-activity days surface "
+        "as is_gap rows. The spine is calendar-sized (days, not "
+        "rows), so recursion depth and state are bounded regardless "
+        "of corpus scale; the only corpus-sized work is the one "
+        "groupBy(day)",
+)
+def recursive_cte_date_spine(spark, sf_dir):
+    table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_rcds")
+    return spark.sql("""
+      WITH RECURSIVE spine(d) AS (
+        SELECT CAST(min(ts) AS DATE) FROM events_rcds
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM spine
+        WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events_rcds)
+      ),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        FROM events_rcds GROUP BY 1)
+      SELECT CAST(spine.d AS TIMESTAMP) AS day,
+             CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+             coalesce(daily.n, 0) = 0 AS is_gap
+      FROM spine LEFT JOIN daily ON daily.d = spine.d
+      ORDER BY day
+    """)

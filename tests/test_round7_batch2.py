@@ -487,3 +487,23 @@ def test_rbo_matches_python_reference(spark):
     assert out.n_shared == len(set(topq) & set(topr))
     assert out.rbo12 == units / 1e12
     assert 0 <= out.rbo12 <= 1.001
+
+
+def test_recursive_cte_runs_in_spark_and_fills_gaps(spark):
+    """The date spine must execute as Spark's own recursive CTE (a
+    UnionLoop node in the plan — not a driver-side loop), cover every
+    day between min and max inclusive, and mark exactly the zero-count
+    days as gaps."""
+    from big_datatrader_spark.plans.explain import physical_plan
+    df = REG["recursive_cte_date_spine"].spark_fn(spark, SF)
+    assert "UnionLoop" in physical_plan(df)
+    out = df.toPandas()
+    ev = table(spark, SF, "events").toPandas()
+    days = ev.ts.dt.floor("D")
+    import pandas as pd
+    expect_days = pd.date_range(days.min(), days.max(), freq="D")
+    assert list(out.day) == list(expect_days)
+    counts = days.value_counts()
+    for r in out.itertuples():
+        assert r.n_events == int(counts.get(r.day, 0))
+        assert r.is_gap == (r.n_events == 0)
