@@ -507,3 +507,28 @@ def test_recursive_cte_runs_in_spark_and_fills_gaps(spark):
     for r in out.itertuples():
         assert r.n_events == int(counts.get(r.day, 0))
         assert r.is_gap == (r.n_events == 0)
+
+
+def test_late_round7_exchange_budgets(spark):
+    """Exact shuffle-count pins for the late-round-7 queries (the
+    flagship-budget convention): a new Exchange in any of these plans
+    fails loudly here instead of silently doubling a 100 TB shuffle."""
+    from big_datatrader_spark.plans.explain import num_exchanges
+    budgets = {
+        "kneser_ney_bigram_ppl": 13,      # gram + 3 model tables + agg
+        "tokenizer_fertility": 2,
+        "knn_prototype_accuracy": 2,      # label rollup + sort
+        "label_propagation_communities": 10,  # 3 rounds x vote+argmax
+        "sparse_tfidf_cosine_pairs": 20,  # postings, norms, pair agg
+        "asof_join_nearest_tolerance": 3,  # dedup + 1 user hash + sort
+        "decision_split_information_gain": 4,
+        "rank_biased_overlap_parts": 2,   # two TakeOrdered feeds
+        "blocking_quality_metrics": 23,   # truth + LSH + 4 scalars
+        "recursive_cte_date_spine": 2,
+    }
+    over = {}
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, SF))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, over
