@@ -131,6 +131,8 @@ _R7_CHANGED = (
                                       # qty- and revenue-ranked tops
     'recursive_cte_date_spine',       # training_ops.py: WITH
                                       # RECURSIVE run BY SPARK (4.x)
+    'schema_evolution_union_scan',    # format_ops.py: mergeSchema
+                                      # across parquet generations
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -160,3 +160,64 @@ def pruned_purchase_rollup(spark, path: str):
                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
                  .cast("long").alias("sum_cents"))
             .orderBy("day"))
+
+
+@query(
+    "schema_evolution_union_scan",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 1 THEN value >= 50.0 END
+                 AS quality_flag
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(quality_flag) AS BIGINT) AS n_flagged_schema,
+           CAST(sum(CASE WHEN quality_flag THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+    doc="schema evolution under mergeSchema: the events table is "
+        "staged as TWO parquet generations — an old one without and a "
+        "new one WITH a quality_flag column (deterministic split on "
+        "event_id parity; flag = value >= 50) — then read back as one "
+        "relation with mergeSchema=true, where old-generation rows "
+        "surface the evolved column as NULL. The rollup separates "
+        "count(*) from count(quality_flag), so the hash proves BOTH "
+        "that no row was lost across generations AND that NULL "
+        "back-fill landed exactly on the old generation. This is the "
+        "schema-drift contract a 100 TB lake lives by: readers span "
+        "file generations without rewrites, and the footer-merge cost "
+        "is per-FILE metadata, never a data scan",
+)
+def schema_evolution_union_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_evo_")
+    try:
+        path = os.path.join(root, "events_evolved")
+        (ev.filter(F.col("event_id") % 2 == 0)
+         .write.parquet(path))  # old generation: no quality_flag
+        (ev.filter(F.col("event_id") % 2 == 1)
+         .withColumn("quality_flag", F.col("value") >= 50.0)
+         .write.mode("append").parquet(path))  # evolved generation
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        out = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.count("quality_flag").cast("long")
+                    .alias("n_flagged_schema"),
+                    F.sum(F.col("quality_flag").cast("bigint"))
+                    .cast("long").alias("n_quality"),
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    .cast("long").alias("sum_cents"))
+               .orderBy("event_type")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

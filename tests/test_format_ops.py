@@ -67,3 +67,19 @@ def test_format_roundtrip_results_are_localized(spark):
                  "partitioned_pruned_event_scan"):
         df = REG[name].spark_fn(spark, SF)
         assert df.count() > 0  # still readable post-cleanup
+
+
+def test_schema_evolution_backfills_nulls_on_the_old_generation(spark):
+    """mergeSchema semantics, independently replayed: old-generation
+    rows (even event_id) must read the evolved column as NULL; new
+    rows carry the computed flag; no row lost."""
+    out = (REG["schema_evolution_union_scan"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    g = ev.groupby("event_type")
+    for et, sub in g:
+        row = out[out.event_type == et].iloc[0]
+        odd = sub[sub.event_id % 2 == 1]
+        assert row.n_events == len(sub)
+        assert row.n_flagged_schema == len(odd)  # NULLs = even rows
+        assert row.n_quality == int((odd.value >= 50.0).sum())
