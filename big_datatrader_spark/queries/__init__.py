@@ -133,6 +133,8 @@ _R7_CHANGED = (
                                       # RECURSIVE run BY SPARK (4.x)
     'schema_evolution_union_scan',    # format_ops.py: mergeSchema
                                       # across parquet generations
+    'csv_quarantine_scan',            # format_ops.py: PERMISSIVE
+                                      # malformed-record quarantine
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

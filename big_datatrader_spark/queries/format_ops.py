@@ -221,3 +221,71 @@ def schema_evolution_union_scan(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "csv_quarantine_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN event_id % 13 <> 0
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS clean_cents
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="malformed-record quarantine on CSV ingest: the events table "
+        "is serialized to CSV with a deterministic corruption (every "
+        "event_id %% 13 == 0 row gets a non-numeric value field) and "
+        "re-read under PERMISSIVE mode with "
+        "columnNameOfCorruptRecord — Spark parses what it can, nulls "
+        "the bad field, and preserves the raw line in the quarantine "
+        "column instead of dropping or failing the row (badRecordsPath "
+        "semantics without a side channel). The rollup counts "
+        "quarantined rows and sums cents over clean ones; the oracle "
+        "recomputes both from the corruption rule, so the hash proves "
+        "the quarantine caught EXACTLY the corrupted subset — no "
+        "silent coercion, no lost rows. At 100 TB this is the ingest "
+        "contract: one malformed line must never kill a batch, and "
+        "every malformed line must stay auditable",
+)
+def csv_quarantine_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("NOT_A_NUMBER"))
+         # shortest-round-trip double serialization: the re-read value
+         # is bit-identical to the original, so the cents sum can
+         # never drift on a formatting boundary
+         .otherwise(F.col("value").cast("string")))
+    root = tempfile.mkdtemp(prefix="bdt_csvq_")
+    try:
+        path = os.path.join(root, "events_csv")
+        ev.select(line.alias("value")).write.text(path)
+        back = (spark.read
+                .schema("event_id long, event_type string, "
+                        "value double, _corrupt string")
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", "_corrupt")
+                .csv(path))
+        out = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(F.col("_corrupt").isNotNull().cast("bigint"))
+                    .cast("long").alias("n_quarantined"),
+                    F.sum(F.when(F.col("_corrupt").isNull(),
+                                 F.round(F.col("value") * 100)
+                                 .cast("bigint")).otherwise(0))
+                    .cast("long").alias("clean_cents"))
+               .orderBy("event_type")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -83,3 +83,15 @@ def test_schema_evolution_backfills_nulls_on_the_old_generation(spark):
         assert row.n_events == len(sub)
         assert row.n_flagged_schema == len(odd)  # NULLs = even rows
         assert row.n_quality == int((odd.value >= 50.0).sum())
+
+
+def test_csv_quarantine_catches_exactly_the_corrupted_subset(spark):
+    out = (REG["csv_quarantine_scan"].spark_fn(spark, SF).toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    for et, sub in ev.groupby("event_type"):
+        row = out[out.event_type == et].iloc[0]
+        bad = sub[sub.event_id % 13 == 0]
+        assert row.n_rows == len(sub)
+        assert row.n_quarantined == len(bad)
+    # corruption rule actually fired somewhere
+    assert out.n_quarantined.sum() > 0
