@@ -193,10 +193,6 @@ def pruned_purchase_rollup(spark, path: str):
         "is per-FILE metadata, never a data scan",
 )
 def schema_evolution_union_scan(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
     ev = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     root = tempfile.mkdtemp(prefix="bdt_evo_")
@@ -212,7 +208,10 @@ def schema_evolution_union_scan(spark, sf_dir):
                .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
                     F.count("quality_flag").cast("long")
                     .alias("n_flagged_schema"),
-                    F.sum(F.col("quality_flag").cast("bigint"))
+                    # coalesce: a group whose rows are ALL old
+                    # generation sums NULL, but the oracle emits 0
+                    F.coalesce(F.sum(F.col("quality_flag")
+                                     .cast("bigint")), F.lit(0))
                     .cast("long").alias("n_quality"),
                     F.sum(F.round(F.col("value") * 100).cast("bigint"))
                     .cast("long").alias("sum_cents"))
@@ -251,10 +250,6 @@ def schema_evolution_union_scan(spark, sf_dir):
         "every malformed line must stay auditable",
 )
 def csv_quarantine_scan(spark, sf_dir):
-    import os
-    import shutil
-    import tempfile
-
     ev = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
     line = F.concat_ws(

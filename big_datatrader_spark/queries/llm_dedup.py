@@ -480,8 +480,9 @@ def blocking_quality_metrics(spark, sf_dir):
     m = (n_docs.crossJoin(F.broadcast(n_true))
          .crossJoin(F.broadcast(n_cand))
          .crossJoin(F.broadcast(n_caught)))
-    all_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2) \
-        .cast("long")
+    # exact integer halving (n*(n-1) is always even): the / operator
+    # would detour through DOUBLE and lose low bits past 2^53
+    all_pairs = F.expr("(n_docs * (n_docs - 1)) DIV 2")
     return m.select(
         "n_docs", "n_true", "n_cand", "n_caught",
         _int_ratio_round6(F.col("n_caught"), F.col("n_true"))

@@ -774,7 +774,10 @@ def knn_prototype_accuracy(spark, sf_dir):
               .astype(np.float64))
     p_ids = np.array([r["vec_id"] for r in prows], dtype="int64")
     p_labels = np.array([r["label"] for r in prows], dtype="int64")
-    inv_pnorm = 1.0 / np.sqrt((P * P).sum(axis=1).astype(np.float64))
+    # DIVIDE by the norm (never multiply by a reciprocal): x/s is the
+    # exact IEEE operation the oracle's dot/sqrt(n2p) performs, while
+    # x*(1/s) can differ by an ulp and flip a near-tie ranking
+    pnorm = np.sqrt((P * P).sum(axis=1).astype(np.float64))
 
     def classify(batches):
         for pdf in batches:
@@ -782,7 +785,7 @@ def knn_prototype_accuracy(spark, sf_dir):
                 continue
             Q = quant(np.vstack(pdf["embedding"].to_numpy())
                       .astype(np.float64))
-            key = (Q @ P.T).astype(np.float64) * inv_pnorm[None, :]
+            key = (Q @ P.T).astype(np.float64) / pnorm[None, :]
             # top-k by (key desc, p_id asc): lexsort is stable and
             # sorts by the LAST key first
             order = np.lexsort(
@@ -905,7 +908,11 @@ def mmr_diverse_rerank(spark, sf_dir):
     cand = (base.filter(F.col("vec_id") != _MMR_Q)
             .crossJoin(F.broadcast(q))
             .select("vec_id", "v", rel6.alias("rel6"))
-            .orderBy(F.desc("rel6"), "vec_id").limit(_MMR_CAND))
+            .orderBy(F.desc("rel6"), "vec_id").limit(_MMR_CAND)
+            # materialize the 12-row pool once: without this the
+            # full-corpus cosine scan re-runs for the collect AND each
+            # side of the pairwise self-join (3x the dominant cost)
+            .localCheckpoint(eager=True))
     rows = cand.select("vec_id", "rel6").collect()
     rel = {r["vec_id"]: r["rel6"] for r in rows}
     a = cand.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))

@@ -518,7 +518,9 @@ def test_late_round7_exchange_budgets(spark):
         "kneser_ney_bigram_ppl": 13,      # gram + 3 model tables + agg
         "tokenizer_fertility": 2,
         "knn_prototype_accuracy": 2,      # label rollup + sort
-        "label_propagation_communities": 10,  # 3 rounds x vote+argmax
+        "label_propagation_communities": 12,  # 3 rounds x vote+argmax
+                                              # (cold edge build; 10
+                                              # once the list is hot)
         "sparse_tfidf_cosine_pairs": 20,  # postings, norms, pair agg
         "asof_join_nearest_tolerance": 3,  # dedup + 1 user hash + sort
         "decision_split_information_gain": 4,
