@@ -3655,9 +3655,15 @@ def rank_biased_overlap_parts(spark, sf_dir):
         "groupBy(day)",
 )
 def recursive_cte_date_spine(spark, sf_dir):
-    table(spark, sf_dir, "events").createOrReplaceTempView(
+    # the spine recurses once per calendar day; lift the default
+    # ~100-step recursion ceiling on a CLONED session (own SQLConf —
+    # the streaming_click_purchase_join precedent) so a multi-year
+    # dataset cannot trip it while the base session stays untouched
+    work = spark.newSession()
+    work.conf.set("spark.sql.cteRecursionLevelLimit", "1000000")
+    table(work, sf_dir, "events").createOrReplaceTempView(
         "events_rcds")
-    return spark.sql("""
+    return work.sql("""
       WITH RECURSIVE spine(d) AS (
         SELECT CAST(min(ts) AS DATE) FROM events_rcds
         UNION ALL
