@@ -514,6 +514,13 @@ def test_late_round7_exchange_budgets(spark):
     flagship-budget convention): a new Exchange in any of these plans
     fails loudly here instead of silently doubling a 100 TB shuffle."""
     from big_datatrader_spark.plans.explain import num_exchanges
+    # Exchange counts depend on what the shared CacheManager holds (a
+    # cached subtree from an earlier test replaces a scan and re-plans
+    # around it) and on session conf: measure every plan COLD on a
+    # fresh-conf session so the pins are order-independent across the
+    # suite.
+    spark.catalog.clearCache()
+    work = spark.newSession()
     budgets = {
         "kneser_ney_bigram_ppl": 13,      # gram + 3 model tables + agg
         "tokenizer_fertility": 2,
@@ -530,7 +537,7 @@ def test_late_round7_exchange_budgets(spark):
     }
     over = {}
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, SF))
+        n = num_exchanges(REG[name].spark_fn(work, SF))
         if n > budget:
             over[name] = (n, budget)
     assert not over, over
