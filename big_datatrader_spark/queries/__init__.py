@@ -135,6 +135,8 @@ _R7_CHANGED = (
                                       # across parquet generations
     'csv_quarantine_scan',            # format_ops.py: PERMISSIVE
                                       # malformed-record quarantine
+    'ridge_normal_equations',         # training_ops.py: one-pass
+                                      # exact Gram + Cramer solve
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -3679,3 +3679,113 @@ def recursive_cte_date_spine(spark, sf_dir):
       FROM spine LEFT JOIN daily ON daily.d = spine.d
       ORDER BY day
     """)
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression by distributed normal equations: the closed-form
+# linear-model fit a feature pipeline runs at any scale — ONE corpus
+# pass accumulates the (d+1)x(d+1) Gram matrix and X^T y as EXACT
+# BIGINT sums of integer features (map-side combinable, d^2-sized
+# state), then the 3x3 system solves by Cramer's rule in doubles.
+# Cross-engine exactness: the Cramer expressions are built ONCE as
+# strings and fed verbatim to BOTH engines (F.expr and the oracle
+# text), so the floating-point expression trees are identical —
+# identical doubles in, identical doubles out.
+
+_RIDGE_LAM = 1000  # L2 penalty (applied to all coefficients)
+
+# symmetric 3x3 Cramer over double-cast Gram entries d11..d33 / rhs
+# b1..b3 (a21=a12 etc, so only the upper triangle appears)
+_CR_DET = ("(d11*(d22*d33 - d23*d23) - d12*(d12*d33 - d23*d13)"
+           " + d13*(d12*d23 - d22*d13))")
+_CR_N0 = ("(b1*(d22*d33 - d23*d23) - d12*(b2*d33 - d23*b3)"
+          " + d13*(b2*d23 - d22*b3))")
+_CR_N1 = ("(d11*(b2*d33 - d23*b3) - b1*(d12*d33 - d23*d13)"
+          " + d13*(d12*b3 - b2*d13))")
+_CR_N2 = ("(d11*(d22*b3 - b2*d23) - d12*(d12*b3 - b2*d13)"
+          " + b1*(d12*d23 - d22*d13))")
+
+
+@query(
+    "ridge_normal_equations",
+    oracle=f"""
+    WITH feats AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    gram AS (
+      SELECT CAST(count(*) + {_RIDGE_LAM} AS BIGINT) AS a11,
+             CAST(sum(x1) AS BIGINT) AS a12,
+             CAST(sum(x2) AS BIGINT) AS a13,
+             CAST(sum(x1 * x1) + {_RIDGE_LAM} AS BIGINT) AS a22,
+             CAST(sum(x1 * x2) AS BIGINT) AS a23,
+             CAST(sum(x2 * x2) + {_RIDGE_LAM} AS BIGINT) AS a33,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM feats),
+    d AS (
+      SELECT n,
+             CAST(a11 AS DOUBLE) AS d11, CAST(a12 AS DOUBLE) AS d12,
+             CAST(a13 AS DOUBLE) AS d13, CAST(a22 AS DOUBLE) AS d22,
+             CAST(a23 AS DOUBLE) AS d23, CAST(a33 AS DOUBLE) AS d33,
+             CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+             CAST(sx2y AS DOUBLE) AS b3
+      FROM gram)
+    SELECT n,
+           ROUND({_CR_N0} / {_CR_DET}, 6) AS beta0,
+           ROUND({_CR_N1} / {_CR_DET}, 6) AS beta1,
+           ROUND({_CR_N2} / {_CR_DET}, 6) AS beta2
+    FROM d
+    """,
+    doc=f"closed-form ridge regression (lambda={_RIDGE_LAM}) of "
+        "lineitem price cents on (quantity, discount-percent) by "
+        "distributed normal equations: one pass accumulates the Gram "
+        "matrix and X^T y as exact BIGINT sums of integer features "
+        "(map-side combinable — the gram_matrix_micro cost model: the "
+        "data never moves, only d^2 partials do), then Cramer's rule "
+        "solves the 3x3 system in doubles whose expression trees are "
+        "the SAME string fed to F.expr and the oracle, so both "
+        "engines perform bit-identical float arithmetic on "
+        "bit-identical inputs. At 100 TB this is how a linear probe "
+        "or calibration layer fits without an iterative solver",
+)
+def ridge_normal_equations(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("y"))
+    lam = F.lit(_RIDGE_LAM).cast("bigint")
+    gram = feats.agg(
+        (F.count(F.lit(1)) + lam).cast("long").alias("a11"),
+        F.sum("x1").cast("long").alias("a12"),
+        F.sum("x2").cast("long").alias("a13"),
+        (F.sum(F.col("x1") * F.col("x1")) + lam).cast("long")
+        .alias("a22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("a23"),
+        (F.sum(F.col("x2") * F.col("x2")) + lam).cast("long")
+        .alias("a33"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    d = gram.select(
+        "n",
+        F.col("a11").cast("double").alias("d11"),
+        F.col("a12").cast("double").alias("d12"),
+        F.col("a13").cast("double").alias("d13"),
+        F.col("a22").cast("double").alias("d22"),
+        F.col("a23").cast("double").alias("d23"),
+        F.col("a33").cast("double").alias("d33"),
+        F.col("sy").cast("double").alias("b1"),
+        F.col("sx1y").cast("double").alias("b2"),
+        F.col("sx2y").cast("double").alias("b3"))
+    return d.select(
+        "n",
+        F.round(F.expr(f"{_CR_N0} / {_CR_DET}"), 6).alias("beta0"),
+        F.round(F.expr(f"{_CR_N1} / {_CR_DET}"), 6).alias("beta1"),
+        F.round(F.expr(f"{_CR_N2} / {_CR_DET}"), 6).alias("beta2"))

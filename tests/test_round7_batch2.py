@@ -541,3 +541,27 @@ def test_late_round7_exchange_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, over
+
+
+def test_ridge_betas_match_numpy_solve(spark):
+    """The Cramer solution must agree with numpy's linalg.solve on the
+    same exact integer Gram matrix (to float tolerance — numpy uses a
+    different factorization, so this checks the MATH, while the oracle
+    checks bit-level engine parity)."""
+    out = (REG["ridge_normal_equations"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    li = table(spark, SF, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice").toPandas()
+    x1 = li.l_quantity.astype("int64").to_numpy()
+    x2 = np.array([_rha(d * 100) for d in li.l_discount], dtype="int64")
+    y = np.array([_rha(p * 100) for p in li.l_extendedprice],
+                 dtype="int64")
+    X = np.stack([np.ones_like(x1), x1, x2]).astype(np.float64)
+    A = X @ X.T + 1000 * np.eye(3)
+    b = X @ y.astype(np.float64)
+    beta = np.linalg.solve(A, b)
+    assert out.n == len(li)
+    got = np.array([out.beta0, out.beta1, out.beta2])
+    assert np.allclose(got, beta, rtol=1e-6, atol=1e-4)
+    # the fit is sane: price rises with quantity
+    assert out.beta1 > 0
