@@ -137,6 +137,10 @@ _R7_CHANGED = (
                                       # malformed-record quarantine
     'ridge_normal_equations',         # training_ops.py: one-pass
                                       # exact Gram + Cramer solve
+    'ips_policy_value',               # training_ops.py: off-policy
+                                      # IPS evaluation, exact cents
+    'churn_label_generation',         # training_ops.py: horizon
+                                      # labels via one lead() window
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

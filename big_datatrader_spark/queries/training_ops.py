@@ -3789,3 +3789,153 @@ def ridge_normal_equations(spark, sf_dir):
         F.round(F.expr(f"{_CR_N0} / {_CR_DET}"), 6).alias("beta0"),
         F.round(F.expr(f"{_CR_N1} / {_CR_DET}"), 6).alias("beta1"),
         F.round(F.expr(f"{_CR_N2} / {_CR_DET}"), 6).alias("beta2"))
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation by inverse propensity scoring (Li et al. 2011,
+# "Unbiased Offline Evaluation of Contextual-bandit-based..."): score a
+# NEW deterministic policy against logged interactions without running
+# it, reweighting matching rows by 1/propensity. Logged arms are the 5
+# event types (modelled as a uniform logging policy, p = 1/5); the
+# target policy picks an arm per user by md5 hash, so both engines
+# derive identical decisions with no model artifact to ship.
+
+@query(
+    "ips_policy_value",
+    oracle=f"""
+    WITH arms AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY event_type) - 1 AS arm_idx,
+             count(*) OVER () AS n_arms
+      FROM (SELECT DISTINCT event_type FROM events)),
+    logged AS (
+      SELECT e.user_id, e.event_type,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS r_cents,
+             a.arm_idx, a.n_arms
+      FROM events e JOIN arms a USING (event_type)),
+    scored AS (
+      SELECT r_cents, n_arms,
+             arm_idx = {_h60_sql("'pol:' || CAST(user_id AS VARCHAR)")}
+                       % n_arms AS match
+      FROM logged),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(n_arms) AS BIGINT) AS n_arms,
+             CAST(sum(CASE WHEN match THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_matched,
+             CAST(sum(CASE WHEN match THEN r_cents ELSE 0 END)
+                  AS BIGINT) AS matched_cents,
+             CAST(sum(r_cents) AS BIGINT) AS total_cents
+      FROM scored)
+    SELECT n, n_matched,
+           CAST((2 * CAST(n_arms * matched_cents AS HUGEINT) * 1000000
+                 + n) // (2 * CAST(n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS v_target_cents6,
+           CAST((2 * CAST(total_cents AS HUGEINT) * 1000000 + n)
+                // (2 * CAST(n AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS v_logged_cents6
+    FROM agg
+    """,
+    doc="off-policy evaluation via inverse propensity scoring: the "
+        "value of a hash-deterministic target policy (arm per user = "
+        "md5 % n_arms over the name-ranked arm list) estimated from "
+        "logged events under a uniform logging policy — matching rows "
+        "reweighted by n_arms — next to the logged policy's raw "
+        "average for comparison. Everything is exact integers (cent "
+        "rewards, match counts, HUGEINT/DECIMAL ratio rounding), so "
+        "the one-row estimate is hash-exact. One scan, one broadcast "
+        "of the 5-row arm table, one global agg: the OPE shape that "
+        "scores a policy change against 100 TB of logs without "
+        "deploying it",
+)
+def ips_policy_value(spark, sf_dir):
+    from ..functions.dedup import h60
+    from .analytics import _int_ratio_round6
+
+    ev = table(spark, sf_dir, "events")
+    arms_w = Window.orderBy("event_type")
+    arms = (ev.select("event_type").distinct()
+            .select("event_type",
+                    (F.row_number().over(arms_w) - 1).alias("arm_idx"),
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy()).alias("n_arms")))
+    pol = h60(F.concat(F.lit("pol:"),
+                       F.col("user_id").cast("string"))) % F.col("n_arms")
+    scored = (ev.join(F.broadcast(arms), "event_type")
+              .select(F.round(F.col("value") * 100).cast("bigint")
+                      .alias("r_cents"),
+                      "n_arms",
+                      (F.col("arm_idx") == pol).alias("match")))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("n_arms").cast("long").alias("n_arms"),
+        F.sum(F.col("match").cast("bigint")).cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("match"), F.col("r_cents")).otherwise(0))
+        .cast("long").alias("matched_cents"),
+        F.sum("r_cents").cast("long").alias("total_cents"))
+    return agg.select(
+        "n", "n_matched",
+        _int_ratio_round6(F.col("n_arms") * F.col("matched_cents"),
+                          F.col("n")).alias("v_target_cents6"),
+        _int_ratio_round6(F.col("total_cents"), F.col("n"))
+        .alias("v_logged_cents6"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe churn-label generation: the forward-looking label build
+# every behavioral model needs — an interaction is a churn point iff
+# the user has NO further event within the horizon. The horizon
+# comparison runs on exact epoch microseconds, and the lookahead is
+# ONE lead() over the same (user, time) sort every other per-user
+# window shares.
+
+_CHURN_HORIZON_US = 14 * 86400 * 1_000_000  # 14 days
+
+
+@query(
+    "churn_label_generation",
+    oracle=f"""
+    WITH nxt AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS u,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nu
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN nu IS NULL
+                         OR nu > u + {_CHURN_HORIZON_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_churn_points,
+           CAST(max(CASE WHEN nu IS NULL
+                         OR nu > u + {_CHURN_HORIZON_US}
+                    THEN event_id END) AS BIGINT)
+               AS last_churn_event_id
+    FROM nxt GROUP BY user_id ORDER BY user_id
+    """,
+    doc="forward-looking churn labels without leakage: an event is a "
+        "churn point iff the same user has no further event within 14 "
+        "days, computed as ONE lead() over the per-user time sort "
+        "(ties broken by event_id on both engines) with the horizon "
+        "compared in exact epoch microseconds. Rolled up per user "
+        "(label counts + the id of the latest churn point) so the "
+        "driver hash covers every label decision. At 100 TB this is "
+        "one user-hash exchange and one sort — the label-build shape "
+        "that feeds survival/churn models",
+)
+def churn_label_generation(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = F.unix_micros("ts")
+    nxt = ev.select(
+        "user_id", "event_id", u.alias("u"),
+        F.lead(u).over(w).alias("nu"))
+    churn = (F.col("nu").isNull()
+             | (F.col("nu") > F.col("u") + _CHURN_HORIZON_US))
+    return (nxt.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(churn.cast("bigint")).cast("long")
+                 .alias("n_churn_points"),
+                 F.max(F.when(churn, F.col("event_id"))).cast("bigint")
+                 .alias("last_churn_event_id"))
+            .orderBy("user_id"))

@@ -231,7 +231,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     # quantity-bin-sized cumulative (rows = #bins <=50)
                     "decision_split_information_gain",
                     # rank window over a TakeOrdered top-50 relation
-                    "rank_biased_overlap_parts"}
+                    "rank_biased_overlap_parts",
+                    # arm-count-sized distinct (rows = #event types)
+                    "ips_policy_value"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}

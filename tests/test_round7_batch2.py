@@ -565,3 +565,50 @@ def test_ridge_betas_match_numpy_solve(spark):
     assert np.allclose(got, beta, rtol=1e-6, atol=1e-4)
     # the fit is sane: price rises with quantity
     assert out.beta1 > 0
+
+
+def test_ips_policy_value_matches_python_replay(spark):
+    import hashlib
+    out = (REG["ips_policy_value"].spark_fn(spark, SF)
+           .toPandas().iloc[0])
+    ev = table(spark, SF, "events").toPandas()
+    arms = sorted(ev.event_type.unique())
+    k = len(arms)
+
+    def pol(uid):
+        h = int(hashlib.md5(f"pol:{uid}".encode()).hexdigest()[:15], 16)
+        return arms[h % k]
+
+    r = np.array([_rha(v * 100) for v in ev.value], dtype="int64")
+    match = np.array([pol(u) == a for u, a in
+                      zip(ev.user_id, ev.event_type)])
+    n = len(ev)
+    assert out.n == n and out.n_matched == match.sum()
+    mc = int(r[match].sum())
+    assert out.v_target_cents6 == ((2 * k * mc * 10**6 + n)
+                                   // (2 * n)) / 1e6
+    assert out.v_logged_cents6 == ((2 * int(r.sum()) * 10**6 + n)
+                                   // (2 * n)) / 1e6
+    # the estimator is unbiased-ish: with ~1/k of rows matching,
+    # n_matched should be in a loose band around n/k
+    assert 0.5 * n / k < out.n_matched < 2.0 * n / k
+
+
+def test_churn_labels_match_pandas_lookahead(spark):
+    out = (REG["churn_label_generation"].spark_fn(spark, SF)
+           .toPandas().set_index("user_id"))
+    ev = (table(spark, SF, "events").toPandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    horizon = 14 * 86400 * 1_000_000
+    for uid, sub in ev.groupby("user_id"):
+        us = (sub.ts.astype("int64") // 1000).to_numpy()
+        eids = sub.event_id.to_numpy()
+        churn = [(i == len(us) - 1) or (us[i + 1] > us[i] + horizon)
+                 for i in range(len(us))]
+        row = out.loc[uid]
+        assert row.n_events == len(sub)
+        assert row.n_churn_points == sum(churn)
+        assert row.last_churn_event_id == max(
+            e for e, c in zip(eids, churn) if c)
+    # the last event of every user is always a churn point
+    assert (out.n_churn_points >= 1).all()
