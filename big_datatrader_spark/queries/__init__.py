@@ -141,6 +141,8 @@ _R7_CHANGED = (
                                       # IPS evaluation, exact cents
     'churn_label_generation',         # training_ops.py: horizon
                                       # labels via one lead() window
+    'stoploss_takeprofit_backtest',   # reference_ops.py: exit-rule
+                                      # strategy, recursive-CTE oracle
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

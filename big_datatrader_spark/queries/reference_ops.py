@@ -476,3 +476,125 @@ def evenly_spaced_portfolio(spark, sf_dir):
         F.round(val, _R).alias("portfolio_value"),
         F.round((val - n * 10000.0) / (n * 10000.0) * 100.0, _R)
         .alias("portfolio_roi"))
+
+
+# ---------------------------------------------------------------------------
+# Stop-loss / take-profit backtest: the exit-rule strategy family the
+# reference's three strategies (evenly-spaced, MA-crossover, parallel)
+# don't cover — enter on the first tick, exit on the FIRST later tick
+# whose price crosses either band around the entry (stop at -3%, take
+# at +5%), re-enter on the next tick, repeat. Sequential per series,
+# so the engine runs it as an Arrow-batched per-user kernel over
+# integer cent prices; the oracle precomputes every tick's band-exit
+# and walks the resulting functional graph with a recursive CTE. Band
+# checks are integer cross-multiplications (p_j * 100 <= p_i * 97 /
+# >= p_i * 105), so both engines agree bit-for-bit.
+
+_SL_PCT, _TP_PCT = 97, 105  # exit bands, percent of entry cents
+
+
+@query(
+    "stoploss_takeprofit_backtest",
+    oracle=f"""
+    WITH RECURSIVE ticks AS MATERIALIZED (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                  AS BIGINT) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS p
+      FROM events),
+    nn AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS n
+           FROM ticks GROUP BY 1),
+    exits AS MATERIALIZED (
+      SELECT i.user_id, i.rn AS i, CAST(min(j.rn) AS BIGINT) AS x
+      FROM ticks i JOIN ticks j
+        ON j.user_id = i.user_id AND j.rn > i.rn
+       AND (j.p * 100 <= i.p * {_SL_PCT}
+            OR j.p * 100 >= i.p * {_TP_PCT})
+      GROUP BY 1, 2),
+    walk(user_id, entry_rn) AS (
+      SELECT user_id, CAST(1 AS BIGINT) FROM nn WHERE n >= 1
+      UNION ALL
+      SELECT w.user_id, e.x + 1
+      FROM walk w
+      JOIN exits e ON e.user_id = w.user_id AND e.i = w.entry_rn
+      JOIN nn ON nn.user_id = w.user_id
+      WHERE e.x + 1 <= nn.n),
+    trades AS (
+      SELECT w.user_id, w.entry_rn, te.p AS entry_p,
+             e.x, tx.p AS exit_p
+      FROM walk w
+      JOIN ticks te ON te.user_id = w.user_id
+                   AND te.rn = w.entry_rn
+      LEFT JOIN exits e ON e.user_id = w.user_id
+                       AND e.i = w.entry_rn
+      LEFT JOIN ticks tx ON tx.user_id = w.user_id AND tx.rn = e.x)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(CASE WHEN exit_p IS NOT NULL
+                         AND exit_p * 100 <= entry_p * {_SL_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_exits,
+           CAST(sum(CASE WHEN exit_p IS NOT NULL
+                         AND exit_p * 100 >= entry_p * {_TP_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_profit_exits,
+           CAST(sum(CASE WHEN exit_p IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN exit_p IS NOT NULL
+                    THEN exit_p - entry_p ELSE 0 END) AS BIGINT)
+               AS closed_pnl_cents
+    FROM trades GROUP BY user_id ORDER BY user_id
+    """,
+    doc="stop-loss/take-profit backtest (one share per trade, -3%/+5% "
+        "bands): enter on the first tick, exit on the first band "
+        "crossing, re-enter on the next tick. The per-series fold runs "
+        "as an applyInPandas kernel over integer cents (linear, "
+        "Arrow-batched — the ma_crossover_backtest shape); the oracle "
+        "precomputes each tick's first band-exit with an inverted "
+        "self-join and walks that functional graph by recursive CTE, "
+        "so the sequential strategy still has a full hash-exact "
+        "oracle. Band predicates are integer cross-multiplications — "
+        "no float anywhere. At 100 TB each series folds locally after "
+        "one user-hash exchange; state is one open position",
+)
+def stoploss_takeprofit_backtest(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("p"))
+
+    out_schema = ("user_id long, n_trades long, n_stop_exits long, "
+                  "n_profit_exits long, n_open long, "
+                  "closed_pnl_cents long")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        p = pdf["p"].to_numpy(dtype="int64")
+        uid = int(pdf["user_id"].iloc[0])
+        i = 0
+        n_trades = n_stop = n_profit = n_open = pnl = 0
+        n = len(p)
+        while i < n:
+            entry = p[i]
+            n_trades += 1
+            j = i + 1
+            while j < n and not (p[j] * 100 <= entry * _SL_PCT
+                                 or p[j] * 100 >= entry * _TP_PCT):
+                j += 1
+            if j >= n:
+                n_open += 1
+                break
+            if p[j] * 100 <= entry * _SL_PCT:
+                n_stop += 1
+            else:
+                n_profit += 1
+            pnl += int(p[j] - entry)
+            i = j + 1
+        return pd.DataFrame([{
+            "user_id": uid, "n_trades": n_trades,
+            "n_stop_exits": n_stop, "n_profit_exits": n_profit,
+            "n_open": n_open, "closed_pnl_cents": pnl}])
+
+    return (ev.groupBy("user_id").applyInPandas(fold, out_schema)
+            .orderBy("user_id"))
