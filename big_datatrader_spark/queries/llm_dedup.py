@@ -458,7 +458,13 @@ def lsh_vs_exact_eval(spark, sf_dir):
         "same md5-based hash family, so the one-row metric relation "
         "is hash-exact. This is the measurement a 100 TB dedup run "
         "makes BEFORE committing to a blocker: completeness bounds "
-        "recall, reduction bounds cost",
+        "recall, reduction bounds cost. Scale caveat (measured in "
+        "SCALING.md): EXACT ground truth is super-linear under heavy "
+        "verbatim duplication — k copies contribute k(k-1)/2 true "
+        "pairs — so at corpus scale this audit runs on a "
+        "deterministic hash SAMPLE of docs (unbiased for "
+        "pairs-completeness) or with the df-capped truth variant; "
+        "the blocker being measured stays linear either way",
 )
 def blocking_quality_metrics(spark, sf_dir):
     from .analytics import _int_ratio_round6
