@@ -143,6 +143,8 @@ _R7_CHANGED = (
                                       # labels via one lead() window
     'stoploss_takeprofit_backtest',   # reference_ops.py: exit-rule
                                       # strategy, recursive-CTE oracle
+    'temporal_reachability_copurchase',  # corpus_ops.py: time-
+                                         # respecting earliest arrival
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

@@ -1506,3 +1506,99 @@ def k_core_membership(spark, sf_dir):
                  .agg(F.count(F.lit(1)).alias("core_degree")))
     return (final_deg.filter(F.col("core_degree") >= _KC_K)
             .orderBy(F.desc("core_degree"), "part_key").limit(50))
+
+
+# ---------------------------------------------------------------------------
+# Temporal (time-respecting) reachability — the temporal-network
+# sibling of the SSSP above: a part v is temporally reachable from the
+# source iff there is a path whose co-purchase edge DATES never
+# decrease (you cannot ride an edge that happened before you arrived).
+# Earliest-arrival semantics: arrival(v) = min over such paths of the
+# last edge's date. Dated edges = min o_orderdate per co-purchase
+# pair; the hop loop is the same node-sized iteration as SSSP, with
+# (date >= arrival) as an extra join predicate.
+
+_TR_HOPS = 3
+
+
+def _temporal_reach_oracle() -> str:
+    steps = []
+    for i in range(1, _TR_HOPS + 1):
+        steps.append(f"""
+    nxt{i} AS (
+      SELECT e.y AS node, CAST(min(e.d) AS BIGINT) AS arr
+      FROM arr{i - 1} a JOIN tedges e
+        ON e.x = a.node AND e.d >= a.arr
+      GROUP BY 1),
+    arr{i} AS MATERIALIZED (
+      SELECT node, CAST(min(arr) AS BIGINT) AS arr FROM (
+        SELECT node, arr FROM arr{i - 1}
+        UNION ALL SELECT node, arr FROM nxt{i}) u
+      GROUP BY 1)""")
+    return f"""
+    WITH dated AS (
+      SELECT l.l_partkey AS p, o.o_orderkey AS okey,
+             CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                 AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    tedges AS MATERIALIZED (
+      SELECT a.p AS x, b.p AS y, CAST(min(a.d) AS BIGINT) AS d
+      FROM dated a JOIN dated b
+        ON a.okey = b.okey AND a.p <> b.p
+      GROUP BY 1, 2),
+    arr0 AS (SELECT CAST({_BFS_SRC} AS BIGINT) AS node,
+                    CAST(0 AS BIGINT) AS arr),{','.join(steps)}
+    SELECT node AS part_key, arr AS arrival_day
+    FROM arr{_TR_HOPS} WHERE node <> {_BFS_SRC}
+    ORDER BY part_key
+    """
+
+
+@query(
+    "temporal_reachability_copurchase",
+    oracle=_temporal_reach_oracle(),
+    doc=f"time-respecting reachability over the DATED co-purchase "
+        f"graph ({_TR_HOPS} hops from part {_BFS_SRC}): an edge is "
+        "usable only on or after your arrival day, so influence can "
+        "only flow forward in time — the temporal-network semantics "
+        "static SSSP ignores (Holme & Saramäki 2012). Edge date = "
+        "earliest order day the pair co-appeared (days since epoch, "
+        "exact BIGINT); earliest-arrival is a min-fold, so the "
+        "iteration is bit-deterministic and the oracle unrolls the "
+        "same hops. Scale shape identical to sssp_copurchase: dated "
+        "edge list built once and persisted, per-hop work is one "
+        "edges-to-frontier join + node-sized min aggregations, "
+        "arrival state never exceeds one row per node",
+)
+def temporal_reachability_copurchase(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.unix_micros("o_orderdate") / 86400000000).cast("bigint")
+        .alias("d"))
+    dated = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]) \
+        .select(F.col("l_partkey").alias("p"), "o_orderkey", "d")
+    a = dated.select(F.col("p").alias("x"),
+                     F.col("o_orderkey").alias("k1"), "d")
+    b = dated.select(F.col("p").alias("y"),
+                     F.col("o_orderkey").alias("k2"))
+    tedges = (a.join(b, (F.col("k1") == F.col("k2"))
+                     & (F.col("x") != F.col("y")))
+              .groupBy("x", "y").agg(F.min("d").alias("d"))
+              .persist())
+    arr = dated.sparkSession.createDataFrame(
+        [(_BFS_SRC, 0)], "node long, arr long")
+    for _ in range(_TR_HOPS):
+        nxt = (arr.join(tedges, (arr["node"] == tedges["x"])
+                        & (tedges["d"] >= arr["arr"]))
+               .groupBy(F.col("y").alias("n2"))
+               .agg(F.min("d").alias("arr2")))
+        arr = (arr.unionByName(nxt.select(F.col("n2").alias("node"),
+                                          F.col("arr2").alias("arr")))
+               .groupBy("node").agg(F.min("arr").alias("arr"))
+               .localCheckpoint(eager=True))
+    return (arr.filter(F.col("node") != _BFS_SRC)
+            .select(F.col("node").alias("part_key"),
+                    F.col("arr").alias("arrival_day"))
+            .orderBy("part_key"))

@@ -647,3 +647,42 @@ def test_stoploss_backtest_rerun_deterministic(spark):
     # every user's exits partition the trade count
     for (_, n_trades, n_stop, n_profit, n_open, _pnl) in runs[0]:
         assert n_trades == n_stop + n_profit + n_open
+
+
+def test_temporal_reachability_respects_time(spark, tmp_path):
+    """Golden temporal-graph scenario: part 1 co-appears with part 2
+    on day 10; part 2 co-appears with part 3 on day 5 (BEFORE the
+    arrival at 2) and with part 4 on day 20 (after). Static BFS
+    reaches {{2,3,4}}; time-respecting reachability must reach only
+    {{2 (day 10), 4 (day 20)}} — never 3."""
+    import datetime as dt
+
+    def day(d):
+        return dt.datetime(2024, 1, d)
+
+    # orders: okey -> date; lineitem: okey -> parts on it
+    orders = [(100, 7, "O", 1.0, day(10), "1-URGENT"),
+              (200, 7, "O", 1.0, day(5), "1-URGENT"),
+              (300, 7, "O", 1.0, day(20), "1-URGENT")]
+    li = [(100, 1), (100, 2),   # edge 1-2 @ day 10
+          (200, 2), (200, 3),   # edge 2-3 @ day 5 (too early)
+          (300, 2), (300, 4)]   # edge 2-4 @ day 20
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus "
+                "string, o_totalprice double, o_orderdate timestamp, "
+                "o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = (REG["temporal_reachability_copurchase"]
+           .spark_fn(spark, str(tmp_path)).toPandas())
+    got = dict(zip(out.part_key, out.arrival_day))
+    d10 = int(pd_ts_days(day(10)))
+    d20 = int(pd_ts_days(day(20)))
+    assert got == {2: d10, 4: d20}
+
+
+def pd_ts_days(d):
+    import calendar
+    return calendar.timegm(d.timetuple()) // 86400
