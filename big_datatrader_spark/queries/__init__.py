@@ -145,6 +145,8 @@ _R7_CHANGED = (
                                       # strategy, recursive-CTE oracle
     'temporal_reachability_copurchase',  # corpus_ops.py: time-
                                          # respecting earliest arrival
+    'touch_attribution_revenue',      # analytics.py: first/last-touch
+                                      # models from one range frame
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).

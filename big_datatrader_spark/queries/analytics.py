@@ -1154,6 +1154,115 @@ def asof_join_nearest_tolerance(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Marketing touch attribution: every purchase's revenue credited to
+# the user's FIRST and LAST click inside a 7-day lookback — the two
+# canonical attribution models, computed in ONE user-partitioned
+# range-frame window over the unioned click/purchase stream (value
+# range [u - 7d, u] on exact epoch micros, so both engines frame
+# identically), then rolled up to revenue per touch-day per model.
+
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+@query(
+    "touch_attribution_revenue",
+    oracle=f"""
+    WITH stream AS (
+      SELECT user_id, epoch_us(ts) AS u,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                 AS click_u,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    framed AS (
+      SELECT user_id, cents,
+             min(click_u) OVER (PARTITION BY user_id ORDER BY u
+                 RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                 AND CURRENT ROW) AS ft_u,
+             max(click_u) OVER (PARTITION BY user_id ORDER BY u
+                 RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING
+                 AND CURRENT ROW) AS lt_u
+      FROM stream),
+    attributed AS (
+      SELECT cents,
+             CAST(date_trunc('day', make_timestamp(ft_u))
+                  AS TIMESTAMP) AS ft_day,
+             CAST(date_trunc('day', make_timestamp(lt_u))
+                  AS TIMESTAMP) AS lt_day
+      FROM framed WHERE cents IS NOT NULL AND lt_u IS NOT NULL),
+    ft AS (SELECT ft_day AS day,
+                  CAST(sum(cents) AS BIGINT) AS first_touch_cents,
+                  CAST(count(*) AS BIGINT) AS n_first
+           FROM attributed GROUP BY 1),
+    lt AS (SELECT lt_day AS day,
+                  CAST(sum(cents) AS BIGINT) AS last_touch_cents,
+                  CAST(count(*) AS BIGINT) AS n_last
+           FROM attributed GROUP BY 1)
+    SELECT COALESCE(ft.day, lt.day) AS day,
+           CAST(COALESCE(first_touch_cents, 0) AS BIGINT)
+               AS first_touch_cents,
+           CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+           CAST(COALESCE(last_touch_cents, 0) AS BIGINT)
+               AS last_touch_cents,
+           CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last
+    FROM ft FULL OUTER JOIN lt ON ft.day = lt.day
+    ORDER BY day
+    """,
+    doc="first-touch vs last-touch revenue attribution with a 7-day "
+        "lookback: both models come out of ONE user-partitioned "
+        "range-frame window (min/max click time over the exact-"
+        "microsecond value range [u-7d, u]) on the unioned click/"
+        "purchase stream — one exchange, one sort, the two frames "
+        "shared — then a per-day rollup of integer cents credited to "
+        "each model's touch day, full-outer joined so the two models "
+        "line up per day. Unattributed purchases (no click in the "
+        "window) are excluded from both, keeping the columns "
+        "comparable. At 100 TB: the same one-pass shape as the as-of "
+        "join, with frame state bounded by the lookback",
+)
+def touch_attribution_revenue(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    stream = (ev.filter(F.col("event_type").isin("click", "purchase"))
+              .select(
+                  "user_id", F.unix_micros("ts").alias("u"),
+                  F.when(F.col("event_type") == "click",
+                         F.unix_micros("ts")).alias("click_u"),
+                  F.when(F.col("event_type") == "purchase",
+                         F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("cents")))
+    w = (Window.partitionBy("user_id").orderBy("u")
+         .rangeBetween(-_ATTR_LOOKBACK_US, Window.currentRow))
+    framed = (stream
+              .withColumn("ft_u", F.min("click_u").over(w))
+              .withColumn("lt_u", F.max("click_u").over(w))
+              .filter(F.col("cents").isNotNull()
+                      & F.col("lt_u").isNotNull()))
+    att = framed.select(
+        "cents",
+        F.date_trunc("day", F.timestamp_micros(F.col("ft_u")))
+        .alias("ft_day"),
+        F.date_trunc("day", F.timestamp_micros(F.col("lt_u")))
+        .alias("lt_day"))
+    ft = (att.groupBy(F.col("ft_day").alias("day"))
+          .agg(F.sum("cents").cast("long").alias("first_touch_cents"),
+               F.count(F.lit(1)).cast("long").alias("n_first")))
+    lt = (att.groupBy(F.col("lt_day").alias("day"))
+          .agg(F.sum("cents").cast("long").alias("last_touch_cents"),
+               F.count(F.lit(1)).cast("long").alias("n_last")))
+    return (ft.join(lt, "day", "full_outer")
+            .select("day",
+                    F.coalesce("first_touch_cents", F.lit(0))
+                    .cast("long").alias("first_touch_cents"),
+                    F.coalesce("n_first", F.lit(0)).cast("long")
+                    .alias("n_first"),
+                    F.coalesce("last_touch_cents", F.lit(0))
+                    .cast("long").alias("last_touch_cents"),
+                    F.coalesce("n_last", F.lit(0)).cast("long")
+                    .alias("n_last"))
+            .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
 # Simple filter-aggregate (TPC-H Q6 shape): the pushdown showcase —
 # every predicate reaches the parquet scan, the agg is one partial+final
 

@@ -686,3 +686,44 @@ def test_temporal_reachability_respects_time(spark, tmp_path):
 def pd_ts_days(d):
     import calendar
     return calendar.timegm(d.timetuple()) // 86400
+
+
+def test_touch_attribution_matches_python_replay(spark):
+    out = (REG["touch_attribution_revenue"].spark_fn(spark, SF)
+           .toPandas())
+    ev = table(spark, SF, "events").toPandas()
+    look = 7 * 86400 * 1_000_000
+    clicks = {}
+    for _, r in ev[ev.event_type == "click"].iterrows():
+        clicks.setdefault(r.user_id, []).append(r.ts.value // 1000)
+    ft_tot, lt_tot = {}, {}
+
+    def day_of(us):
+        return (us // 86_400_000_000) * 86_400_000_000
+
+    for _, p in ev[ev.event_type == "purchase"].iterrows():
+        pu = p.ts.value // 1000
+        win = [c for c in clicks.get(p.user_id, [])
+               if pu - look <= c <= pu]
+        if not win:
+            continue
+        cents = _rha(p.value * 100)
+        fd, ld = day_of(min(win)), day_of(max(win))
+        a = ft_tot.setdefault(fd, [0, 0])
+        a[0] += cents
+        a[1] += 1
+        b = lt_tot.setdefault(ld, [0, 0])
+        b[0] += cents
+        b[1] += 1
+    got = {r.day.value // 1000: (r.first_touch_cents, r.n_first,
+                                 r.last_touch_cents, r.n_last)
+           for r in out.itertuples()}
+    days = set(ft_tot) | set(lt_tot)
+    assert set(got) == days
+    for d in days:
+        f = ft_tot.get(d, [0, 0])
+        l = lt_tot.get(d, [0, 0])
+        assert got[d] == (f[0], f[1], l[0], l[1])
+    # both models attribute the SAME total revenue (same purchases)
+    assert sum(v[0] for v in ft_tot.values()) \
+        == sum(v[0] for v in lt_tot.values())
