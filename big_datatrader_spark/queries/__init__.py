@@ -59,13 +59,22 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # 48 stalest greens (r1 queries not re-evidenced since).
 
 _WINDOW = 50
-_CURRENT_ROUND = 7
+_CURRENT_ROUND = 8
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
 # the window. Every name here MUST be registered: _window_order
 # asserts membership (VERDICT r6: _R6_CHANGED named a phantom query
 # and the slot silently fell through).
+# Round 8 (VERDICT r7 asks): names added as queries are written or
+# replanned this round; every entry must be registered (_window_order
+# hard-fails on ghosts). r7's 35-entry head left the window mostly
+# staleness cadence this round, so keep this set moderate.
+_R8_CHANGED = (
+    'temporal_reachability_copurchase',  # one-scan dated edge build
+                                         # (VERDICT r7 ask #3)
+)
+
 _R7_CHANGED = (
     'bpe_pair_counts_round1',  # NEW (VERDICT r5 ask #5, r6 ask #2):
                                # BPE round-1 pair counts, full oracle
@@ -150,7 +159,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R7_CHANGED
+_CHANGED = _R8_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -317,16 +326,50 @@ _R6_ROWS_ONLY = frozenset({
     'hll_partial_merge',
 })
 
+# CORRECTNESS_r07.json via tools/record_round.py (49 hash-exact,
+# 1 rows-only, 0 RED) — pasted verbatim (VERDICT r7 ask #1).
+_R7_GREEN = frozenset({
+    'asof_join_nearest_tolerance', 'blocking_quality_metrics',
+    'bpe_pair_counts_round1', 'churn_label_generation',
+    'csv_quarantine_scan', 'curriculum_interleave',
+    'decision_split_information_gain', 'event_type_pivot',
+    'export_buy_rows', 'grouping_sets_revenue', 'hits_hub_authority',
+    'hourly_event_rollup', 'ips_policy_value', 'json_filter',
+    'jsonl_roundtrip_events', 'kneser_ney_bigram_ppl',
+    'knn_prototype_accuracy', 'label_propagation_communities',
+    'last_tick_per_user', 'local_clustering_coefficient',
+    'mmr_diverse_rerank', 'modularity_brand_partition',
+    'ngram_novelty_score', 'orc_roundtrip_revenue',
+    'orders_above_customer_avg', 'orders_by_quarter',
+    'pagerank_copurchase', 'partitioned_pruned_event_scan',
+    'priciest_lineitem_per_part', 'q10_top_return_customers',
+    'q13_customer_order_distribution', 'q14_promo_share',
+    'q15_top_supplier', 'q16_supplier_variety',
+    'rank_biased_overlap_parts', 'recursive_cte_date_spine',
+    'ridge_normal_equations', 'runtime_filter_semi_join',
+    'schema_evolution_union_scan', 'skew_salted_join',
+    'span_corruption_mask', 'sparse_tfidf_cosine_pairs',
+    'sssp_copurchase', 'stoploss_takeprofit_backtest',
+    'streaming_watermark_late_drop',
+    'temporal_reachability_copurchase', 'tokenizer_fertility',
+    'touch_attribution_revenue', 'triangle_count_copurchase',
+})
+
+_R7_ROWS_ONLY = frozenset({
+    'bpe_learn_merges',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
-                 _R6_GREEN | _R6_ROWS_ONLY)
+                 _R6_GREEN | _R6_ROWS_ONLY,
+                 _R7_GREEN | _R7_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
 # a clean rows-only row, so the due check below is mechanical.
 _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
-                     6: _R6_ROWS_ONLY}
+                     6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 
