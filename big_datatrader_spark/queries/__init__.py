@@ -73,6 +73,10 @@ _CURRENT_ROUND = 8
 _R8_CHANGED = (
     'temporal_reachability_copurchase',  # one-scan dated edge build
                                          # (VERDICT r7 ask #3)
+    'ivf_vs_exact_eval',   # NEW (ask #2): IVF probe-sweep recall@k,
+                           # integer-exact assignment, full oracle
+    'pq_vs_exact_eval',    # NEW (ask #2): ADC top-k recall vs exact
+                           # integer L2^2 truth, full oracle
 )
 
 _R7_CHANGED = (

@@ -326,6 +326,101 @@ def ann_pq_adc_topk(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+@query(
+    "pq_vs_exact_eval",
+    oracle=_PQ_CTES + f""",
+    lut AS (SELECT qs.vec_id AS query_id, cb.m, cb.code,
+                   CAST(sum((qs.q - cb.cq) * (qs.q - cb.cq)) AS BIGINT)
+                       AS ld
+            FROM sub qs JOIN cb ON qs.m = cb.m AND qs.si = cb.si
+            WHERE qs.vec_id < {_PQ_NQ}
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(sum(l.ld) AS BIGINT) AS adc_dist_scaled
+            FROM codes c
+            JOIN lut l ON c.m = l.m AND c.code = l.code
+            WHERE c.vec_id >= {_PQ_NQ}
+            GROUP BY 1, 2),
+    atop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_dist_scaled, neighbor_id) AS rn
+               FROM adc) t WHERE rn <= {_PQ_TOPK}),
+    exd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT)
+                       AS dist
+            FROM iv a JOIN iv b ON a.i = b.i
+                  AND b.vec_id >= {_PQ_NQ}
+            WHERE a.vec_id < {_PQ_NQ}
+            GROUP BY 1, 2),
+    ttop AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                      ORDER BY dist, neighbor_id) AS rn
+               FROM exd) t WHERE rn <= {_PQ_TOPK}),
+    hits AS (SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM atop a JOIN ttop t
+               ON a.query_id = t.query_id
+              AND a.neighbor_id = t.neighbor_id
+             GROUP BY 1)
+    SELECT k.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+           CAST((2 * COALESCE(h.n_hit, 0) * 1000000 + {_PQ_TOPK})
+                // (2 * {_PQ_TOPK}) AS DOUBLE) / 1000000.0 AS recall6
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_PQ_NQ}) k
+    LEFT JOIN hits h ON k.vec_id = h.query_id
+    ORDER BY query_id
+    """,
+    doc=f"the PQ/ADC recall audit (VERDICT r7 ask #2), hash-exact end "
+        f"to end: the ADC top-{_PQ_TOPK} (exact-BIGINT approximate "
+        "distances over PQ codes — the `ann_pq_adc_topk` relation) "
+        f"scored against the TRUE top-{_PQ_TOPK} by exact integer "
+        "L2^2 on the full 1e-6-quantized vectors, per query. This is "
+        "FAISS's recall@k benchmark number expressed as one join of "
+        "two deterministic top-k relations — both sides integer-exact, "
+        "so the recall values are pinned by the oracle hash rather "
+        "than a property-test bound. Scale: the ADC side scans codes "
+        "only (8 B/row) against a KB LUT broadcast; the truth side is "
+        f"|Q|={_PQ_NQ} queries broadcast against the corpus — at "
+        "100 TB you run the audit on a sampled corpus block, the "
+        "shape is unchanged",
+)
+def pq_vs_exact_eval(spark, sf_dir):
+    from .analytics import _int_ratio_round6
+
+    emb = table(spark, sf_dir, "embeddings")
+    atop = (ann_pq_adc_topk(spark, sf_dir)
+            .select("query_id", "neighbor_id"))
+    qarr = emb.select(
+        "vec_id", _quantized(F.col("embedding")).alias("qv"))
+    qs = (qarr.filter(F.col("vec_id") < _PQ_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qv").alias("qq")))
+    corp = (qarr.filter(F.col("vec_id") >= _PQ_NQ)
+            .select(F.col("vec_id").alias("neighbor_id"), "qv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("qv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    exd = (F.broadcast(qs).join(corp)
+           .select("query_id", "neighbor_id", dist.alias("dist")))
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    ttop = (exd.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _PQ_TOPK)
+            .select("query_id", "neighbor_id"))
+    hits = (atop.join(ttop, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+    keys = qs.select(F.col("query_id"))
+    return (keys.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    .cast("bigint").alias("n_hit"))
+            .withColumn("recall6",
+                        _int_ratio_round6(F.col("n_hit"),
+                                          F.lit(_PQ_TOPK)))
+            .orderBy("query_id"))
+
+
 # --- Trained PQ codebook (per-subspace Lloyd, round 4) ----------------------
 # The seed codebook above is the classic "first K vectors" initializer;
 # these two queries run the actual Jégou et al. §III training step —

@@ -236,3 +236,30 @@ def test_adc_trained_recall_vs_exact_l2(spark):
 
     trained = recall(REG["ann_pq_adc_trained_topk"].spark_fn(spark, SF))
     assert trained >= 8, trained   # ~8 sigma above the <1 chance level
+
+
+def test_pq_vs_exact_eval_recall_rows(spark):
+    """The ADC recall audit (VERDICT r7 ask #2): one row per query,
+    n_hit in [0, 10], recall6 is exactly the round-half-up of
+    n_hit/10, and the aggregate recall clears the same tracking gate
+    as test_adc_trained_recall_vs_exact_l2 (chance overlap < 1)."""
+    out = REG["pq_vs_exact_eval"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 5 and list(out.query_id) == [0, 1, 2, 3, 4]
+    assert ((out.n_hit >= 0) & (out.n_hit <= 10)).all()
+    for r in out.itertuples():
+        assert abs(r.recall6 - r.n_hit / 10.0) < 1e-9
+    assert out.n_hit.sum() >= 8, out.n_hit.sum()
+
+
+def test_ivf_vs_exact_eval_probe_sweep(spark):
+    """Probe-depth recall curve: full probe (n_probe = n_lists = 8)
+    must be EXACT (recall 1.0 for every query) and per-query recall
+    must be monotone non-decreasing in n_probe (probed lists nest)."""
+    out = REG["ivf_vs_exact_eval"].spark_fn(spark, SF).toPandas()
+    assert len(out) == 20  # 4 probe depths x 5 queries
+    full = out[out.n_probe == 8]
+    assert (full.n_hit == 5).all() and (full.recall6 == 1.0).all()
+    for q in range(5):
+        seq = out[out.query_id == q].sort_values("n_probe")
+        hits = list(seq.n_hit)
+        assert hits == sorted(hits), (q, hits)
