@@ -1573,21 +1573,16 @@ def _temporal_reach_oracle() -> str:
 def temporal_reachability_copurchase(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
+    odays = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
         (F.unix_micros("o_orderdate") / 86400000000).cast("bigint")
         .alias("d"))
-    dated = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]) \
-        .select(F.col("l_partkey").alias("p"), "o_orderkey", "d")
-    a = dated.select(F.col("p").alias("x"),
-                     F.col("o_orderkey").alias("k1"), "d")
-    b = dated.select(F.col("p").alias("y"),
-                     F.col("o_orderkey").alias("k2"))
-    tedges = (a.join(b, (F.col("k1") == F.col("k2"))
-                     & (F.col("x") != F.col("y")))
-              .groupBy("x", "y").agg(F.min("d").alias("d"))
-              .persist())
-    arr = dated.sparkSession.createDataFrame(
+    # one-scan dated edge build (VERDICT r7 ask #3): the shared
+    # collect_set+explode shape with the order day attached at ORDER
+    # grain after the aggregation, so lineitem is scanned once and
+    # the orders join touches one row per order, not per lineitem
+    tedges = GR.copurchase_pairs(li, "x", "y", attrs=odays).persist()
+    arr = tedges.sparkSession.createDataFrame(
         [(_BFS_SRC, 0)], "node long, arr long")
     for _ in range(_TR_HOPS):
         nxt = (arr.join(tedges, (arr["node"] == tedges["x"])

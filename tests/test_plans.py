@@ -186,6 +186,10 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "chi2_independence_test",      # 1-row grand-total scalar
         "roc_auc_exact",               # 1-row U-statistic x totals
         "ann_dim_truncation_recall",   # 5 broadcast query vectors
+        "pq_vs_exact_eval",            # 5 broadcast query vectors
+                                       # (exact-truth side)
+        "ivf_vs_exact_eval",           # 5 broadcast query vectors
+                                       # (brute-force truth side)
         "percentile_interpolated_per_type",  # 3-row percentile spec
         "isotonic_calibration",        # 20-bin spine self-lattice
         "woe_information_value",       # 1-row class-totals scalar
@@ -437,3 +441,27 @@ def test_round5_exchange_budgets(spark, sf001):
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
         assert n <= budget, (name, n, budget)
+
+
+def test_dated_copurchase_edge_build_is_one_lineitem_scan(spark, sf001):
+    """The r8 replan (VERDICT r7 ask #3): the DATED co-purchase edge
+    list must come from ONE lineitem scan (collect_set + explode with
+    the order day joined at ORDER grain), not the join-era double
+    scan. Two pruned scans total: lineitem (orderkey, partkey) and
+    orders (orderkey, orderdate)."""
+    from big_datatrader_spark.functions import graph as GR
+
+    li = table(spark, sf001, "lineitem").select("l_orderkey",
+                                                "l_partkey")
+    odays = table(spark, sf001, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.unix_micros("o_orderdate") / 86400000000).cast("bigint")
+        .alias("d"))
+    tedges = GR.copurchase_pairs(li, "x", "y", attrs=odays)
+    scans = scan_read_columns(tedges)
+    li_scans = [s for s in scans if "l_partkey" in s]
+    o_scans = [s for s in scans if s not in li_scans]
+    assert len(li_scans) == 1, scans
+    assert set(li_scans[0]) == {"l_orderkey", "l_partkey"}
+    assert len(o_scans) == 1, scans
+    assert tedges.columns == ["x", "y", "d"]
