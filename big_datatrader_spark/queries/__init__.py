@@ -77,6 +77,9 @@ _R8_CHANGED = (
                            # integer-exact assignment, full oracle
     'pq_vs_exact_eval',    # NEW (ask #2): ADC top-k recall vs exact
                            # integer L2^2 truth, full oracle
+    'blocking_quality_metrics_sampled',  # NEW (ask #5): PC/RR on a
+                                         # deterministic md5 50% doc
+                                         # sample, full oracle
 )
 
 _R7_CHANGED = (

@@ -129,6 +129,7 @@ def incremental_dedup_minhash(spark, sf_dir):
         "self-join): bounds the inverted-index join's df(s)^2 blow-up "
         "on boilerplate text — the production-scale guard the uncapped "
         "variant documents",
+    bench=True,
 )
 def dedup_ngram_jaccard_capped(spark, sf_dir):
     return DD.ngram_jaccard_pairs(

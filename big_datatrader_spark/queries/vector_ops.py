@@ -849,6 +849,7 @@ _KNN_K = 5
         "higher-order-function fold measured 7x slower at sf1): one "
         "corpus scan, per-row O(P) work, the only shuffle is the "
         "final label rollup",
+    bench=True,
 )
 def knn_prototype_accuracy(spark, sf_dir):
     import numpy as np
