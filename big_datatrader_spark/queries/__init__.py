@@ -80,6 +80,11 @@ _R8_CHANGED = (
     'blocking_quality_metrics_sampled',  # NEW (ask #5): PC/RR on a
                                          # deterministic md5 50% doc
                                          # sample, full oracle
+    'streaming_offset_source_windowed',  # NEW (ask #7 / "missing
+                                         # #1"): offset-tracked
+                                         # source -> watermarked
+                                         # window agg across 3
+                                         # micro-batches, full oracle
 )
 
 _R7_CHANGED = (

@@ -190,6 +190,58 @@ def run_stream_to_memory(result: DataFrame, spark: SparkSession,
     return spark.table(name)
 
 
+def run_stream_until_count(result: DataFrame, spark: SparkSession,
+                           expected_rows: int, timeout_sec: int = 120,
+                           output_mode: str = "append",
+                           shuffle_partitions: int | None = None
+                           ) -> DataFrame:
+    """Drain a MULTI-BATCH stream (processingTime trigger) into a
+    memory sink until it holds ``expected_rows`` rows, then stop.
+
+    For Python stream sources, Spark's micro-batch wrapper downgrades
+    ``availableNow`` to a single batch (SimpleDataSourceStreamReader
+    has no batch planner), so multi-batch offset progression needs a
+    real processingTime-triggered StreamingQuery. Determinism does not
+    depend on trigger timing: each ``read()`` advances the offset by
+    the source's fixed ``batch`` rows, so batch boundaries — and
+    therefore watermark progression and append-mode emission — are
+    the same on every run. ``expected_rows`` must be derived from the
+    source contract (never from a previous run); on timeout the sink's
+    partial contents are returned and the oracle gate flags the
+    shortfall."""
+    import time
+
+    name = "s" + uuid.uuid4().hex[:12]
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key) if shuffle_partitions is not None \
+        else None
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_sec
+            while time.time() < deadline:
+                if spark.table(name).count() >= expected_rows:
+                    break
+                time.sleep(0.2)
+            q.processAllAvailable()
+            _record_drain_plan(q)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+    return spark.table(name)
+
+
 def run_stream_merge_to_parquet(result: DataFrame, spark: SparkSession,
                                 path: str, key_cols: list[str],
                                 timeout_sec: int = 120) -> DataFrame:

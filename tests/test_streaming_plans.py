@@ -39,6 +39,8 @@ EXCHANGE_BUDGET = {
     "streaming_enriched_rollup": 2,       # dim join + rollup agg
     "streaming_exactly_once_dedup": 1,
     "streaming_hourly_rollup": 1,
+    "streaming_offset_source_windowed": 1,  # tumbling-window agg over
+                                            # the offset-tracked feed
     "streaming_python_datasource": 1,
     "streaming_running_position": 1,      # groupBy before state fold
     "streaming_session_window": 1,
