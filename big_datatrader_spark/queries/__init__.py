@@ -85,6 +85,10 @@ _R8_CHANGED = (
                                          # source -> watermarked
                                          # window agg across 3
                                          # micro-batches, full oracle
+    'hll_exact_register_sketch',  # NEW: md5-register HLL with
+                                  # partial merge, full oracle —
+                                  # pins hll_partial_merge's
+                                  # mechanism hash-exact
 )
 
 _R7_CHANGED = (

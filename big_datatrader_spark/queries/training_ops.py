@@ -1907,6 +1907,124 @@ def hll_partial_merge(spark, sf_dir):
     )
 
 
+# Hash-exact HLL companion: hll_partial_merge stays rows-only because
+# DataSketches binaries have no DuckDB twin, so this query pins the
+# SAME mechanism — register sketches, partial merge by max, harmonic
+# estimate — with everything derived from the shared 60-bit md5 both
+# engines compute bit-identically (the ivf/pq_vs_exact_eval pattern:
+# every approximate op gets a hash-exact companion).
+
+_HLL_P = 8                       # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 60 - _HLL_P         # 52-bit register payload
+# alpha_m * m^2 * 2^(WBITS+1), precomputed ONCE here and embedded as
+# the same literal in both engines (the _RBO_W convention): the
+# estimate is then a single double division of two exact integers
+_HLL_A = round(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+               * (1 << (_HLL_WBITS + 1)))
+
+
+@query(
+    "hll_exact_register_sketch",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events),
+    reg AS (
+      SELECT event_type, h % {_HLL_M} AS j,
+             CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M}))
+             END AS rho
+      FROM ev),
+    merged AS (
+      SELECT event_type, j, CAST(max(rho) AS BIGINT) AS r
+      FROM reg GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nonzero_regs,
+             CAST(sum(CAST(1 AS BIGINT) << ({_HLL_WBITS + 1} - r))
+                  + ({_HLL_M} - count(*))
+                    * (CAST(1 AS BIGINT) << {_HLL_WBITS + 1})
+                  AS BIGINT) AS s_scaled
+      FROM merged GROUP BY 1),
+    ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT s.event_type, ex.n_exact, s.nonzero_regs, s.s_scaled,
+           CASE WHEN s.nonzero_regs < {_HLL_M}
+                 AND CAST({_HLL_A} AS DOUBLE)
+                     / CAST(s.s_scaled AS DOUBLE) <= {2.5 * _HLL_M}
+                THEN ROUND({_HLL_M} * ln({_HLL_M}.0
+                           / ({_HLL_M} - s.nonzero_regs)), 2)
+                ELSE ROUND(CAST({_HLL_A} AS DOUBLE)
+                           / CAST(s.s_scaled AS DOUBLE), 2)
+           END AS hll_est2
+    FROM s JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+    doc=f"HyperLogLog with fully deterministic cross-engine registers "
+        f"(p={_HLL_P}, m={_HLL_M}): the shared 60-bit md5 of user_id "
+        f"splits into register index (low {_HLL_P} bits) and a "
+        f"{_HLL_WBITS}-bit payload whose leading-zero rank rho comes "
+        "from length(bin(w)) — exact integer arithmetic, no floats. "
+        "The Spark side builds per-(day, event_type) PARTIAL register "
+        "vectors and max-merges them upward (the mergeability that "
+        "makes 100 TB pre-agg cubes cheap); the oracle computes "
+        "registers directly, so the hash match IS the proof that "
+        "partial-merge == direct (max associativity), value-exact. "
+        "The raw-HLL estimate alpha*m^2/sum(2^-M_j) is carried as an "
+        "exact BIGINT S = sum(2^(53-M_j)) plus one double division by "
+        "the embedded alpha literal; the standard small-range "
+        "(linear-counting) branch m*ln(m/V) fires on exact-integer "
+        "conditions, with ln at 2dp rounding per the doc_perplexity "
+        "1e-4 precedent. n_exact sits beside the estimate so the "
+        "record shows the sketch error directly (within ~5% here)",
+)
+def hll_exact_register_sketch(spark, sf_dir):
+    from ..functions.dedup import h60
+
+    ev = table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        h60(F.col("user_id").cast("string")).alias("h"))
+    w = F.expr(f"h DIV {_HLL_M}")
+    reg = hashed.select(
+        "event_type", "day", (F.col("h") % _HLL_M).alias("j"),
+        F.when(w == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin(w)))
+        .cast("long").alias("rho"))
+    partials = (reg.groupBy("event_type", "day", "j")
+                .agg(F.max("rho").alias("r")))
+    merged = (partials.groupBy("event_type", "j")
+              .agg(F.max("r").cast("long").alias("r")))
+    s = (merged.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("nonzero_regs"),
+              (F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST({_HLL_WBITS + 1} - r AS INT))"))
+               + (F.lit(_HLL_M) - F.count(F.lit(1)))
+               * F.lit(1 << (_HLL_WBITS + 1)))
+              .cast("long").alias("s_scaled")))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").cast("long")
+               .alias("n_exact")))
+    raw = F.lit(float(_HLL_A)) / F.col("s_scaled").cast("double")
+    zeros = F.lit(_HLL_M) - F.col("nonzero_regs")
+    # HLL's standard small-range (linear counting) branch: condition
+    # on exact ints + one raw-double compare, identical both engines;
+    # ln at 2dp rounding follows the doc_perplexity 1e-4 precedent
+    est = F.when(
+        (F.col("nonzero_regs") < _HLL_M) & (raw <= 2.5 * _HLL_M),
+        F.round(F.lit(_HLL_M)
+                * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+                2)).otherwise(F.round(raw, 2))
+    return (s.join(ex, "event_type")
+            .select("event_type", "n_exact", "nonzero_regs", "s_scaled",
+                    est.alias("hll_est2"))
+            .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # Bigram-LM perplexity filter (the CCNet-style LM quality score)
 
