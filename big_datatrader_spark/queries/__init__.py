@@ -89,6 +89,9 @@ _R8_CHANGED = (
                                   # partial merge, full oracle —
                                   # pins hll_partial_merge's
                                   # mechanism hash-exact
+    'bloom_exact_membership',  # NEW: size-from-n Bloom filter with
+                               # exact FP audit — completes the
+                               # mergeable-sketch trio
 )
 
 _R7_CHANGED = (

@@ -1536,6 +1536,117 @@ def cms_heavy_hitters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter, exactly: completes the mergeable-sketch trio (HLL =
+# distinct, CMS = frequency, Bloom = membership). Positions are
+# md5-derived, so the filter CONTENT is deterministic and the
+# false-positive set — normally the textbook's probabilistic
+# hand-wave — is a concrete, oracle-checked relation.
+
+_BF_BPK, _BF_K = 10, 3  # ~10 bits per key, 3 hash rows: the filter is
+                        # sized FROM the member count (m = 10n+1), so
+                        # the load factor — and therefore the FPR this
+                        # query measures — is scale-invariant
+
+
+@query(
+    "bloom_exact_membership",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    members AS (SELECT user_id FROM users WHERE user_id % 3 = 0),
+    msz AS (SELECT CAST({_BF_BPK} * count(*) + 1 AS BIGINT) AS m
+            FROM members),
+    rs AS (SELECT unnest([0, 1, 2]) AS r),
+    setpos AS (
+      SELECT DISTINCT
+             {_h60_sql("'bf' || CAST(rs.r AS VARCHAR) || ':' "
+                       "|| CAST(members.user_id AS VARCHAR)")}
+                 % msz.m AS pos
+      FROM members, rs, msz),
+    cand AS (
+      SELECT users.user_id, rs.r,
+             {_h60_sql("'bf' || CAST(rs.r AS VARCHAR) || ':' "
+                       "|| CAST(users.user_id AS VARCHAR)")}
+                 % msz.m AS pos
+      FROM users, rs, msz),
+    passed AS (
+      SELECT c.user_id FROM cand c
+      WHERE EXISTS (SELECT 1 FROM setpos s WHERE s.pos = c.pos)
+      GROUP BY 1 HAVING count(*) = {_BF_K}),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_keys,
+             (SELECT CAST(count(*) AS BIGINT) FROM setpos)
+                 AS n_set_bits,
+             (SELECT CAST(count(*) AS BIGINT) FROM users)
+                 - (SELECT CAST(count(*) AS BIGINT) FROM members)
+                 AS n_nonmembers,
+             (SELECT CAST(count(*) AS BIGINT) FROM passed)
+                 AS n_passed)
+    SELECT n_keys, n_set_bits, n_nonmembers,
+           n_passed - n_keys AS n_false_positives,
+           CAST((2 * (n_passed - n_keys) * 1000000 + n_nonmembers)
+                // (2 * n_nonmembers) AS DOUBLE) / 1000000.0
+               AS fpr6
+    FROM m
+    """,
+    doc=f"Bloom membership filter sized at {_BF_BPK} bits/key "
+        f"(m = {_BF_BPK}n+1, k={_BF_K} md5 hash rows) built over the "
+        "user_id%3==0 member set and probed with every distinct user: "
+        "a candidate passes iff all k of its positions are set. "
+        "Everything is exact integers — the set-bit positions, the "
+        "guaranteed-zero false-negative property (n_passed always "
+        ">= n_keys, asserted by the oracle hash itself), and the "
+        "measured false-positive count the textbook only bounds in "
+        "expectation. Sizing from the key count keeps the load factor "
+        "— and the FPR under audit — scale-invariant (~26% load, "
+        "~1.5% FPR at every SF). Mergeable: the filter is a distinct "
+        "position set (equivalently bit_or of words), so per-partition "
+        "partials union losslessly — the runtime-filter pattern "
+        "runtime_filter_semi_join applies at join time, here with its "
+        "FPR audited. Scale: the filter is n-keys-sized bits and "
+        "broadcast; candidates probe map-side; at 100 TB the only "
+        "tuning is bits per key, and this query is the measurement",
+)
+def bloom_exact_membership(spark, sf_dir):
+    from .analytics import _int_ratio_round6
+
+    ev = table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    members = users.filter(F.col("user_id") % 3 == 0)
+    msz = members.agg((F.lit(_BF_BPK) * F.count(F.lit(1)) + 1)
+                      .cast("long").alias("m"))
+    rs = F.explode(F.array(*[F.lit(r) for r in range(_BF_K)])).alias("r")
+    pos = h60(F.concat(F.lit("bf"), F.col("r").cast("string"),
+                       F.lit(":"), F.col("user_id").cast("string"))
+              ) % F.col("m")
+    setpos = (members.crossJoin(F.broadcast(msz))
+              .select(rs, "user_id", "m")
+              .select(pos.alias("pos")).distinct())
+    cand = (users.crossJoin(F.broadcast(msz))
+            .select(rs, "user_id", "m")
+            .select("user_id", pos.alias("pos")))
+    passed = (cand.join(F.broadcast(setpos), "pos")
+              .groupBy("user_id").agg(F.count(F.lit(1)).alias("nh"))
+              .filter(F.col("nh") == _BF_K))
+    n_keys = members.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_bits = setpos.agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_set_bits"))
+    n_users = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    n_passed = passed.agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_passed"))
+    m = (n_keys.crossJoin(F.broadcast(n_bits))
+         .crossJoin(F.broadcast(n_users))
+         .crossJoin(F.broadcast(n_passed)))
+    return m.select(
+        "n_keys", "n_set_bits",
+        (F.col("n_users") - F.col("n_keys")).alias("n_nonmembers"),
+        (F.col("n_passed") - F.col("n_keys"))
+        .alias("n_false_positives"),
+        _int_ratio_round6(F.col("n_passed") - F.col("n_keys"),
+                          F.col("n_users") - F.col("n_keys"))
+        .alias("fpr6"))
+
+
+# ---------------------------------------------------------------------------
 # Closed-form OLS trend per user: distributed linear regression as
 # pure aggregates (the normal-equations path — no UDF, one shuffle)
 

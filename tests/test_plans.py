@@ -214,6 +214,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
         "decision_split_information_gain",  # 1-row bin-totals scalar
         "blocking_quality_metrics",    # four 1-row metric scalars
+        "blocking_quality_metrics_sampled",  # same four scalars
+        "bloom_exact_membership",      # four 1-row count scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
