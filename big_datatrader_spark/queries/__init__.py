@@ -92,6 +92,11 @@ _R8_CHANGED = (
     'bloom_exact_membership',  # NEW: size-from-n Bloom filter with
                                # exact FP audit — completes the
                                # mergeable-sketch trio
+    'link_prediction_common_neighbors',  # NEW: RA/common-neighbor
+                                         # non-edge scoring (wedge
+                                         # join), full oracle
+    'gnn_feature_propagation',  # NEW: 2-round GraphSAGE-mean integer
+                                # feature smoothing, full oracle
 )
 
 _R7_CHANGED = (

@@ -4168,3 +4168,172 @@ def churn_label_generation(spark, sf_dir):
                  F.max(F.when(churn, F.col("event_id"))).cast("bigint")
                  .alias("last_churn_event_id"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the co-purchase graph: score NON-edges by
+# shared-neighbor structure (common-neighbor count + Resource
+# Allocation index, Zhou et al. 2009). Distinct from
+# item_item_similarity, which ranks pairs that already co-occur:
+# here the candidates are 2-hop pairs with the direct edge REMOVED —
+# the "which products will be bought together next" shape that feeds
+# recommender candidate generation.
+
+_LNK_RA_SCALE = 1_000_000_000_000  # 1/deg in 1e-12 floor-div units
+_LNK_TOPK = 100
+
+
+@query(
+    "link_prediction_common_neighbors",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    cand AS (
+      SELECT e1.dst AS u, e2.dst AS v,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum({_LNK_RA_SCALE} // d.deg) AS BIGINT) AS ra_score
+      FROM edges e1
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN deg d ON d.src = e1.src
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT c.* FROM cand c
+      ANTI JOIN edges e ON e.src = c.u AND e.dst = c.v)
+    SELECT u AS part_u, v AS part_v, n_common, ra_score
+    FROM pred ORDER BY ra_score DESC, part_u, part_v
+    LIMIT {_LNK_TOPK}
+    """,
+    doc=f"link prediction on the part co-purchase graph: for every "
+        "2-hop pair that is NOT an edge, the common-neighbor count "
+        "and the Resource Allocation index sum(1/deg(w)) over shared "
+        f"neighbors w — RA in exact {_LNK_RA_SCALE:.0e}-unit floor-div "
+        "BIGINTs (1e12 DIV deg on both engines), so the top-"
+        f"{_LNK_TOPK} ranking can never flip on fp summation. "
+        "Candidate generation is the wedge join (edges though a "
+        "shared midpoint), cost sum(deg^2) — linear in nodes here "
+        "since co-purchase degree is basket-bounded, and on power-law "
+        "graphs the standard hub-cap valve (drop midpoints with "
+        "deg > cap, whose RA weight is ~0 anyway) bounds it exactly "
+        "like dedup_ngram_jaccard_capped's df cutoff. Existing edges "
+        "leave via a broadcast-able anti-join; everything shuffles on "
+        "node keys only",
+)
+def link_prediction_common_neighbors(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = (edges.join(deg, "src")
+          .select(F.col("src").alias("w"), F.col("dst").alias("u"),
+                  "deg"))
+    e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cand = (e1.join(e2, "w")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+                 F.sum(F.expr(f"{_LNK_RA_SCALE} DIV deg"))
+                 .cast("long").alias("ra_score")))
+    pred = cand.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"], "left_anti")
+    return (pred.orderBy(F.desc("ra_score"), "u", "v")
+            .limit(_LNK_TOPK)
+            .select(F.col("u").alias("part_u"),
+                    F.col("v").alias("part_v"),
+                    "n_common", "ra_score"))
+
+
+# ---------------------------------------------------------------------------
+# GNN-style feature propagation: K rounds of self-inclusive mean
+# aggregation of a node attribute over the co-purchase graph — the
+# message-passing primitive behind GraphSAGE-mean / LightGCN feature
+# smoothing, and the standard way to precompute graph features for a
+# downstream trainer without running a GNN online.
+
+_GNN_ROUNDS = 2
+
+
+def _gnn_oracle() -> str:
+    prelude = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    f0 AS MATERIALIZED (
+      SELECT src AS node,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS h
+      FROM (SELECT DISTINCT src FROM edges) n
+      JOIN part ON p_partkey = n.src)"""
+    steps = []
+    for i in range(1, _GNN_ROUNDS + 1):
+        steps.append(f"""
+    f{i} AS MATERIALIZED (
+      SELECT c.node,
+             CAST((c.h + sum(fn.h)) // (1 + count(*)) AS BIGINT) AS h
+      FROM edges e
+      JOIN f{i - 1} c ON c.node = e.src
+      JOIN f{i - 1} fn ON fn.node = e.dst
+      GROUP BY c.node, c.h)""")
+    cols = ", ".join(f"f{i}.h AS feat{i}"
+                     for i in range(_GNN_ROUNDS + 1))
+    joins = " ".join(f"JOIN f{i} ON f{i}.node = f0.node"
+                     for i in range(1, _GNN_ROUNDS + 1))
+    return (prelude + "," + ",".join(steps) + f"""
+    SELECT f0.node AS part_key, {cols}
+    FROM f0 {joins} ORDER BY part_key
+    """)
+
+
+@query(
+    "gnn_feature_propagation",
+    oracle=_gnn_oracle(),
+    doc=f"{_GNN_ROUNDS}-round GraphSAGE-mean feature propagation over "
+        "the part co-purchase graph: feat0 is the part's retail price "
+        "in exact cents, each round replaces every node's value with "
+        "the floor-mean of itself and its neighbors — (h + sum "
+        "neighbor h) DIV (1 + deg), all BIGINT, so the smoothed "
+        "features are bit-identical on any engine or partition "
+        "layout. Per round: one edges-to-features join + one "
+        "groupBy(node) — the PageRank cost model (features stay "
+        "node-sized, only edges are big, everything hash-partitions "
+        "on node); the edge list is persisted once (functions/"
+        "graph.py one-scan build) and reused by every round. The "
+        "output carries every round's value per node so the driver "
+        "hash pins each propagation step, not just the last",
+)
+def gnn_feature_propagation(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("h"))
+    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    feats = [nodes.join(part, nodes["node"] == part["p_partkey"])
+             .select("node", "h")]
+    for _ in range(_GNN_ROUNDS):
+        cur = feats[-1]
+        feats.append(
+            edges
+            .join(cur.withColumnRenamed("node", "src"), "src")
+            .join(cur.select(F.col("node").alias("dst"),
+                             F.col("h").alias("nh")), "dst")
+            .groupBy(F.col("src").alias("node"), "h")
+            .agg(F.sum("nh").alias("s"),
+                 F.count(F.lit(1)).alias("c"))
+            .select("node",
+                    F.expr("(h + s) DIV (1 + c)").cast("bigint")
+                    .alias("h")))
+    out = feats[0].select("node", F.col("h").alias("feat0"))
+    for i in range(1, _GNN_ROUNDS + 1):
+        out = out.join(
+            feats[i].select("node", F.col("h").alias(f"feat{i}")),
+            "node")
+    return (out.select(F.col("node").alias("part_key"),
+                       *[f"feat{i}" for i in range(_GNN_ROUNDS + 1)])
+            .orderBy("part_key"))
