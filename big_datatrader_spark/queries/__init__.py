@@ -97,6 +97,12 @@ _R8_CHANGED = (
                                          # join), full oracle
     'gnn_feature_propagation',  # NEW: 2-round GraphSAGE-mean integer
                                 # feature smoothing, full oracle
+    'universe_sample_join',  # NEW: key-universe sampling closed
+                             # under joins (BlinkDB/Quickr shape),
+                             # scan-local hash predicate, full oracle
+    'kmeans_lloyd_refinement',  # NEW: 2-iteration integer Lloyd's
+                                # k-means (assign + floor-mean
+                                # update), full unrolled-CTE oracle
 )
 
 _R7_CHANGED = (

@@ -1597,3 +1597,124 @@ def temporal_reachability_copurchase(spark, sf_dir):
             .select(F.col("node").alias("part_key"),
                     F.col("arr").alias("arrival_day"))
             .orderBy("part_key"))
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means, multiple refinement iterations (not just the
+# assignment step embedding_kmeans_assign pins): init from the
+# lowest vec_ids, then ITERS rounds of exact-integer assign ->
+# floor-mean centroid update, then a final assignment whose per-
+# cluster sizes, objective, and first centroid component the driver
+# hash pins. The canonical distributed-ML loop: per round one
+# broadcast join (centroids are k*dim rows) + two node-sized
+# aggregations, never an all-pairs anything.
+
+_KML_ITERS = 2  # centroid refinement rounds after init
+
+
+def _kml_oracle() -> str:
+    prelude = f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
+                 AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    c0 AS (SELECT vec_id AS cid, i, q AS cq FROM iv
+           WHERE vec_id < {_KM_K})"""
+    steps = []
+    for t in range(1, _KML_ITERS + 1):
+        steps.append(f"""
+    d{t} AS (SELECT iv.vec_id, c.cid,
+                    CAST(sum((iv.q - c.cq) * (iv.q - c.cq))
+                         AS BIGINT) AS dist
+             FROM iv JOIN c{t - 1} c USING (i) GROUP BY 1, 2),
+    a{t} AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d{t}) WHERE rn = 1),
+    c{t} AS MATERIALIZED (
+      SELECT a.cid, iv.i,
+             CAST(sum(iv.q) // count(*) AS BIGINT) AS cq
+      FROM a{t} a JOIN iv ON iv.vec_id = a.vec_id
+      GROUP BY 1, 2)""")
+    t = _KML_ITERS
+    return (prelude + "," + ",".join(steps) + f""",
+    df AS (SELECT iv.vec_id, c.cid,
+                  CAST(sum((iv.q - c.cq) * (iv.q - c.cq))
+                       AS BIGINT) AS dist
+           FROM iv JOIN c{t} c USING (i) GROUP BY 1, 2),
+    af AS (SELECT vec_id, cid, dist FROM (
+             SELECT vec_id, cid, dist, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM df) WHERE rn = 1)
+    SELECT af.cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(af.dist // {_KM_SCALE}) AS BIGINT)
+               AS sum_sq_dist_u,
+           CAST(min(cf.cq) AS BIGINT) AS centroid_dim1_q
+    FROM af JOIN (SELECT cid, cq FROM c{t} WHERE i = 1) cf
+      ON cf.cid = af.cid
+    GROUP BY 1 ORDER BY 1
+    """)
+
+
+@query(
+    "kmeans_lloyd_refinement",
+    oracle=_kml_oracle(),
+    doc=f"Lloyd's k-means with {_KML_ITERS} refinement iterations "
+        f"(k={_KM_K}, init = lowest vec_ids): components quantized to "
+        "1e-6-unit BIGINTs, assignment by exact integer squared L2 "
+        "(ties to the lower centroid id), centroid update as the "
+        "per-dimension floor-mean sum(q) DIV count — every iterate "
+        "is bit-identical on any engine or partition layout, which "
+        "plain fp k-means never is. Output pins the final per-"
+        "cluster size, the floor-scaled objective, and the first "
+        "centroid component. At scale: centroids are k*dim rows "
+        "(broadcast); each round is one narrow join on the exploded "
+        "(row, dim) relation plus a groupBy(vec) argmin and a "
+        "groupBy(cid, dim) mean — shuffles carry (vec, cid, dist) "
+        "triples, never vectors; the exploded input is persisted "
+        f"once and reused by all {_KML_ITERS + 1} joins",
+)
+def kmeans_lloyd_refinement(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    iv = (emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("p", "e"))
+        .select("vec_id", (F.col("p") + 1).alias("i"),
+                F.round(F.col("e").cast("double") * _KM_SCALE)
+                .cast("bigint").alias("q"))
+        .persist())
+    c = (iv.filter(F.col("vec_id") < _KM_K)
+         .select(F.col("vec_id").alias("cid"), "i",
+                 F.col("q").alias("cq")))
+
+    def assign(cent):
+        d = (iv.join(F.broadcast(cent), "i")
+             .groupBy("vec_id", "cid")
+             .agg(F.sum((F.col("q") - F.col("cq"))
+                        * (F.col("q") - F.col("cq"))).alias("dist")))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (d.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cid", "dist"))
+
+    for _ in range(_KML_ITERS):
+        a = assign(c)
+        c = (a.join(iv, "vec_id")
+             .groupBy("cid", "i")
+             .agg(F.expr("sum(q) DIV count(1)").cast("bigint")
+                  .alias("cq")))
+    af = assign(c)
+    cf = (c.filter(F.col("i") == 1)
+          .select("cid", F.col("cq").alias("centroid_dim1_q")))
+    return (af.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                 F.sum(F.expr(f"dist DIV {_KM_SCALE}")).cast("long")
+                 .alias("sum_sq_dist_u"))
+            .join(F.broadcast(cf), "cid")
+            .select(F.col("cid").alias("cluster"), "n_vectors",
+                    "sum_sq_dist_u", "centroid_dim1_q")
+            .orderBy("cluster"))

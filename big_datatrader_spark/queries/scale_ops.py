@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions.dedup import h60
 from ..sources.parquet_source import table
 from . import query
 
@@ -208,3 +209,86 @@ def curriculum_interleave(spark, sf_dir):
         .orderBy("slot")
         .limit(_CURR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Universe sampling: sample the JOIN KEY's hash universe, not rows.
+# Sampling each table independently at p keeps only ~p^2 of join
+# output and biases every per-entity statistic; hashing the shared
+# key keeps the sample CLOSED under joins — a sampled customer
+# arrives with its complete order and lineitem history. BlinkDB
+# (Agarwal et al., EuroSys 2013) and Quickr (Kandula et al., SIGMOD
+# 2016) call this universe/distinct sampling; it is the only sampling
+# strategy that survives multi-table pipelines.
+
+_UNI_MOD = 100   # hash buckets
+_UNI_PCT = 10    # keep buckets [0, 10) -> 10% of the key universe
+
+
+def _uni_sql(key: str) -> str:
+    return (f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))"
+            f" AS BIGINT) % {_UNI_MOD} < {_UNI_PCT}")
+
+
+@query(
+    "universe_sample_join",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE {_uni_sql('c_custkey')}),
+    o AS (SELECT o_orderkey, o_custkey FROM orders
+          WHERE {_uni_sql('o_custkey')}),
+    l AS (SELECT l_orderkey,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     AS rev_cp
+          FROM lineitem)
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(rev_cp) AS BIGINT) AS revenue_cp,
+           CAST(sum(rev_cp) * {_UNI_MOD // _UNI_PCT} AS BIGINT)
+               AS est_total_revenue_cp
+    FROM c JOIN o ON o_custkey = c_custkey
+    JOIN l ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"universe sampling closed under joins: keep the "
+        f"{_UNI_PCT}% of CUSTOMERS whose 60-bit md5 key-hash lands in "
+        f"the low buckets, then take their COMPLETE order/lineitem "
+        "history. The same hash predicate applies independently to "
+        "customer.c_custkey and orders.o_custkey — a scan-local "
+        "filter on each table, NO join needed to decide membership — "
+        "so at 100 TB every fact scan drops to ~10% before the first "
+        "exchange, and per-customer statistics on the sample are "
+        "unbiased (independent row sampling at 10% would keep ~1% of "
+        "customer-order pairs and break every per-entity metric). "
+        "Lineitem carries no custkey, so it joins the sampled orders; "
+        "revenue in exact cent-percent BIGINT units with the 10x "
+        "universe scale-up as a second exact column",
+)
+def universe_sample_join(spark, sf_dir):
+    keep = lambda c: (h60(c.cast("string")) % _UNI_MOD) < _UNI_PCT
+    cust = (table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .filter(keep(F.col("c_custkey"))))
+    ords = (table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey")
+            .filter(keep(F.col("o_custkey"))))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
+        .alias("rev_cp"))
+    joined = (cust.join(ords, cust["c_custkey"] == ords["o_custkey"])
+              .join(li, F.col("l_orderkey") == F.col("o_orderkey")))
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_custkey").cast("long")
+                 .alias("n_customers"),
+                 F.countDistinct("o_orderkey").cast("long")
+                 .alias("n_orders"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.sum("rev_cp").cast("long").alias("revenue_cp"),
+                 (F.sum("rev_cp") * (_UNI_MOD // _UNI_PCT))
+                 .cast("long").alias("est_total_revenue_cp"))
+            .orderBy("c_mktsegment"))
