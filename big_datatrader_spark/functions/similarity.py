@@ -28,6 +28,33 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# Shared exact-integer quantization of the embeddings table: one scale
+# and ONE (vec_id, i, q) construction for every query that needs exact
+# BIGINT distances (kmeans assign/refine, the IVF recall audit), so
+# the quantization convention (1e-6 units, half-away rounding, 1-based
+# dim index) can never drift between a Spark plan and its oracle.
+QUANT_SCALE = 1_000_000
+
+# DuckDB twin: drop into an oracle as `iv AS ({QUANT_IV_SQL})`.
+QUANT_IV_SQL = f"""
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(e AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+                 AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)"""
+
+
+def quantized_components(emb: DataFrame) -> DataFrame:
+    """(vec_id, i, q) rows: 1-based dimension index, component in
+    exact QUANT_SCALE units (BIGINT)."""
+    return (emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("p", "e"))
+        .select("vec_id", (F.col("p") + 1).alias("i"),
+                F.round(F.col("e").cast("double") * QUANT_SCALE)
+                .cast("bigint").alias("q")))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)

@@ -80,6 +80,9 @@ _R8_CHANGED = (
     'blocking_quality_metrics_sampled',  # NEW (ask #5): PC/RR on a
                                          # deterministic md5 50% doc
                                          # sample, full oracle
+    'blocking_quality_metrics',  # body refactored into the shared
+                                 # _blocking_metrics helper this
+                                 # round — needs fresh evidence
     'streaming_offset_source_windowed',  # NEW (ask #7 / "missing
                                          # #1"): offset-tracked
                                          # source -> watermarked

@@ -20,6 +20,7 @@ from ..functions import dedup as DD
 from ..functions import text as TX
 from ..functions.dedup import h60
 from ..functions import graph as GR
+from ..functions import similarity as SIM
 from ..sources.parquet_source import table
 from . import query
 from .llm_dedup import (BANDS, NUM_HASHES, _SHINGLES, _band_struct_sql,
@@ -504,19 +505,13 @@ def triangle_count_copurchase(spark, sf_dir):
 # Exact k-means assignment over embeddings (integer-scaled distances)
 
 _KM_K = 8
-_KM_SCALE = 1_000_000  # 1e-6-unit components -> exact BIGINT L2^2
+_KM_SCALE = SIM.QUANT_SCALE  # 1e-6 units -> exact BIGINT L2^2
 
 
 @query(
     "embedding_kmeans_assign",
     oracle=f"""
-    WITH iv AS (
-      SELECT vec_id, i,
-             CAST(ROUND(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
-                 AS q
-      FROM (SELECT vec_id, unnest(embedding) AS e,
-                   unnest(generate_series(1, len(embedding))) AS i
-            FROM embeddings)),
+    WITH iv AS ({SIM.QUANT_IV_SQL}),
     cv AS (SELECT vec_id AS cid, i, q AS cq FROM iv
            WHERE vec_id < {_KM_K}),
     d AS (SELECT iv.vec_id, cv.cid,
@@ -546,14 +541,7 @@ _KM_SCALE = 1_000_000  # 1e-6-unit components -> exact BIGINT L2^2
         "UPDATE step of this shape fits IVF (functions/similarity)",
 )
 def embedding_kmeans_assign(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
-    iv = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("p", "e")
-    ).select(
-        "vec_id", (F.col("p") + 1).alias("i"),
-        F.round(F.col("e").cast("double") * _KM_SCALE).cast("bigint")
-        .alias("q"))
+    iv = SIM.quantized_components(table(spark, sf_dir, "embeddings"))
     cv = (iv.filter(F.col("vec_id") < _KM_K)
           .select(F.col("vec_id").alias("cid"), "i",
                   F.col("q").alias("cq")))
@@ -1614,13 +1602,7 @@ _KML_ITERS = 2  # centroid refinement rounds after init
 
 def _kml_oracle() -> str:
     prelude = f"""
-    WITH iv AS MATERIALIZED (
-      SELECT vec_id, i,
-             CAST(ROUND(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
-                 AS q
-      FROM (SELECT vec_id, unnest(embedding) AS e,
-                   unnest(generate_series(1, len(embedding))) AS i
-            FROM embeddings)),
+    WITH iv AS MATERIALIZED ({SIM.QUANT_IV_SQL}),
     c0 AS (SELECT vec_id AS cid, i, q AS cq FROM iv
            WHERE vec_id < {_KM_K})"""
     steps = []
@@ -1679,14 +1661,8 @@ def _kml_oracle() -> str:
         f"once and reused by all {_KML_ITERS + 1} joins",
 )
 def kmeans_lloyd_refinement(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
-    iv = (emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("p", "e"))
-        .select("vec_id", (F.col("p") + 1).alias("i"),
-                F.round(F.col("e").cast("double") * _KM_SCALE)
-                .cast("bigint").alias("q"))
-        .persist())
+    iv = SIM.quantized_components(
+        table(spark, sf_dir, "embeddings")).persist()
     c = (iv.filter(F.col("vec_id") < _KM_K)
          .select(F.col("vec_id").alias("cid"), "i",
                  F.col("q").alias("cq")))

@@ -506,8 +506,7 @@ def _blocking_metrics(docs):
 # deterministic 50% doc sample: 60-bit md5 of the doc id, mod 4 < 2 —
 # both engines compute the identical predicate, so the sample (and
 # therefore the metric relation) is hash-exact
-_SAMPLE_PRED_SQL = ("(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR))"
-                    ", 1, 15) AS BIGINT) % 4) < 2")
+_SAMPLE_PRED_SQL = f"({_h60('CAST(doc_id AS VARCHAR)')} % 4) < 2"
 
 
 @query(

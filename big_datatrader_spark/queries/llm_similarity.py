@@ -86,18 +86,12 @@ def ann_ivf_topk(spark, sf_dir):
 
 _IVF_LISTS = 8        # inverted lists (centroids = lowest vec_ids)
 _IVF_PROBES = (1, 2, 4, 8)
-_IVF_SCALE = 1_000_000
 
 
 @query(
     "ivf_vs_exact_eval",
     oracle=f"""
-    WITH iv AS MATERIALIZED (
-      SELECT vec_id, i,
-             CAST(ROUND(CAST(e AS DOUBLE) * {_IVF_SCALE}) AS BIGINT) AS q
-      FROM (SELECT vec_id, unnest(embedding) AS e,
-                   unnest(generate_series(1, len(embedding))) AS i
-            FROM embeddings)),
+    WITH iv AS MATERIALIZED ({SIM.QUANT_IV_SQL}),
     cv AS (SELECT vec_id AS cid, i, q AS cq FROM iv
            WHERE vec_id < {_IVF_LISTS}),
     dist AS MATERIALIZED (

@@ -35,6 +35,7 @@ from pyspark.sql import Window, functions as F
 from ..functions.dedup import h60
 from ..sources.parquet_source import table
 from . import query
+from .training_ops import _h60_sql
 
 _RF_BUCKETS = 4096   # runtime-filter bitmap width
 _SALT_N = 8          # join-salt fan-out
@@ -226,8 +227,8 @@ _UNI_PCT = 10    # keep buckets [0, 10) -> 10% of the key universe
 
 
 def _uni_sql(key: str) -> str:
-    return (f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))"
-            f" AS BIGINT) % {_UNI_MOD} < {_UNI_PCT}")
+    return (f"{_h60_sql(f'CAST({key} AS VARCHAR)')}"
+            f" % {_UNI_MOD} < {_UNI_PCT}")
 
 
 @query(

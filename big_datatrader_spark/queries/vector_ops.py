@@ -33,10 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions.similarity import QUANT_SCALE
 from ..sources.parquet_source import table
 from . import query
 
-_SCALE = 1_000_000  # 1e-6-unit components -> exact BIGINT arithmetic
+_SCALE = QUANT_SCALE  # 1e-6 units -> exact BIGINT arithmetic
 
 # --- SemDeDup parameters ---------------------------------------------------
 _SD_K = 8            # coarse clusters (centroids = lowest vec_ids)
