@@ -4314,11 +4314,15 @@ def gnn_feature_propagation(spark, sf_dir):
         .alias("h"))
     edges = GR.copurchase_pairs(li, "src", "dst").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    # every intermediate feature frame is consumed TWICE (by the next
+    # round and by the output join), so persist each — node-sized
+    # caches, the HITS/PageRank discipline — or the final 3-way join
+    # re-derives the whole propagation chain per branch
     feats = [nodes.join(part, nodes["node"] == part["p_partkey"])
-             .select("node", "h")]
-    for _ in range(_GNN_ROUNDS):
+             .select("node", "h").persist()]
+    for r in range(_GNN_ROUNDS):
         cur = feats[-1]
-        feats.append(
+        nxt = (
             edges
             .join(cur.withColumnRenamed("node", "src"), "src")
             .join(cur.select(F.col("node").alias("dst"),
@@ -4329,6 +4333,7 @@ def gnn_feature_propagation(spark, sf_dir):
             .select("node",
                     F.expr("(h + s) DIV (1 + c)").cast("bigint")
                     .alias("h")))
+        feats.append(nxt.persist() if r < _GNN_ROUNDS - 1 else nxt)
     out = feats[0].select("node", F.col("h").alias("feat0"))
     for i in range(1, _GNN_ROUNDS + 1):
         out = out.join(

@@ -467,3 +467,43 @@ def test_dated_copurchase_edge_build_is_one_lineitem_scan(spark, sf001):
     assert set(li_scans[0]) == {"l_orderkey", "l_partkey"}
     assert len(o_scans) == 1, scans
     assert tedges.columns == ["x", "y", "d"]
+
+
+def test_round8_exchange_budgets(spark, sf001):
+    """Round-8 additions pinned: link prediction is one wedge join +
+    one (u,v) agg + anti-join + top-k over the shared persisted edge
+    list; GNN propagation pays per-round node-sized join/agg
+    exchanges (intermediate feature frames persisted, so the final
+    assembly join does NOT re-derive the propagation chain);
+    universe sampling is three pruned scans with the hash predicate
+    scan-local (its whole point) and only the join/agg exchanges;
+    k-means refinement re-plans the full iterate chain per round
+    (iv persisted; centroids are broadcast k*dim relations).
+
+    Cache state from other tests changes these counts (the
+    CacheManager swaps matching subtrees for InMemoryTableScans,
+    which re-partition), so measure from a clean cache."""
+    spark.catalog.clearCache()
+    budgets = {
+        "link_prediction_common_neighbors": 4,
+        "gnn_feature_propagation": 10,
+        "universe_sample_join": 3,
+        "kmeans_lloyd_refinement": 16,
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
+
+
+def test_universe_sample_predicate_is_scan_local(spark, sf001):
+    """The orders side of universe_sample_join must decide membership
+    WITHOUT a join against customer: the plan carries exactly three
+    pruned scans and the sampled-orders relation filters on its own
+    hashed o_custkey (no fourth scan, no customer join on that path)."""
+    df = REG["universe_sample_join"].spark_fn(spark, sf001)
+    scans = scan_read_columns(df)
+    assert sorted(map(sorted, scans)) == sorted(map(sorted, [
+        ["c_custkey", "c_mktsegment"],
+        ["o_orderkey", "o_custkey"],
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    ])), scans
