@@ -106,6 +106,12 @@ _R8_CHANGED = (
     'kmeans_lloyd_refinement',  # NEW: 2-iteration integer Lloyd's
                                 # k-means (assign + floor-mean
                                 # update), full unrolled-CTE oracle
+    'incremental_join_maintenance',  # NEW: two-term join-delta IVM
+                                     # vs full-recompute oracle
+    'stratified_split_exact',  # NEW: exact per-stratum 80/10/10 by
+                               # hash rank, full oracle
+    'l_diversity_audit',  # NEW: distinct-sensitive-count privacy
+                          # audit next to k_anonymity, full oracle
 )
 
 _R7_CHANGED = (

@@ -2283,6 +2283,43 @@ def k_anonymity_audit(spark, sf_dir):
 
 
 @query(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS group_n,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, bal_bucket, group_n, l_div
+    FROM g WHERE l_div < 3
+    ORDER BY c_nationkey, bal_bucket
+    """,
+    doc="l-diversity audit, the attack k-anonymity misses: a class "
+        "can be large (k-anonymous) yet give its sensitive attribute "
+        "away because every member SHARES it. Per quasi-identifier "
+        "class (nation, $1000 balance bucket), count DISTINCT values "
+        "of the sensitive attribute (market segment) and emit classes "
+        "with fewer than l=3 — homogeneous groups a privacy review "
+        "must generalize even when k_anonymity_audit passes them. "
+        "One groupBy with a distinct-count (two-phase partial under "
+        "the hood); the shuffle carries one row per class",
+)
+def l_diversity_audit(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    g = (cust.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+            .alias("bal_bucket"))
+         .agg(F.count(F.lit(1)).cast("long").alias("group_n"),
+              F.countDistinct("c_mktsegment").cast("long")
+              .alias("l_div")))
+    return (g.filter(F.col("l_div") < 3)
+            .select("c_nationkey", "bal_bucket", "group_n", "l_div")
+            .orderBy("c_nationkey", "bal_bucket"))
+
+
+@query(
     "skyline_parts_per_brand",
     oracle="""
     SELECT p.p_brand, p.p_partkey,

@@ -4219,8 +4219,11 @@ _LNK_TOPK = 100
         "graphs the standard hub-cap valve (drop midpoints with "
         "deg > cap, whose RA weight is ~0 anyway) bounds it exactly "
         "like dedup_ngram_jaccard_capped's df cutoff. Existing edges "
-        "leave via a broadcast-able anti-join; everything shuffles on "
-        "node keys only",
+        "leave via an anti-join keyed on the same (u, v) pair the "
+        "aggregation just partitioned by — at scale a shuffle anti-"
+        "join that reuses that partitioning (the edge list is corpus-"
+        "scale, NOT broadcast material); everything shuffles on node "
+        "or node-pair keys only",
 )
 def link_prediction_common_neighbors(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
@@ -4342,3 +4345,145 @@ def gnn_feature_propagation(spark, sf_dir):
     return (out.select(F.col("node").alias("part_key"),
                        *[f"feat{i}" for i in range(_GNN_ROUNDS + 1)])
             .orderBy("part_key"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN (the companion to
+# incremental_agg_maintenance, which maintains an aggregate): the
+# delta of A |><| B under inserts dA, dB is dA |><| B_new  U
+# A_old |><| dB — two delta-keyed joins, never the A_old |><| B_old
+# term that dominates a recompute. The oracle recomputes the view
+# from ALL facts, so the driver's hash equality IS the proof that
+# the join-delta algebra and the recompute agree.
+
+_JIVM_CUT = "1997-06-01"
+
+
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_cp
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="incremental JOIN maintenance: the per-priority revenue view "
+        "over orders |><| lineitem is materialized from the pre-"
+        f"cutoff ({_JIVM_CUT}) facts, then refreshed with the two-"
+        "term join delta dA |><| B_new U A_old |><| dB (new orders "
+        "against ALL lines + old orders against new lines — the "
+        "asymmetric form that never recomputes old |><| old), "
+        "aggregated and merged into the view as additive partials "
+        "(full-outer on the view key, nulls as zeros). The oracle is "
+        "the naive full join, so hash equality proves the delta "
+        "algebra. At 100 TB each delta term joins a day-sized side "
+        "against one bucketed probe of the big side (co-located if "
+        "both are bucketed on the key, sources/bucketed.py) while "
+        "the view merge costs key-cardinality rows — the shape that "
+        "keeps a 100 TB materialized join fresh without a nightly "
+        "recompute; revenue in exact cent-percent BIGINTs",
+)
+def incremental_join_maintenance(spark, sf_dir):
+    cut = F.lit(_JIVM_CUT).cast("timestamp")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate",
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+         * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
+        .alias("rev_cp"))
+    a_old = orders.filter(F.col("o_orderdate") < cut)
+    d_a = orders.filter(F.col("o_orderdate") >= cut)
+    b_old = li.filter(F.col("l_shipdate") < cut)
+    d_b = li.filter(F.col("l_shipdate") >= cut)
+
+    def agg(joined):
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev_cp").cast("long").alias("revenue_cp"))
+
+    # the materialized view (in production: read back, not recomputed)
+    v_old = agg(a_old.join(b_old,
+                           a_old["o_orderkey"] == b_old["l_orderkey"]))
+    # two-term join delta: dA against ALL of B, old A against dB
+    d_rows = (
+        d_a.join(li, d_a["o_orderkey"] == li["l_orderkey"])
+        .select("o_orderpriority", "rev_cp")
+        .unionAll(
+            a_old.join(d_b, a_old["o_orderkey"] == d_b["l_orderkey"])
+            .select("o_orderpriority", "rev_cp")))
+    d_agg = agg(d_rows)
+    return (v_old.withColumnsRenamed(
+                {"n_lines": "n0", "revenue_cp": "r0"})
+            .join(d_agg.withColumnsRenamed(
+                {"n_lines": "n1", "revenue_cp": "r1"}),
+                "o_orderpriority", "full_outer")
+            .select(
+                "o_orderpriority",
+                (F.coalesce("n0", F.lit(0).cast("bigint"))
+                 + F.coalesce("n1", F.lit(0).cast("bigint")))
+                .alias("n_lines"),
+                (F.coalesce("r0", F.lit(0).cast("bigint"))
+                 + F.coalesce("r1", F.lit(0).cast("bigint")))
+                .alias("revenue_cp"))
+            .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified split: per-stratum deterministic rank -> EXACT
+# 80/10/10 proportions within every stratum, where the hash split
+# (dataset_split_assign) only hits them in expectation. The property
+# an eval set needs when strata are small (a 200-doc language gets
+# exactly 20 val docs, not 14-or-27).
+
+
+@query(
+    "stratified_split_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_h60_sql('CAST(doc_id AS VARCHAR)')}, doc_id)
+               AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents)
+    SELECT lang,
+           CASE WHEN r * 10 <= 8 * n THEN 'train'
+                WHEN r * 10 <= 9 * n THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="exact stratified train/val/test split: documents ranked "
+        "within each language by their 60-bit md5 (a deterministic "
+        "shuffle), then the first 80% of ranks -> train, next 10% -> "
+        "val, rest -> test via integer cross-multiplication "
+        "(r*10 <= 8*n), so every stratum's proportions are exact "
+        "where dataset_split_assign's hash split is only exact in "
+        "expectation. Membership is pinned by the per-(lang, split) "
+        "doc-id sum. The rank window partitions by stratum — no "
+        "global sort; a skewed stratum is one sorted partition, the "
+        "standard per-stratum cost, and the hash-ordered rank means "
+        "the split is stable under any physical row order",
+)
+def stratified_split_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        h60(F.col("doc_id").cast("string")), "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        .cast("bigint").alias("n"))
+    split = (F.when(F.col("r") * 10 <= 8 * F.col("n"), "train")
+             .when(F.col("r") * 10 <= 9 * F.col("n"), "val")
+             .otherwise("test"))
+    return (ranked.groupBy("lang", split.alias("split"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_doc_ids"))
+            .orderBy("lang", "split"))
