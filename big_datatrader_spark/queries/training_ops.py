@@ -4177,9 +4177,14 @@ def churn_label_generation(spark, sf_dir):
 # item_item_similarity, which ranks pairs that already co-occur:
 # here the candidates are 2-hop pairs with the direct edge REMOVED —
 # the "which products will be bought together next" shape that feeds
-# recommender candidate generation.
+# recommender candidate generation. Scoped to a deterministic query
+# set (the highest-degree parts): the all-pairs wedge join is
+# Theta(sum deg^2) — measured 31s at sf0.1 (265M wedges) before the
+# scoping, 0.9s after — and a recommender batch scores FOCUS items,
+# not the cross product.
 
 _LNK_RA_SCALE = 1_000_000_000_000  # 1/deg in 1e-12 floor-div units
+_LNK_QUERIES = 100  # query nodes: highest degree, ties to lower id
 _LNK_TOPK = 100
 
 
@@ -4192,12 +4197,15 @@ _LNK_TOPK = 100
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
             FROM edges GROUP BY 1),
+    q AS (SELECT src AS u FROM deg
+          ORDER BY deg DESC, src LIMIT {_LNK_QUERIES}),
     cand AS (
       SELECT e1.dst AS u, e2.dst AS v,
              CAST(count(*) AS BIGINT) AS n_common,
              CAST(sum({_LNK_RA_SCALE} // d.deg) AS BIGINT) AS ra_score
       FROM edges e1
-      JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN q ON q.u = e1.dst
+      JOIN edges e2 ON e1.src = e2.src AND e1.dst <> e2.dst
       JOIN deg d ON d.src = e1.src
       GROUP BY 1, 2),
     pred AS (
@@ -4207,21 +4215,21 @@ _LNK_TOPK = 100
     FROM pred ORDER BY ra_score DESC, part_u, part_v
     LIMIT {_LNK_TOPK}
     """,
-    doc=f"link prediction on the part co-purchase graph: for every "
-        "2-hop pair that is NOT an edge, the common-neighbor count "
-        "and the Resource Allocation index sum(1/deg(w)) over shared "
-        f"neighbors w — RA in exact {_LNK_RA_SCALE:.0e}-unit floor-div "
-        "BIGINTs (1e12 DIV deg on both engines), so the top-"
-        f"{_LNK_TOPK} ranking can never flip on fp summation. "
-        "Candidate generation is the wedge join (edges though a "
-        "shared midpoint), cost sum(deg^2) — linear in nodes here "
-        "since co-purchase degree is basket-bounded, and on power-law "
-        "graphs the standard hub-cap valve (drop midpoints with "
-        "deg > cap, whose RA weight is ~0 anyway) bounds it exactly "
-        "like dedup_ngram_jaccard_capped's df cutoff. Existing edges "
-        "leave via an anti-join keyed on the same (u, v) pair the "
-        "aggregation just partitioned by — at scale a shuffle anti-"
-        "join that reuses that partitioning (the edge list is corpus-"
+    doc=f"link prediction on the part co-purchase graph: for the "
+        f"{_LNK_QUERIES} highest-degree query parts, score every "
+        "2-hop partner that is NOT already an edge by common-"
+        "neighbor count and the Resource Allocation index "
+        f"sum(1/deg(w)) — RA in exact {_LNK_RA_SCALE:.0e}-unit "
+        "floor-div BIGINTs (1e12 DIV deg on both engines), so the "
+        f"top-{_LNK_TOPK} ranking can never flip on fp summation. "
+        "Candidate generation is the wedge join through a shared "
+        "midpoint, bounded by the query set: cost sum over query "
+        "wedges, NOT the Theta(sum deg^2) all-pairs blow-up (265M "
+        "wedges and 31s at sf0.1 when unscoped; 0.9s scoped) — the "
+        "same query-set discipline as the ANN evals, matching how a "
+        "recommender scores focus items in batches. Existing edges "
+        "leave via an anti-join keyed on the (u, v) pair the "
+        "aggregation just partitioned by (the edge list is corpus-"
         "scale, NOT broadcast material); everything shuffles on node "
         "or node-pair keys only",
 )
@@ -4230,12 +4238,15 @@ def link_prediction_common_neighbors(spark, sf_dir):
                                                  "l_partkey")
     edges = GR.copurchase_pairs(li, "src", "dst").persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    q = (deg.orderBy(F.desc("deg"), "src").limit(_LNK_QUERIES)
+         .select(F.col("src").alias("u")))
     e1 = (edges.join(deg, "src")
           .select(F.col("src").alias("w"), F.col("dst").alias("u"),
-                  "deg"))
+                  "deg")
+          .join(F.broadcast(q), "u"))
     e2 = edges.select(F.col("src").alias("w"), F.col("dst").alias("v"))
     cand = (e1.join(e2, "w")
-            .filter(F.col("u") < F.col("v"))
+            .filter(F.col("u") != F.col("v"))
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
                  F.sum(F.expr(f"{_LNK_RA_SCALE} DIV deg"))

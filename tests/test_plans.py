@@ -485,7 +485,10 @@ def test_round8_exchange_budgets(spark, sf001):
     which re-partition), so measure from a clean cache."""
     spark.catalog.clearCache()
     budgets = {
-        "link_prediction_common_neighbors": 4,
+        # +1 exchange vs the unscoped form: the query-set top-k
+        # (TakeOrdered over deg) feeding the broadcast — the trade
+        # that cut the wedge join from 265M rows to query-bounded
+        "link_prediction_common_neighbors": 5,
         "gnn_feature_propagation": 10,
         "universe_sample_join": 3,
         "kmeans_lloyd_refinement": 16,
