@@ -4180,7 +4180,7 @@ def churn_label_generation(spark, sf_dir):
 # recommender candidate generation. Scoped to a deterministic query
 # set (the highest-degree parts): the all-pairs wedge join is
 # Theta(sum deg^2) — measured 31s at sf0.1 (265M wedges) before the
-# scoping, 0.9s after — and a recommender batch scores FOCUS items,
+# scoping, 5s after — and a recommender batch scores FOCUS items,
 # not the cross product.
 
 _LNK_RA_SCALE = 1_000_000_000_000  # 1/deg in 1e-12 floor-div units
@@ -4225,9 +4225,10 @@ _LNK_TOPK = 100
         "Candidate generation is the wedge join through a shared "
         "midpoint, bounded by the query set: cost sum over query "
         "wedges, NOT the Theta(sum deg^2) all-pairs blow-up (265M "
-        "wedges and 31s at sf0.1 when unscoped; 0.9s scoped) — the "
-        "same query-set discipline as the ANN evals, matching how a "
-        "recommender scores focus items in batches. Existing edges "
+        "wedges and 31s at sf0.1 when unscoped; 5s scoped, 1.6x for "
+        "10x data at sf1) — the same query-set discipline as the ANN "
+        "evals, matching how a recommender scores focus items in "
+        "batches. Existing edges "
         "leave via an anti-join keyed on the (u, v) pair the "
         "aggregation just partitioned by (the edge list is corpus-"
         "scale, NOT broadcast material); everything shuffles on node "
