@@ -112,6 +112,8 @@ _R8_CHANGED = (
                                # hash rank, full oracle
     'l_diversity_audit',  # NEW: distinct-sensitive-count privacy
                           # audit next to k_anonymity, full oracle
+    'functional_dependency_audit',  # NEW: g3 approximate-FD error
+                                    # over 6 candidates, full oracle
 )
 
 _R7_CHANGED = (

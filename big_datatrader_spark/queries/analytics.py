@@ -7046,3 +7046,83 @@ def quantile_normalization(spark, sf_dir):
                      mean6(F.col("nsum")).alias("norm_mean6"),
                      "n_check")
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (data profiling): for a candidate set
+# of FDs X -> Y, how badly does each hold? Reported as the g3 error —
+# the MINIMUM number of rows to delete for the FD to hold exactly
+# (per X-group: rows minus the plurality Y's count) — the standard
+# approximate-FD measure (Kivinen & Mannila 1995), plus group-level
+# violation counts. The profiling pass a warehouse runs before
+# trusting a column as a join key or a dimension hierarchy.
+
+_FD_CANDIDATES = (
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("customer", "c_name", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{t}' AS table_name, '{lhs}->{rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(sum(rows - top_rhs) AS BIGINT) AS g3_rows
+    FROM (
+      SELECT {lhs},
+             CAST(count(*) AS BIGINT) AS n_rhs,
+             CAST(sum(c) AS BIGINT) AS rows,
+             CAST(max(c) AS BIGINT) AS top_rhs
+      FROM (SELECT {lhs}, {rhs}, CAST(count(*) AS BIGINT) AS c
+            FROM {t} GROUP BY 1, 2) g
+      GROUP BY 1) a""")
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts)
+            + ") u ORDER BY table_name, fd")
+
+
+@query(
+    "functional_dependency_audit",
+    oracle=_fd_oracle(),
+    doc="approximate functional-dependency audit over a fixed "
+        "candidate set (6 FDs on part/customer/orders): per FD the "
+        "group count, the groups where the determinant maps to more "
+        "than one dependent value, and the exact g3 error — the "
+        "minimum row deletions for the FD to hold, computed as "
+        "sum over groups of (rows - plurality count). Two stacked "
+        "map-side-combinable groupBys per FD ((X, Y) counts, then "
+        "per-X extrema), so the shuffle carries (X, Y) pairs then X "
+        "groups — never rows; candidates over the same table share "
+        "its scan. The data-profiling pass (Kivinen-Mannila g3, the "
+        "measure Metanome-style FD discovery ranks by) that decides "
+        "whether a column is safe as a hierarchy level or join key "
+        "before a 100 TB backfill bakes the assumption in",
+)
+def functional_dependency_audit(spark, sf_dir):
+    outs = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        pairs = (table(spark, sf_dir, t).groupBy(lhs, rhs)
+                 .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        per_x = (pairs.groupBy(lhs)
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_rhs"),
+                      F.sum("c").cast("long").alias("rows"),
+                      F.max("c").cast("long").alias("top_rhs")))
+        outs.append(per_x.agg(
+            F.lit(t).alias("table_name"),
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("bigint")).cast("long")
+            .alias("n_violating_groups"),
+            F.sum(F.col("rows") - F.col("top_rhs")).cast("long")
+            .alias("g3_rows")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("table_name", "fd")
