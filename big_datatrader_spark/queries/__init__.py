@@ -114,6 +114,10 @@ _R8_CHANGED = (
                           # audit next to k_anonymity, full oracle
     'functional_dependency_audit',  # NEW: g3 approximate-FD error
                                     # over 6 candidates, full oracle
+    'streaming_outer_join_null_emission',  # NEW: stream-stream LEFT
+                                           # OUTER join, watermark-
+                                           # gated null emission,
+                                           # closed-form oracle
 )
 
 _R7_CHANGED = (

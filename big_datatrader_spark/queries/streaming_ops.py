@@ -619,3 +619,90 @@ def streaming_offset_source_windowed(spark, sf_dir):
     out = run_stream_until_count(agg, spark, expected_rows=expected,
                                  shuffle_partitions=4)
     return out.orderBy("wstart_sec")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join: the semantics inner joins don't
+# exercise — an unmatched left row is held in state until the
+# watermark proves no future match can arrive, THEN emitted with
+# nulls. availableNow runs the data batch (watermark still at its
+# pre-batch value, so nothing evicts) and a final no-data batch whose
+# watermark is the closed-form min(max p_ts, max c_ts) - delay; that
+# batch evicts and null-emits exactly the unmatched purchases older
+# than it. Unmatched purchases inside the final watermark window
+# never emit (they are still legitimately waiting) — the oracle
+# states that rule, calibrated against the engine at sf0.001/0.01
+# (the boundary is not hit by any row; a future constant change that
+# landed a purchase exactly ON the watermark would hash-mismatch
+# loudly, same contract as streaming_watermark_late_drop).
+
+
+@query(
+    "streaming_outer_join_null_emission",
+    oracle="""
+    WITH p AS (SELECT user_id AS p_user, event_id AS purchase_id,
+                      ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    inner_part AS (
+      SELECT p.p_user AS user_id, p.purchase_id, p.p_ts, c.click_id
+      FROM p JOIN c ON c.user_id = p.p_user
+        AND c.click_ts >= p.p_ts - INTERVAL 30 MINUTE
+        AND c.click_ts <= p.p_ts),
+    wm AS (SELECT least(
+             (SELECT max(ts) FROM events WHERE event_type='purchase'),
+             (SELECT max(ts) FROM events WHERE event_type='click'))
+             - INTERVAL 2 HOUR AS w)
+    SELECT user_id, purchase_id, p_ts, click_id FROM inner_part
+    UNION ALL
+    SELECT p.p_user AS user_id, p.purchase_id, p.p_ts,
+           CAST(NULL AS BIGINT) AS click_id
+    FROM p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM inner_part i
+                      WHERE i.purchase_id = p.purchase_id)
+    ORDER BY purchase_id, click_id
+    """,
+    doc="stream-stream LEFT OUTER join with watermark-gated null "
+        "emission: purchases joined to same-user clicks at most 30 "
+        "min earlier; a purchase with no match is emitted with a "
+        "null click ONLY once the join watermark (min of both sides' "
+        "max event time minus the 2 h delay) proves no qualifying "
+        "click can still arrive — unmatched purchases younger than "
+        "the final watermark are withheld, exactly what continuous "
+        "operation requires (emitting them would double-count when "
+        "the click arrives). The oracle states the closed-form rule: "
+        "batch inner join UNION unmatched purchases older than the "
+        "final watermark. State is bounded by the watermark on both "
+        "sides; the null-emission path costs one state-eviction scan "
+        "per micro-batch, partitioned on the join key like the "
+        "matches",
+)
+def streaming_outer_join_null_emission(spark, sf_dir):
+    work = spark.newSession()
+    purchases = (
+        events_stream(work, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours"))
+    clicks = (
+        events_stream(work, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours"))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("p_ts")
+           - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("p_ts")),
+        "leftOuter")
+    out = run_stream_to_memory(joined, work, output_mode="append",
+                               shuffle_partitions=4)
+    return (out.select(F.col("p_user").alias("user_id"),
+                       "purchase_id", "p_ts", "click_id")
+            .orderBy("purchase_id", "click_id"))
