@@ -41,6 +41,9 @@ EXCHANGE_BUDGET = {
     "streaming_hourly_rollup": 1,
     "streaming_offset_source_windowed": 1,  # tumbling-window agg over
                                             # the offset-tracked feed
+    "streaming_outer_join_null_emission": 2,  # one per join side;
+                                              # null emission rides
+                                              # the state eviction
     "streaming_python_datasource": 1,
     "streaming_running_position": 1,      # groupBy before state fold
     "streaming_session_window": 1,
