@@ -118,6 +118,11 @@ _R8_CHANGED = (
                                            # OUTER join, watermark-
                                            # gated null emission,
                                            # closed-form oracle
+    'join_cardinality_profile',  # NEW: exact equi-join cardinality
+                                 # + hottest key from key-grain
+                                 # stats, full oracle
+    'max_concurrent_sessions',  # NEW: sweep-line concurrency peak,
+                                # two-phase prefix sum, full oracle
 )
 
 _R7_CHANGED = (

@@ -7126,3 +7126,173 @@ def functional_dependency_audit(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("table_name", "fd")
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality profile: predict the size and skew of orders |><|
+# lineitem from KEY-GRAIN statistics, without materializing the join.
+# sum over matched keys of n_a * n_b IS the exact output cardinality
+# of an equi-join — the number a planner needs before committing a
+# 100 TB shuffle, and the skew test that decides salted-vs-plain.
+
+@query(
+    "join_cardinality_profile",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+          FROM lineitem GROUP BY 1),
+    m AS (SELECT a.k, na, nb, na * nb AS contrib
+          FROM a JOIN b ON a.k = b.k)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_keys_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_keys_right,
+           CAST(count(*) AS BIGINT) AS n_matched_keys,
+           CAST(sum(contrib) AS BIGINT) AS join_rows,
+           CAST(max(contrib) AS BIGINT) AS top_key_rows,
+           CAST(min(k) FILTER (WHERE contrib =
+                (SELECT max(contrib) FROM m)) AS BIGINT) AS top_key
+    FROM m
+    """,
+    doc="join-cardinality profile from key-grain statistics: per-key "
+        "counts on each side of orders |><| lineitem, joined at KEY "
+        "grain — sum(n_a * n_b) over matched keys is the EXACT "
+        "equi-join output cardinality, max(n_a * n_b) its hottest "
+        "key (ties to the lowest key) — all without materializing a "
+        "single joined row. Two map-side-combinable groupBys plus a "
+        "key-grain join: the profiling pass that costs one shuffle "
+        "of keys and decides plain-vs-salted-vs-broadcast before a "
+        "100 TB join commits to the wrong strategy (the repo's "
+        "skew_salted_join is the mitigation this profile triggers)",
+)
+def join_cardinality_profile(spark, sf_dir):
+    a = (table(spark, sf_dir, "orders").groupBy(
+            F.col("o_orderkey").alias("k"))
+         .agg(F.count(F.lit(1)).cast("long").alias("na")))
+    b = (table(spark, sf_dir, "lineitem").groupBy(
+            F.col("l_orderkey").alias("k"))
+         .agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    m = (a.join(b, "k")
+         .select("k", (F.col("na") * F.col("nb")).alias("contrib")))
+    na_tot = a.agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_keys_left"))
+    nb_tot = b.agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_keys_right"))
+    prof = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_keys"),
+        F.sum("contrib").cast("long").alias("join_rows"),
+        F.max("contrib").cast("long").alias("top_key_rows"))
+    # lowest key among max-contrib ties: (contrib DESC, k ASC) top-1
+    top = (m.orderBy(F.desc("contrib"), "k").limit(1)
+           .select(F.col("k").cast("long").alias("top_key")))
+    return (prof
+            .join(F.broadcast(na_tot)).join(F.broadcast(nb_tot))
+            .join(F.broadcast(top))
+            .select("n_keys_left", "n_keys_right", "n_matched_keys",
+                    "join_rows", "top_key_rows", "top_key"))
+
+
+# ---------------------------------------------------------------------------
+# Max concurrent sessions: the sweep-line over session intervals —
+# +1 at each session start, -1 at each end (closed intervals: at an
+# equal timestamp starts apply first), global running sum, take the
+# peak. The running sum is computed TWO-PHASE (per-day prefix + day-
+# grain carry, the roc_auc_exact / quantile_normalization pattern)
+# so no corpus-scale single-partition window exists; the oracle uses
+# the naive global window, which states the identical semantics.
+
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_no,
+             ts
+      FROM gaps),
+    iv AS (SELECT user_id, session_no,
+                  min(ts) AS s, max(ts) AS e
+           FROM sess GROUP BY 1, 2),
+    bnd AS (
+      SELECT s AS ts, CAST(1 AS BIGINT) AS delta, user_id, session_no
+      FROM iv
+      UNION ALL
+      SELECT e AS ts, CAST(-1 AS BIGINT) AS delta, user_id, session_no
+      FROM iv),
+    run AS (
+      SELECT ts, delta,
+             CAST(sum(delta) OVER (
+               ORDER BY ts, delta DESC, user_id, session_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS r
+      FROM bnd)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions,
+           CAST(max(r) AS BIGINT) AS max_concurrent,
+           min(ts) FILTER (WHERE r = (SELECT max(r) FROM run))
+               AS first_peak_ts
+    FROM run
+    """,
+    doc="maximum concurrent sessions by sweep line: 30-min-gap "
+        "sessionization (the sessionize_events rule), then +1/-1 "
+        "boundaries per session interval (closed: starts order before "
+        "ends at an equal timestamp, then user/session ids — a total "
+        "order, so the peak and its first timestamp can never flip), "
+        "running-summed and maxed. The engine computes the running "
+        "sum two-phase — per-day within-partition prefix plus a "
+        "day-grain carry relation (bounded by the calendar range) — "
+        "so the only global window runs over DAYS, never boundaries: "
+        "the roc_auc_exact pattern, because a naive global ORDER BY "
+        "over session boundaries is a single-task window at 100 TB. "
+        "The oracle states the same semantics with the naive window",
+)
+def max_concurrent_sessions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("user_id", "ts",
+                                               "event_id")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compared in exact epoch microseconds on both engines
+    u = F.unix_micros("ts")
+    new_s = (F.when(u - F.lag(u).over(uw) > 1800 * 1_000_000, 1)
+             .when(F.lag(u).over(uw).isNull(), 1).otherwise(0))
+    sess = ev.select(
+        "user_id", "ts",
+        F.sum(new_s).over(uw).cast("long").alias("session_no"))
+    iv = (sess.groupBy("user_id", "session_no")
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    bnd = (iv.select(F.col("s").alias("ts"),
+                     F.lit(1).cast("long").alias("delta"),
+                     "user_id", "session_no")
+           .unionAll(iv.select(F.col("e").alias("ts"),
+                               F.lit(-1).cast("long").alias("delta"),
+                               "user_id", "session_no")))
+    # two-phase global prefix sum: within-day prefix + day carry
+    bnd = bnd.withColumn("day", F.expr("unix_micros(ts) DIV 86400000000"))
+    dw = Window.partitionBy("day").orderBy(
+        "ts", F.desc("delta"), "user_id", "session_no")
+    within = bnd.withColumn("p", F.sum("delta").over(dw))
+    days = (bnd.groupBy("day")
+            .agg(F.sum("delta").alias("dsum")))
+    # global window over DAYS only (calendar-bounded relation)
+    dayw = Window.orderBy("day")
+    carry = days.select(
+        "day",
+        (F.sum("dsum").over(dayw) - F.col("dsum")).alias("carry"))
+    run = (within.join(F.broadcast(carry), "day")
+           .select("ts", (F.col("carry") + F.col("p")).alias("r")))
+    n_sessions = iv.agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_sessions"))
+    peak = run.agg(F.max("r").cast("long").alias("max_concurrent"))
+    first = (run.join(F.broadcast(peak),
+                      run["r"] == peak["max_concurrent"])
+             .agg(F.min("ts").alias("first_peak_ts")))
+    return (n_sessions.join(F.broadcast(peak))
+            .join(F.broadcast(first))
+            .select("n_sessions", "max_concurrent", "first_peak_ts"))
