@@ -216,6 +216,8 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "blocking_quality_metrics",    # four 1-row metric scalars
         "blocking_quality_metrics_sampled",  # same four scalars
         "bloom_exact_membership",      # four 1-row count scalars
+        "join_cardinality_profile",    # three 1-row profile scalars
+        "max_concurrent_sessions",     # 1-row peak/first/count scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -239,7 +241,9 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
                     # rank window over a TakeOrdered top-50 relation
                     "rank_biased_overlap_parts",
                     # arm-count-sized distinct (rows = #event types)
-                    "ips_policy_value"}
+                    "ips_policy_value",
+                    # day-grain carry relation (rows = calendar days)
+                    "max_concurrent_sessions"}
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
