@@ -1653,22 +1653,38 @@ def _kml_oracle() -> str:
         "is bit-identical on any engine or partition layout, which "
         "plain fp k-means never is. Output pins the final per-"
         "cluster size, the floor-scaled objective, and the first "
-        "centroid component. At scale: centroids are k*dim rows "
-        "(broadcast); each round is one narrow join on the exploded "
-        "(row, dim) relation plus a groupBy(vec) argmin and a "
-        "groupBy(cid, dim) mean — shuffles carry (vec, cid, dist) "
-        "triples, never vectors; the exploded input is persisted "
-        f"once and reused by all {_KML_ITERS + 1} joins",
+        "centroid component. At scale: centroids are k*dim rows of "
+        "DRIVER state collected per round and re-broadcast as a "
+        "literal relation (the MLlib k-means / pq-codebook design), "
+        "so plan depth stays constant across iterations instead of "
+        "nesting the previous round's subtree (the lazy form "
+        "measured 16 planned exchanges at 2 rounds and doubles per "
+        "round — the exponential-plan failure HITS hit); each round "
+        "is one narrow join on the exploded (row, dim) relation plus "
+        "a groupBy(vec) argmin and a groupBy(cid, dim) mean — "
+        "shuffles carry (vec, cid, dist) triples, never vectors; the "
+        f"exploded input is persisted once and reused by all "
+        f"{_KML_ITERS + 1} assignment joins",
 )
 def kmeans_lloyd_refinement(spark, sf_dir):
     iv = SIM.quantized_components(
         table(spark, sf_dir, "embeddings")).persist()
-    c = (iv.filter(F.col("vec_id") < _KM_K)
-         .select(F.col("vec_id").alias("cid"), "i",
-                 F.col("q").alias("cq")))
+    # Centroids live on the driver between rounds (k*dim rows, KBs —
+    # the MLlib k-means design and this repo's codebook precedent,
+    # functions/pq.py): each round's plan references a LITERAL
+    # centroid relation instead of nesting the previous round's
+    # subtree, so plan depth stays constant across iterations
+    # instead of doubling per round.
+    cent = [(r.cid, r.i, r.cq) for r in
+            iv.filter(F.col("vec_id") < _KM_K)
+            .select(F.col("vec_id").alias("cid"), "i",
+                    F.col("q").alias("cq")).collect()]
 
-    def assign(cent):
-        d = (iv.join(F.broadcast(cent), "i")
+    def cdf(rows):
+        return spark.createDataFrame(rows, "cid long, i long, cq long")
+
+    def assign(cent_rows):
+        d = (iv.join(F.broadcast(cdf(cent_rows)), "i")
              .groupBy("vec_id", "cid")
              .agg(F.sum((F.col("q") - F.col("cq"))
                         * (F.col("q") - F.col("cq"))).alias("dist")))
@@ -1678,13 +1694,14 @@ def kmeans_lloyd_refinement(spark, sf_dir):
                 .select("vec_id", "cid", "dist"))
 
     for _ in range(_KML_ITERS):
-        a = assign(c)
-        c = (a.join(iv, "vec_id")
-             .groupBy("cid", "i")
-             .agg(F.expr("sum(q) DIV count(1)").cast("bigint")
-                  .alias("cq")))
-    af = assign(c)
-    cf = (c.filter(F.col("i") == 1)
+        a = assign(cent)
+        cent = [(r.cid, r.i, r.cq) for r in
+                a.join(iv, "vec_id")
+                .groupBy("cid", "i")
+                .agg(F.expr("sum(q) DIV count(1)").cast("bigint")
+                     .alias("cq")).collect()]
+    af = assign(cent)
+    cf = (cdf(cent).filter(F.col("i") == 1)
           .select("cid", F.col("cq").alias("centroid_dim1_q")))
     return (af.groupBy("cid")
             .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),

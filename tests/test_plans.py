@@ -481,8 +481,9 @@ def test_round8_exchange_budgets(spark, sf001):
     assembly join does NOT re-derive the propagation chain);
     universe sampling is three pruned scans with the hash predicate
     scan-local (its whole point) and only the join/agg exchanges;
-    k-means refinement re-plans the full iterate chain per round
-    (iv persisted; centroids are broadcast k*dim relations).
+    k-means refinement carries centroids as driver state between
+    rounds (k*dim literal relations, the MLlib design), so the
+    returned plan is ONE assignment — constant depth per iteration.
 
     Cache state from other tests changes these counts (the
     CacheManager swaps matching subtrees for InMemoryTableScans,
@@ -495,7 +496,7 @@ def test_round8_exchange_budgets(spark, sf001):
         "link_prediction_common_neighbors": 5,
         "gnn_feature_propagation": 10,
         "universe_sample_join": 3,
-        "kmeans_lloyd_refinement": 16,
+        "kmeans_lloyd_refinement": 4,
     }
     for name, budget in budgets.items():
         n = num_exchanges(REG[name].spark_fn(spark, sf001))
