@@ -7099,8 +7099,12 @@ def _fd_oracle() -> str:
         "sum over groups of (rows - plurality count). Two stacked "
         "map-side-combinable groupBys per FD ((X, Y) counts, then "
         "per-X extrema), so the shuffle carries (X, Y) pairs then X "
-        "groups — never rows; candidates over the same table share "
-        "its scan. The data-profiling pass (Kivinen-Mannila g3, the "
+        "groups — never rows; each candidate runs its own column-"
+        "pruned scan of its table (deliberately NOT a shared "
+        "persisted scan: caching a corpus-scale fact table to save "
+        "pruned re-scans is a bad trade at 100 TB, and candidates "
+        "are embarrassingly parallel). The data-profiling pass "
+        "(Kivinen-Mannila g3, the "
         "measure Metanome-style FD discovery ranks by) that decides "
         "whether a column is safe as a hierarchy level or join key "
         "before a 100 TB backfill bakes the assumption in",
@@ -7165,14 +7169,19 @@ def functional_dependency_audit(spark, sf_dir):
         "skew_salted_join is the mitigation this profile triggers)",
 )
 def join_cardinality_profile(spark, sf_dir):
+    # a, b, m each feed two output branches: persist the KEY-GRAIN
+    # relations so each fact table is scanned and aggregated once,
+    # not once per branch (review-measured: 6 scans / 9 exchanges
+    # without these persists)
     a = (table(spark, sf_dir, "orders").groupBy(
             F.col("o_orderkey").alias("k"))
-         .agg(F.count(F.lit(1)).cast("long").alias("na")))
+         .agg(F.count(F.lit(1)).cast("long").alias("na")).persist())
     b = (table(spark, sf_dir, "lineitem").groupBy(
             F.col("l_orderkey").alias("k"))
-         .agg(F.count(F.lit(1)).cast("long").alias("nb")))
+         .agg(F.count(F.lit(1)).cast("long").alias("nb")).persist())
     m = (a.join(b, "k")
-         .select("k", (F.col("na") * F.col("nb")).alias("contrib")))
+         .select("k", (F.col("na") * F.col("nb")).alias("contrib"))
+         .persist())
     na_tot = a.agg(F.count(F.lit(1)).cast("long")
                    .alias("n_keys_left"))
     nb_tot = b.agg(F.count(F.lit(1)).cast("long")
@@ -7265,8 +7274,14 @@ def max_concurrent_sessions(spark, sf_dir):
     sess = ev.select(
         "user_id", "ts",
         F.sum(new_s).over(uw).cast("long").alias("session_no"))
+    # iv feeds both boundary branches and the session count; run
+    # feeds the peak and its first timestamp — persist both (session/
+    # boundary-grain) or every branch re-derives the per-user
+    # sessionization from the raw scan (review-measured: 13 events
+    # scans without these persists)
     iv = (sess.groupBy("user_id", "session_no")
-          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+          .persist())
     bnd = (iv.select(F.col("s").alias("ts"),
                      F.lit(1).cast("long").alias("delta"),
                      "user_id", "session_no")
@@ -7286,7 +7301,8 @@ def max_concurrent_sessions(spark, sf_dir):
         "day",
         (F.sum("dsum").over(dayw) - F.col("dsum")).alias("carry"))
     run = (within.join(F.broadcast(carry), "day")
-           .select("ts", (F.col("carry") + F.col("p")).alias("r")))
+           .select("ts", (F.col("carry") + F.col("p")).alias("r"))
+           .persist())
     n_sessions = iv.agg(F.count(F.lit(1)).cast("long")
                         .alias("n_sessions"))
     peak = run.agg(F.max("r").cast("long").alias("max_concurrent"))
