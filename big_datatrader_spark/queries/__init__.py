@@ -51,25 +51,44 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # the never-driver-evidenced backlog, then rows-only-by-design queries
 # due for their 2-round re-evidence, then already-green queries
 # oldest-evidence-first so every query keeps accumulating recent
-# driver rows. Round 7 (VERDICT r6 asks #2/#3): backlog is 0 since r6,
-# so the window is pure staleness cadence — the genuinely-new
-# `bpe_pair_counts_round1` (round 6 claimed it but never wrote it;
-# now implemented in retrieval_ops.py), then `bpe_learn_merges`
-# (rows-only, last clean r5, due on the 2-round cadence), then the
-# 48 stalest greens (r1 queries not re-evidenced since).
+# driver rows. Round 9 (VERDICT r8 ask #2): the head carries the 7
+# changed/new queries, then the rows-only members due on the 2-round
+# cadence, then the staleness tail — the 33 queries whose latest
+# evidence is r2 all fit in the remaining slots, so after r9 no
+# query's evidence is older than r3.
 
 _WINDOW = 50
-_CURRENT_ROUND = 8
+_CURRENT_ROUND = 9
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
 # the window. Every name here MUST be registered: _window_order
 # asserts membership (VERDICT r6: _R6_CHANGED named a phantom query
 # and the slot silently fell through).
-# Round 8 (VERDICT r7 asks): names added as queries are written or
-# replanned this round; every entry must be registered (_window_order
-# hard-fails on ghosts). r7's 35-entry head left the window mostly
-# staleness cadence this round, so keep this set moderate.
+# Round 9 (VERDICT r8 asks): keep this set <=15 so the 50-slot window
+# can also drain the 33 queries whose latest evidence is still r2
+# (VERDICT r8 ask #2). Names are added as queries are written or
+# replanned this round; _window_order hard-fails on ghosts.
+_R9_CHANGED = (
+    'approx_aggregates_error_audit',  # NEW (ask #3): exact integer
+                                      # error rows for approx_count_
+                                      # distinct/percentile_approx vs
+                                      # exact aggregates, full oracle
+    'link_prediction_holdout_eval',  # NEW (ask #8): held-out latest-
+                                     # day edges, hits@k as exact
+                                     # integers, full oracle
+    'range_pruned_time_scan',  # NEW (ask #7): time-range scan on the
+                               # repartitionByRange layout; row-group
+                               # pruning proven in test_plans.py
+    'bloom_exact_membership',  # oracle now derives hash rows from
+                               # _BF_K (ADVICE r8 #1) — same values,
+                               # fresh evidence for the oracle change
+    'join_cardinality_profile',  # unpersist in finally (ADVICE r8 #3)
+    'max_concurrent_sessions',   # unpersist in finally (ADVICE r8 #3)
+    'winnowing_fingerprints',  # profiled +20% regression (ask #4);
+                               # replan/evidence per SCALING.md note
+)
+
 _R8_CHANGED = (
     'temporal_reachability_copurchase',  # one-scan dated edge build
                                          # (VERDICT r7 ask #3)
@@ -209,7 +228,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R8_CHANGED
+_CHANGED = _R9_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -409,17 +428,52 @@ _R7_ROWS_ONLY = frozenset({
     'bpe_learn_merges',
 })
 
+# CORRECTNESS_r08.json via tools/record_round.py (46 hash-exact,
+# 4 rows-only, 0 RED) — pasted verbatim (VERDICT r8 ask #1).
+_R8_GREEN = frozenset({
+    'ann_bruteforce_topk', 'blocking_quality_metrics',
+    'blocking_quality_metrics_sampled', 'bloom_exact_membership',
+    'dedup_clusters', 'dedup_embedding_cosine', 'dedup_exact',
+    'dedup_exact_kept', 'dedup_minhash_lsh',
+    'functional_dependency_audit', 'gnn_feature_propagation',
+    'hll_exact_register_sketch', 'incremental_join_maintenance',
+    'ivf_vs_exact_eval', 'join_cardinality_profile',
+    'kmeans_lloyd_refinement', 'l_diversity_audit',
+    'link_prediction_common_neighbors', 'max_concurrent_sessions',
+    'pq_vs_exact_eval', 'q17_small_quantity_revenue',
+    'q18_large_orders', 'q19_disjunctive_revenue',
+    'q22_inactive_customers', 'q4_order_priority_check',
+    'q6_forecast_revenue', 'q7_nation_pair_volume',
+    'range_frame_hourly_avg', 'range_join_nearby_clicks',
+    'rolling_ma', 'rollup_revenue', 'segment_stats',
+    'semi_join_customers_with_urgent_orders', 'shares_vectorized_udf',
+    'sliding_window_rollup', 'stratified_split_exact',
+    'streaming_offset_source_windowed',
+    'streaming_outer_join_null_emission', 'stride_signals',
+    'stride_signals_derived_step', 'string_functions_showcase',
+    'temporal_reachability_copurchase', 'topk_earliest_buys',
+    'universe_sample_join', 'upsert_customers_merge',
+    'value_percentiles',
+})
+
+_R8_ROWS_ONLY = frozenset({
+    'ann_ivf_topk', 'ann_lsh_topk', 'approx_aggregates',
+    'hll_partial_merge',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
                  _R6_GREEN | _R6_ROWS_ONLY,
-                 _R7_GREEN | _R7_ROWS_ONLY)
+                 _R7_GREEN | _R7_ROWS_ONLY,
+                 _R8_GREEN | _R8_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
 # a clean rows-only row, so the due check below is mechanical.
 _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
-                     6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY}
+                     6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
+                     8: _R8_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 

@@ -7172,7 +7172,10 @@ def join_cardinality_profile(spark, sf_dir):
     # a, b, m each feed two output branches: persist the KEY-GRAIN
     # relations so each fact table is scanned and aggregated once,
     # not once per branch (review-measured: 6 scans / 9 exchanges
-    # without these persists)
+    # without these persists). The 1-row result is materialized
+    # eagerly so the caches can be RELEASED before returning —
+    # otherwise they accumulate on the session across registry
+    # sweeps (ADVICE r8 #3)
     a = (table(spark, sf_dir, "orders").groupBy(
             F.col("o_orderkey").alias("k"))
          .agg(F.count(F.lit(1)).cast("long").alias("na")).persist())
@@ -7182,22 +7185,29 @@ def join_cardinality_profile(spark, sf_dir):
     m = (a.join(b, "k")
          .select("k", (F.col("na") * F.col("nb")).alias("contrib"))
          .persist())
-    na_tot = a.agg(F.count(F.lit(1)).cast("long")
-                   .alias("n_keys_left"))
-    nb_tot = b.agg(F.count(F.lit(1)).cast("long")
-                   .alias("n_keys_right"))
-    prof = m.agg(
-        F.count(F.lit(1)).cast("long").alias("n_matched_keys"),
-        F.sum("contrib").cast("long").alias("join_rows"),
-        F.max("contrib").cast("long").alias("top_key_rows"))
-    # lowest key among max-contrib ties: (contrib DESC, k ASC) top-1
-    top = (m.orderBy(F.desc("contrib"), "k").limit(1)
-           .select(F.col("k").cast("long").alias("top_key")))
-    return (prof
-            .join(F.broadcast(na_tot)).join(F.broadcast(nb_tot))
-            .join(F.broadcast(top))
-            .select("n_keys_left", "n_keys_right", "n_matched_keys",
-                    "join_rows", "top_key_rows", "top_key"))
+    try:
+        na_tot = a.agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_keys_left"))
+        nb_tot = b.agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_keys_right"))
+        prof = m.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_keys"),
+            F.sum("contrib").cast("long").alias("join_rows"),
+            F.max("contrib").cast("long").alias("top_key_rows"))
+        # lowest key among max-contrib ties: (contrib DESC, k ASC)
+        # top-1
+        top = (m.orderBy(F.desc("contrib"), "k").limit(1)
+               .select(F.col("k").cast("long").alias("top_key")))
+        return (prof
+                .join(F.broadcast(na_tot)).join(F.broadcast(nb_tot))
+                .join(F.broadcast(top))
+                .select("n_keys_left", "n_keys_right",
+                        "n_matched_keys", "join_rows", "top_key_rows",
+                        "top_key")
+                .localCheckpoint(eager=True))
+    finally:
+        for df in (m, b, a):
+            df.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -7303,12 +7313,21 @@ def max_concurrent_sessions(spark, sf_dir):
     run = (within.join(F.broadcast(carry), "day")
            .select("ts", (F.col("carry") + F.col("p")).alias("r"))
            .persist())
-    n_sessions = iv.agg(F.count(F.lit(1)).cast("long")
-                        .alias("n_sessions"))
-    peak = run.agg(F.max("r").cast("long").alias("max_concurrent"))
-    first = (run.join(F.broadcast(peak),
-                      run["r"] == peak["max_concurrent"])
-             .agg(F.min("ts").alias("first_peak_ts")))
-    return (n_sessions.join(F.broadcast(peak))
-            .join(F.broadcast(first))
-            .select("n_sessions", "max_concurrent", "first_peak_ts"))
+    try:
+        n_sessions = iv.agg(F.count(F.lit(1)).cast("long")
+                            .alias("n_sessions"))
+        peak = run.agg(F.max("r").cast("long")
+                       .alias("max_concurrent"))
+        first = (run.join(F.broadcast(peak),
+                          run["r"] == peak["max_concurrent"])
+                 .agg(F.min("ts").alias("first_peak_ts")))
+        # eager 1-row materialization so both caches release here
+        # instead of leaking across registry sweeps (ADVICE r8 #3)
+        return (n_sessions.join(F.broadcast(peak))
+                .join(F.broadcast(first))
+                .select("n_sessions", "max_concurrent",
+                        "first_peak_ts")
+                .localCheckpoint(eager=True))
+    finally:
+        for df in (run, iv):
+            df.unpersist()

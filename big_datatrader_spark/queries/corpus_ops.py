@@ -1591,7 +1591,8 @@ def temporal_reachability_copurchase(spark, sf_dir):
 # Lloyd's k-means, multiple refinement iterations (not just the
 # assignment step embedding_kmeans_assign pins): init from the
 # lowest vec_ids, then ITERS rounds of exact-integer assign ->
-# floor-mean centroid update, then a final assignment whose per-
+# truncated-mean centroid update (sum DIV count, toward-zero on both
+# engines), then a final assignment whose per-
 # cluster sizes, objective, and first centroid component the driver
 # hash pins. The canonical distributed-ML loop: per round one
 # broadcast join (centroids are k*dim rows) + two node-sized
@@ -1649,7 +1650,10 @@ def _kml_oracle() -> str:
         f"(k={_KM_K}, init = lowest vec_ids): components quantized to "
         "1e-6-unit BIGINTs, assignment by exact integer squared L2 "
         "(ties to the lower centroid id), centroid update as the "
-        "per-dimension floor-mean sum(q) DIV count — every iterate "
+        "per-dimension truncated mean sum(q) DIV count (toward-zero "
+        "on BOTH engines: DuckDB // and Spark DIV truncate, -7//2 = "
+        "-3 — not true floor division; quantized sums CAN go "
+        "negative, so don't 'fix' one side to floor) — every iterate "
         "is bit-identical on any engine or partition layout, which "
         "plain fp k-means never is. Output pins the final per-"
         "cluster size, the floor-scaled objective, and the first "

@@ -162,6 +162,83 @@ def pruned_purchase_rollup(spark, path: str):
             .orderBy("day"))
 
 
+# Time-range pruning at the LAYOUT level (VERDICT r8 ask #7): the
+# hive-partitioned query above proves directory pruning; this one
+# proves the finer-grained claim SURVEY §1.4 makes for sorted data —
+# a repartitionByRange+sortWithinPartitions layout (sinks.write_
+# clustered, the OPTIMIZE ZORDER step as plain Spark) gives every
+# file/row group a narrow ts min-max footer, so a time BETWEEN
+# predicate skips row groups instead of scanning the corpus (the
+# analog of Dask's sorted divisions). tests/test_format_ops.py
+# quantifies it: on the range layout only ~2/16 row groups intersect
+# the window (pyarrow footer stats) while an unsorted copy of the
+# SAME rows intersects in every row group, and PushedFilters carries
+# the ts bounds to the scan.
+
+_RPT_LO, _RPT_HI = "2024-01-10 00:00:00", "2024-01-13 00:00:00"
+
+
+@query(
+    "range_pruned_time_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    WHERE ts >= TIMESTAMP '{_RPT_LO}' AND ts < TIMESTAMP '{_RPT_HI}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="time-range scan over a range-clustered parquet layout: "
+        "events re-written via repartitionByRange(ts)+"
+        "sortWithinPartitions(ts) (sinks.write_clustered), re-read "
+        f"with ts in [{_RPT_LO}, {_RPT_HI}) — a 3-of-30-day window — "
+        "and rolled up per type with integer-cent sums and exact "
+        "microsecond min/max (so the hash proves the pruned read "
+        "returned exactly the window's rows). The oracle filters the "
+        "ORIGINAL unsorted table. On the clustered layout each file's "
+        "footer min/max covers a narrow ts range, so the pushed "
+        "BETWEEN skips all but ~window/range of the row groups "
+        "(quantified against an unsorted twin in "
+        "tests/test_format_ops.py) — at 100 TB the difference between "
+        "reading ~3 days and scanning a month",
+)
+def range_pruned_time_scan(spark, sf_dir):
+    from ..sources.sinks import write_clustered
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_rangep_")
+    try:
+        path = os.path.join(root, "events_by_time")
+        write_clustered(ev, path, "ts", n_files=16)
+        out = (range_pruned_rollup(spark, path)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def range_pruned_rollup(spark, path: str):
+    """The pruned re-read, exposed unmaterialized so the plan test can
+    assert PushedFilters(ts bounds) on the exact DataFrame the query
+    runs (the pruned_purchase_rollup convention)."""
+    back = spark.read.parquet(path)
+    return (back.filter((F.col("ts") >= _RPT_LO)
+                        & (F.col("ts") < _RPT_HI))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .cast("long").alias("sum_cents"),
+                 F.min(F.unix_micros("ts")).cast("long")
+                 .alias("first_us"),
+                 F.max(F.unix_micros("ts")).cast("long")
+                 .alias("last_us"))
+            .orderBy("event_type"))
+
+
 @query(
     "schema_evolution_union_scan",
     oracle="""

@@ -74,8 +74,13 @@ def dedup_exact(spark, sf_dir):
           >= 0.8
     """,
     doc="exact n-gram (word-trigram) Jaccard near-dup pairs via "
-        "inverted-index shingle join — no all-pairs product",
+        "inverted-index shingle join — no all-pairs product. Tagged "
+        "exact_semantics: the shingle join is super-linear under "
+        "heavy duplication BY CONSTRUCTION (exact truth); the scale "
+        "path is the registered df-capped twin, and bench.py reports "
+        "a scale_path_total that excludes this member",
     bench=True,
+    tags=("exact_semantics",),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
@@ -465,6 +470,7 @@ def lsh_vs_exact_eval(spark, sf_dir):
         "deterministic hash SAMPLE of docs (unbiased for "
         "pairs-completeness) or with the df-capped truth variant; "
         "the blocker being measured stays linear either way",
+    tags=("exact_semantics",),
 )
 def blocking_quality_metrics(spark, sf_dir):
     return _blocking_metrics(table(spark, sf_dir, "documents"))

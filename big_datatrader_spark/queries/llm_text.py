@@ -296,6 +296,21 @@ def winnowing_fingerprints(spark, sf_dir):
     c = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     base = (docs.select("doc_id", c.alias("c"))
             .filter(F.length("c") >= _WIN_K))
+    # Move the window's doc_id exchange BELOW the k-gram expansion:
+    # without this the scan stage computes regex + explode + one md5
+    # per character position BEFORE the shuffle — i.e. on however few
+    # tasks the file layout gives the scan (ONE task here: the r8
+    # bench regression and the 19.1s sf1 pacing item were this query
+    # hashing 1.2M/12M k-grams on one core). Repartitioning the
+    # (doc_id, canonical-text) rows first keeps the plan at the same
+    # single exchange (hashpartitioning(doc_id) satisfies the window),
+    # ships bytes-of-text instead of 3 BIGINTs per k-gram, and runs
+    # the expansion on every core. Explicit partition count: an
+    # AQE-coalescable exchange would merge ~10 MB of text back to one
+    # partition and re-serialize the hashing. Measured at sf0.1:
+    # 2.3s -> 0.5s, identical result set.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = base.repartition(n, "doc_id")
     g = base.select(
         "doc_id", "c",
         F.explode(F.sequence(

@@ -253,6 +253,89 @@ def approx_aggregates(spark, sf_dir):
     )
 
 
+# Hash-exact companion (VERDICT r8 ask #3): approx_aggregates stays
+# rows-only because HLL++/KLL sketch outputs are engine-defined, so
+# this audit pins the MECHANISM the same way ivf/pq/lsh_vs_exact_eval
+# pin the ANN paths — the exact aggregates are full-oracle columns,
+# and the sketch outputs enter the hash as bound-satisfied booleans
+# whose bounds are stated as columns. A sketch regression beyond the
+# bound flips a boolean and goes red at the driver gate.
+
+_AA_ACD_BOUND_PCT = 5   # |approx - exact| <= 5% of exact; measured
+                        # error at rsd=0.01 is <=0.67% across
+                        # sf0.001/0.01/0.1 (~5 sigma of headroom)
+_AA_MED_SLACK_PCT = 1   # returned median's rank within 1% of n/2;
+                        # percentile_approx(accuracy=10000) contracts
+                        # rank error <= n/10000, measured <=0.53% —
+                        # the bound is 100x the contract, 2x measured
+
+
+@query(
+    "approx_aggregates_error_audit",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST({_AA_ACD_BOUND_PCT} AS BIGINT) AS acd_bound_pct,
+           TRUE AS acd_within_bound,
+           CAST({_AA_MED_SLACK_PCT} AS BIGINT) AS med_rank_slack_pct,
+           TRUE AS med_rank_within_bound
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"exact error-bound audit for approx_aggregates (which stays "
+        "rows-only by design): approx_count_distinct(rsd=0.01) is "
+        f"compared against the exact distinct count ({_AA_ACD_BOUND_PCT}"
+        "% integer cross-multiplied bound — measured error <=0.67%), "
+        "and percentile_approx's returned median is rank-audited by "
+        "counting rows strictly below / at-or-below it in one pass "
+        "over events, asserting the rank interval overlaps n/2 +- "
+        f"{_AA_MED_SLACK_PCT}% (the sketch contract is n/10000). The "
+        "oracle computes the exact side and states the bounds; the "
+        "booleans only hash equal if Spark's sketches satisfy them, so "
+        "the driver gate — not a hand-run pytest — now pins the last "
+        "free-floating rows-only query's mechanism. All comparisons "
+        "are exact BIGINT cross-multiplications; no float thresholds",
+)
+def approx_aggregates_error_audit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    ap = (ev.groupBy("event_type")
+          .agg(F.approx_count_distinct("user_id", 0.01).alias("acd"),
+               F.percentile_approx("value", 0.5, 10000).alias("amed"),
+               F.count(F.lit(1)).cast("long").alias("n_rows")))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").cast("long")
+               .alias("exact_users")))
+    # one extra events pass ranks the returned median exactly; the
+    # 5-row approx relation broadcasts, so this is a map-side join +
+    # one map-side-combinable aggregate — no new shuffle shape
+    rank = (ev.join(F.broadcast(ap.select("event_type", "amed")),
+                    "event_type")
+            .groupBy("event_type")
+            .agg(F.sum((F.col("value") < F.col("amed")).cast("bigint"))
+                 .alias("rank_lt"),
+                 F.sum((F.col("value") <= F.col("amed")).cast("bigint"))
+                 .alias("rank_le")))
+    j = ap.join(ex, "event_type").join(rank, "event_type")
+    acd_ok = (F.abs(F.col("acd") - F.col("exact_users")) * 100
+              <= _AA_ACD_BOUND_PCT * F.col("exact_users"))
+    # the median's rank interval is (rank_lt, rank_le]; it satisfies
+    # the bound iff that interval intersects [n/2 - slack, n/2 + slack]
+    # — cross-multiplied: rank_le*200 >= (100-s)*n, rank_lt*200 <=
+    # (100+s)*n
+    lo_ok = (F.col("rank_le") * 200
+             >= (100 - _AA_MED_SLACK_PCT) * F.col("n_rows"))
+    hi_ok = (F.col("rank_lt") * 200
+             <= (100 + _AA_MED_SLACK_PCT) * F.col("n_rows"))
+    return (j.select(
+        "event_type", "n_rows", "exact_users",
+        F.lit(_AA_ACD_BOUND_PCT).cast("long").alias("acd_bound_pct"),
+        acd_ok.alias("acd_within_bound"),
+        F.lit(_AA_MED_SLACK_PCT).cast("long")
+        .alias("med_rank_slack_pct"),
+        (lo_ok & hi_ok).alias("med_rank_within_bound"))
+        .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # VARIANT ingestion — semi-structured columns without a declared schema
 

@@ -1555,7 +1555,7 @@ _BF_BPK, _BF_K = 10, 3  # ~10 bits per key, 3 hash rows: the filter is
     members AS (SELECT user_id FROM users WHERE user_id % 3 = 0),
     msz AS (SELECT CAST({_BF_BPK} * count(*) + 1 AS BIGINT) AS m
             FROM members),
-    rs AS (SELECT unnest([0, 1, 2]) AS r),
+    rs AS (SELECT unnest([{', '.join(map(str, range(_BF_K)))}]) AS r),
     setpos AS (
       SELECT DISTINCT
              {_h60_sql("'bf' || CAST(rs.r AS VARCHAR) || ':' "
@@ -4262,6 +4262,139 @@ def link_prediction_common_neighbors(spark, sf_dir):
                     "n_common", "ra_score"))
 
 
+# Held-out evaluation companion (VERDICT r8 ask #8): the scorer above
+# pins the ALGEBRA (RA/common-neighbor arithmetic); this query pins
+# the operator's QUALITY the way ivf/pq_vs_exact_eval pinned ANN —
+# split the dated edge set at a cutoff, predict from the train graph
+# only, and score hits against the genuinely-new edges as exact
+# integers under a full oracle.
+
+_LPH_CUTOFF_DAY = 11323  # 2001-01-01 in days-since-epoch: the last ~7
+                         # months of orders are held out as test edges
+_LPH_QUERIES = 50        # query nodes: highest TRAIN degree, ties low
+_LPH_TOPK = 20           # predictions scored per query node
+
+
+@query(
+    "link_prediction_holdout_eval",
+    oracle=f"""
+    WITH dedges AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(min(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+                 AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      JOIN orders ON o_orderkey = a.l_orderkey
+      GROUP BY 1, 2),
+    train AS MATERIALIZED (
+      SELECT src, dst FROM dedges WHERE d < {_LPH_CUTOFF_DAY}),
+    testn AS MATERIALIZED (
+      SELECT src, dst FROM dedges WHERE d >= {_LPH_CUTOFF_DAY}),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM train GROUP BY 1),
+    q AS (SELECT src AS u FROM deg
+          ORDER BY deg DESC, src LIMIT {_LPH_QUERIES}),
+    cand AS (
+      SELECT e1.dst AS u, e2.dst AS v,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum({_LNK_RA_SCALE} // d.deg) AS BIGINT) AS ra_score
+      FROM train e1
+      JOIN q ON q.u = e1.dst
+      JOIN train e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+      JOIN deg d ON d.src = e1.src
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT c.* FROM cand c
+      ANTI JOIN train e ON e.src = c.u AND e.dst = c.v),
+    topk AS (SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (
+          PARTITION BY u ORDER BY ra_score DESC, v) AS rn FROM pred)
+      WHERE rn <= {_LPH_TOPK}),
+    hits AS (
+      SELECT t.u, CAST(count(te.src) AS BIGINT) AS n_hits,
+             CAST(count(*) AS BIGINT) AS n_preds
+      FROM topk t LEFT JOIN testn te ON te.src = t.u AND te.dst = t.v
+      GROUP BY 1),
+    np AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS n_new
+           FROM testn GROUP BY 1)
+    SELECT q.u AS part_u,
+           CAST(COALESCE(h.n_preds, 0) AS BIGINT) AS n_preds,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(np.n_new, 0) AS BIGINT) AS n_new_partners
+    FROM q LEFT JOIN hits h ON h.u = q.u LEFT JOIN np ON np.u = q.u
+    ORDER BY part_u
+    """,
+    doc=f"held-out link-prediction evaluation: the dated co-purchase "
+        "edge list (same ONE-scan collect_set build as the graph "
+        "family, edge date = earliest co-order day) is split at day "
+        f"{_LPH_CUTOFF_DAY} (2001-01-01) into a train graph and the "
+        "genuinely-NEW test edges (pairs whose first co-purchase falls "
+        f"in the holdout window). For the {_LPH_QUERIES} highest-"
+        f"train-degree query parts, the top-{_LPH_TOPK} RA-ranked "
+        "non-edges predicted from the TRAIN graph alone are scored "
+        "against the test set — hits@k, prediction and new-partner "
+        "counts per query node, all exact BIGINTs (RA in the shared "
+        "1e12 floor-div units, ties broken on candidate id). This "
+        "pins the operator's predictive QUALITY, not just its "
+        "algebra: a scoring or split regression changes a hit count "
+        "and flips the driver hash. Scale: identical wedge-join "
+        "discipline as the scorer (cost bounded by the query set, "
+        "never all-pairs); the holdout split is a filter on the "
+        "already-built dated edge list, so train/test share one scan",
+)
+def link_prediction_holdout_eval(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    odays = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.unix_micros("o_orderdate") / 86400000000).cast("bigint")
+        .alias("d"))
+    dedges = GR.copurchase_pairs(li, "src", "dst",
+                                 attrs=odays).persist()
+    train = (dedges.filter(F.col("d") < _LPH_CUTOFF_DAY)
+             .select("src", "dst").persist())
+    testn = (dedges.filter(F.col("d") >= _LPH_CUTOFF_DAY)
+             .select("src", "dst"))
+    deg = train.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    q = (deg.orderBy(F.desc("deg"), "src").limit(_LPH_QUERIES)
+         .select(F.col("src").alias("u")))
+    e1 = (train.join(deg, "src")
+          .select(F.col("src").alias("w"), F.col("dst").alias("u"),
+                  "deg")
+          .join(F.broadcast(q), "u"))
+    e2 = train.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cand = (e1.join(e2, "w")
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+                 F.sum(F.expr(f"{_LNK_RA_SCALE} DIV deg"))
+                 .cast("long").alias("ra_score")))
+    pred = cand.join(
+        train.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"], "left_anti")
+    wq = Window.partitionBy("u").orderBy(F.desc("ra_score"), "v")
+    topk = (pred.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= _LPH_TOPK).select("u", "v"))
+    hits = (topk.join(
+        testn.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                     F.lit(1).alias("hit")), ["u", "v"], "left")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_preds"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint"))
+             .cast("long").alias("n_hits")))
+    np_ = (testn.groupBy(F.col("src").alias("u"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    return (q.join(hits, "u", "left").join(np_, "u", "left")
+            .select(F.col("u").alias("part_u"),
+                    F.coalesce("n_preds", F.lit(0)).cast("long")
+                    .alias("n_preds"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.coalesce("n_new", F.lit(0)).cast("long")
+                    .alias("n_new_partners"))
+            .orderBy("part_u"))
+
+
 # ---------------------------------------------------------------------------
 # GNN-style feature propagation: K rounds of self-inclusive mean
 # aggregation of a node attribute over the co-purchase graph — the
@@ -4309,7 +4442,7 @@ def _gnn_oracle() -> str:
     doc=f"{_GNN_ROUNDS}-round GraphSAGE-mean feature propagation over "
         "the part co-purchase graph: feat0 is the part's retail price "
         "in exact cents, each round replaces every node's value with "
-        "the floor-mean of itself and its neighbors — (h + sum "
+        "the truncated mean of itself and its neighbors — (h + sum "
         "neighbor h) DIV (1 + deg), all BIGINT, so the smoothed "
         "features are bit-identical on any engine or partition "
         "layout. Per round: one edges-to-features join + one "

@@ -37,6 +37,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # reject and which diverges from DuckDB's naive-timestamp reading
     # under the UTC session zone. Read as TIMESTAMP (instant) instead.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Spark's legacy INT96 timestamp encoding writes NO column min/max
+    # statistics (deprecated in parquet-format), which silently disables
+    # row-group pruning on every time predicate over our own sinks —
+    # at 100 TB that is the difference between reading a window and
+    # scanning the corpus (proven by test_format_ops's range-layout
+    # test). Write standard TIMESTAMP_MICROS instead.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

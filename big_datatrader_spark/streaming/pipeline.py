@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import collections
 import os
+import sys
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -231,6 +232,17 @@ def run_stream_until_count(result: DataFrame, spark: SparkSession,
                 if spark.table(name).count() >= expected_rows:
                     break
                 time.sleep(0.2)
+            else:
+                # drain shortfall: make it attributable HERE instead of
+                # only later at the oracle gate (ADVICE r8 #4) — the
+                # partial sink is still returned, so the gate's row
+                # record stays intact
+                got = spark.table(name).count()
+                print(f"run_stream_until_count: deadline "
+                      f"({timeout_sec}s) expired with {got}/"
+                      f"{expected_rows} rows in sink {name!r} — "
+                      "returning partial contents",
+                      file=sys.stderr)
             q.processAllAvailable()
             _record_drain_plan(q)
         finally:

@@ -35,6 +35,10 @@ _PERSISTING = [
     "quantile_normalization",         # value-domain count, 3 branches
     "bpe_learn_merges",               # initial vocabulary (released)
     "hits_hub_authority",             # rotated half-steps (released)
+    "join_cardinality_profile",       # key-grain stats (released r9)
+    "max_concurrent_sessions",        # iv + run (released r9)
+    "link_prediction_common_neighbors",  # edge list
+    "link_prediction_holdout_eval",   # dated edges + train split
 ]
 _BENCH = sorted(n for n, q in REG.items() if q.bench
                 and not n.startswith("streaming_"))

@@ -59,6 +59,82 @@ def test_orc_rereads_push_the_quantity_filter(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _ts_rowgroup_windows(path):
+    """Per-row-group (min, max) of the ts column from parquet footers
+    — the statistics a pushed time predicate prunes against."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    wins = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name
+                 for i in range(md.num_columns)]
+        ci = names.index("ts")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            assert st is not None and st.has_min_max
+            wins.append((st.min, st.max))
+    return wins
+
+
+def test_range_clustered_layout_makes_time_rowgroups_skippable(spark):
+    """VERDICT r8 ask #7 — the SURVEY §1.4 'sorted divisions' claim at
+    the LAYOUT level, quantified: on a repartitionByRange(ts) copy the
+    3-day BETWEEN window intersects only ~window/range of the row
+    groups (footer min/max), while an unsorted rewrite of the SAME
+    rows intersects essentially all of them — so the pushed predicate
+    (also asserted on the plan) lets the reader skip the rest. This is
+    the parquet-reader contract: pushed filter + disjoint stats =>
+    row groups never decompressed."""
+    import datetime
+
+    from big_datatrader_spark.queries.format_ops import (
+        _RPT_HI, _RPT_LO, range_pruned_rollup)
+    from big_datatrader_spark.sources.sinks import write_clustered
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_rangep_t_")
+    try:
+        p_sorted = os.path.join(root, "by_time")
+        p_rand = os.path.join(root, "unsorted")
+        write_clustered(ev, p_sorted, "ts", n_files=16)
+        ev.repartition(16).write.parquet(p_rand)
+
+        # 1) the time predicate reaches the scan
+        df = range_pruned_rollup(spark, p_sorted)
+        plan = physical_plan(df)
+        assert "PushedFilters" in plan and "ts" in plan \
+            and "GreaterThanOrEqual" in plan and "LessThan" in plan
+
+        utc = datetime.timezone.utc
+        lo = datetime.datetime.fromisoformat(_RPT_LO).replace(tzinfo=utc)
+        hi = datetime.datetime.fromisoformat(_RPT_HI).replace(tzinfo=utc)
+
+        def matching(path):
+            wins = _ts_rowgroup_windows(path)
+            hit = sum(1 for mn, mx in wins if mn < hi and mx >= lo)
+            return hit, len(wins)
+
+        s_hit, s_tot = matching(p_sorted)
+        r_hit, r_tot = matching(p_rand)
+        # 2) the range layout makes the window's footprint narrow:
+        # 3 of ~30 days -> at most ~1/4 of row groups even with
+        # boundary straddle; the unsorted twin overlaps everywhere
+        assert s_tot >= 8 and r_tot >= 8
+        assert s_hit <= max(2, s_tot // 4), (s_hit, s_tot)
+        assert r_hit == r_tot, (r_hit, r_tot)
+        # 3) same answer from both layouts (pruning loses nothing)
+        a = df.agg(F.sum("n_events")).collect()[0][0]
+        b = (range_pruned_rollup(spark, p_rand)
+             .agg(F.sum("n_events")).collect()[0][0])
+        assert a == b and a > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_format_roundtrip_results_are_localized(spark):
     """The three registered queries materialize before their staging
     dirs are removed: the returned plan must be a local scan with no
