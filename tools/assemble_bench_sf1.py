@@ -30,6 +30,10 @@ def main() -> int:
                   "(10x scale-up of driver sf0.1)",
         "value": sf1["value"],
         "unit": "sec",
+        # headline minus declared exact-semantics members (VERDICT r8
+        # ask #5): the gate number for the plans a 100 TB user runs
+        "scale_path_total": sf1.get("scale_path_total"),
+        "exact_semantics_members": sf1.get("exact_semantics_members"),
         "queries": sf1["queries"],
         "spread": sf1.get("spread"),
         "sf": 1.0,
