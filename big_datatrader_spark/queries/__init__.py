@@ -87,6 +87,19 @@ _R9_CHANGED = (
     'max_concurrent_sessions',   # unpersist in finally (ADVICE r8 #3)
     'winnowing_fingerprints',  # profiled +20% regression (ask #4);
                                # replan/evidence per SCALING.md note
+    't_closeness_audit',  # NEW: privacy-trio completion — exact
+                          # variational-distance audit, full oracle
+    'personalized_pagerank',  # NEW: random walk with restart to a
+                              # seed set, exact integers, full oracle
+    'edit1_deletion_neighborhood_pairs',  # NEW: SymSpell deletion-
+                                          # key blocking + levenshtein
+                                          # verify, full oracle
+    'ann_hamming_sign_topk',  # NEW: sign-bit binary ANN — the one
+                              # approximate index whose distance is
+                              # deterministic, so FULL oracle
+    'golden_record_survivorship',  # NEW: MDM survivorship over
+                                   # token-set dup clusters, full
+                                   # oracle
 )
 
 _R8_CHANGED = (

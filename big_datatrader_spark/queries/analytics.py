@@ -2320,6 +2320,90 @@ def l_diversity_audit(spark, sf_dir):
 
 
 @query(
+    "t_closeness_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3),
+    grp AS (SELECT c_nationkey, bal_bucket,
+                   CAST(sum(cnt) AS BIGINT) AS group_n
+            FROM cls GROUP BY 1, 2),
+    gseg AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT)
+                 AS gcnt
+             FROM customer GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+    lat AS (SELECT g.c_nationkey, g.bal_bucket, g.group_n,
+                   s.seg, s.gcnt
+            FROM grp g CROSS JOIN gseg s),
+    terms AS (
+      SELECT l.c_nationkey, l.bal_bucket, l.group_n,
+             abs(COALESCE(c.cnt, 0) * nn.n - l.gcnt * l.group_n)
+                 AS term
+      FROM lat l CROSS JOIN nn
+      LEFT JOIN cls c ON c.c_nationkey = l.c_nationkey
+                     AND c.bal_bucket = l.bal_bucket
+                     AND c.seg = l.seg),
+    emd AS (
+      SELECT c_nationkey, bal_bucket, group_n,
+             CAST(sum(term) AS BIGINT) AS emd_scaled
+      FROM terms GROUP BY 1, 2, 3)
+    SELECT c_nationkey, bal_bucket, group_n, emd_scaled,
+           CAST((2 * emd_scaled * 1000000 + 2 * group_n * nn.n)
+                // (2 * 2 * group_n * nn.n) AS DOUBLE) / 1000000.0
+               AS t6
+    FROM emd CROSS JOIN nn
+    ORDER BY c_nationkey, bal_bucket
+    """,
+    doc="t-closeness audit — the third member of the privacy trio "
+        "(k_anonymity_audit: class too small; l_diversity_audit: "
+        "sensitive values too few; HERE: sensitive DISTRIBUTION too "
+        "far from the corpus's, the skew attack l-diversity misses — "
+        "a class can carry 3 distinct segments yet be 95% one of "
+        "them). Per quasi-identifier class (nation, $1000 balance "
+        "bucket), the variational distance t = 1/2 sum|p_i - q_i| "
+        "between the class's market-segment distribution and the "
+        "global one, carried EXACTLY as emd_scaled = "
+        "sum|cnt_i*N - gcnt_i*group_n| (BIGINT; t6 is that over "
+        "2*group_n*N, integer-rounded half-up on both engines). The "
+        "absent-segment terms matter (|0 - q_i| contributes), so the "
+        "class-by-segment lattice is built by cross-joining classes "
+        "with the BOUNDED segment domain (5 rows, broadcast) before "
+        "the left join. Shuffles carry one row per (class, segment), "
+        "never per customer — same scale shape as its two siblings",
+)
+def t_closeness_audit(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    cls = (cust.groupBy("c_nationkey", bucket.alias("bal_bucket"),
+                        F.col("c_mktsegment").alias("seg"))
+           .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    grp = (cls.groupBy("c_nationkey", "bal_bucket")
+           .agg(F.sum("cnt").cast("long").alias("group_n")))
+    glob = (cust.groupBy(F.col("c_mktsegment").alias("seg"))
+            .agg(F.count(F.lit(1)).cast("long").alias("gcnt")))
+    nn = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lat = (grp.crossJoin(F.broadcast(glob))
+           .crossJoin(F.broadcast(nn)))
+    terms = (lat.join(cls, ["c_nationkey", "bal_bucket", "seg"],
+                      "left")
+             .select("c_nationkey", "bal_bucket", "group_n", "n",
+                     F.abs(F.coalesce(F.col("cnt"), F.lit(0))
+                           * F.col("n")
+                           - F.col("gcnt") * F.col("group_n"))
+                     .alias("term")))
+    emd = (terms.groupBy("c_nationkey", "bal_bucket", "group_n", "n")
+           .agg(F.sum("term").cast("long").alias("emd_scaled")))
+    return (emd.select(
+        "c_nationkey", "bal_bucket", "group_n", "emd_scaled",
+        _int_ratio_round6(F.col("emd_scaled"),
+                          2 * F.col("group_n") * F.col("n"))
+        .alias("t6"))
+        .orderBy("c_nationkey", "bal_bucket"))
+
+
+@query(
     "skyline_parts_per_brand",
     oracle="""
     SELECT p.p_brand, p.p_partkey,

@@ -9,7 +9,7 @@ DuckDB oracles reproduce the Spark results bit-for-bit:
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..functions import dedup as DD
 from ..functions import similarity as SIM
@@ -243,6 +243,75 @@ def dedup_exact_kept(spark, sf_dir):
         .filter(F.col("doc_id") == F.col("keep_doc_id"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="""
+    WITH d AS (
+      SELECT md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(trim(text)), ' '))), ' ')) AS fp,
+             doc_id, lang, source, n_chars
+      FROM documents),
+    grp AS (
+      SELECT fp, CAST(min(doc_id) AS BIGINT) AS golden_doc_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM d GROUP BY 1 HAVING count(*) >= 2),
+    lc AS (SELECT fp, lang, count(*) AS c FROM d GROUP BY 1, 2),
+    lsv AS (SELECT fp, lang AS lang_sv FROM (
+        SELECT fp, lang, row_number() OVER (PARTITION BY fp
+               ORDER BY c DESC, lang) AS rn FROM lc) t WHERE rn = 1),
+    sc AS (SELECT fp, source, count(*) AS c FROM d GROUP BY 1, 2),
+    ssv AS (SELECT fp, source AS source_sv FROM (
+        SELECT fp, source, row_number() OVER (PARTITION BY fp
+               ORDER BY c DESC, source) AS rn FROM sc) t WHERE rn = 1)
+    SELECT g.golden_doc_id, g.n_members, l.lang_sv, s.source_sv,
+           g.max_chars
+    FROM grp g JOIN lsv l ON l.fp = g.fp JOIN ssv s ON s.fp = g.fp
+    ORDER BY golden_doc_id
+    """,
+    doc="golden-record survivorship — the step AFTER dedup that MDM "
+        "pipelines actually ship: per duplicate cluster (md5 of the "
+        "SORTED DISTINCT TOKEN SET — the order-insensitive canonical "
+        "form, so reshuffled copies of the same vocabulary cluster "
+        "together where the verbatim fingerprint would miss them; "
+        ">=2 members), elect the golden id (min doc_id, the "
+        "dedup_exact keep rule) and merge the conflicting attributes "
+        "by explicit survivorship rules — modal lang and source "
+        "(count desc, value asc tie-break, so the merge is "
+        "bit-deterministic), max n_chars (most-complete wins). "
+        "dedup_exact_kept DROPS the losers' attributes; this keeps "
+        "the best of each. All key-grain aggregates and fingerprint-"
+        "keyed joins: the shuffle carries 16-byte fingerprints and "
+        "attribute values, never document bodies — at 100 TB "
+        "survivorship costs the same as the dedup groupBy it extends",
+)
+def golden_record_survivorship(spark, sf_dir):
+    tokset_fp = F.md5(F.array_join(F.array_sort(F.array_distinct(
+        F.split(F.lower(F.trim(F.col("text"))), " "))), " "))
+    d = (table(spark, sf_dir, "documents")
+         .select(tokset_fp.alias("fp"),
+                 "doc_id", "lang", "source", "n_chars"))
+    grp = (d.groupBy("fp")
+           .agg(F.min("doc_id").cast("long").alias("golden_doc_id"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.max("n_chars").cast("long").alias("max_chars"))
+           .filter(F.col("n_members") >= 2))
+
+    def modal(col, alias):
+        cnt = (d.groupBy("fp", col)
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("fp").orderBy(F.desc("c"), col)
+        return (cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("fp", F.col(col).alias(alias)))
+
+    return (grp.join(modal("lang", "lang_sv"), "fp")
+            .join(modal("source", "source_sv"), "fp")
+            .select("golden_doc_id", "n_members", "lang_sv",
+                    "source_sv", "max_chars")
+            .orderBy("golden_doc_id"))
 
 
 @query(

@@ -305,3 +305,81 @@ def embedding_gram_matrix(spark, sf_dir):
                 .alias("mean_prod"))
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-quantized (binary) similarity: 1 bit per dimension, Hamming
+# distance via XOR+popcount — the cheapest vector index there is
+# (Charikar 2002 SimHash over the identity projection; the "binary
+# quantization" rerank filter vector stores ship today). Unlike the
+# LSH/IVF/PQ paths, the binary distance itself is DETERMINISTIC
+# integer algebra, so this approximate index gets a FULL oracle, not
+# a rows-only check.
+
+_HAM_WORD = 63  # dims packed per BIGINT word (63 keeps 1<<pos positive)
+
+
+@query(
+    "ann_hamming_sign_topk",
+    oracle=f"""
+    WITH iv AS ({SIM.QUANT_IV_SQL}),
+    sig AS (
+      SELECT vec_id, (i - 1) // {_HAM_WORD} AS w,
+             CAST(sum(CASE WHEN q >= 0
+                      THEN CAST(1 AS BIGINT) << ((i - 1) % {_HAM_WORD})
+                      ELSE 0 END) AS BIGINT) AS bits
+      FROM iv GROUP BY 1, 2),
+    d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(bit_count(xor(q.bits, c.bits))) AS BIGINT)
+                 AS hamming
+      FROM sig q JOIN sig c ON q.w = c.w AND q.vec_id <> c.vec_id
+      WHERE q.vec_id IN ({", ".join(map(str, QUERY_IDS))})
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+      FROM d)
+    SELECT query_id, neighbor_id, hamming, rank
+    FROM ranked WHERE rank <= {K}
+    """,
+    doc=f"binary (sign-bit) ANN: each {DIM}-dim embedding quantizes "
+        f"to one bit per dimension packed {_HAM_WORD}/BIGINT word "
+        "(shared 1e-6 quantization decides the q>=0 sign on both "
+        "engines), and neighbors rank by Hamming distance = "
+        "popcount(XOR) summed over words, ties to the lower id. The "
+        "64x storage/bandwidth compression every binary-quantized "
+        "vector store sells; XOR+popcount is whole-stage-codegen "
+        "integer work, no floats anywhere, so unlike LSH/IVF/PQ this "
+        "approximate index is pinned by a FULL hash oracle. Scale: "
+        f"signatures are {DIM}/{_HAM_WORD} BIGINTs per vector — the "
+        "query-side join broadcasts signatures, not embeddings, and "
+        "the corpus-side scan reads 2 words/row; the exact-cosine "
+        "rerank of the Hamming shortlist is ann_bruteforce_topk on "
+        "k' candidates",
+)
+def ann_hamming_sign_topk(spark, sf_dir):
+    iv = SIM.quantized_components(table(spark, sf_dir, "embeddings"))
+    sig = (iv.groupBy(
+        "vec_id", F.expr(f"(i - 1) DIV {_HAM_WORD}").alias("w"))
+        .agg(F.sum(
+            F.when(F.col("q") >= 0,
+                   F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                          f"CAST((i - 1) % {_HAM_WORD} AS INT))"))
+            .otherwise(F.lit(0))).cast("long").alias("bits")))
+    qsig = (sig.filter(F.col("vec_id").isin(QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "w",
+                    F.col("bits").alias("qbits")))
+    d = (sig.join(F.broadcast(qsig), "w")
+         .filter(F.col("vec_id") != F.col("query_id"))
+         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+         .agg(F.sum(F.bit_count(
+             F.col("bits").bitwiseXOR(F.col("qbits"))))
+             .cast("long").alias("hamming")))
+    wq = Window.partitionBy("query_id").orderBy("hamming",
+                                                "neighbor_id")
+    return (d.withColumn("rank",
+                         F.row_number().over(wq).cast("long"))
+            .filter(F.col("rank") <= K)
+            .select("query_id", "neighbor_id", "hamming", "rank")
+            .orderBy("query_id", "rank"))

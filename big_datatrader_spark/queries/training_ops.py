@@ -1011,6 +1011,107 @@ def pagerank_copurchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Personalized PageRank: random walk with restart to a SEED SET —
+# the "related to these products" scorer behind item-to-item
+# recommendations and seed-expansion labeling, distinct from global
+# pagerank_copurchase (whose restart mass spreads over every node).
+
+_PPR_ITERS = 3
+_PPR_SEEDS = 3  # restart set: the lowest-keyed nodes (deterministic)
+
+
+def _ppr_oracle() -> str:
+    prelude = f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (SELECT node FROM nodes ORDER BY node
+              LIMIT {_PPR_SEEDS}),
+    pr0 AS (
+      SELECT node, CAST(ROUND(1e9 / {_PPR_SEEDS}) AS BIGINT) AS pr_mu
+      FROM seeds)"""
+    steps = []
+    for i in range(1, _PPR_ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(p.pr_mu // o.deg) AS BIGINT) AS s
+      FROM pr{i - 1} p
+      JOIN edges e ON p.node = e.src
+      JOIN outdeg o ON p.node = o.src
+      GROUP BY 1),
+    pr{i} AS (
+      SELECT c.node,
+             CASE WHEN c.node IN (SELECT node FROM seeds)
+                  THEN CAST(ROUND(0.15 * 1e9 / {_PPR_SEEDS})
+                            AS BIGINT) ELSE 0 END
+             + (85 * c.s) // 100 AS pr_mu
+      FROM c{i} c)""")
+    return (prelude + "," + ",".join(steps) + f"""
+    SELECT node AS part_key, pr_mu
+    FROM pr{_PPR_ITERS}
+    ORDER BY pr_mu DESC, part_key LIMIT 100
+    """)
+
+
+@query(
+    "personalized_pagerank",
+    oracle=_ppr_oracle(),
+    doc=f"personalized PageRank ({_PPR_ITERS} iterations, d=0.85, "
+        f"restart mass split over the {_PPR_SEEDS} lowest-keyed "
+        "nodes): random walk WITH RESTART — teleportation returns to "
+        "the seed set, not the whole graph, so scores measure "
+        "proximity to the seeds (the item-to-item recommendation / "
+        "seed-expansion scorer; Page et al. 1999 §6 'personalized' "
+        "variant). Differences from pagerank_copurchase that matter "
+        "at scale: the score vector starts |S|-sized and only grows "
+        "to the seeds' K-hop ball, so early-iteration joins touch a "
+        "FRACTION of the edge list (frontier-sized, like sssp), and "
+        "nodes never visited are never materialized — the oracle's "
+        "pr relations carry only reached nodes, and the engine "
+        "inherits that sparsity for free by keeping pr as the join "
+        "result instead of left-joining the full node list. Same "
+        "exact-integer algebra as pagerank (1e-9-unit mass, floor-div "
+        "contributions, truncated 85% damping), so every engine and "
+        "partition layout agrees bit-for-bit; edge+outdeg relation "
+        "persisted once across iterations",
+)
+def personalized_pagerank(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    edges = GR.copurchase_pairs(li, "src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ewd = edges.join(outdeg, "src").persist()  # (src, dst, deg)
+    seeds = (edges.select(F.col("src").alias("node")).distinct()
+             .orderBy("node").limit(_PPR_SEEDS)
+             .select("node").persist())
+    restart = F.lit(round(0.15 * 1e9 / _PPR_SEEDS)).cast("bigint")
+    pr = seeds.select(
+        "node",
+        F.lit(round(1e9 / _PPR_SEEDS)).cast("bigint").alias("pr_mu"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            pr.join(ewd, pr["node"] == ewd["src"])
+            .select("dst", F.expr("pr_mu DIV deg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s")))
+        is_seed = F.col("seed_node").isNotNull()
+        pr = (
+            contrib.join(
+                F.broadcast(seeds.select(F.col("node")
+                                         .alias("seed_node"))),
+                contrib["dst"] == F.col("seed_node"), "left")
+            .select(F.col("dst").alias("node"),
+                    (F.when(is_seed, restart).otherwise(F.lit(0))
+                     + F.expr("(85 * s) DIV 100")).alias("pr_mu")))
+    return (pr.select(F.col("node").alias("part_key"), "pr_mu")
+            .orderBy(F.desc("pr_mu"), "part_key").limit(100))
+
+
+# ---------------------------------------------------------------------------
 # Synchronous label propagation (Raghavan et al. 2007) over the
 # co-purchase graph: the cheap community-detection pass that needs no
 # modularity optimization — every node adopts the most frequent label

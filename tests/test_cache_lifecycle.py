@@ -39,6 +39,7 @@ _PERSISTING = [
     "max_concurrent_sessions",        # iv + run (released r9)
     "link_prediction_common_neighbors",  # edge list
     "link_prediction_holdout_eval",   # dated edges + train split
+    "personalized_pagerank",          # edge+deg list, seed set
 ]
 _BENCH = sorted(n for n, q in REG.items() if q.bench
                 and not n.startswith("streaming_"))

@@ -218,6 +218,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "bloom_exact_membership",      # four 1-row count scalars
         "join_cardinality_profile",    # three 1-row profile scalars
         "max_concurrent_sessions",     # 1-row peak/first/count scalars
+        "t_closeness_audit",           # 5-row segment domain + 1-row N
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket

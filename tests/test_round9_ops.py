@@ -108,3 +108,123 @@ def test_range_pruned_scan_returns_exactly_the_window(spark, sf0001):
     expect = (ev.filter((F.col("ts") >= _RPT_LO)
                         & (F.col("ts") < _RPT_HI)).count())
     assert sum(r.n_events for r in out) == expect > 0
+
+
+def test_t_closeness_is_zero_iff_class_matches_global(spark, sf0001):
+    """t is a distance: 0 <= t6 <= 1 everywhere, and recomputing one
+    class's variational distance in pandas must match emd_scaled."""
+    out = (REG["t_closeness_audit"].spark_fn(spark, sf0001)
+           .toPandas())
+    assert len(out) > 0
+    assert ((out.t6 >= 0) & (out.t6 <= 1)).all()
+    cust = table(spark, sf0001, "customer").toPandas()
+    n = len(cust)
+    gl = cust.c_mktsegment.value_counts()
+    row = out.iloc[0]
+    sub = cust[(cust.c_nationkey == row.c_nationkey)
+               & ((cust.c_acctbal / 1000).apply(
+                   lambda v: int(v) if v >= 0 or v == int(v)
+                   else int(v) - 1) == row.bal_bucket)]
+    got = sum(abs(len(sub[sub.c_mktsegment == s]) * n
+                  - gl.get(s, 0) * len(sub)) for s in gl.index)
+    assert got == row.emd_scaled
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark, sf0001):
+    """PPR semantics vs global pagerank: the seed nodes themselves
+    must rank far higher under restart-to-seeds than their global
+    rank would suggest, and every score is positive."""
+    ppr = (REG["personalized_pagerank"].spark_fn(spark, sf0001)
+           .toPandas())
+    assert len(ppr) == 100 and (ppr.pr_mu > 0).all()
+    # seeds are the 3 lowest-keyed nodes; at least 2 of them must be
+    # in the PPR top-10 (restart mass concentrates there)
+    from big_datatrader_spark.functions import graph as GR
+    li = table(spark, sf0001, "lineitem").select("l_orderkey",
+                                                 "l_partkey")
+    nodes = (GR.copurchase_pairs(li, "src", "dst")
+             .select("src").distinct().orderBy("src").limit(3)
+             .toPandas().src.tolist())
+    top10 = set(ppr.sort_values(
+        ["pr_mu", "part_key"], ascending=[False, True])
+        .head(10).part_key)
+    assert len(set(nodes) & top10) >= 2, (nodes, top10)
+
+
+def test_edit1_pairs_are_exactly_distance_one(spark, sf0001):
+    """Every emitted pair is at true edit distance 1 (never 0: ids
+    differ and names are unique serials), and the blocking missed
+    nothing: brute-force recompute on the small SF agrees."""
+    out = (REG["edit1_deletion_neighborhood_pairs"]
+           .spark_fn(spark, sf0001).toPandas())
+    assert len(out) > 0 and (out.dist == 1).all()
+    names = (table(spark, sf0001, "customer")
+             .select("c_custkey", "c_name").toPandas())
+    import itertools
+
+    def ed1(a, b):
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if la < lb else (b, a)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1:] == s:
+                return True
+        return False
+
+    recs = sorted(names.itertuples(index=False),
+                  key=lambda r: r.c_custkey)
+    truth = {(x.c_custkey, y.c_custkey)
+             for x, y in itertools.combinations(recs, 2)
+             if ed1(x.c_name, y.c_name)}
+    got = set(zip(out.id_a, out.id_b))
+    assert got == truth
+
+
+def test_hamming_topk_matches_numpy(spark, sf0001):
+    """Recompute the sign-bit Hamming top-k in numpy from the raw
+    embeddings (same 1e-6 quantization rule) — ranks must agree."""
+    import numpy as np
+
+    out = (REG["ann_hamming_sign_topk"].spark_fn(spark, sf0001)
+           .toPandas())
+    emb = (table(spark, sf0001, "embeddings")
+           .select("vec_id", "embedding").toPandas()
+           .sort_values("vec_id"))
+    ids = emb.vec_id.to_numpy()
+    m = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+    # the query's sign rule: round(e * 1e6) >= 0
+    bits = np.floor(np.abs(m * 1e6) + 0.5) * np.sign(m * 1e6) >= 0
+    for q in (0, 1, 2, 3, 4):
+        qi = int(np.where(ids == q)[0][0])
+        ham = (bits ^ bits[qi]).sum(axis=1)
+        order = sorted((int(h), int(i)) for h, i in zip(ham, ids)
+                       if i != q)[:5]
+        mine = out[out.query_id == q].sort_values("rank")
+        assert [(h, i) for h, i in order] == list(
+            zip(mine.hamming, mine.neighbor_id))
+
+
+def test_golden_record_survivorship_rules(spark, sf0001):
+    """Replay one cluster in pandas: golden id is the min, lang/source
+    are modal with (count desc, value asc) ties, max_chars is max."""
+    out = (REG["golden_record_survivorship"].spark_fn(spark, sf0001)
+           .toPandas())
+    assert len(out) > 0 and (out.n_members >= 2).all()
+    docs = table(spark, sf0001, "documents").toPandas()
+    fp = docs.text.str.strip().str.lower().str.split(" ").apply(
+        lambda t: " ".join(sorted(set(t))))
+    docs = docs.assign(fp=fp)
+    for _, row in out.head(3).iterrows():
+        grp = docs[docs.fp == docs.loc[
+            docs.doc_id == row.golden_doc_id, "fp"].iloc[0]]
+        assert row.golden_doc_id == grp.doc_id.min()
+        assert row.n_members == len(grp)
+        assert row.max_chars == grp.n_chars.max()
+        lc = grp.groupby("lang").size().reset_index(name="c")
+        lc = lc.sort_values(["c", "lang"], ascending=[False, True])
+        assert row.lang_sv == lc.iloc[0].lang
