@@ -215,7 +215,20 @@ def minhash_signatures(df: DataFrame, *, text_col: str, id_col: str,
     min-aggregate by doc. One shuffle (the groupBy), everything else
     pipelined in codegen. Shingles keep their in-doc repeats: min() is
     duplicate-insensitive, so the dedup exchange would be pure cost."""
-    sh = _doc_shingles_with_repeats(df, text_col, id_col, shingle_n)
+    # Hoist the doc_id exchange ABOVE the shingle expansion (the
+    # winnowing_fingerprints replan, SCALING.md round 9): the groupBy
+    # below needs hashpartitioning(doc_id) anyway, so repartitioning
+    # the compact (doc_id, text) rows first keeps the exchange count
+    # unchanged while (a) shipping text bytes instead of one row per
+    # shingle and (b) running the md5-per-shingle work on every core
+    # instead of however few tasks the file layout gives the scan
+    # (ONE at bench scale — the whole signature build was serial).
+    # Explicit partition count: an AQE-coalescable exchange would
+    # merge the small text bytes back to one partition and
+    # re-serialize the hashing.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = _doc_shingles_with_repeats(
+        df.repartition(n_part, id_col), text_col, id_col, shingle_n)
     hashed = sh.select(
         "doc_id", (h60(F.col("s")) % _MIX_P).alias("h"))
     mixed = hashed.select(

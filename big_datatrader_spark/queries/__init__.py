@@ -100,6 +100,14 @@ _R9_CHANGED = (
     'golden_record_survivorship',  # NEW: MDM survivorship over
                                    # token-set dup clusters, full
                                    # oracle
+    # minhash_signatures hoisted its doc_id exchange above the
+    # shingle expansion (plan-neutral exchange count, parallel md5 —
+    # functions/dedup.py): values re-verified hash-exact, but the
+    # plan change earns fresh evidence for every consumer
+    'dedup_minhash_lsh',
+    'dedup_clusters',
+    'blocking_quality_metrics',
+    'blocking_quality_metrics_sampled',
 )
 
 _R8_CHANGED = (
