@@ -51,11 +51,13 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # the never-driver-evidenced backlog, then rows-only-by-design queries
 # due for their 2-round re-evidence, then already-green queries
 # oldest-evidence-first so every query keeps accumulating recent
-# driver rows. Round 9 (VERDICT r8 ask #2): the head carries the 7
-# changed/new queries, then the rows-only members due on the 2-round
-# cadence, then the staleness tail — the 33 queries whose latest
-# evidence is r2 all fit in the remaining slots, so after r9 no
-# query's evidence is older than r3.
+# driver rows. Round 9 (VERDICT r8 ask #2): the head carries the 17
+# changed/new queries, then the staleness tail — the 33 queries whose
+# latest evidence is r2 all fit in the remaining slots (17 + 33 = 50
+# exactly), so after r9 no query's evidence is older than r3. That
+# budget is pinned by test_rotation.test_r9_window_drains_the_r2_
+# staleness_tail; it also means NO further query may be added or
+# replanned this round without evicting a drain slot.
 
 _WINDOW = 50
 _CURRENT_ROUND = 9
@@ -80,9 +82,12 @@ _R9_CHANGED = (
     'range_pruned_time_scan',  # NEW (ask #7): time-range scan on the
                                # repartitionByRange layout; row-group
                                # pruning proven in test_plans.py
-    'bloom_exact_membership',  # oracle now derives hash rows from
-                               # _BF_K (ADVICE r8 #1) — same values,
-                               # fresh evidence for the oracle change
+    # bloom_exact_membership is NOT here despite the ADVICE r8 #1
+    # edit: the oracle now derives its hash-row CTE from _BF_K, and
+    # with _BF_K = 3 the generated SQL is byte-identical to the old
+    # hardcoded string (verified against the r8 tree) — neither
+    # engine's text changed, so its fresh r8 green stands and the
+    # slot goes to the round's one new query instead
     'join_cardinality_profile',  # unpersist in finally (ADVICE r8 #3)
     'max_concurrent_sessions',   # unpersist in finally (ADVICE r8 #3)
     'winnowing_fingerprints',  # profiled +20% regression (ask #4);
@@ -100,6 +105,13 @@ _R9_CHANGED = (
     'golden_record_survivorship',  # NEW: MDM survivorship over
                                    # token-set dup clusters, full
                                    # oracle
+    'zorder_pruned_scan',  # NEW: 2-D Morton-interleaved layout +
+                           # both-dims pruned scan, full oracle —
+                           # extends ask #7's 1-D range pruning;
+                           # takes the one spare head slot (the
+                           # window still drains all 33 r2-stale
+                           # greens — verified by the budget check
+                           # in tests/test_rotation.py)
     # minhash_signatures hoisted its doc_id exchange above the
     # shingle expansion (plan-neutral exchange count, parallel md5 —
     # functions/dedup.py): values re-verified hash-exact, but the

@@ -239,6 +239,93 @@ def range_pruned_rollup(spark, path: str):
             .orderBy("event_type"))
 
 
+# Two-dimensional layout pruning: range_pruned_time_scan proves the
+# 1-D sorted-divisions claim; this extends it to the multi-dimension
+# case a 100 TB lake actually faces — queries arrive on time AND on
+# entity, and a layout sorted on one axis prunes nothing on the
+# other. sinks.write_zordered rescales each dim to a full 8-bit
+# bucket domain and sorts by the Morton interleave, so every file's
+# footer min/max is narrow on BOTH raw columns at once;
+# tests/test_format_ops.py quantifies the file-count matrix
+# (time-pred / user-pred / both) against a time-sorted twin. The
+# sibling query zorder_locality (training_ops.py) pins the Morton
+# key's locality MATH cross-engine; this one drives the key through
+# the physical write -> footer-stats -> pruned-read path end to end.
+
+_ZP_LO, _ZP_HI = "2024-01-08 00:00:00", "2024-01-11 00:00:00"
+_ZP_USER_MAX = 8  # user_id < 8 exists at every sf (ids are 0..15k*sf)
+
+
+@query(
+    "zorder_pruned_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    WHERE ts >= TIMESTAMP '{_ZP_LO}' AND ts < TIMESTAMP '{_ZP_HI}'
+      AND user_id < {_ZP_USER_MAX}
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="two-dimensional Z-order layout scan: events re-written via "
+        "sinks.write_zordered((ts, user_id)) — each dim rescaled to a "
+        "full 8-bit bucket domain from its exact min/max, rows sorted "
+        "by the Morton bit-interleave, helper column dropped before "
+        "the write — then re-read with a predicate on BOTH dims (a "
+        f"3-of-30-day window AND user_id < {_ZP_USER_MAX}) and rolled "
+        "up per type with integer cents, a distinct-user count, and "
+        "exact microsecond min/max (the hash proves the pruned read "
+        "returned exactly the box's rows). The oracle filters the "
+        "ORIGINAL table. On the Z layout every file's footer min/max "
+        "is narrow on ts AND user_id simultaneously, so the pushed "
+        "conjunction skips files on either axis — the time-sorted "
+        "layout prunes nothing for a user-only predicate "
+        "(quantified as a file-count matrix in "
+        "tests/test_format_ops.py). At 100 TB this is the difference "
+        "between one layout serving every query axis and one rewrite "
+        "per axis",
+)
+def zorder_pruned_scan(spark, sf_dir):
+    from ..sources.sinks import write_zordered
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_zord_")
+    try:
+        path = os.path.join(root, "events_z")
+        write_zordered(ev, path, ["ts", "user_id"], n_files=16)
+        out = (zorder_pruned_rollup(spark, path)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def zorder_pruned_rollup(spark, path: str):
+    """The pruned 2-D re-read, exposed unmaterialized so the plan test
+    can assert both predicates reach the scan as PushedFilters (the
+    pruned_purchase_rollup convention)."""
+    back = spark.read.parquet(path)
+    return (back.filter((F.col("ts") >= _ZP_LO)
+                        & (F.col("ts") < _ZP_HI)
+                        & (F.col("user_id") < _ZP_USER_MAX))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .cast("long").alias("sum_cents"),
+                 F.min(F.unix_micros("ts")).cast("long")
+                 .alias("first_us"),
+                 F.max(F.unix_micros("ts")).cast("long")
+                 .alias("last_us"))
+            .orderBy("event_type"))
+
+
 @query(
     "schema_evolution_union_scan",
     oracle="""

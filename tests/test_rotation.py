@@ -115,3 +115,19 @@ def test_current_round_covers_recorded_evidence():
 
 def test_rotation_is_deterministic():
     assert list(Q._window_order(REG)) == list(Q._window_order(REG))
+
+
+def test_r9_window_drains_the_r2_staleness_tail():
+    """VERDICT r8 ask #2 commitment, pinned: every query whose latest
+    driver evidence is round 2 — the oldest evidence in the registry —
+    must sit inside the round-9 window head, so after this round no
+    query's evidence is older than r3. Adding or replanning one more
+    query than the head budget allows (17 changed + 33 stale = 50)
+    breaks this test, which is the point. Round-9-specific by design:
+    it self-disables once the round constant moves on."""
+    if Q._CURRENT_ROUND != 9:
+        return
+    head = set(list(REG)[:Q._WINDOW])
+    stale = {n for n in REG if _last_green_round(n) == 2}
+    stranded = stale - head
+    assert not stranded, f"r2-stale greens evicted from window: {stranded}"
