@@ -1228,28 +1228,51 @@ def sorted_neighborhood_pairs(spark, sf_dir):
         "blocking guarantee, same discipline as the MinHash bands",
 )
 def edit1_deletion_neighborhood_pairs(spark, sf_dir):
+    # Replan (round 9, measured): the original id-grain candidate
+    # join ran 5.7s at sf0.1 but 497s at sf1 — 87x for 10x data —
+    # because corpus duplication deepens every deletion-key bucket
+    # (10 copies of each name -> 100x the join output and 100x the
+    # levenshtein calls, on candidates that mostly REJECT). Candidate
+    # generation + verification now run at DISTINCT-NAME grain
+    # (invariant under duplication: sf1's 1.5M customers still carry
+    # 150k distinct names), and only VERIFIED name pairs expand to id
+    # pairs — work that is output-sized and therefore irreducible
+    # (the id-pair result itself grows with duplication^2; that part
+    # is the semantics, not the plan). Same result set: at any sf the
+    # union below emits exactly the old filter's rows — names differ
+    # => dist 1 via the verified-name-pair expansion; names equal
+    # => dist 0 via the exact-name self-join branch.
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
+    names = cust.select("nm").distinct()
     dels = F.expr(
         "transform(sequence(1, length(nm)), i -> "
         "concat(substring(nm, 1, i - 1), substring(nm, i + 1)))")
-    keys = cust.select(
-        "id", "nm",
-        F.explode(F.array_distinct(
+    keys = names.select(
+        "nm", F.explode(F.array_distinct(
             F.concat(F.array(F.col("nm")), dels))).alias("k"))
-    a = keys.select(F.col("id").alias("id_a"),
-                    F.col("nm").alias("na"), "k")
-    b = keys.select(F.col("id").alias("id_b"),
-                    F.col("nm").alias("nb"), "k")
-    cand = (a.join(b, "k")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "na", "nb").distinct())
-    return (cand
-            .withColumn("dist",
-                        F.levenshtein("na", "nb").cast("long"))
-            .filter(F.col("dist") <= 1)
-            .select("id_a", "id_b", "dist")
-            .orderBy("id_a", "id_b"))
+    a = keys.select(F.col("nm").alias("na"), "k")
+    b = keys.select(F.col("nm").alias("nb"), "k")
+    # na < nb excludes equal names, so a surviving pair has dist
+    # exactly 1 (deletion keys guarantee dist <= 1 candidates only
+    # over-generate, never under)
+    npairs = (a.join(b, "k")
+              .filter(F.col("na") < F.col("nb"))
+              .select("na", "nb").distinct()
+              .filter(F.levenshtein("na", "nb") <= 1))
+    ia = cust.select(F.col("nm").alias("na"), F.col("id").alias("ia"))
+    ib = cust.select(F.col("nm").alias("nb"), F.col("id").alias("ib"))
+    diff = (npairs.join(ia, "na").join(ib, "nb")
+            .select(F.least("ia", "ib").alias("id_a"),
+                    F.greatest("ia", "ib").alias("id_b"),
+                    F.lit(1).cast("long").alias("dist")))
+    same = (cust.select("nm", F.col("id").alias("ia"))
+            .join(cust.select("nm", F.col("id").alias("ib")), "nm")
+            .filter(F.col("ia") < F.col("ib"))
+            .select(F.col("ia").alias("id_a"),
+                    F.col("ib").alias("id_b"),
+                    F.lit(0).cast("long").alias("dist")))
+    return diff.unionByName(same).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
