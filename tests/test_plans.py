@@ -516,3 +516,25 @@ def test_universe_sample_predicate_is_scan_local(spark, sf001):
         ["o_orderkey", "o_custkey"],
         ["l_orderkey", "l_extendedprice", "l_discount"],
     ])), scans
+
+
+def test_round9_exchange_budgets(spark, sf001):
+    """Shuffle budgets for the round-9 operators. The privacy/audit
+    queries are class-grain aggregate chains; the graph pair rides the
+    one-scan co-purchase edge build plus bounded iteration/wedge
+    stages; edit-1 blocking stays at distinct-name grain (the
+    duplication-proof replan — its expansion joins broadcast at this
+    sf); the binary-ANN chain is signature-grain with a broadcast
+    query side."""
+    budgets = {
+        "approx_aggregates_error_audit": 6,
+        "link_prediction_holdout_eval": 10,
+        "t_closeness_audit": 6,
+        "personalized_pagerank": 10,
+        "edit1_deletion_neighborhood_pairs": 4,
+        "ann_hamming_sign_topk": 5,
+        "golden_record_survivorship": 6,
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        assert n <= budget, (name, n, budget)
