@@ -166,6 +166,101 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     )
 
 
+def ngram_jaccard_pairs_collapsed(df: DataFrame, *,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id", n: int = 3,
+                                  threshold: float = 0.8,
+                                  max_df: int | None = None
+                                  ) -> DataFrame:
+    """``ngram_jaccard_pairs`` made duplication-proof: same result set,
+    but the shingle join runs over one REPRESENTATIVE per distinct
+    text (md5 fingerprint grouping, min-id rep — the dedup_exact key),
+    so exact corpus duplication no longer multiplies the inverted-
+    index work. Jaccard is a function of the text alone, which makes
+    the collapse exact: verified rep pairs expand to member id pairs
+    through two fingerprint joins (output-sized work — the id-pair
+    RESULT grows with duplication^2 by semantics and that term is
+    irreducible), and same-text members pair up at jaccard exactly
+    1.0 via an equality self-join, gated on >= 1 token because empty
+    docs emit no shingles and therefore no pairs (the
+    ``_doc_shingles`` contract). Measured (round 9): the id-grain
+    form ran 22.8s at sf1 (10 verbatim copies of every doc -> 100x
+    posting-list join output); collapsed, the join work is constant
+    in the duplication factor. What the collapse does NOT fix is
+    df(s) growth across DISTINCT near-duplicate texts — that is the
+    exact-truth cost by construction, and the df-capped twin remains
+    the scale path for it.
+
+    ``max_df`` applies the document-frequency cutoff at DISTINCT-TEXT
+    grain: df counts how many distinct texts carry a shingle, so the
+    cap measures genuine boilerplate rather than copy-count (the
+    id-grain cap silently zeroed the whole result at sf1, where 10
+    verbatim copies push every shingle's df past any small absolute
+    cutoff). Under a cap, a same-text pair is emitted (at jaccard
+    1.0) only while its representative keeps >= 1 surviving shingle —
+    mirroring the id-grain behavior where fully-capped docs vanish
+    from the pair relation."""
+    # tokenless docs emit no shingles and therefore can never appear
+    # in a pair (the _doc_shingles contract), and a tokenless doc
+    # cannot share a fingerprint with a tokenful one — so the whole
+    # computation restricts to tokenful rows upfront and every branch
+    # below shares one fingerprint relation
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+            .filter(F.size(tokens(F.col(text_col))) > 0))
+    # DOCUMENT BODIES NEVER SHUFFLE: the fingerprint relation is
+    # (16-byte fp, id) only; representatives get their text back via
+    # an id join against the scan (broadcast under AQE at bench
+    # scales; a narrow id-hashed exchange at cluster scale — either
+    # way the per-shingle explode still happens in scan partitions,
+    # the ngram_jaccard_pairs contract)
+    fpn = base.select("doc_id", F.md5("text").alias("fp"))
+    gr = fpn.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    reps = base.join(gr, "doc_id")  # (doc_id, text, fp) — rep rows
+    rep_pairs = ngram_jaccard_pairs(
+        reps.select("doc_id", "text"), text_col="text",
+        id_col="doc_id", n=n, threshold=threshold, max_df=max_df)
+    fa = gr.select(F.col("doc_id").alias("doc_a"),
+                   F.col("fp").alias("fp_a"))
+    fb = gr.select(F.col("doc_id").alias("doc_b"),
+                   F.col("fp").alias("fp_b"))
+    rpf = (rep_pairs.join(fa, "doc_a").join(fb, "doc_b")
+           .select("fp_a", "fp_b", "jaccard"))
+    ia = fpn.select(F.col("fp").alias("fp_a"),
+                    F.col("doc_id").alias("ia"))
+    ib = fpn.select(F.col("fp").alias("fp_b"),
+                    F.col("doc_id").alias("ib"))
+    diff = (rpf.join(ia, "fp_a").join(ib, "fp_b")
+            .select(F.least("ia", "ib").alias("doc_a"),
+                    F.greatest("ia", "ib").alias("doc_b"),
+                    "jaccard"))
+    # same-text pairs at exactly jaccard 1.0 via the shared
+    # fingerprint relation (the >= 1 token gate is already on base).
+    # Under a df cap, only fingerprints whose representative keeps a
+    # surviving shingle stay eligible — a fully-capped doc has no
+    # shingle universe and emits no pairs at all, matching the
+    # id-grain pipeline's behavior for such docs.
+    eligible = fpn
+    if max_df is not None:
+        from pyspark.sql import Window
+        rsh = _doc_shingles(reps.select("doc_id", "text"),
+                            "text", "doc_id", n)
+        dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
+        surv = (rsh.withColumn("df_s", dfs)
+                .filter(F.col("df_s") <= max_df)
+                .select("doc_id").distinct())
+        efp = gr.join(surv, "doc_id").select("fp")
+        eligible = fpn.join(efp, "fp")
+    same = (eligible.select("fp", F.col("doc_id").alias("ia"))
+            .join(eligible.select("fp",
+                                  F.col("doc_id").alias("ib")), "fp")
+            .filter(F.col("ia") < F.col("ib"))
+            .select(F.col("ia").alias("doc_a"),
+                    F.col("ib").alias("doc_b"),
+                    F.lit(1.0).alias("jaccard")))
+    return diff.unionByName(same)
+
+
 # MinHash permutation family: ONE md5 per shingle, then cheap integer
 # affine mixing per hash function — hash_j(s) = (a_j * h + b_j) mod p
 # with h = h60(s) mod p.  p = 2^31 - 1 (prime) keeps h and a_j under

@@ -112,10 +112,25 @@ _R9_CHANGED = (
                            # window still drains all 33 r2-stale
                            # greens — verified by the budget check
                            # in tests/test_rotation.py)
+    # dedup_ngram_jaccard was an r2-stale green already inside the
+    # head, so moving it up to the changed tier costs NO drain slot:
+    # its shingle join now runs at distinct-text grain
+    # (ngram_jaccard_pairs_collapsed — the duplication-proof replan,
+    # measured at sf1 in SCALING.md), values re-verified hash-exact
+    # at sf0.001/0.01/0.1
+    'dedup_ngram_jaccard',
+    # dedup_ngram_jaccard_capped — also r2-stale, also slot-free: its
+    # df cutoff now counts DISTINCT TEXTS (collapsed build + oracle
+    # change): the id-grain cap classified sf1's verbatim copies as
+    # boilerplate and zeroed the whole result, so the scale-path twin
+    # was measuring an empty computation (SCALING.md)
+    'dedup_ngram_jaccard_capped',
     # minhash_signatures hoisted its doc_id exchange above the
     # shingle expansion (plan-neutral exchange count, parallel md5 —
     # functions/dedup.py): values re-verified hash-exact, but the
-    # plan change earns fresh evidence for every consumer
+    # plan change earns fresh evidence for every consumer;
+    # dedup_clusters additionally consumes the collapsed jaccard
+    # build now
     'dedup_minhash_lsh',
     'dedup_clusters',
     'blocking_quality_metrics',

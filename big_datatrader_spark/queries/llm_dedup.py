@@ -74,16 +74,23 @@ def dedup_exact(spark, sf_dir):
           >= 0.8
     """,
     doc="exact n-gram (word-trigram) Jaccard near-dup pairs via "
-        "inverted-index shingle join — no all-pairs product. Tagged "
-        "exact_semantics: the shingle join is super-linear under "
-        "heavy duplication BY CONSTRUCTION (exact truth); the scale "
-        "path is the registered df-capped twin, and bench.py reports "
-        "a scale_path_total that excludes this member",
+        "inverted-index shingle join — no all-pairs product. Round 9: "
+        "the shingle join now runs over one representative per "
+        "distinct text (ngram_jaccard_pairs_collapsed), so EXACT "
+        "corpus duplication no longer multiplies the posting-list "
+        "work — measured 22.8s -> 3.5s at sf1, where every doc has "
+        "10 verbatim copies; the id-pair output itself grows with "
+        "duplication^2 and that term is semantics. Still tagged "
+        "exact_semantics: df growth across DISTINCT near-duplicate "
+        "texts keeps the exact-truth join super-linear BY "
+        "CONSTRUCTION in the general corpus; the scale path is the "
+        "registered df-capped twin, and bench.py reports a "
+        "scale_path_total that excludes this member",
     bench=True,
     tags=("exact_semantics",),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return DD.ngram_jaccard_pairs(
+    return DD.ngram_jaccard_pairs_collapsed(
         table(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
@@ -212,10 +219,13 @@ _JACCARD_PAIRS_SQL = f"""
     """,
     doc="near-dup clustering: connected components over Jaccard>=0.8 "
         "pairs via iterative min-label propagation (join+groupBy per "
-        "round); oracle uses a recursive-CTE transitive closure",
+        "round); oracle uses a recursive-CTE transitive closure. The "
+        "pair relation uses the duplication-collapsed build (round "
+        "9), so exact copies enter the edge list through the "
+        "fingerprint expansion, not through a 100x posting-list join",
 )
 def dedup_clusters(spark, sf_dir):
-    pairs = DD.ngram_jaccard_pairs(
+    pairs = DD.ngram_jaccard_pairs_collapsed(
         table(spark, sf_dir, "documents"), n=3, threshold=0.8)
     return DD.connected_components(pairs)
 

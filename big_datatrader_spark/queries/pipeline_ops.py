@@ -104,7 +104,13 @@ def incremental_dedup_minhash(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard_capped",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    WITH d0 AS (
+      SELECT doc_id, text, md5(text) AS fp FROM documents
+      WHERE len({_TOKS}) > 0),
+    grp AS (SELECT fp, min(doc_id) AS rid FROM d0 GROUP BY 1),
+    toks AS (
+      SELECT g.rid AS doc_id, {_TOKS} AS t
+      FROM grp g JOIN d0 d ON d.doc_id = g.rid),
     sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks),
     sh AS (SELECT doc_id, s FROM (
              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df_s
@@ -114,24 +120,50 @@ def incremental_dedup_minhash(spark, sf_dir):
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
-    FROM pairs
-    JOIN counts ca ON doc_a = ca.doc_id
-    JOIN counts cb ON doc_b = cb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
-          >= 0.8
+      GROUP BY 1, 2),
+    rpairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_common AS DOUBLE)
+                   / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+      FROM pairs
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+            >= 0.8),
+    diff AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b, jaccard
+      FROM rpairs
+      JOIN grp ga ON ga.rid = rpairs.doc_a
+      JOIN grp gb ON gb.rid = rpairs.doc_b
+      JOIN d0 a ON a.fp = ga.fp
+      JOIN d0 b ON b.fp = gb.fp),
+    sfp AS (SELECT g.fp FROM grp g
+            WHERE g.rid IN (SELECT DISTINCT doc_id FROM sh)),
+    same AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM d0 a JOIN d0 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN sfp ON sfp.fp = a.fp)
+    SELECT doc_a, doc_b, jaccard FROM diff
+    UNION ALL
+    SELECT doc_a, doc_b, jaccard FROM same
     """,
-    doc=f"n-gram Jaccard near-dup pairs with a document-frequency cutoff"
-        f" (shingles in > {NGRAM_MAX_DF} docs dropped before the "
-        "self-join): bounds the inverted-index join's df(s)^2 blow-up "
-        "on boilerplate text — the production-scale guard the uncapped "
-        "variant documents",
+    doc=f"n-gram Jaccard near-dup pairs with a document-frequency "
+        f"cutoff (shingles in > {NGRAM_MAX_DF} DISTINCT TEXTS dropped "
+        "before the self-join): bounds the inverted-index join's "
+        "df(s)^2 blow-up on boilerplate text — the production-scale "
+        "guard the uncapped variant documents. Round 9: df now counts "
+        "distinct texts via the collapsed build "
+        "(ngram_jaccard_pairs_collapsed), so the cap measures genuine "
+        "boilerplate instead of copy-count — under the id-grain cap, "
+        "sf1's 10 verbatim copies pushed EVERY shingle past the "
+        "cutoff and the scale-path twin was measuring an empty "
+        "result; same-text members pair at jaccard 1.0 while their "
+        "representative keeps a surviving shingle",
     bench=True,
 )
 def dedup_ngram_jaccard_capped(spark, sf_dir):
-    return DD.ngram_jaccard_pairs(
+    return DD.ngram_jaccard_pairs_collapsed(
         table(spark, sf_dir, "documents"), n=3, threshold=0.8,
         max_df=NGRAM_MAX_DF)
