@@ -200,32 +200,115 @@ def ngram_jaccard_pairs_collapsed(df: DataFrame, *,
     1.0) only while its representative keeps >= 1 surviving shingle —
     mirroring the id-grain behavior where fully-capped docs vanish
     from the pair relation."""
-    # tokenless docs emit no shingles and therefore can never appear
-    # in a pair (the _doc_shingles contract), and a tokenless doc
-    # cannot share a fingerprint with a tokenful one — so the whole
-    # computation restricts to tokenful rows upfront and every branch
-    # below shares one fingerprint relation
+    assert threshold <= 1.0  # same-text pairs score exactly 1.0
+
+    def pair_fn(reps):
+        return ngram_jaccard_pairs(reps, text_col="text",
+                                   id_col="doc_id", n=n,
+                                   threshold=threshold, max_df=max_df)
+
+    same_fn = None
+    if max_df is not None:
+        def same_fn(fpn, gr, reps):
+            # only fingerprints whose representative keeps a surviving
+            # shingle emit same-text pairs — a fully-capped doc has no
+            # shingle universe and emits no pairs at all, matching the
+            # id-grain pipeline's behavior for such docs
+            from pyspark.sql import Window
+            rsh = _doc_shingles(reps.select("doc_id", "text"),
+                                "text", "doc_id", n)
+            dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
+            surv = (rsh.withColumn("df_s", dfs)
+                    .filter(F.col("df_s") <= max_df)
+                    .select("doc_id").distinct())
+            return fpn.join(gr.join(surv, "doc_id").select("fp"),
+                            "fp")
+
+    return _collapsed_text_pairs(df, text_col=text_col,
+                                 id_col=id_col, score_col="jaccard",
+                                 rep_pair_fn=pair_fn,
+                                 same_eligible_fn=same_fn)
+
+
+def minhash_lsh_pairs_collapsed(df: DataFrame, *,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_hashes: int = 12, bands: int = 4,
+                                shingle_n: int = 3,
+                                threshold: float = 0.5) -> DataFrame:
+    """``minhash_lsh_pairs`` made duplication-proof: same result set
+    (signatures are a function of the text alone, so identical texts
+    share every band bucket AND agree on all ``num_hashes`` minhashes
+    — est_jaccard exactly 1.0 — while cross-group members collide in
+    a band exactly when their representatives do), but the banded
+    self-join runs over one representative per distinct text, so
+    verbatim duplication deepens no LSH bucket. Same skeleton as the
+    exact-Jaccard collapse (``_collapsed_text_pairs``); tokenless
+    docs produce no signature and can never pair, matching the
+    id-grain pipeline.
+
+    Measured (round 9, sf1 = 10 verbatim copies of every doc): the
+    collapse LOSES here — 2.57s vs the id-grain 1.14s at sf1, 1.09s
+    vs 0.55s at sf0.1 — because a 12-value signature makes the banded
+    join's bucket-depth growth (d^2 candidate rows, deduped before
+    scoring) cheaper than the two expansion joins; contrast the exact
+    Jaccard collapse, whose id-grain form pays d^2 FULL posting-list
+    intersections and drops 22.8s -> 3.5s. The registered
+    dedup_minhash_lsh therefore keeps the id-grain plan; this form is
+    the documented choice when the duplication factor is far beyond
+    10 (mass-mirrored corpora), where d^2 bucket depth eventually
+    dominates any constant join overhead. Set-equality with the
+    id-grain build is pinned by tests/test_llm_ops.py."""
+    assert threshold <= 1.0  # same-text pairs score exactly 1.0
+
+    def pair_fn(reps):
+        return minhash_lsh_pairs(reps, text_col="text",
+                                 id_col="doc_id",
+                                 num_hashes=num_hashes, bands=bands,
+                                 shingle_n=shingle_n,
+                                 threshold=threshold)
+
+    return _collapsed_text_pairs(df, text_col=text_col,
+                                 id_col=id_col,
+                                 score_col="est_jaccard",
+                                 rep_pair_fn=pair_fn)
+
+
+def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
+                          id_col: str, score_col: str, rep_pair_fn,
+                          same_eligible_fn=None) -> DataFrame:
+    """Duplication-collapse skeleton shared by the exact-Jaccard and
+    MinHash-LSH pair builders. Any pair score that is a function of
+    the TEXT alone collapses exactly: build scored pairs over one
+    representative per distinct text (``rep_pair_fn``), expand
+    verified rep pairs to member id pairs through two fingerprint
+    joins (output-sized work — the id-pair result itself grows with
+    duplication^2 by semantics and that term is irreducible), and
+    pair same-text members at the score's identity value 1.0
+    (identical texts agree on every shingle and every minhash).
+    ``same_eligible_fn(fpn, gr, reps)`` optionally narrows which
+    fingerprints emit same-text pairs (the df-cap survivor gate).
+    Tokenless docs emit no shingles and no signature, so they can
+    never pair — everything restricts to tokenful rows upfront and
+    the branches share one fingerprint relation. DOCUMENT BODIES
+    NEVER SHUFFLE: the fingerprint relation is (16-byte fp, id) only;
+    representatives get their text back via an id join against the
+    scan (broadcast under AQE at bench scales; a narrow id-hashed
+    exchange at cluster scale — either way the per-shingle explode
+    still happens in scan partitions)."""
     base = (df.select(F.col(id_col).alias("doc_id"),
                       F.col(text_col).alias("text"))
             .filter(F.size(tokens(F.col(text_col))) > 0))
-    # DOCUMENT BODIES NEVER SHUFFLE: the fingerprint relation is
-    # (16-byte fp, id) only; representatives get their text back via
-    # an id join against the scan (broadcast under AQE at bench
-    # scales; a narrow id-hashed exchange at cluster scale — either
-    # way the per-shingle explode still happens in scan partitions,
-    # the ngram_jaccard_pairs contract)
     fpn = base.select("doc_id", F.md5("text").alias("fp"))
     gr = fpn.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     reps = base.join(gr, "doc_id")  # (doc_id, text, fp) — rep rows
-    rep_pairs = ngram_jaccard_pairs(
-        reps.select("doc_id", "text"), text_col="text",
-        id_col="doc_id", n=n, threshold=threshold, max_df=max_df)
+    rep_pairs = rep_pair_fn(reps.select("doc_id", "text"))
     fa = gr.select(F.col("doc_id").alias("doc_a"),
                    F.col("fp").alias("fp_a"))
     fb = gr.select(F.col("doc_id").alias("doc_b"),
                    F.col("fp").alias("fp_b"))
     rpf = (rep_pairs.join(fa, "doc_a").join(fb, "doc_b")
-           .select("fp_a", "fp_b", "jaccard"))
+           .select("fp_a", "fp_b", score_col))
     ia = fpn.select(F.col("fp").alias("fp_a"),
                     F.col("doc_id").alias("ia"))
     ib = fpn.select(F.col("fp").alias("fp_b"),
@@ -233,31 +316,16 @@ def ngram_jaccard_pairs_collapsed(df: DataFrame, *,
     diff = (rpf.join(ia, "fp_a").join(ib, "fp_b")
             .select(F.least("ia", "ib").alias("doc_a"),
                     F.greatest("ia", "ib").alias("doc_b"),
-                    "jaccard"))
-    # same-text pairs at exactly jaccard 1.0 via the shared
-    # fingerprint relation (the >= 1 token gate is already on base).
-    # Under a df cap, only fingerprints whose representative keeps a
-    # surviving shingle stay eligible — a fully-capped doc has no
-    # shingle universe and emits no pairs at all, matching the
-    # id-grain pipeline's behavior for such docs.
-    eligible = fpn
-    if max_df is not None:
-        from pyspark.sql import Window
-        rsh = _doc_shingles(reps.select("doc_id", "text"),
-                            "text", "doc_id", n)
-        dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
-        surv = (rsh.withColumn("df_s", dfs)
-                .filter(F.col("df_s") <= max_df)
-                .select("doc_id").distinct())
-        efp = gr.join(surv, "doc_id").select("fp")
-        eligible = fpn.join(efp, "fp")
+                    score_col))
+    eligible = (same_eligible_fn(fpn, gr, reps)
+                if same_eligible_fn is not None else fpn)
     same = (eligible.select("fp", F.col("doc_id").alias("ia"))
             .join(eligible.select("fp",
                                   F.col("doc_id").alias("ib")), "fp")
             .filter(F.col("ia") < F.col("ib"))
             .select(F.col("ia").alias("doc_a"),
                     F.col("ib").alias("doc_b"),
-                    F.lit(1.0).alias("jaccard")))
+                    F.lit(1.0).alias(score_col)))
     return diff.unionByName(same)
 
 

@@ -145,7 +145,13 @@ def _band_struct_sql() -> str:
     """,
     doc=f"MinHash({NUM_HASHES})+LSH({BANDS} bands) near-dup candidates "
         "with estimated Jaccard — the all-pairs-free dedup path at "
-        "corpus scale",
+        "corpus scale. Deliberately NOT the collapsed build: the "
+        "duplication collapse was measured against this id-grain plan "
+        "at sf1's 10x-verbatim corpus and LOST (1.14s vs 2.57s — the "
+        "12-value signatures make bucket-depth growth cheaper than "
+        "the expansion joins at these duplication factors; "
+        "minhash_lsh_pairs_collapsed carries the numbers and stays "
+        "the documented form for extreme-duplication corpora)",
     bench=True,
 )
 def dedup_minhash_lsh(spark, sf_dir):
