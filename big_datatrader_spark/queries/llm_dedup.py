@@ -549,10 +549,12 @@ def lsh_vs_exact_eval(spark, sf_dir):
         "is hash-exact. This is the measurement a 100 TB dedup run "
         "makes BEFORE committing to a blocker: completeness bounds "
         "recall, reduction bounds cost. Scale caveat (measured in "
-        "SCALING.md): EXACT ground truth is super-linear under heavy "
-        "verbatim duplication — k copies contribute k(k-1)/2 true "
-        "pairs — so at corpus scale this audit runs on a "
-        "deterministic hash SAMPLE of docs (unbiased for "
+        "SCALING.md): the truth side's VERBATIM-duplication blow-up "
+        "was removed in round 9 (collapsed build — 67s -> 8.0s at "
+        "sf1); what remains super-linear BY CONSTRUCTION is exact "
+        "truth under heavy NEAR-duplication (df growth across "
+        "distinct texts), so at corpus scale this audit still runs "
+        "on a deterministic hash SAMPLE of docs (unbiased for "
         "pairs-completeness) or with the df-capped truth variant; "
         "the blocker being measured stays linear either way",
     tags=("exact_semantics",),
@@ -564,10 +566,16 @@ def blocking_quality_metrics(spark, sf_dir):
 def _blocking_metrics(docs):
     """PC/RR metric assembly over any document relation (full corpus
     or a deterministic sample): exact truth, raw band collisions, and
-    the one-row integer metric relation."""
+    the one-row integer metric relation. The truth side uses the
+    duplication-collapsed jaccard build (round 9): the pair SET is
+    provably identical (tests/test_properties_r9.py), so n_true /
+    n_caught — and therefore the metric row and its oracle — are
+    unchanged, while the truth stage's duplication^2 posting-list
+    cost collapses to distinct-text grain."""
     from .analytics import _int_ratio_round6
 
-    truth = (DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    truth = (DD.ngram_jaccard_pairs_collapsed(docs, n=3,
+                                              threshold=0.8)
              .select("doc_a", "doc_b"))
     cand = (DD.minhash_lsh_pairs(docs, num_hashes=NUM_HASHES,
                                  bands=BANDS, threshold=0.0)

@@ -532,7 +532,12 @@ def test_late_round7_exchange_budgets(spark):
         "asof_join_nearest_tolerance": 3,  # dedup + 1 user hash + sort
         "decision_split_information_gain": 4,
         "rank_biased_overlap_parts": 2,   # two TakeOrdered feeds
-        "blocking_quality_metrics": 23,   # truth + LSH + 4 scalars
+        # 44 > the original 23: the truth side's duplication collapse
+        # (round 9) adds fingerprint groupBy/expansion stages to the
+        # PLANNED tree — but the duplication^2 posting-list cost they
+        # remove measured 67s -> 8.0s at sf1 (SCALING.md); the extra
+        # exchanges are fp/id-narrow
+        "blocking_quality_metrics": 44,
         "recursive_cte_date_spine": 2,
     }
     over = {}
