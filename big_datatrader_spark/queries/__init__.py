@@ -71,10 +71,13 @@ _CURRENT_ROUND = 9
 # the window. Every name here MUST be registered: _window_order
 # asserts membership (VERDICT r6: _R6_CHANGED named a phantom query
 # and the slot silently fell through).
-# Round 9 (VERDICT r8 asks): keep this set <=15 so the 50-slot window
-# can also drain the 33 queries whose latest evidence is still r2
-# (VERDICT r8 ask #2). Names are added as queries are written or
-# replanned this round; _window_order hard-fails on ghosts.
+# Round 9 (VERDICT r8 asks): the set settled at 18 entries, two of
+# them r2-stale greens already in the head, so the 50-slot window
+# still drains all 33 queries whose latest evidence is r2 (VERDICT
+# r8 ask #2) — the arithmetic is re-derived in the header comment
+# above and pinned by test_rotation. Names are added as queries are
+# written or replanned this round; _window_order hard-fails on
+# ghosts.
 _R9_CHANGED = (
     'approx_aggregates_error_audit',  # NEW (ask #3): exact integer
                                       # error rows for approx_count_

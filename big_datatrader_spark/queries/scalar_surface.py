@@ -318,13 +318,16 @@ def approx_aggregates_error_audit(spark, sf_dir):
     j = ap.join(ex, "event_type").join(rank, "event_type")
     acd_ok = (F.abs(F.col("acd") - F.col("exact_users")) * 100
               <= _AA_ACD_BOUND_PCT * F.col("exact_users"))
-    # the median's rank interval is (rank_lt, rank_le]; it satisfies
-    # the bound iff that interval intersects [n/2 - slack, n/2 + slack]
-    # — cross-multiplied: rank_le*200 >= (100-s)*n, rank_lt*200 <=
-    # (100+s)*n
+    # the median's possible ranks are the integer interval
+    # [rank_lt + 1, rank_le]; it satisfies the bound iff that interval
+    # intersects [n/2 - slack, n/2 + slack] — cross-multiplied:
+    # rank_le*200 >= (100-s)*n AND (rank_lt + 1)*200 <= (100+s)*n.
+    # (Round-9 review fix: the upper test previously used rank_lt*200
+    # <= (100+s)*n, one rank looser than the interval's true lower
+    # endpoint when the bound divides evenly.)
     lo_ok = (F.col("rank_le") * 200
              >= (100 - _AA_MED_SLACK_PCT) * F.col("n_rows"))
-    hi_ok = (F.col("rank_lt") * 200
+    hi_ok = ((F.col("rank_lt") + 1) * 200
              <= (100 + _AA_MED_SLACK_PCT) * F.col("n_rows"))
     return (j.select(
         "event_type", "n_rows", "exact_users",

@@ -142,11 +142,21 @@ def write_zordered(df: DataFrame, path: str, dim_cols: list[str], *,
     stats = df.agg(*aggs).collect()[0]
     dims = []
     for c in dim_cols:
-        mn = float(stats[f"mn_{c}"])
+        mn = stats[f"mn_{c}"]
+        if mn is None:
+            # empty frame or all-NULL dimension: no value domain to
+            # rescale — the dim contributes a constant 0 to the code
+            # (locality falls back to the other dims; write_clustered,
+            # the 1-D sibling, tolerates the same input)
+            dims.append((F.lit(0), bits))
+            continue
+        mn = float(mn)
         span = float(stats[f"mx_{c}"]) - mn or 1.0
         raw = F.floor((nums[c] - F.lit(mn)) / F.lit(span) * nb)
         dims.append((F.greatest(F.lit(0),
-                                F.least(F.lit(nb - 1), raw)), bits))
+                                F.least(F.lit(nb - 1),
+                                        F.coalesce(raw, F.lit(0)))),
+                     bits))
     (df.withColumn("__z", morton_code(dims))
      .repartitionByRange(n_files, "__z")
      .sortWithinPartitions("__z")

@@ -285,3 +285,37 @@ def test_morton_code_matches_reference_interleave(spark):
     assert all(got[(x, y)] == ref(x, y, 6) for x, y in rows)
     # distinct inputs -> distinct codes (the interleave is a bijection)
     assert len(set(got.values())) == len(rows)
+
+
+def test_write_zordered_tolerates_empty_and_null_dims(spark, tmp_path):
+    """Degenerate inputs the 1-D write_clustered already tolerates:
+    an EMPTY frame (min/max stats are NULL — must not crash on the
+    rescale) and a dimension with NULL values (per-row NULL buckets
+    coalesce to 0 so the Morton code stays non-NULL); row multisets
+    must round-trip exactly."""
+    from big_datatrader_spark.sources.sinks import write_zordered
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["ts", "user_id"], n_files=2)
+    assert spark.read.parquet(p1).count() == 0
+
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, None), (2, None, 5), (3, t0, 7), (4, None, None)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    p2 = str(tmp_path / "nulls")
+    write_zordered(df, p2, ["ts", "user_id"], n_files=2)
+    back = spark.read.parquet(p2)
+    assert back.count() == 4
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+
+    # all-NULL dimension: no value domain — constant-0 bucket, no crash
+    allnull = df.select("event_id", F.lit(None).cast("timestamp")
+                        .alias("ts"), "user_id")
+    p3 = str(tmp_path / "allnull")
+    write_zordered(allnull, p3, ["ts", "user_id"], n_files=2)
+    assert spark.read.parquet(p3).count() == 4

@@ -425,17 +425,18 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf0001):
     assert any(r.n_novel < r.n_shingles for r in rows[1:])
 
 
-def test_collapsed_pair_builders_match_id_grain(spark, docs):
+def test_collapsed_pair_builders_match_id_grain(spark):
     """The duplication collapse must be RESULT-INVARIANT: on a frame
-    with exact dups (1 == 4), a near-dup pair (1 ~ 2), and a
-    tokenless doc (5), both collapsed builders emit exactly the
-    id-grain pair sets — the property that let dedup_ngram_jaccard
-    swap plans with its oracle untouched, and that keeps
-    minhash_lsh_pairs_collapsed an honest drop-in for the
+    with exact dups (1 == 4 == 6, 3 == 7), a near-dup pair (1 ~ 2),
+    and a tokenless doc (5), both uncapped collapsed builders emit
+    exactly the id-grain pair sets — the property that let
+    dedup_ngram_jaccard swap plans with its oracle untouched, and
+    that keeps minhash_lsh_pairs_collapsed an honest drop-in for the
     extreme-duplication corpora it is documented for (the registered
-    LSH query measured FASTER id-grain at sf1 and keeps that plan)."""
-    # heavier duplication than the base fixture: 3 copies of doc 1's
-    # text, 2 of doc 3's
+    LSH query measured FASTER id-grain at sf1 and keeps that plan).
+    The CAPPED semantics intentionally differ — df over distinct
+    texts vs over docs — and both sides of that difference are pinned
+    as exact pair sets below."""
     rows = [(i, t) for i, t in [
         (1, "the quick brown fox jumps over the lazy dog"),
         (2, "the quick brown fox jumps over the lazy cat"),
@@ -449,21 +450,27 @@ def test_collapsed_pair_builders_match_id_grain(spark, docs):
     for old, new in [
         (DD.ngram_jaccard_pairs(df, n=3, threshold=0.5),
          DD.ngram_jaccard_pairs_collapsed(df, n=3, threshold=0.5)),
-        (DD.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=2),
-         None),  # capped: distinct-text df CHANGES the result set
         (DD.minhash_lsh_pairs(df, num_hashes=12, bands=4,
                               threshold=0.5),
          DD.minhash_lsh_pairs_collapsed(df, num_hashes=12, bands=4,
                                         threshold=0.5)),
     ]:
-        if new is None:
-            continue
         assert new.exceptAll(old).count() == 0
         assert old.exceptAll(new).count() == 0
         assert new.count() > 0
-    # capped semantics intentionally differ: df over distinct texts
-    # (2 distinct carriers) vs over docs (3 carriers for the dup'd
-    # text) — the round-9 redefinition; just pin that both forms run
-    capped = DD.ngram_jaccard_pairs_collapsed(df, n=3, threshold=0.5,
-                                              max_df=2)
-    assert capped.count() >= 0
+    # capped, max_df=2 — id-grain: the duplicated text's shingles
+    # carry df 3-4 (doc-grain), ALL capped away, so only the (3, 7)
+    # identical pair (df 2) survives
+    got_id = {(r.doc_a, r.doc_b): r.jaccard
+              for r in DD.ngram_jaccard_pairs(
+                  df, n=3, threshold=0.5, max_df=2).collect()}
+    assert got_id == {(3, 7): 1.0}
+    # capped, collapsed: df counts DISTINCT TEXTS (dog/cat shingles:
+    # df 2, kept), so the near-dup survives at 6-of-8 trigrams and
+    # expands to every copy, and same-text members pair at 1.0
+    got_c = {(r.doc_a, r.doc_b): r.jaccard
+             for r in DD.ngram_jaccard_pairs_collapsed(
+                 df, n=3, threshold=0.5, max_df=2).collect()}
+    assert got_c == {(1, 2): 0.75, (2, 4): 0.75, (2, 6): 0.75,
+                     (1, 4): 1.0, (1, 6): 1.0, (4, 6): 1.0,
+                     (3, 7): 1.0}

@@ -122,9 +122,11 @@ def test_r9_window_drains_the_r2_staleness_tail():
     driver evidence is round 2 — the oldest evidence in the registry —
     must sit inside the round-9 window head, so after this round no
     query's evidence is older than r3. Adding or replanning one more
-    query than the head budget allows (17 changed + 33 stale = 50)
-    breaks this test, which is the point. Round-9-specific by design:
-    it self-disables once the round constant moves on."""
+    query than the head budget allows (18 changed + 1 rows-only-due
+    + 31 remaining stale = 50; two changed entries are themselves
+    r2-stale, so all 33 r2 queries stay in) breaks this test, which
+    is the point. Round-9-specific by design: it self-disables once
+    the round constant moves on."""
     if Q._CURRENT_ROUND != 9:
         return
     head = set(list(REG)[:Q._WINDOW])
