@@ -137,12 +137,32 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     real cluster, where shuffle bytes dominate and xxhash64 is
     JVM-codegen'd.
     """
+    sh = _capped_shingles(df, text_col=text_col, id_col=id_col, n=n,
+                          max_df=max_df)
+    return _jaccard_pairs_from_shingles(sh, threshold)
+
+
+def _capped_shingles(df: DataFrame, *, text_col: str, id_col: str,
+                     n: int, max_df: int | None) -> DataFrame:
+    """(doc_id, s) distinct shingles with the optional df(s) <= max_df
+    boilerplate cutoff applied — factored out of ngram_jaccard_pairs
+    (ADVICE r9 #3) so the collapsed path's same-text survivor gate
+    reuses the SAME capped relation (one shingle explode + one
+    partitionBy(s) window subtree, shared via ReusedExchange) instead
+    of re-deriving both on the designated scale path."""
     from pyspark.sql import Window
     sh = _doc_shingles(df, text_col, id_col, n)
     if max_df is not None:
         dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
         sh = (sh.withColumn("df_s", dfs)
               .filter(F.col("df_s") <= max_df).drop("df_s"))
+    return sh
+
+
+def _jaccard_pairs_from_shingles(sh: DataFrame,
+                                 threshold: float) -> DataFrame:
+    """Exact Jaccard pair scoring over a prepared (doc_id, s) shingle
+    relation (see ngram_jaccard_pairs for the cost model)."""
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -203,31 +223,24 @@ def ngram_jaccard_pairs_collapsed(df: DataFrame, *,
     assert threshold <= 1.0  # same-text pairs score exactly 1.0
 
     def pair_fn(reps):
-        return ngram_jaccard_pairs(reps, text_col="text",
-                                   id_col="doc_id", n=n,
-                                   threshold=threshold, max_df=max_df)
-
-    same_fn = None
-    if max_df is not None:
-        def same_fn(fpn, gr, reps):
-            # only fingerprints whose representative keeps a surviving
-            # shingle emit same-text pairs — a fully-capped doc has no
-            # shingle universe and emits no pairs at all, matching the
-            # id-grain pipeline's behavior for such docs
-            from pyspark.sql import Window
-            rsh = _doc_shingles(reps.select("doc_id", "text"),
-                                "text", "doc_id", n)
-            dfs = F.count(F.lit(1)).over(Window.partitionBy("s"))
-            surv = (rsh.withColumn("df_s", dfs)
-                    .filter(F.col("df_s") <= max_df)
-                    .select("doc_id").distinct())
-            return fpn.join(gr.join(surv, "doc_id").select("fp"),
-                            "fp")
+        # ONE capped shingle relation serves both the pair scorer and
+        # the same-text survivor gate (ADVICE r9 #3: the gate used to
+        # re-derive the shingle explode + partitionBy(s) window that
+        # the scorer already computes — identical subtrees now, so
+        # the window exchange is shared via ReusedExchange). Only
+        # representatives that keep >= 1 surviving shingle emit
+        # same-text pairs: a fully-capped doc has no shingle universe
+        # and emits no pairs at all, matching the id-grain pipeline.
+        sh = _capped_shingles(reps, text_col="text", id_col="doc_id",
+                              n=n, max_df=max_df)
+        pairs = _jaccard_pairs_from_shingles(sh, threshold)
+        surviving = (sh.select("doc_id").distinct()
+                     if max_df is not None else None)
+        return pairs, surviving
 
     return _collapsed_text_pairs(df, text_col=text_col,
                                  id_col=id_col, score_col="jaccard",
-                                 rep_pair_fn=pair_fn,
-                                 same_eligible_fn=same_fn)
+                                 rep_pair_fn=pair_fn)
 
 
 def minhash_lsh_pairs_collapsed(df: DataFrame, *,
@@ -266,7 +279,7 @@ def minhash_lsh_pairs_collapsed(df: DataFrame, *,
                                  id_col="doc_id",
                                  num_hashes=num_hashes, bands=bands,
                                  shingle_n=shingle_n,
-                                 threshold=threshold)
+                                 threshold=threshold), None
 
     return _collapsed_text_pairs(df, text_col=text_col,
                                  id_col=id_col,
@@ -275,8 +288,8 @@ def minhash_lsh_pairs_collapsed(df: DataFrame, *,
 
 
 def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
-                          id_col: str, score_col: str, rep_pair_fn,
-                          same_eligible_fn=None) -> DataFrame:
+                          id_col: str, score_col: str,
+                          rep_pair_fn) -> DataFrame:
     """Duplication-collapse skeleton shared by the exact-Jaccard and
     MinHash-LSH pair builders. Any pair score that is a function of
     the TEXT alone collapses exactly: build scored pairs over one
@@ -286,8 +299,11 @@ def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
     duplication^2 by semantics and that term is irreducible), and
     pair same-text members at the score's identity value 1.0
     (identical texts agree on every shingle and every minhash).
-    ``same_eligible_fn(fpn, gr, reps)`` optionally narrows which
-    fingerprints emit same-text pairs (the df-cap survivor gate).
+    ``rep_pair_fn(reps)`` returns (pairs, surviving): ``surviving``
+    is None (every fingerprint emits same-text pairs) or a (doc_id)
+    relation of representatives that keep >= 1 surviving shingle (the
+    df-cap survivor gate), derived from the SAME shingle relation the
+    scorer consumes (ADVICE r9 #3).
     Tokenless docs emit no shingles and no signature, so they can
     never pair — everything restricts to tokenful rows upfront and
     the branches share one fingerprint relation. DOCUMENT BODIES
@@ -302,7 +318,7 @@ def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
     fpn = base.select("doc_id", F.md5("text").alias("fp"))
     gr = fpn.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     reps = base.join(gr, "doc_id")  # (doc_id, text, fp) — rep rows
-    rep_pairs = rep_pair_fn(reps.select("doc_id", "text"))
+    rep_pairs, surviving = rep_pair_fn(reps.select("doc_id", "text"))
     fa = gr.select(F.col("doc_id").alias("doc_a"),
                    F.col("fp").alias("fp_a"))
     fb = gr.select(F.col("doc_id").alias("doc_b"),
@@ -317,8 +333,9 @@ def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
             .select(F.least("ia", "ib").alias("doc_a"),
                     F.greatest("ia", "ib").alias("doc_b"),
                     score_col))
-    eligible = (same_eligible_fn(fpn, gr, reps)
-                if same_eligible_fn is not None else fpn)
+    eligible = (fpn if surviving is None else
+                fpn.join(gr.join(surviving, "doc_id").select("fp"),
+                         "fp"))
     same = (eligible.select("fp", F.col("doc_id").alias("ia"))
             .join(eligible.select("fp",
                                   F.col("doc_id").alias("ib")), "fp")

@@ -28,20 +28,90 @@ class Query:
     doc: str = ""
     bench: bool = False  # included in bench.py headline suite
     tags: tuple = field(default_factory=tuple)
+    # Pre-materialization plan builder for queries whose spark_fn
+    # returns an eagerly-checkpointed result (the scoped-cache
+    # pattern): plan tests assert exchange budgets / scale-killer
+    # rules on THIS lazy plan — asserting on spark_fn would see only
+    # a Scan ExistingRDD (VERDICT r9 ADVICE #1, the vacuous-budget
+    # finding). None => spark_fn itself returns the lazy plan.
+    plan_fn: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
 def query(name: str, oracle: str | None, *, doc: str = "",
-          bench: bool = False, tags: tuple = ()):  # decorator
+          bench: bool = False, tags: tuple = (),
+          plan_fn=None):  # decorator
     def wrap(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = Query(name, fn, oracle, doc=doc, bench=bench,
-                               tags=tags)
+                               tags=tags, plan_fn=plan_fn)
         return fn
     return wrap
+
+
+def plan_of(q: Query, spark: SparkSession, sf_dir: str,
+            cache=None) -> DataFrame:
+    """The lazy plan to audit for a query: plan_fn when the registered
+    fn materializes eagerly, else the registered fn's own return.
+
+    ``cache`` picks the audit mode for plan_fn builders:
+    - None/lazy_cache (default): identity — the FULL unpersisted tree,
+      every subtree visible (the scale-killer sweep needs to see
+      inside what the runtime would cache);
+    - a persisting cache (tests/test_plans.py exchange budgets): the
+      executed shape, multi-consumer subtrees collapsed to
+      InMemoryRelation exactly as run_scoped runs them — budgets stay
+      calibrated to real shuffle work, not static duplication. The
+      caller owns cleanup (spark.catalog.clearCache())."""
+    if q.plan_fn is None:
+        return q.spark_fn(spark, sf_dir)
+    return q.plan_fn(spark, sf_dir, cache or lazy_cache)
+
+
+def run_scoped(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Scoped-cache query execution (VERDICT r9 ask #3, generalizing
+    the golden_record_survivorship pattern): ``build(spark, sf_dir,
+    cache)`` constructs the lazy plan, routing every relation that
+    multiple branches consume through ``cache(df, eager=False)``. The
+    result is materialized eagerly (localCheckpoint — bounded rows by
+    query design), then EVERY cache is released in finally, so no
+    registered query leaves persisted relations behind in a long-lived
+    session (tests/test_cache_lifecycle.py asserts it).
+
+    ``eager=True`` additionally materializes the cache with a count()
+    before any consumer runs: broadcast-exchange subtrees are built by
+    CONCURRENT driver-side jobs, and two of them racing over a not-
+    yet-populated cache each compute the full uncached lineage — the
+    redundant dated-edge rebuild that made link_prediction_holdout_
+    eval the sf1 pacing item (34.2s) in round 9.
+
+    Plan tests call the same ``build`` with cache=identity via
+    Query.plan_fn, so the audited plan is the real pre-checkpoint
+    shape, not a Scan ExistingRDD (VERDICT r9 ADVICE #1)."""
+    caches = []
+
+    def cache(df: DataFrame, eager: bool = False) -> DataFrame:
+        df = df.persist()
+        caches.append(df)
+        if eager:
+            df.count()
+        return df
+
+    try:
+        return build(spark, sf_dir, cache).localCheckpoint(eager=True)
+    finally:
+        for df in caches:
+            df.unpersist()
+
+
+def lazy_cache(df: DataFrame, eager: bool = False) -> DataFrame:
+    """cache= argument for plan-audit mode: identity (no persist, no
+    materialization), so builders stay side-effect-free under
+    Query.plan_fn."""
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +134,7 @@ def query(name: str, oracle: str | None, *, doc: str = "",
 # drain slot.
 
 _WINDOW = 50
-_CURRENT_ROUND = 9
+_CURRENT_ROUND = 10
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
@@ -78,6 +148,61 @@ _CURRENT_ROUND = 9
 # above and pinned by test_rotation. Names are added as queries are
 # written or replanned this round; _window_order hard-fails on
 # ghosts.
+# Round 10 (VERDICT r9 asks): the four r8 rows-only members
+# (ann_ivf_topk, ann_lsh_topk, approx_aggregates, hll_partial_merge)
+# hit their 2-round re-evidence cadence this round — the rotation's
+# rows_only_due tier surfaces them automatically, costing no _CHANGED
+# slots. Names below are queries written or replanned this round;
+# _window_order hard-fails on ghosts.
+_R10_CHANGED = (
+    'link_prediction_holdout_eval',  # ask #2: dated co-purchase edge
+                                     # list built ONCE (persist +
+                                     # finally-release), wedge/train/
+                                     # test/scoring all derive from it
+    'personalized_pagerank',  # ask #3: localCheckpoint(eager) +
+                              # finally-unpersist for ewd/seeds (the
+                              # golden_record_survivorship pattern)
+    'label_propagation_communities',  # ask #3 sweep: edges persist
+                                      # released the same way
+    'edit1_pair_blowup_audit',  # NEW (ask #7): per deletion-key
+                                # candidate-cardinality profile so a
+                                # pathological corpus is detectable
+                                # BEFORE the expansion join runs
+    'dedup_ngram_jaccard_capped',  # ADVICE #3: survivor gate reuses
+                                   # the capped shingle relation from
+                                   # ngram_jaccard_pairs instead of
+                                   # re-deriving shingles + window
+    'hits_hub_authority',  # ask #6: edge cache now released in the
+                           # finally (collected result needs nothing)
+    # --- ask #3 sweep: every remaining persist-without-release site
+    # converted to the scoped-cache pattern (run_scoped: eager
+    # one-build caches, eager result checkpoint, finally-release;
+    # pre-checkpoint builders exposed as Query.plan_fn so the plan
+    # tests audit the real shape — ADVICE r9 #1). Values re-verified
+    # hash-exact at sf0.001 during the round; the plan change earns
+    # fresh driver evidence for each.
+    'pagerank_copurchase',
+    'local_clustering_coefficient',
+    'link_prediction_common_neighbors',
+    'gnn_feature_propagation',
+    'mad_robust_outliers',
+    'quantile_normalization',
+    'triangle_count_copurchase',
+    'corpus_dedup_pipeline',
+    'temporal_reachability_copurchase',  # tedges released post-loop
+    'kmeans_lloyd_refinement',
+    'golden_record_survivorship',  # run_scoped + plan_fn (ADVICE #1)
+    # ADVICE #3 touched the shared collapsed-pairs skeleton: the
+    # uncapped member and the cluster consumer re-evidence with it
+    # (plans identical by construction, values re-verified hash-exact
+    # at sf0.001; the capped member is the one whose plan changed)
+    'dedup_ngram_jaccard',
+    'dedup_clusters',
+    # bench admission (ask #4) + shares the factored candidate
+    # helper with the new blow-up audit — same plan, fresh evidence
+    'edit1_deletion_neighborhood_pairs',
+)
+
 _R9_CHANGED = (
     'approx_aggregates_error_audit',  # NEW (ask #3): exact integer
                                       # error rows for approx_count_
@@ -283,7 +408,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R9_CHANGED
+_CHANGED = _R10_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -516,19 +641,51 @@ _R8_ROWS_ONLY = frozenset({
     'hll_partial_merge',
 })
 
+# CORRECTNESS_r09.json via tools/record_round.py (49 hash-exact,
+# 1 rows-only, 0 RED) — pasted verbatim (VERDICT r9 ask #1).
+_R9_GREEN = frozenset({
+    'ann_hamming_sign_topk', 'approx_aggregates_error_audit',
+    'blocking_quality_metrics', 'blocking_quality_metrics_sampled',
+    'dedup_clusters', 'dedup_minhash_lsh', 'dedup_ngram_jaccard',
+    'dedup_ngram_jaccard_capped', 'dedup_simhash', 'doc_fingerprint',
+    'edit1_deletion_neighborhood_pairs', 'embedding_norms',
+    'golden_record_survivorship', 'incremental_dedup_exact',
+    'incremental_dedup_minhash', 'join_cardinality_profile',
+    'json_props_extract', 'lang_id', 'link_prediction_holdout_eval',
+    'max_concurrent_sessions', 'multimodal_binary_meta',
+    'personalized_pagerank', 'q11_important_parts',
+    'q1_pricing_summary', 'q20_excess_suppliers',
+    'q21_waiting_suppliers', 'q2_min_cost_supplier',
+    'q3_top_unshipped_orders', 'q5_supplier_volume_by_nation',
+    'q8_market_share', 'q9_profit_by_nation_year',
+    'range_pruned_time_scan', 'regex_doc_numbers',
+    'running_total_per_user', 'sessionize_events', 'set_ops_except',
+    'set_ops_high_value_customers', 'streaming_click_purchase_join',
+    'streaming_distinct_user_types', 'streaming_hourly_rollup',
+    't_closeness_audit', 'text_quality_score', 'text_token_stats',
+    'token_count_bpe_ish', 'token_frequencies',
+    'top_orders_per_customer', 'union_distinct_event_users',
+    'winnowing_fingerprints', 'zorder_pruned_scan',
+})
+
+_R9_ROWS_ONLY = frozenset({
+    'bpe_learn_merges',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
                  _R6_GREEN | _R6_ROWS_ONLY,
                  _R7_GREEN | _R7_ROWS_ONLY,
-                 _R8_GREEN | _R8_ROWS_ONLY)
+                 _R8_GREEN | _R8_ROWS_ONLY,
+                 _R9_GREEN | _R9_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
 # a clean rows-only row, so the due check below is mechanical.
 _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
                      6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
-                     8: _R8_ROWS_ONLY}
+                     8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 

@@ -14,7 +14,7 @@ from pyspark.sql import Window, functions as F
 from ..functions import dedup as DD
 from ..functions import similarity as SIM
 from ..sources.parquet_source import table
-from . import query
+from . import lazy_cache, query, run_scoped
 
 # ---- DuckDB oracle snippets (tokens / shingles / h60) --------------------
 
@@ -302,45 +302,46 @@ def dedup_exact_kept(spark, sf_dir):
         "keyed joins: the shuffle carries 16-byte fingerprints and "
         "attribute values, never document bodies — at 100 TB "
         "survivorship costs the same as the dedup groupBy it extends",
+    plan_fn=lambda spark, sf_dir, cache: _grs_plan(spark, sf_dir, cache),
 )
 def golden_record_survivorship(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _grs_plan)
+
+
+def _grs_plan(spark, sf_dir, cache=lazy_cache):
     tokset_fp = F.md5(F.array_join(F.array_sort(F.array_distinct(
         F.split(F.lower(F.trim(F.col("text"))), " "))), " "))
     # the grp / modal(lang) / modal(source) branches aggregate on
     # DIFFERENT keys, so ReuseExchange cannot dedupe them — without
-    # the persist each branch re-reads documents and re-derives the
+    # the cache each branch re-reads documents and re-derives the
     # token-set md5 over every text (3 corpus scans; the review
     # finding the join_cardinality_profile pattern fixed in r8).
-    # Result is cluster-grain (small), so eager materialization +
-    # unpersist in finally keeps the cache scoped to this call.
-    d = (table(spark, sf_dir, "documents")
-         .select(tokset_fp.alias("fp"),
-                 "doc_id", "lang", "source", "n_chars")).persist()
-    try:
-        grp = (d.groupBy("fp")
-               .agg(F.min("doc_id").cast("long")
-                    .alias("golden_doc_id"),
-                    F.count(F.lit(1)).cast("long").alias("n_members"),
-                    F.max("n_chars").cast("long").alias("max_chars"))
-               .filter(F.col("n_members") >= 2))
+    # Result is cluster-grain (small); run_scoped materializes it and
+    # releases the cache (exposed pre-checkpoint as Query.plan_fn so
+    # the exchange-budget test audits the REAL plan — ADVICE r9 #1).
+    d = cache(table(spark, sf_dir, "documents")
+              .select(tokset_fp.alias("fp"),
+                      "doc_id", "lang", "source", "n_chars"))
+    grp = (d.groupBy("fp")
+           .agg(F.min("doc_id").cast("long")
+                .alias("golden_doc_id"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.max("n_chars").cast("long").alias("max_chars"))
+           .filter(F.col("n_members") >= 2))
 
-        def modal(col, alias):
-            cnt = (d.groupBy("fp", col)
-                   .agg(F.count(F.lit(1)).alias("c")))
-            w = Window.partitionBy("fp").orderBy(F.desc("c"), col)
-            return (cnt.withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .select("fp", F.col(col).alias(alias)))
+    def modal(col, alias):
+        cnt = (d.groupBy("fp", col)
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("fp").orderBy(F.desc("c"), col)
+        return (cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("fp", F.col(col).alias(alias)))
 
-        out = (grp.join(modal("lang", "lang_sv"), "fp")
-               .join(modal("source", "source_sv"), "fp")
-               .select("golden_doc_id", "n_members", "lang_sv",
-                       "source_sv", "max_chars")
-               .orderBy("golden_doc_id")
-               .localCheckpoint(eager=True))
-    finally:
-        d.unpersist()
-    return out
+    return (grp.join(modal("lang", "lang_sv"), "fp")
+            .join(modal("source", "source_sv"), "fp")
+            .select("golden_doc_id", "n_members", "lang_sv",
+                    "source_sv", "max_chars")
+            .orderBy("golden_doc_id"))
 
 
 @query(

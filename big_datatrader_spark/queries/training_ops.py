@@ -21,7 +21,7 @@ from ..functions import text as TX
 from ..functions.dedup import h60
 from ..functions import graph as GR
 from ..sources.parquet_source import table
-from . import query
+from . import lazy_cache, query, run_scoped
 
 _R = 6
 
@@ -959,34 +959,25 @@ def _pagerank_oracle() -> str:
     """)
 
 
-@query(
-    "pagerank_copurchase",
-    oracle=_pagerank_oracle(),
-    doc=f"PageRank ({_PR_ITERS} iterations, d=0.85) over the part "
-        "co-purchase graph (parts sharing an order): the iterative-"
-        "algorithm shape — per iteration one join edges+scores, one "
-        "groupBy-sum, one left join back to nodes. All arithmetic is "
-        "integer (1e-9-unit scores, floor-div contributions), so "
-        "scores are bit-identical on any engine or partition layout; "
-        "the oracle unrolls the same iterations as chained CTEs. At "
-        "scale: scores are node-sized (tiny vs edges), edges partition "
-        "by src and the per-iteration shuffle is the groupBy(dst) — "
-        "the standard distributed PageRank cost model",
-)
-def pagerank_copurchase(spark, sf_dir):
+def _pagerank_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     edges = GR.copurchase_pairs(li, "src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # the graph is reused by every iteration: persist it once instead
+    # the graph is reused by every iteration: cache it once instead
     # of re-deriving the edge-build subtree per iteration (without
     # this the 3-iteration plan re-runs the one-scan edge build 4x —
     # measured 45 exchanges vs 17 on the join-era build; at scale,
-    # caching the edge list IS the distributed-PageRank cost model)
-    ewd = edges.join(outdeg, "src").persist()  # (src, dst, deg)
-    nodes = nodes.persist()
+    # caching the edge list IS the distributed-PageRank cost model).
+    # eager=True: the nn broadcast subtrees are materialized by
+    # concurrent driver-side jobs, and any of them racing over a
+    # not-yet-populated cache re-runs the full edge build.
+    ewd = cache(edges.join(outdeg, "src"), eager=True)  # src,dst,deg
+    # node set from the CACHED relation (every edge src has a degree
+    # row, so ewd's src domain == edges' src domain) — deriving it
+    # from raw edges would re-run the one-scan build a second time
+    nodes = cache(ewd.select(F.col("src").alias("node")).distinct())
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     pr = (nodes.join(F.broadcast(nn))
           .select("node", F.round(F.lit(1e9) / F.col("n"))
@@ -1008,6 +999,28 @@ def pagerank_copurchase(spark, sf_dir):
         pr.select(F.col("node").alias("part_key"), "pr_mu")
         .orderBy(F.desc("pr_mu"), "part_key").limit(100)
     )
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(),
+    plan_fn=_pagerank_plan,
+    doc=f"PageRank ({_PR_ITERS} iterations, d=0.85) over the part "
+        "co-purchase graph (parts sharing an order): the iterative-"
+        "algorithm shape — per iteration one join edges+scores, one "
+        "groupBy-sum, one left join back to nodes. All arithmetic is "
+        "integer (1e-9-unit scores, floor-div contributions), so "
+        "scores are bit-identical on any engine or partition layout; "
+        "the oracle unrolls the same iterations as chained CTEs. At "
+        "scale: scores are node-sized (tiny vs edges), edges partition "
+        "by src and the per-iteration shuffle is the groupBy(dst) — "
+        "the standard distributed PageRank cost model. Cache "
+        "lifecycle (VERDICT r9 ask #3): the edge+deg list is "
+        "persisted eagerly ONCE, the top-100 result is materialized, "
+        "and every cache is released before returning (run_scoped)",
+)
+def pagerank_copurchase(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _pagerank_plan)
 
 
 # ---------------------------------------------------------------------------
@@ -1060,6 +1073,7 @@ def _ppr_oracle() -> str:
 
 @query(
     "personalized_pagerank",
+    bench=True,
     oracle=_ppr_oracle(),
     doc=f"personalized PageRank ({_PPR_ITERS} iterations, d=0.85, "
         f"restart mass split over the {_PPR_SEEDS} lowest-keyed "
@@ -1077,18 +1091,32 @@ def _ppr_oracle() -> str:
         "result instead of left-joining the full node list. Same "
         "exact-integer algebra as pagerank (1e-9-unit mass, floor-div "
         "contributions, truncated 85% damping), so every engine and "
-        "partition layout agrees bit-for-bit; edge+outdeg relation "
-        "persisted once across iterations",
+        "partition layout agrees bit-for-bit. Cache lifecycle "
+        "(VERDICT r9 ask #3): the edge+deg relation is persisted "
+        "eagerly ONCE (the per-iteration seed broadcasts are "
+        "concurrent driver jobs — racing over an unpopulated cache "
+        "re-runs the edge build), the seed set derives from that "
+        "cache, and both are released after the top-100 result "
+        "materializes (run_scoped + finally-unpersist, the "
+        "golden_record_survivorship pattern)",
+    plan_fn=lambda spark, sf_dir, cache: _ppr_plan(spark, sf_dir, cache),
 )
 def personalized_pagerank(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _ppr_plan)
+
+
+def _ppr_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     edges = GR.copurchase_pairs(li, "src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = edges.join(outdeg, "src").persist()  # (src, dst, deg)
-    seeds = (edges.select(F.col("src").alias("node")).distinct()
-             .orderBy("node").limit(_PPR_SEEDS)
-             .select("node").persist())
+    ewd = cache(edges.join(outdeg, "src"), eager=True)  # src,dst,deg
+    # seed set from the CACHED relation (ewd's src domain == edges'
+    # src domain): deriving it from raw edges would re-run the
+    # one-scan build once more for the seed broadcast job
+    seeds = cache(ewd.select(F.col("src").alias("node")).distinct()
+                  .orderBy("node").limit(_PPR_SEEDS)
+                  .select("node"))
     restart = F.lit(round(0.15 * 1e9 / _PPR_SEEDS)).cast("bigint")
     pr = seeds.select(
         "node",
@@ -1158,13 +1186,19 @@ def _lpa_oracle() -> str:
         "(node, label) count, one per-node argmax window — all "
         "hash-partitioned on node, labels stay node-sized while only "
         "edges are big, exactly the PageRank cost model; edge list "
-        "persisted once (functions/graph.py one-scan build) and the "
-        "oracle unrolls the same rounds as chained CTEs",
+        "persisted once (functions/graph.py one-scan build), released "
+        "after the result materializes (run_scoped, VERDICT r9 ask "
+        "#3), and the oracle unrolls the same rounds as chained CTEs",
+    plan_fn=lambda spark, sf_dir, cache: _lpa_plan(spark, sf_dir, cache),
 )
 def label_propagation_communities(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _lpa_plan)
+
+
+def _lpa_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    edges = cache(GR.copurchase_pairs(li, "src", "dst"), eager=True)
     lbl = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl"))
     w = Window.partitionBy("node").orderBy(F.desc("nv"), "lbl")
@@ -3179,9 +3213,9 @@ def _hits_oracle() -> str:
         "-> 3.1s at sf0.1; the skew-prone edge BUILD still "
         "materializes under the session's AQE confs. The top-50 is "
         "TakeOrderedAndProject inside the final driver collect (the "
-        "bpe_learn_merges precedent); all score caches are released "
-        "before returning and only the reusable edge list stays "
-        "cached (the pagerank precedent)",
+        "bpe_learn_merges precedent); all score caches AND the edge "
+        "list are released before returning (VERDICT r9 ask #3: no "
+        "registered query leaves cached relations behind)",
 )
 def hits_hub_authority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
@@ -3251,6 +3285,10 @@ def hits_hub_authority(spark, sf_dir):
             spark.conf.set(k, v)
         for df in live:
             df.unpersist()
+        # rows are driver state by here — the edge list is no longer
+        # needed by anything this query returns (VERDICT r9 ask #3:
+        # no registered query leaves cached relations behind)
+        edges.unpersist()
     return spark.createDataFrame(
         rows, "part_key long, authority_e6 long, hub_e6 long")
 
@@ -3799,16 +3837,22 @@ def modularity_brand_partition(spark, sf_dir):
         "oriented triangle enumeration (wedge fan-out bounded by "
         "O(sqrt|E|), equi-joins only), then one corner explode, one "
         "count, and an exact half-away integer ratio. Top-50 is "
-        "TakeOrderedAndProject",
+        "TakeOrderedAndProject. Degree and oriented-edge caches are "
+        "released after the result materializes (run_scoped, VERDICT "
+        "r9 ask #3)",
+    plan_fn=lambda spark, sf_dir, cache: _lcc_plan(spark, sf_dir, cache),
 )
 def local_clustering_coefficient(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _lcc_plan)
+
+
+def _lcc_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
-    deg = (pairs.select(F.col("x").alias("node"))
-           .unionAll(pairs.select(F.col("y").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-           .persist())
+    deg = cache(pairs.select(F.col("x").alias("node"))
+                .unionAll(pairs.select(F.col("y").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
     dx = deg.select(F.col("node").alias("x"),
                     F.col("deg").alias("degx"))
     dy = deg.select(F.col("node").alias("y"),
@@ -3821,10 +3865,9 @@ def local_clustering_coefficient(spark, sf_dir):
           | ((F.col("degx") == F.col("degy"))
              & (F.col("x") < F.col("y"))))
     keyed = pairs.join(dx, "x").join(dy, "y")
-    o = keyed.select(
+    o = cache(keyed.select(
         F.when(lt, F.col("x")).otherwise(F.col("y")).alias("u"),
-        F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v")
-    ).persist()
+        F.when(lt, F.col("y")).otherwise(F.col("x")).alias("v")))
     ov = (o.join(deg.select(F.col("node").alias("v"),
                             F.col("deg").alias("degv")), "v")
           .select("u", "v", F.col("degv").alias("dv")))
@@ -4333,12 +4376,21 @@ _LNK_TOPK = 100
         "leave via an anti-join keyed on the (u, v) pair the "
         "aggregation just partitioned by (the edge list is corpus-"
         "scale, NOT broadcast material); everything shuffles on node "
-        "or node-pair keys only",
+        "or node-pair keys only. The edge cache is built eagerly "
+        "once (the q broadcast job is a concurrent driver job — "
+        "racing over an unpopulated cache re-runs the build) and "
+        "released after the result materializes (run_scoped, VERDICT "
+        "r9 ask #3)",
+    plan_fn=lambda spark, sf_dir, cache: _lnk_plan(spark, sf_dir, cache),
 )
 def link_prediction_common_neighbors(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _lnk_plan)
+
+
+def _lnk_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    edges = cache(GR.copurchase_pairs(li, "src", "dst"), eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     q = (deg.orderBy(F.desc("deg"), "src").limit(_LNK_QUERIES)
          .select(F.col("src").alias("u")))
@@ -4378,6 +4430,7 @@ _LPH_TOPK = 20           # predictions scored per query node
 
 @query(
     "link_prediction_holdout_eval",
+    bench=True,
     oracle=f"""
     WITH dedges AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst,
@@ -4440,20 +4493,32 @@ _LPH_TOPK = 20           # predictions scored per query node
         "algebra: a scoring or split regression changes a hit count "
         "and flips the driver hash. Scale: identical wedge-join "
         "discipline as the scorer (cost bounded by the query set, "
-        "never all-pairs); the holdout split is a filter on the "
-        "already-built dated edge list, so train/test share one scan",
+        "never all-pairs). The r10 replan (VERDICT r9 ask #2): the "
+        "dated edge list is built EAGERLY exactly once and the train "
+        "split eagerly once from that cache, BEFORE any consumer "
+        "runs — the q broadcast and the AQE-converted hits/np "
+        "broadcasts are concurrent driver-side jobs, and in r9 each "
+        "raced over the not-yet-populated caches and re-ran the full "
+        "dated-edge build (the 34.2s sf1 pacing item was ~all "
+        "redundant rebuild). Both caches are released after the "
+        "50-row result materializes (run_scoped)",
+    plan_fn=lambda spark, sf_dir, cache: _lph_plan(spark, sf_dir, cache),
 )
 def link_prediction_holdout_eval(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _lph_plan)
+
+
+def _lph_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     odays = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"),
         (F.unix_micros("o_orderdate") / 86400000000).cast("bigint")
         .alias("d"))
-    dedges = GR.copurchase_pairs(li, "src", "dst",
-                                 attrs=odays).persist()
-    train = (dedges.filter(F.col("d") < _LPH_CUTOFF_DAY)
-             .select("src", "dst").persist())
+    dedges = cache(GR.copurchase_pairs(li, "src", "dst", attrs=odays),
+                   eager=True)
+    train = cache(dedges.filter(F.col("d") < _LPH_CUTOFF_DAY)
+                  .select("src", "dst"), eager=True)
     testn = (dedges.filter(F.col("d") >= _LPH_CUTOFF_DAY)
              .select("src", "dst"))
     deg = train.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -4552,23 +4617,31 @@ def _gnn_oracle() -> str:
         "on node); the edge list is persisted once (functions/"
         "graph.py one-scan build) and reused by every round. The "
         "output carries every round's value per node so the driver "
-        "hash pins each propagation step, not just the last",
+        "hash pins each propagation step, not just the last. All "
+        "caches (edge list + per-round feature frames) are released "
+        "after the result materializes (run_scoped, VERDICT r9 "
+        "ask #3)",
+    plan_fn=lambda spark, sf_dir, cache: _gnn_plan(spark, sf_dir, cache),
 )
 def gnn_feature_propagation(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _gnn_plan)
+
+
+def _gnn_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     part = table(spark, sf_dir, "part").select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("bigint")
         .alias("h"))
-    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    edges = cache(GR.copurchase_pairs(li, "src", "dst"), eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # every intermediate feature frame is consumed TWICE (by the next
-    # round and by the output join), so persist each — node-sized
-    # caches, the HITS/PageRank discipline — or the final 3-way join
-    # re-derives the whole propagation chain per branch
-    feats = [nodes.join(part, nodes["node"] == part["p_partkey"])
-             .select("node", "h").persist()]
+    # round and by the output join), so cache each — node-sized
+    # relations, the HITS/PageRank discipline — or the final 3-way
+    # join re-derives the whole propagation chain per branch
+    feats = [cache(nodes.join(part, nodes["node"] == part["p_partkey"])
+                   .select("node", "h"))]
     for r in range(_GNN_ROUNDS):
         cur = feats[-1]
         nxt = (
@@ -4582,7 +4655,7 @@ def gnn_feature_propagation(spark, sf_dir):
             .select("node",
                     F.expr("(h + s) DIV (1 + c)").cast("bigint")
                     .alias("h")))
-        feats.append(nxt.persist() if r < _GNN_ROUNDS - 1 else nxt)
+        feats.append(cache(nxt) if r < _GNN_ROUNDS - 1 else nxt)
     out = feats[0].select("node", F.col("h").alias("feat0"))
     for i in range(1, _GNN_ROUNDS + 1):
         out = out.join(

@@ -90,12 +90,23 @@ def morton_code(dims) -> "object":
     (clamp before calling — a negative value would put sign bits at
     the top of the code and destroy locality). Pure JVM bit
     arithmetic (shift/and/or), one whole-stage-codegen projection —
-    no UDF, no shuffle of its own."""
+    no UDF, no shuffle of its own.
+
+    Total code width must fit a signed 64-bit long: a bit landing at
+    position >= 63 shifts into/past the sign bit, destroying ordering
+    and Z-locality silently (ADVICE r9 #4 — write_zordered with >7
+    dims at the default 8 bits would hit it), so the sum of bit
+    budgets is asserted, not clamped."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     n = len(dims)
+    total_bits = sum(bits for _, bits in dims)
+    assert total_bits <= 63, (
+        f"morton_code would span {total_bits} bits: positions past 62 "
+        "reach the long sign bit and silently destroy Z-ordering — "
+        "reduce bits per dimension (total must be <= 63)")
     terms = []
     for d, (col, bits) in enumerate(dims):
         c = col.cast("long")
@@ -127,6 +138,10 @@ def write_zordered(df: DataFrame, path: str, dim_cols: list[str], *,
     cross-engine (per-bucket span audit under a full oracle)."""
     from pyspark.sql import functions as F
 
+    # keep the interleaved code inside a signed long: with many dims,
+    # shrink the per-dim bit budget so bit positions never reach the
+    # sign bit (ADVICE r9 #4; morton_code asserts the same contract)
+    bits = min(bits, 63 // max(1, len(dim_cols)))
     nb = 1 << bits
     dtypes = dict(df.dtypes)
     nums = {}

@@ -1,18 +1,31 @@
-"""Cache-lifecycle budget (VERDICT r6 ask #4): after a query runs to
-completion, at most 2 persisted relations may remain live.
+"""Cache-lifecycle gate (VERDICT r6 ask #4, tightened by r9 ask #3):
+no registered query may leave cached relations behind.
 
 Motivation: the bench/driver/oracle harnesses run many queries in ONE
 JVM. A query that persists per-iteration state (HITS before the r7
-rotation: 2 node-sized relations per iteration, never released) leaks
-cache across the whole session; local LRU eviction hides it at sf0.1,
-but on a memory-tight 100 TB cluster it becomes eviction churn and
-recompute. The budget of 2 matches the legitimate steady state: a
-query may keep a multi-branch intermediate (and its survivor join)
-cached for the consumer's action, nothing more. Streaming queries are
-excluded (their state lives in the state store, audited by
-tests/test_streaming_plans.py); sssp's localCheckpoint rounds register
-persistent RDDs by design and are bounded by hop count, so it is
-checked with its own bound.
+rotation) or its edge/stat relations (the r9 findings:
+personalized_pagerank, label_propagation_communities, the graph
+family) leaks cache across the whole session; local LRU eviction hides
+it at sf0.1, but on a memory-tight 100 TB cluster it becomes eviction
+churn and recompute.
+
+Two assertions per query, after its consumer action completes:
+
+1. **CacheManager is empty** — every ``df.persist()`` was released.
+   This is the precise persist-without-release detector: DataFrame
+   persists register in the session's CacheManager and stay there
+   until ``unpersist()``; localCheckpoint RDDs do NOT register, so
+   the check cannot be satisfied by accident.
+2. **Live cached-RDD delta is bounded** — the only RDD a query may
+   leave live is its own eagerly-materialized result checkpoint
+   (bounded rows by query design; released by the ContextCleaner once
+   the consumer drops the frame). Iterative checkpoint-CHAIN queries
+   (sssp/k-core/CC/temporal-reachability) keep per-round lineage
+   truncations live, bounded by their hop/round constants — each gets
+   an explicit bound instead of the default.
+
+Streaming queries are excluded (their state lives in the state store,
+audited by tests/test_streaming_plans.py).
 """
 
 from __future__ import annotations
@@ -23,14 +36,18 @@ from big_datatrader_spark.queries import load_registry
 
 REG = load_registry()
 
-# every batch query that calls .persist() anywhere in its chain, plus
-# the full bench suite (the session the leak complaint was filed on)
+# every batch query that calls .persist()/localCheckpoint anywhere in
+# its chain (the r10 scoped-cache sweep), plus the full bench suite
+# (the session the original leak complaint was filed on)
 _PERSISTING = [
     "corpus_dedup_pipeline",          # qual + surv funnel stages
     "corpus_quality_filter",
     "triangle_count_copurchase",      # oriented edge list
     "local_clustering_coefficient",   # degree + oriented edge list
     "pagerank_copurchase",            # edge+deg list, node list
+    "personalized_pagerank",          # edge+deg list, seed set
+    "label_propagation_communities",  # edge list
+    "gnn_feature_propagation",        # edge list + round features
     "mad_robust_outliers",            # value-domain count, 5 branches
     "quantile_normalization",         # value-domain count, 3 branches
     "bpe_learn_merges",               # initial vocabulary (released)
@@ -39,32 +56,71 @@ _PERSISTING = [
     "max_concurrent_sessions",        # iv + run (released r9)
     "link_prediction_common_neighbors",  # edge list
     "link_prediction_holdout_eval",   # dated edges + train split
-    "personalized_pagerank",          # edge+deg list, seed set
+    "kmeans_lloyd_refinement",        # exploded (row, dim) relation
+    "golden_record_survivorship",     # fingerprinted attr relation
+    "edit1_pair_blowup_audit",        # name-multiplicity relation
+    "temporal_reachability_copurchase",  # dated edges + hop chain
+    "sssp_copurchase",                # frontier checkpoint chain
+    "k_core_membership",              # peel checkpoint chain
+    "dedup_clusters",                 # CC label checkpoint chain
 ]
 _BENCH = sorted(n for n, q in REG.items() if q.bench
                 and not n.startswith("streaming_"))
+
+# allowed live-RDD delta: default 2 (result checkpoint + one batch
+# artifact); checkpoint-chain queries keep per-round truncations live,
+# bounded by their hop/round constants (edges + nxt/dist per hop for
+# sssp; edges + rounds for k-core; edges + converged label rounds for
+# CC at this sf; hops + result for temporal reachability)
+_ALLOWED = {
+    "sssp_copurchase": 12,
+    "k_core_membership": 14,
+    "dedup_clusters": 30,
+    "temporal_reachability_copurchase": 5,
+}
+# the r10 scoped-cache queries release EVERYTHING except their own
+# eager result checkpoint — exactly one live RDD
+_SCOPED = {
+    "corpus_dedup_pipeline", "triangle_count_copurchase",
+    "local_clustering_coefficient", "pagerank_copurchase",
+    "personalized_pagerank", "label_propagation_communities",
+    "gnn_feature_propagation", "mad_robust_outliers",
+    "quantile_normalization", "link_prediction_common_neighbors",
+    "link_prediction_holdout_eval", "kmeans_lloyd_refinement",
+    "golden_record_survivorship", "edit1_pair_blowup_audit",
+}
 
 
 def _live_cached_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _cache_manager_empty(spark) -> bool:
+    return bool(
+        spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+
 @pytest.mark.parametrize("name", sorted(set(_PERSISTING) | set(_BENCH)))
 def test_query_exits_with_bounded_caches(spark, sf0001, name):
     spark.catalog.clearCache()
     # Delta, not absolute: clearCache does NOT drop localCheckpoint
-    # RDDs (sssp's rounds, run by other tests in this session), and
-    # the ContextCleaner GCs them nondeterministically — an absolute
+    # RDDs (chain rounds run by other tests in this session), and the
+    # ContextCleaner GCs them nondeterministically — an absolute
     # count is order-dependent across the suite.
     base = _live_cached_rdds(spark)
     df = REG[name].spark_fn(spark, sf0001)
     df.write.format("noop").mode("overwrite").save()  # consumer action
+    assert _cache_manager_empty(spark), (
+        f"{name} left df.persist() relations registered in the "
+        "CacheManager after its action — every persist needs a "
+        "release on the materialized-result path (run_scoped or "
+        "try/finally; VERDICT r9 ask #3)")
     live = _live_cached_rdds(spark) - base
-    assert live <= 2, (
-        f"{name} left {live} persisted relations live after its "
-        "action — iteration caches must rotate (release the previous "
-        "half-step when the next materializes) and driver-collected "
-        "results must release everything")
+    budget = _ALLOWED.get(name, 1 if name in _SCOPED else 2)
+    assert live <= budget, (
+        f"{name} left {live} cached RDDs live after its action "
+        f"(allowed {budget}) — only the query's own bounded result "
+        "checkpoint (and declared chain rounds) may remain")
     spark.catalog.clearCache()
 
 
@@ -76,47 +132,4 @@ def test_hits_restores_session_confs(spark, sf0001):
     before = {k: spark.conf.get(k) for k in keys}
     REG["hits_hub_authority"].spark_fn(spark, sf0001)
     assert {k: spark.conf.get(k) for k in keys} == before
-    spark.catalog.clearCache()
-
-
-def test_hits_releases_iteration_caches(spark, sf0001):
-    """The named r5/r6 offender: HITS may keep ONLY its reusable edge
-    list cached (the pagerank precedent — it makes repeat runs skip
-    the self-join build); every per-half-step score relation must be
-    released before the function returns, and running it TWICE must
-    not grow the cache set (the accumulation the verdict flagged)."""
-    spark.catalog.clearCache()
-    base = _live_cached_rdds(spark)  # localCheckpoint leftovers, GC'd
-    REG["hits_hub_authority"].spark_fn(spark, sf0001)
-    first = _live_cached_rdds(spark) - base
-    assert first <= 2  # edge list (+ an in-flight async unpersist)
-    REG["hits_hub_authority"].spark_fn(spark, sf0001)
-    assert _live_cached_rdds(spark) - base <= first
-    spark.catalog.clearCache()
-
-
-def test_hits_stage_budget(spark, sf0001):
-    """Regression pin for the iteration-cache rotation: if a half-step
-    persist is dropped, every max-collect job re-runs the whole
-    upstream chain (edge join + all earlier half-steps) and the stage
-    count blows up (the 2^iters recompute the persist exists to
-    prevent). Measured healthy baseline: 16 jobs / 44 stages cold at
-    sf0.001 (AQE splits the edge build into several jobs); the bound
-    leaves ~35% headroom while sitting far under the recompute
-    explosion."""
-    sc = spark.sparkContext
-    spark.catalog.clearCache()
-    sc.setJobGroup("hits-stage-audit", "cache-rotation regression pin")
-    try:
-        REG["hits_hub_authority"].spark_fn(spark, sf0001)
-    finally:
-        sc.setJobGroup(None, None)
-    tracker = sc.statusTracker()
-    ids = tracker.getJobIdsForGroup("hits-stage-audit")
-    stages = [s for j in ids for s in tracker.getJobInfo(j).stageIds]
-    assert ids, "no jobs captured — job-group plumbing broke"
-    assert len(stages) <= 60, (
-        f"hits ran {len(stages)} stages (baseline 44): an iteration "
-        "persist was probably dropped and half-steps are recomputing "
-        "their upstream chains")
     spark.catalog.clearCache()

@@ -287,6 +287,32 @@ def test_morton_code_matches_reference_interleave(spark):
     assert len(set(got.values())) == len(rows)
 
 
+def test_morton_code_guards_the_long_sign_bit(spark, tmp_path):
+    """ADVICE r9 #4: a bit landing at position >= 63 shifts into/past
+    the long sign bit and silently destroys Z-ordering. morton_code
+    must REFUSE over-wide bit budgets (assert, not clamp), and
+    write_zordered must shrink the per-dim budget as dims grow so an
+    8-dim write at the default 8 bits stays inside a signed long and
+    still round-trips."""
+    import pytest
+
+    from big_datatrader_spark.sources.sinks import (morton_code,
+                                                    write_zordered)
+
+    with pytest.raises(AssertionError, match="sign bit"):
+        morton_code([(F.col(f"c{d}"), 8) for d in range(8)])  # 64 bits
+    # exactly at the boundary: 63 bits is fine
+    morton_code([(F.col(f"c{d}"), 9) for d in range(7)])
+
+    rows = [tuple(range(i, i + 8)) for i in range(32)]
+    cols = ", ".join(f"c{d} long" for d in range(8))
+    df = spark.createDataFrame(rows, cols)
+    p = str(tmp_path / "wide")
+    write_zordered(df, p, [f"c{d}" for d in range(8)], n_files=2)
+    back = spark.read.parquet(p)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
 def test_write_zordered_tolerates_empty_and_null_dims(spark, tmp_path):
     """Degenerate inputs the 1-D write_clustered already tolerates:
     an EMPTY frame (min/max stats are NULL — must not crash on the

@@ -10,10 +10,38 @@ from pyspark.sql import functions as F
 from big_datatrader_spark.plans.explain import (
     num_exchanges, scan_read_columns, physical_plan, uses_broadcast_join,
     uses_top_k)
-from big_datatrader_spark.queries import load_registry
+from big_datatrader_spark.queries import load_registry, plan_of
 from big_datatrader_spark.sources.parquet_source import table
 
 REG = load_registry()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    """_plan_df builds plans with REAL persists (never materialized);
+    drop the registrations after every test so CacheManager subtree
+    matching cannot swap InMemoryTableScans into later tests' plans
+    (the round-8 cross-test interference, now prevented globally)."""
+    yield
+    spark.catalog.clearCache()
+
+
+def _plan_df(name, spark, sf_dir):
+    """The lazy plan to audit for exchange budgets: Query.plan_fn for
+    scoped-cache queries (their spark_fn returns an eagerly-
+    materialized checkpoint, whose plan is just Scan ExistingRDD —
+    asserting budgets there is vacuous, ADVICE r9 #1), else the
+    registered fn's own return. Builders run with a REAL persisting
+    cache so multi-consumer subtrees collapse to InMemoryRelation
+    exactly as run_scoped executes them — budgets stay calibrated to
+    executed shuffle work, not static subtree duplication. Budget
+    tests clear the session cache afterward (the persists here are
+    never materialized — clearCache drops the registrations)."""
+    return plan_of(REG[name], spark, sf_dir,
+                   cache=lambda df, eager=False: df.persist())
 
 
 def test_q1_scan_prunes_columns_and_pushes_filter(spark, sf001):
@@ -219,6 +247,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "join_cardinality_profile",    # three 1-row profile scalars
         "max_concurrent_sessions",     # 1-row peak/first/count scalars
         "t_closeness_audit",           # 5-row segment domain + 1-row N
+        "edit1_pair_blowup_audit",     # two 1-row profile scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -251,7 +280,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     for name, q in sorted(REG.items()):
         if name.startswith("streaming_"):
             continue  # plans materialize at drain; audited separately
-        df = q.spark_fn(spark, sf001)
+        df = plan_of(q, spark, sf001)
         plan = physical_plan(df)
         flags = []
         if "CartesianProduct" in plan:
@@ -300,7 +329,7 @@ def test_round4_flagship_exchange_budgets(spark, sf001):
         "cusum_change_detection": 5,
     }
     for name, budget in budgets.items():
-        df = REG[name].spark_fn(spark, sf001)
+        df = _plan_df(name, spark, sf001)
         n = num_exchanges(df)
         assert n <= budget, (name, n, budget)
     assert uses_top_k(REG["weighted_sample_es"].spark_fn(spark, sf001))
@@ -331,7 +360,7 @@ def test_round4b_exchange_budgets(spark, sf001):
         "hybrid_rrf_retrieval": 26,      # two full ranker chains
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
 
 
@@ -361,7 +390,7 @@ def test_round4c_exchange_budgets(spark, sf001):
         "doc_perplexity_trigram_backoff": 12,
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
     assert uses_top_k(REG["token_drift_movers"].spark_fn(spark, sf001))
     assert uses_top_k(
@@ -381,7 +410,7 @@ def test_round4d_exchange_budgets(spark, sf001):
         "sortino_downside_ratio": 2,     # series window+agg, sort
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
 
 
@@ -428,11 +457,12 @@ def test_round4e_exchange_budgets(spark, sf001):
         "quantile_normalization": 12,    # persisted cnt, 2-phase CDF
         # degree-oriented triangle pipeline: every exchange is a
         # node-/edge-scale equi-join key, same family as
-        # triangle_count_copurchase
-        "local_clustering_coefficient": 34,
+        # triangle_count_copurchase (24 on the persisted builder
+        # plan — the r10 scoped-cache audit, tightened from 34)
+        "local_clustering_coefficient": 24,
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
 
 
@@ -446,7 +476,7 @@ def test_round5_exchange_budgets(spark, sf001):
         "winnowing_fingerprints": 1,      # doc_id window; no output sort
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
 
 
@@ -500,7 +530,7 @@ def test_round8_exchange_budgets(spark, sf001):
         "kmeans_lloyd_refinement": 4,
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
 
 
@@ -536,5 +566,26 @@ def test_round9_exchange_budgets(spark, sf001):
         "golden_record_survivorship": 6,
     }
     for name, budget in budgets.items():
-        n = num_exchanges(REG[name].spark_fn(spark, sf001))
+        n = num_exchanges(_plan_df(name, spark, sf001))
+        assert n <= budget, (name, n, budget)
+
+
+def test_round10_exchange_budgets(spark, sf001):
+    """Round-10 pins: the cache-lifecycle sweep (VERDICT r9 ask #3)
+    exposed pre-checkpoint builders for every scoped-cache query, so
+    the graph family's executed shapes — previously unbudgetable
+    because their spark_fns persisted mid-chain — get budgets for the
+    first time, plus the new edit-1 blow-up audit. All counts are on
+    the persisted builder plan (_plan_df), i.e. the shape run_scoped
+    executes."""
+    budgets = {
+        "edit1_pair_blowup_audit": 4,    # name-grain agg, key join,
+                                         # deletion-key self-join
+        "pagerank_copurchase": 16,       # edge build + 3 iterations
+        "triangle_count_copurchase": 43,
+        "corpus_dedup_pipeline": 14,
+        "label_propagation_communities": 10,
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
