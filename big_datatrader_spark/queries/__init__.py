@@ -121,17 +121,13 @@ def lazy_cache(df: DataFrame, eager: bool = False) -> DataFrame:
 # the never-driver-evidenced backlog, then rows-only-by-design queries
 # due for their 2-round re-evidence, then already-green queries
 # oldest-evidence-first so every query keeps accumulating recent
-# driver rows. Round 9 (VERDICT r8 ask #2): the head carries the 18
-# changed/new queries, then the staleness tail. Two of the changed
-# entries (the jaccard pair) were themselves r2-stale greens already
-# inside the head, so the arithmetic still closes: 18 changed + 1
-# rows-only-due + 31 remaining stale = 50 exactly, every r2-evidence
-# query is in the window, and after r9 no query's evidence is older
-# than r3 (tools/evidence_report.py prints the projection). That
-# budget is pinned by test_rotation.test_r9_window_drains_the_r2_
-# staleness_tail; it also means NO further query may be added — and
-# no non-r2-stale query replanned — this round without evicting a
-# drain slot.
+# driver rows. Round 9 drained the r2-staleness tail completely (the
+# r8 commitment; oldest evidence is now r3). Round 10 spends its head
+# on the cache-lifecycle sweep: 20 changed/new queries, the 4
+# rows-only members due on their 2-round cadence (surfaced by the
+# rows_only_due tier automatically), and 26 of the 49 r3-stale greens
+# = 50 exactly; the remaining 23 r3 members drain next round
+# (tools/evidence_report.py prints the projection).
 
 _WINDOW = 50
 _CURRENT_ROUND = 10
