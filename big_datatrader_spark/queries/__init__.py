@@ -82,11 +82,15 @@ def run_scoped(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     session (tests/test_cache_lifecycle.py asserts it).
 
     ``eager=True`` additionally materializes the cache with a count()
-    before any consumer runs: broadcast-exchange subtrees are built by
-    CONCURRENT driver-side jobs, and two of them racing over a not-
-    yet-populated cache each compute the full uncached lineage — the
-    redundant dated-edge rebuild that made link_prediction_holdout_
-    eval the sf1 pacing item (34.2s) in round 9.
+    before any consumer runs, making the cache's content, partitioning
+    and cost DETERMINISTIC — one build under its own AQE context
+    instead of interleaved with the consumers' stages and memory
+    pressure. (tools/measure_cache_race.py quantifies the options: a
+    no-cache multi-branch plan pays one full lineage run PER BRANCH —
+    4.0x measured — while lazy and eager persists both measure 1.0x
+    on Spark 4.1/AQE; eager's win over lazy is determinism, and it is
+    what took link_prediction_holdout_eval from 34.2s to 15.0s at sf1
+    while costing ~2s at sf0.1.)
 
     Plan tests call the same ``build`` with cache=identity via
     Query.plan_fn, so the audited plan is the real pre-checkpoint

@@ -669,11 +669,10 @@ def _cdp_plan(spark, sf_dir, cache=lazy_cache):
         .select("doc_id", "text", "n_tokens"))
     # qual and surv feed 2-3 downstream branches each (dedup stages +
     # the funnel counts): cache them EAGERLY so tokenization and the
-    # exact-dedup join run once, not per branch (the funnel-count
-    # broadcasts are concurrent driver jobs — racing over an
-    # unpopulated cache re-tokenizes the corpus per branch) — at
-    # 100 TB these survivor sets are what a pipeline checkpoints
-    # between stages anyway
+    # exact-dedup join run once, deterministically, before the
+    # funnel-count broadcasts consume them — at 100 TB these survivor
+    # sets are what a pipeline checkpoints between stages anyway
+    # (tools/measure_cache_race.py quantifies the cache variants)
     qual = cache(qual, eager=True)
     ex = (qual.groupBy(F.md5(F.lower(F.trim(F.col("text")))))
           .agg(F.min("doc_id").alias("doc_id"))
@@ -1374,8 +1373,8 @@ def _e1audit_plan(spark, sf_dir, cache=lazy_cache):
         F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
     # name-grain multiplicity feeds three consumers (the summary agg
     # and both sides of the contribution join) — cache it eagerly so
-    # the customer scan+agg runs once, and so the broadcast subtrees
-    # (concurrent driver jobs) never race over an unpopulated cache
+    # the customer scan+agg runs once, deterministically, before the
+    # broadcast subtrees consume it
     mult = cache(cust.groupBy("nm")
                  .agg(F.count(F.lit(1)).cast("long").alias("m")),
                  eager=True)
