@@ -6878,11 +6878,16 @@ def _mad_plan(spark, sf_dir, cache=lazy_cache):
     # #distinct cents, never by row volume) and feeds five branches —
     # cache it or the plan re-runs the raw scan+agg per branch
     # (measured 31 -> 18 exchanges)
+    # lazy cache: domain-sized (#types x #distinct cents), and the
+    # measured lineage count for lazy-persisted broadcast consumers
+    # is already 1.0 (tools/measure_cache_race.py) — the eager count
+    # job cost ~0.4s/run here for no work saved; eager stays reserved
+    # for HEAVY builds where cost determinism matters
     cnt = cache(ev.select("event_type",
                           F.round(F.col("value") * 100).cast("bigint")
                           .alias("cents"))
                 .groupBy("event_type", "cents")
-                .agg(F.count(F.lit(1)).alias("c")), eager=True)
+                .agg(F.count(F.lit(1)).alias("c")))
     tot = cnt.groupBy("event_type").agg(F.sum("c").alias("n"))
     wcum = (Window.partitionBy("event_type").orderBy("cents")
             .rowsBetween(Window.unboundedPreceding, 0))
@@ -7087,11 +7092,12 @@ def _qn_plan(spark, sf_dir, cache=lazy_cache):
     def idiv(x, y):
         return (x - x % y) / y
 
+    # lazy cache — domain-sized; see the mad_robust_outliers note
     cnt = cache(ev.select("event_type",
                           F.round(F.col("value") * 100).cast("bigint")
                           .alias("cents"))
                 .groupBy("event_type", "cents")
-                .agg(F.count(F.lit(1)).alias("c")), eager=True)
+                .agg(F.count(F.lit(1)).alias("c")))
     tots = cnt.groupBy("event_type").agg(F.sum("c").alias("n_g"))
     grand = cnt.agg(F.sum("c").alias("n"))
     pooled = (cnt.groupBy("cents").agg(F.sum("c").alias("pc"))

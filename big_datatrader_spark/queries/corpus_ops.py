@@ -1372,12 +1372,11 @@ def _e1audit_plan(spark, sf_dir, cache=lazy_cache):
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
     # name-grain multiplicity feeds three consumers (the summary agg
-    # and both sides of the contribution join) — cache it eagerly so
-    # the customer scan+agg runs once, deterministically, before the
-    # broadcast subtrees consume it
+    # and both sides of the contribution join) — lazy cache: it is
+    # name-domain-sized and lazy-persisted broadcast consumers
+    # measure 1.0 lineage runs (tools/measure_cache_race.py)
     mult = cache(cust.groupBy("nm")
-                 .agg(F.count(F.lit(1)).cast("long").alias("m")),
-                 eager=True)
+                 .agg(F.count(F.lit(1)).cast("long").alias("m")))
     npairs = _edit1_verified_name_pairs(mult.select("nm"))
     x = (npairs
          .join(mult.select(F.col("nm").alias("na"),
