@@ -89,7 +89,7 @@ def run_scoped(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     no-cache multi-branch plan pays one full lineage run PER BRANCH —
     4.0x measured — while lazy and eager persists both measure 1.0x
     on Spark 4.1/AQE; eager's win over lazy is determinism, and it is
-    what took link_prediction_holdout_eval from 34.2s to 15.0s at sf1
+    what took link_prediction_holdout_eval from 34.2s to ~16s at sf1
     while costing ~2s at sf0.1.)
 
     Plan tests call the same ``build`` with cache=identity via
