@@ -25,7 +25,10 @@ broadcast branches + 1 main consumer, 4 rounds):
                   unpopulated cache and each recompute" story does
                   NOT reproduce at this shape: AQE materializes query
                   stages in an order that lets the first consumer
-                  populate the cache before the rest read it)
+                  populate the cache before the rest read it; also
+                  re-measured with spark.sql.adaptive.enabled=false —
+                  still 1.0 every round, so the serialization is not
+                  AQE's doing either)
     eager-persist lineage_runs = 1.0, wall within noise of lazy
 
 So the honest statement for run_scoped's eager mode is NOT
