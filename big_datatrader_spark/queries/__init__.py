@@ -129,10 +129,10 @@ def lazy_cache(df: DataFrame, eager: bool = False) -> DataFrame:
 # oldest-evidence-first so every query keeps accumulating recent
 # driver rows. Round 9 drained the r2-staleness tail completely (the
 # r8 commitment; oldest evidence is now r3). Round 10 spends its head
-# on the cache-lifecycle sweep: 20 changed/new queries, the 4
+# on the cache-lifecycle sweep: 22 changed/new queries, the 4
 # rows-only members due on their 2-round cadence (surfaced by the
-# rows_only_due tier automatically), and 26 of the 49 r3-stale greens
-# = 50 exactly; the remaining 23 r3 members drain next round
+# rows_only_due tier automatically), and 24 of the 49 r3-stale greens
+# = 50 exactly; the remaining 25 r3 members drain next round
 # (tools/evidence_report.py prints the projection).
 
 _WINDOW = 50
@@ -203,6 +203,12 @@ _R10_CHANGED = (
     # bench admission (ask #4) + shares the factored candidate
     # helper with the new blow-up audit — same plan, fresh evidence
     'edit1_deletion_neighborhood_pairs',
+    # NEW beyond the asks (format_ops): compaction proven lossless
+    # under the driver gate, and the order-insensitive dataset
+    # content fingerprint (sum-of-h60 mod 2^62 — partition-, file-
+    # and row-order-invariant dataset versioning with no sort)
+    'compacted_scan_equivalence',
+    'dataset_content_fingerprint',
 )
 
 _R9_CHANGED = (

@@ -448,3 +448,121 @@ def csv_quarantine_scan(spark, sf_dir):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "compacted_scan_equivalence",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(max(event_id) AS BIGINT) AS last_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="small-files compaction proven lossless under the driver "
+        "gate: events are deliberately fragmented into 64 tiny "
+        "parquet files (the streaming-sink/over-parallel-writer "
+        "pathology), rewritten by sinks.compact_files into "
+        "evenly-sized shards (one metadata-cheap count + one "
+        "round-robin repartition — the cost of reading the data "
+        "once), and the COMPACTED copy is aggregated per type with "
+        "integer cents, id and microsecond extrema; the oracle runs "
+        "on the ORIGINAL table, so any row lost, duplicated, or "
+        "value-drifted by either rewrite flips the hash. File-count "
+        "mechanics (64 fragments -> ceil(n/target) shards) are "
+        "pinned by tests/test_sources_streaming.py and re-asserted "
+        "here; at 100 TB this operator is the difference between a "
+        "namenode melting under KB-files and uniform shard-sized "
+        "scans",
+)
+def compacted_scan_equivalence(spark, sf_dir):
+    from ..sources.sinks import compact_files
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="bdt_compact_")
+    try:
+        frag = os.path.join(root, "fragmented")
+        comp = os.path.join(root, "compacted")
+        ev.repartition(64).write.parquet(frag)
+        n_rows = spark.read.parquet(frag).count()
+        n_files = compact_files(spark, frag, comp,
+                                target_rows_per_file=max(
+                                    1, n_rows // 4))
+        assert n_files < 64, n_files  # compaction must compact
+        back = spark.read.parquet(comp)
+        out = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(F.round(F.col("value") * 100)
+                          .cast("bigint")).cast("long")
+                    .alias("sum_cents"),
+                    F.min("event_id").cast("long").alias("first_id"),
+                    F.max("event_id").cast("long").alias("last_id"),
+                    F.min(F.unix_micros("ts")).cast("long")
+                    .alias("first_us"),
+                    F.max(F.unix_micros("ts")).cast("long")
+                    .alias("last_us"))
+               .orderBy("event_type")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "dataset_content_fingerprint",
+    oracle="""
+    WITH canon AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' ||
+               CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15)) AS BIGINT) AS h
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 4611686018427387904 AS BIGINT)
+               AS content_fp,
+           CAST(min(h) AS BIGINT) AS min_h,
+           CAST(max(h) AS BIGINT) AS max_h
+    FROM canon
+    """,
+    doc="order-insensitive dataset content fingerprint — Merkle-style "
+        "dataset versioning without a sort: every row canonicalizes "
+        "to a '|'-joined string of exactly-typed fields (integer "
+        "cents, epoch-micros — the engine's cross-engine casting "
+        "conventions), hashes to the shared 60-bit md5 image, and the "
+        "dataset fingerprint is sum(h) mod 2^62 plus count and h "
+        "extrema. Sum is commutative/associative, so the fingerprint "
+        "is invariant under partitioning, file order, and row order — "
+        "two 100 TB snapshots compare by exchanging four BIGINTs, no "
+        "shuffle and no sort anywhere (the map-side-combinable "
+        "aggregate is the whole plan); any row edit, loss, or "
+        "duplication moves the sum. The drift companion to "
+        "snapshot_diff (which diffs WHICH rows changed; this detects "
+        "THAT something changed at minimum cost)",
+)
+def dataset_content_fingerprint(spark, sf_dir):
+    od = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("long").cast("string"),
+        F.col("o_custkey").cast("long").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .cast("string"),
+        F.unix_micros("o_orderdate").cast("string"),
+        F.col("o_orderpriority"))
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (od.select(h.alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 (F.sum(F.col("h").cast("decimal(38,0)"))
+                  % F.lit(4611686018427387904).cast("decimal(38,0)"))
+                 .cast("long").alias("content_fp"),
+                 F.min("h").cast("long").alias("min_h"),
+                 F.max("h").cast("long").alias("max_h")))

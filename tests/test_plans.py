@@ -585,6 +585,10 @@ def test_round10_exchange_budgets(spark, sf001):
         "triangle_count_copurchase": 43,
         "corpus_dedup_pipeline": 14,
         "label_propagation_communities": 10,
+        # one map-side-combinable global agg: the scan's partial rows
+        # + the 1-row final — no other exchange may ever appear (the
+        # whole point of the sort-free fingerprint)
+        "dataset_content_fingerprint": 1,
     }
     for name, budget in budgets.items():
         n = num_exchanges(_plan_df(name, spark, sf001))
