@@ -129,10 +129,10 @@ def lazy_cache(df: DataFrame, eager: bool = False) -> DataFrame:
 # oldest-evidence-first so every query keeps accumulating recent
 # driver rows. Round 9 drained the r2-staleness tail completely (the
 # r8 commitment; oldest evidence is now r3). Round 10 spends its head
-# on the cache-lifecycle sweep: 22 changed/new queries, the 4
+# on the cache-lifecycle sweep: 23 changed/new queries, the 4
 # rows-only members due on their 2-round cadence (surfaced by the
-# rows_only_due tier automatically), and 24 of the 49 r3-stale greens
-# = 50 exactly; the remaining 25 r3 members drain next round
+# rows_only_due tier automatically), and 23 of the 49 r3-stale greens
+# = 50 exactly; the remaining 26 r3 members drain next round
 # (tools/evidence_report.py prints the projection).
 
 _WINDOW = 50
@@ -209,6 +209,10 @@ _R10_CHANGED = (
     # and row-order-invariant dataset versioning with no sort)
     'compacted_scan_equivalence',
     'dataset_content_fingerprint',
+    # NEW: the bucketed-table layout (sources/bucketed.py, until now
+    # only unit-tested) proven value-lossless under the driver gate;
+    # the zero-exchange co-located join is pinned in test_plans
+    'bucketed_copartitioned_join',
 )
 
 _R9_CHANGED = (

@@ -566,3 +566,77 @@ def dataset_content_fingerprint(spark, sf_dir):
                  .cast("long").alias("content_fp"),
                  F.min("h").cast("long").alias("min_h"),
                  F.max("h").cast("long").alias("max_h")))
+
+
+@query(
+    "bucketed_copartitioned_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="bucketed co-located join under the driver gate: orders and a "
+        "lineitem projection are written ONCE as external parquet "
+        "tables bucketed by the join key (sources/bucketed.py — the "
+        "shuffle paid at write time), read back through the catalog, "
+        "and sort-merge-joined with ZERO exchanges on either side "
+        "(broadcast disabled for the join so the co-located plan is "
+        "the tested path at every sf; conf restored in finally, the "
+        "hits precedent). The per-priority rollup on top hash-matches "
+        "the oracle running the plain join on the ORIGINAL tables, so "
+        "the bucketing layout is proven value-lossless, and the "
+        "exchange-free join property is pinned by "
+        "tests/test_bucketed.py plus the round-10 plan test. At "
+        "100 TB this is the fact-to-fact join strategy when neither "
+        "side broadcasts: bucket both ONCE, join forever without "
+        "moving either",
+)
+def bucketed_copartitioned_join(spark, sf_dir):
+    import uuid
+
+    from ..sources.bucketed import drop_table, write_bucketed
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
+    tag = uuid.uuid4().hex[:8]
+    t_od, t_li = f"bdt_od_{tag}", f"bdt_li_{tag}"
+    root = tempfile.mkdtemp(prefix="bdt_bucket_")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(od, t_od, ["o_orderkey"], n_buckets=8,
+                       path=os.path.join(root, "od"))
+        write_bucketed(li, t_li, ["o_orderkey"], n_buckets=8,
+                       path=os.path.join(root, "li"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (_bucketed_rollup(spark, t_od, t_li)
+               .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        drop_table(spark, t_od)
+        drop_table(spark, t_li)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _bucketed_rollup(spark, t_od: str, t_li: str):
+    """The rollup over the catalog-read bucketed tables, exposed
+    unmaterialized so the plan test can assert the join consumes the
+    bucket layout with zero exchanges of its own (the
+    zorder_pruned_rollup convention)."""
+    od = spark.table(t_od)
+    li = spark.table(t_li)
+    return (od.join(li, "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.countDistinct("o_orderkey").cast("long")
+                 .alias("n_orders"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).cast("long")
+                 .alias("price_cents"))
+            .orderBy("o_orderpriority"))

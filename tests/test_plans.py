@@ -593,3 +593,47 @@ def test_round10_exchange_budgets(spark, sf001):
     for name, budget in budgets.items():
         n = num_exchanges(_plan_df(name, spark, sf001))
         assert n <= budget, (name, n, budget)
+
+
+def test_bucketed_join_query_is_exchange_free_at_the_join(spark, sf001):
+    """bucketed_copartitioned_join's whole point: both catalog reads
+    carry the bucket layout, so the SortMergeJoin has NO Exchange
+    below it — the only exchanges in the rollup are the per-priority
+    aggregation and the output sort (budget 2). Uses the query's own
+    writer path + exposed rollup builder (zorder_pruned_rollup
+    convention)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_datatrader_spark.queries.format_ops import _bucketed_rollup
+    from big_datatrader_spark.sources.bucketed import (drop_table,
+                                                      write_bucketed)
+
+    od = table(spark, sf001, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = table(spark, sf001, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
+    tag = uuid.uuid4().hex[:8]
+    t_od, t_li = f"t_od_{tag}", f"t_li_{tag}"
+    root = tempfile.mkdtemp()
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(od, t_od, ["o_orderkey"], n_buckets=8,
+                       path=os.path.join(root, "o"))
+        write_bucketed(li, t_li, ["o_orderkey"], n_buckets=8,
+                       path=os.path.join(root, "l"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = _bucketed_rollup(spark, t_od, t_li)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan
+        assert num_exchanges(df) <= 2, num_exchanges(df)
+        # nothing between the join and its scans may exchange
+        ji = plan.find("SortMergeJoin")
+        assert "Exchange" not in plan[ji:plan.find("Scan", ji)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        drop_table(spark, t_od)
+        drop_table(spark, t_li)
+        shutil.rmtree(root, ignore_errors=True)
