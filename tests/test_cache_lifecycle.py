@@ -19,7 +19,10 @@ Two assertions per query, after its consumer action completes:
 2. **Live cached-RDD delta is bounded** — the only RDD a query may
    leave live is its own eagerly-materialized result checkpoint
    (bounded rows by query design; released by the ContextCleaner once
-   the consumer drops the frame). Iterative checkpoint-CHAIN queries
+   the consumer drops the frame — verified empirically: 15 back-to-
+   back runs of a scoped query hold live checkpoint RDDs at 4-6, not
+   15, so a long-lived driver session reaches a small steady state
+   rather than accumulating one per query). Iterative checkpoint-CHAIN queries
    (sssp/k-core/CC/temporal-reachability) keep per-round lineage
    truncations live, bounded by their hop/round constants — each gets
    an explicit bound instead of the default.
