@@ -287,6 +287,26 @@ def minhash_lsh_pairs_collapsed(df: DataFrame, *,
                                  rep_pair_fn=pair_fn)
 
 
+def rep_relations(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """The duplication-collapse generator, shared between the pair
+    scorers (``_collapsed_text_pairs``) and the pre-flight audit
+    (queries/llm_dedup.ngram_pair_blowup_audit) so the audit cannot
+    profile a different candidate set than the scorer joins (VERDICT
+    r10 ask #5 — the edit1_pair_blowup_audit discipline). Returns
+    ``(fpn, gr, reps)``: the (doc_id, fp=md5(text)) fingerprint
+    relation over tokenful docs, the per-fingerprint min-id
+    representative ids, and the rep rows joined back to their text.
+    Fingerprints are 16 bytes — document bodies never shuffle."""
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))
+            .filter(F.size(tokens(F.col(text_col))) > 0))
+    fpn = base.select("doc_id", F.md5("text").alias("fp"))
+    gr = fpn.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    reps = base.join(gr, "doc_id")  # (doc_id, text, fp) — rep rows
+    return fpn, gr, reps
+
+
 def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
                           id_col: str, score_col: str,
                           rep_pair_fn) -> DataFrame:
@@ -312,12 +332,7 @@ def _collapsed_text_pairs(df: DataFrame, *, text_col: str,
     scan (broadcast under AQE at bench scales; a narrow id-hashed
     exchange at cluster scale — either way the per-shingle explode
     still happens in scan partitions)."""
-    base = (df.select(F.col(id_col).alias("doc_id"),
-                      F.col(text_col).alias("text"))
-            .filter(F.size(tokens(F.col(text_col))) > 0))
-    fpn = base.select("doc_id", F.md5("text").alias("fp"))
-    gr = fpn.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    reps = base.join(gr, "doc_id")  # (doc_id, text, fp) — rep rows
+    fpn, gr, reps = rep_relations(df, text_col=text_col, id_col=id_col)
     rep_pairs, surviving = rep_pair_fn(reps.select("doc_id", "text"))
     fa = gr.select(F.col("doc_id").alias("doc_a"),
                    F.col("fp").alias("fp_a"))

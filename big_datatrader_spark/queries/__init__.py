@@ -127,16 +127,16 @@ def lazy_cache(df: DataFrame, eager: bool = False) -> DataFrame:
 # the never-driver-evidenced backlog, then rows-only-by-design queries
 # due for their 2-round re-evidence, then already-green queries
 # oldest-evidence-first so every query keeps accumulating recent
-# driver rows. Round 9 drained the r2-staleness tail completely (the
-# r8 commitment; oldest evidence is now r3). Round 10 spends its head
-# on the cache-lifecycle sweep: 23 changed/new queries, the 4
-# rows-only members due on their 2-round cadence (surfaced by the
-# rows_only_due tier automatically), and 23 of the 49 r3-stale greens
-# = 50 exactly; the remaining 26 r3 members drain next round
-# (tools/evidence_report.py prints the projection).
+# driver rows. Round 9 drained the r2-staleness tail completely;
+# round 10 drained 23 of the 49 r3-stale greens. Round 11's head:
+# the remaining 26 r3-stale greens, bpe_learn_merges (rows-only due
+# on its 2-round cadence, surfaced by the rows_only_due tier), and
+# up to 23 changed/new queries — the source of truth for all window
+# arithmetic is `python tools/evidence_report.py` (VERDICT r10 ask
+# #4: paste its numbers, do not hand-derive them).
 
 _WINDOW = 50
-_CURRENT_ROUND = 10
+_CURRENT_ROUND = 11
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
@@ -150,12 +150,38 @@ _CURRENT_ROUND = 10
 # above and pinned by test_rotation. Names are added as queries are
 # written or replanned this round; _window_order hard-fails on
 # ghosts.
-# Round 10 (VERDICT r9 asks): the four r8 rows-only members
-# (ann_ivf_topk, ann_lsh_topk, approx_aggregates, hll_partial_merge)
-# hit their 2-round re-evidence cadence this round — the rotation's
-# rows_only_due tier surfaces them automatically, costing no _CHANGED
-# slots. Names below are queries written or replanned this round;
-# _window_order hard-fails on ghosts.
+# Round 11 (VERDICT r10 asks): bpe_learn_merges hits its 2-round
+# rows-only re-evidence cadence this round (last clean rows-only row
+# r9) — the rows_only_due tier surfaces it automatically, costing no
+# _CHANGED slot. Names below are queries written or replanned this
+# round; _window_order hard-fails on ghosts.
+_R11_CHANGED = (
+    'hits_hub_authority',  # ask #2: eager edges.count() ablated —
+                           # lazy persist populated by the first
+                           # half-step (the builder's own cache-race
+                           # instrument: lazy = 1.0 lineage runs on
+                           # Spark 4.1/AQE), reversing the r10 2.3x
+                           # bench regression; values hash-identical
+    'ngram_pair_blowup_audit',  # NEW (ask #5): shingle-df profile
+                                # predicting the exact-jaccard pair
+                                # join's candidate cardinality from
+                                # posting-list stats BEFORE the join
+                                # runs — shares _capped_shingles with
+                                # the scorer so it cannot profile a
+                                # different candidate set
+    'bucketed_copartitioned_join',  # ADVICE #4: write-both-tables /
+                                    # broadcast-guard setup factored
+                                    # into sources/bucketed.py's
+                                    # bucketed_pair_tables(), shared
+                                    # with the plan test — plan change
+                                    # earns fresh evidence
+    'zorder_pruned_scan',  # ADVICE #1/#2: morton_code now asserts
+                           # the max LANDING position (interleaved
+                           # bit index), not sum(bits); write_zordered
+                           # logs when it shrinks bits — same values,
+                           # guard change earns fresh evidence
+)
+
 _R10_CHANGED = (
     'link_prediction_holdout_eval',  # ask #2: dated co-purchase edge
                                      # list built ONCE (persist +
@@ -420,7 +446,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R10_CHANGED
+_CHANGED = _R11_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -684,20 +710,56 @@ _R9_ROWS_ONLY = frozenset({
     'bpe_learn_merges',
 })
 
+# CORRECTNESS_r10.json via tools/record_round.py (46 hash-exact,
+# 4 rows-only, 0 RED) — pasted verbatim (VERDICT r10 ask #1).
+_R10_GREEN = frozenset({
+    'ann_pq_adc_topk', 'array_values_per_user', 'autocorr_lag1',
+    'bigram_conditional_prob', 'bucketed_copartitioned_join',
+    'candle_patterns', 'cms_heavy_hitters',
+    'compacted_scan_equivalence', 'contamination_check',
+    'corpus_dedup_pipeline', 'daily_var_per_user',
+    'dataset_content_fingerprint', 'dataset_split_assign',
+    'dedup_clusters', 'dedup_ngram_jaccard',
+    'dedup_ngram_jaccard_capped', 'doc_chunking',
+    'doc_perplexity_bigram', 'edit1_deletion_neighborhood_pairs',
+    'edit1_pair_blowup_audit', 'embedding_gram_matrix',
+    'embedding_pq_codes', 'evenly_spaced_portfolio',
+    'full_outer_daily_activity', 'funnel_conversion',
+    'fuzzy_part_pairs', 'global_shuffle_rank',
+    'gnn_feature_propagation', 'golden_record_survivorship',
+    'hits_hub_authority', 'kmeans_lloyd_refinement',
+    'label_propagation_communities',
+    'link_prediction_common_neighbors',
+    'link_prediction_holdout_eval', 'linreg_trend_per_user',
+    'listagg_sources_by_lang', 'local_clustering_coefficient',
+    'ma_crossover_backtest', 'ma_crossover_positions',
+    'mad_robust_outliers', 'map_event_type_counts',
+    'pagerank_copurchase', 'personalized_pagerank',
+    'quantile_normalization', 'temporal_reachability_copurchase',
+    'triangle_count_copurchase',
+})
+
+_R10_ROWS_ONLY = frozenset({
+    'ann_ivf_topk', 'ann_lsh_topk', 'approx_aggregates',
+    'hll_partial_merge',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
                  _R6_GREEN | _R6_ROWS_ONLY,
                  _R7_GREEN | _R7_ROWS_ONLY,
                  _R8_GREEN | _R8_ROWS_ONLY,
-                 _R9_GREEN | _R9_ROWS_ONLY)
+                 _R9_GREEN | _R9_ROWS_ONLY,
+                 _R10_GREEN | _R10_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
 # a clean rows-only row, so the due check below is mechanical.
 _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
                      6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
-                     8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY}
+                     8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY,
+                     10: _R10_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 

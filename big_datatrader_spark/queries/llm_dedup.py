@@ -94,6 +94,71 @@ def dedup_ngram_jaccard(spark, sf_dir):
         table(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+@query(
+    "ngram_pair_blowup_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    tokful AS (SELECT doc_id, text FROM base WHERE len(t) > 0),
+    fpn AS (SELECT doc_id, md5(text) AS fp FROM tokful),
+    gr AS (SELECT fp, min(doc_id) AS doc_id FROM fpn GROUP BY fp),
+    reps AS (SELECT b.doc_id, b.t
+             FROM base b JOIN gr USING (doc_id)),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s
+           FROM (SELECT doc_id, t FROM reps)),
+    dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df_s
+            FROM sh GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM gr) AS BIGINT) AS n_texts,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df_s) AS BIGINT) AS n_postings,
+           CAST(max(df_s) AS BIGINT) AS max_df,
+           CAST(sum(df_s * (df_s - 1) // 2) AS BIGINT)
+             AS join_rows_predicted,
+           CAST(max(df_s * (df_s - 1) // 2) AS BIGINT)
+             AS top_shingle_rows
+    FROM dfs
+    """,
+    doc="pre-flight cardinality profile for dedup_ngram_jaccard's "
+        "exact inverted-index join (VERDICT r10 ask #5 — the "
+        "edit1_pair_blowup_audit discipline applied to the ngram "
+        "family): join_rows_predicted = sum over shingles of "
+        "C(df_s, 2) is EXACTLY the row count the posting-list "
+        "self-join materializes before the pair groupBy, computed "
+        "from one pass over the postings — so a pipeline can detect "
+        "a boilerplate-driven df(s)^2 blow-up (and pick the max_df "
+        "cap or the LSH path) BEFORE committing the shuffle. Shares "
+        "the generator with the scorer structurally: reps come from "
+        "functions/dedup.rep_relations and shingles from "
+        "_capped_shingles — the exact relations "
+        "ngram_jaccard_pairs_collapsed joins — so the audit cannot "
+        "profile a different candidate set (prediction == actual "
+        "pinned by tests/test_round11_ops.py). All stats are at "
+        "distinct-text / shingle grain: the heaviest relation is the "
+        "(rep, shingle) posting list itself, invariant under corpus "
+        "duplication — the same pass the join would do anyway, "
+        "minus the join",
+)
+def ngram_pair_blowup_audit(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    fpn, gr, reps = DD.rep_relations(docs)
+    summary = gr.agg(F.count(F.lit(1)).cast("long").alias("n_texts"))
+    sh = DD._capped_shingles(reps.select("doc_id", "text"),
+                             text_col="text", id_col="doc_id",
+                             n=3, max_df=None)
+    dfs = sh.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("df_s"))
+    pair_rows = F.expr("df_s * (df_s - 1) DIV 2")
+    prof = dfs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("df_s").cast("long").alias("n_postings"),
+        F.max("df_s").cast("long").alias("max_df"),
+        F.sum(pair_rows).cast("long").alias("join_rows_predicted"),
+        F.max(pair_rows).cast("long").alias("top_shingle_rows"))
+    return (prof.join(F.broadcast(summary))
+            .select("n_texts", "n_shingles", "n_postings", "max_df",
+                    "join_rows_predicted", "top_shingle_rows"))
+
+
 def _minhash_sig_sql() -> str:
     # mirrors functions/dedup.minhash_signatures: one h60 per shingle
     # (reduced mod p), then per-family affine mixing — BIGINT arithmetic
