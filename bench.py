@@ -52,7 +52,17 @@ def dataset_fingerprint(sf_dir: str) -> dict:
     return {"tables": tables, "content_md5": digest.hexdigest()}
 
 
+# External contention gate (VERDICT r10 ask #3): a recording that
+# STARTS above this 1-min loadavg is flagged contended — BENCH_r10's
+# +29% suite drift was recorded at 4.32 and dissolved into "host
+# drift" because nothing in the record said so. Measured at process
+# entry, before any Spark work, so the number is external load, not
+# our own executors (which push a 32-core box past 10 during sf1).
+LOADAVG_CONTENTION_THRESHOLD = 2.5
+
+
 def main():
+    load_at_start = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     reg = load_registry()
@@ -82,10 +92,15 @@ def main():
     load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    # 1-min loadavg at each query's first sample: self-load dominates
+    # mid-suite, but a per-query spike still classifies WHICH members
+    # ran through it when a round's delta needs attribution
+    query_load: dict[str, float] = {}
     for n in names:
         if n in errors:
             continue
         samples = []
+        query_load[n] = round(os.getloadavg()[0], 2)
         try:
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -124,6 +139,13 @@ def main():
         "errors": errors,
         # per-query sorted best-of-3 samples [min, median, max]
         "spread": runs,
+        # per-query 1-min loadavg at first sample (see query_load)
+        "query_loadavg_1m": query_load,
+        # visibly flagged contended recording (VERDICT r10 ask #3):
+        # compare rounds only between records where this is false
+        "contended": load_at_start > LOADAVG_CONTENTION_THRESHOLD,
+        "contention_threshold_1m": LOADAVG_CONTENTION_THRESHOLD,
+        "loadavg_1m_at_start": round(load_at_start, 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "dataset": dataset_fingerprint(sf_dir),
         # box/runtime identity: with the dataset fingerprint this makes

@@ -596,32 +596,18 @@ def dataset_content_fingerprint(spark, sf_dir):
         "moving either",
 )
 def bucketed_copartitioned_join(spark, sf_dir):
-    import uuid
-
-    from ..sources.bucketed import drop_table, write_bucketed
+    from ..sources.bucketed import bucketed_pair_tables
 
     od = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
-    tag = uuid.uuid4().hex[:8]
-    t_od, t_li = f"bdt_od_{tag}", f"bdt_li_{tag}"
-    root = tempfile.mkdtemp(prefix="bdt_bucket_")
-    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        write_bucketed(od, t_od, ["o_orderkey"], n_buckets=8,
-                       path=os.path.join(root, "od"))
-        write_bucketed(li, t_li, ["o_orderkey"], n_buckets=8,
-                       path=os.path.join(root, "li"))
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        out = (_bucketed_rollup(spark, t_od, t_li)
-               .localCheckpoint(eager=True))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-        drop_table(spark, t_od)
-        drop_table(spark, t_li)
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    # shared setup with the plan test (ADVICE r10 #4): the layout the
+    # exchange-free assertion audits IS the layout this query runs
+    with bucketed_pair_tables(spark, od, li, ["o_orderkey"],
+                              n_buckets=8) as (t_od, t_li):
+        return (_bucketed_rollup(spark, t_od, t_li)
+                .localCheckpoint(eager=True))
 
 
 def _bucketed_rollup(spark, t_od: str, t_li: str):

@@ -3220,14 +3220,31 @@ def _hits_oracle() -> str:
         "registered query leaves cached relations behind)",
 )
 def hits_hub_authority(spark, sf_dir):
+    from pyspark import StorageLevel
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     # one-scan edge build (functions/graph.py): 2x faster cold than
-    # the lineitem self-join, identical edge set
-    edges = GR.copurchase_pairs(li, "src", "dst").persist()
+    # the lineitem self-join, identical edge set. SERIALIZED cache
+    # (PySpark's MEMORY_AND_DISK has deserialized=False; the persist()
+    # default is the _DESER level): the edge list is scanned 2*iters
+    # times by the half-step joins, and the smaller columnar blocks
+    # win over per-scan deserialization — measured 4.45s -> 3.61s at
+    # sf0.1, 10.3s -> 9.9s at sf1 (tools/measure_hits_ablation.py,
+    # VERDICT r10 ask #2; the lazy-persist and packed-BIGINT variants
+    # measure the same within noise, and lazy would materialize the
+    # skew-prone build under the loop's AQE-off/8-partition confs on
+    # a real cluster, so eager-under-session-confs stays)
+    edges = GR.copurchase_pairs(li, "src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK)
     # materialize the edge build under the session confs (AQE handles
     # its skew); the conf override below applies only to action time,
-    # so count() pins the build plan before the switch
+    # so count() pins the build plan before the switch. NOTE the r9
+    # bench context for this query (1.83s sf0.1 / 7.1s sf1) is NOT a
+    # reachable target: r9's finally released only the score caches
+    # and LEAKED the edge persist, so bench.py's samples 2-3 ran
+    # against a warm edge cache and min-of-3 recorded the warm cost;
+    # the r10 finally-release made every sample cold — the "2.3x
+    # regression" was the honest number arriving (SCALING.md r11)
     edges.count()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     h = nodes.select("node", F.lit(1000000).cast("bigint").alias("h"))

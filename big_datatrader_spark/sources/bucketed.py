@@ -26,6 +26,11 @@ bucket metadata and with it the exchange-free join.
 
 from __future__ import annotations
 
+import contextlib
+import os
+import shutil
+import tempfile
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,3 +65,37 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
 
 def drop_table(spark: SparkSession, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+@contextlib.contextmanager
+def bucketed_pair_tables(spark: SparkSession, left: DataFrame,
+                         right: DataFrame, bucket_cols: Sequence[str],
+                         n_buckets: int = 8):
+    """Write two relations as same-key/same-count bucketed catalog
+    tables with auto-broadcast DISABLED, yield their table names, and
+    tear everything down (conf, tables, files) on exit.
+
+    This is the one setup under which the co-located sort-merge join
+    is THE tested plan at every scale (broadcast would hide the
+    bucket layout at small SFs). Factored here (ADVICE r10 #4) so
+    queries/format_ops.bucketed_copartitioned_join and
+    tests/test_plans.py's exchange-free assertion drive the IDENTICAL
+    layout — two drifting copies could let the plan test audit a
+    different layout than the driver query runs."""
+    tag = uuid.uuid4().hex[:8]
+    t_left, t_right = f"bdt_bl_{tag}", f"bdt_br_{tag}"
+    root = tempfile.mkdtemp(prefix="bdt_bucket_")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(left, t_left, bucket_cols, n_buckets=n_buckets,
+                       path=os.path.join(root, "l"))
+        write_bucketed(right, t_right, bucket_cols,
+                       n_buckets=n_buckets,
+                       path=os.path.join(root, "r"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        yield t_left, t_right
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        drop_table(spark, t_left)
+        drop_table(spark, t_right)
+        shutil.rmtree(root, ignore_errors=True)

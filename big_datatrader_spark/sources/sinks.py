@@ -92,21 +92,27 @@ def morton_code(dims) -> "object":
     arithmetic (shift/and/or), one whole-stage-codegen projection —
     no UDF, no shuffle of its own.
 
-    Total code width must fit a signed 64-bit long: a bit landing at
-    position >= 63 shifts into/past the sign bit, destroying ordering
-    and Z-locality silently (ADVICE r9 #4 — write_zordered with >7
-    dims at the default 8 bits would hit it), so the sum of bit
-    budgets is asserted, not clamped."""
+    Every interleaved bit must land inside a signed 64-bit long: bit
+    ``i`` of dimension ``d`` lands at position ``i*n + d``, so the
+    constraint is on the MAX LANDING POSITION, not the sum of budgets
+    (ADVICE r10: heterogeneous budgets like [(a,33),(b,1)] sum to 34
+    yet put bit 32 of dim 0 at position 64, where Java long shifts
+    wrap mod 64 and the bit silently collides at the LOW end — the
+    exact corruption the guard exists to prevent). A landing position
+    >= 63 reaches the sign bit and destroys ordering and Z-locality
+    silently (ADVICE r9 #4), so it is asserted, not clamped."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     n = len(dims)
-    total_bits = sum(bits for _, bits in dims)
-    assert total_bits <= 63, (
-        f"morton_code would span {total_bits} bits: positions past 62 "
-        "reach the long sign bit and silently destroy Z-ordering — "
-        "reduce bits per dimension (total must be <= 63)")
+    max_pos = max((bits - 1) * n + d for d, (_, bits) in enumerate(dims))
+    assert max_pos <= 62, (
+        f"morton_code would place a bit at position {max_pos}: "
+        "positions past 62 reach the long sign bit (>= 64 wraps mod "
+        "64 and collides at the low end) and silently destroy "
+        "Z-ordering — shrink the widest dimension's bit budget so "
+        "(bits-1)*len(dims)+dim_index stays <= 62")
     terms = []
     for d, (col, bits) in enumerate(dims):
         c = col.cast("long")
@@ -135,13 +141,29 @@ def write_zordered(df: DataFrame, path: str, dim_cols: list[str], *,
     Timestamp dims are bucketized on their epoch-micros image.
     This is the writer-side realization of the clustering key whose
     locality math queries/training_ops.zorder_locality pins
-    cross-engine (per-bucket span audit under a full oracle)."""
+    cross-engine (per-bucket span audit under a full oracle).
+
+    ``bits`` is a CEILING, not a contract: with many dims the per-dim
+    budget auto-shrinks to ``63 // len(dim_cols)`` so every
+    interleaved bit stays inside a signed long (morton_code asserts
+    the same hazard) — e.g. 8 dims at bits=8 write at an effective
+    7 bits/dim. A shrink is warned, not silent (ADVICE r10 #2),
+    since it coarsens bucket resolution versus the argument."""
+    import warnings
+
     from pyspark.sql import functions as F
 
     # keep the interleaved code inside a signed long: with many dims,
     # shrink the per-dim bit budget so bit positions never reach the
     # sign bit (ADVICE r9 #4; morton_code asserts the same contract)
-    bits = min(bits, 63 // max(1, len(dim_cols)))
+    effective = min(bits, 63 // max(1, len(dim_cols)))
+    if effective < bits:
+        warnings.warn(
+            f"write_zordered: bits={bits} over {len(dim_cols)} dims "
+            f"would interleave past a signed long; shrinking to "
+            f"{effective} bits/dim (coarser buckets than requested)",
+            stacklevel=2)
+    bits = effective
     nb = 1 << bits
     dtypes = dict(df.dtypes)
     nums = {}

@@ -301,8 +301,32 @@ def test_morton_code_guards_the_long_sign_bit(spark, tmp_path):
 
     with pytest.raises(AssertionError, match="sign bit"):
         morton_code([(F.col(f"c{d}"), 8) for d in range(8)])  # 64 bits
-    # exactly at the boundary: 63 bits is fine
+    # exactly at the boundary: 7 dims x 9 bits lands its last bit at
+    # position 8*7+6 = 62 — fine
     morton_code([(F.col(f"c{d}"), 9) for d in range(7)])
+    # ADVICE r10: the guard is on the max LANDING position, not the
+    # sum of budgets — [(a,33),(b,1)] sums to 34 yet puts bit 32 of
+    # dim 0 at position 32*2+0 = 64, where Java long shifts wrap mod
+    # 64 and silently collide at the LOW end
+    with pytest.raises(AssertionError, match="sign bit"):
+        morton_code([(F.col("a"), 33), (F.col("b"), 1)])
+    # the same total split safely: [(a,31),(b,3)] lands at most at
+    # 30*2+0 = 60 and 2*2+1 = 5
+    morton_code([(F.col("a"), 31), (F.col("b"), 3)])
+    # write_zordered WARNS when it shrinks the requested budget
+    # (ADVICE r10 #2: the auto-shrink used to be silent while the
+    # morton_code docstring advertised assert-not-clamp)
+    import warnings as _w
+
+    from big_datatrader_spark.sources.sinks import write_zordered as _wz
+    df1 = spark.createDataFrame([(1, 2, 3, 4, 5, 6, 7, 8)],
+                                ", ".join(f"c{d} long"
+                                          for d in range(8)))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        _wz(df1, str(tmp_path / "warn"), [f"c{d}" for d in range(8)],
+            n_files=1)
+    assert any("shrinking" in str(r.message) for r in rec)
 
     rows = [tuple(range(i, i + 8)) for i in range(32)]
     cols = ", ".join(f"c{d} long" for d in range(8))

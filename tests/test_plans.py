@@ -248,6 +248,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "max_concurrent_sessions",     # 1-row peak/first/count scalars
         "t_closeness_audit",           # 5-row segment domain + 1-row N
         "edit1_pair_blowup_audit",     # two 1-row profile scalars
+        "ngram_pair_blowup_audit",     # two 1-row profile scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
@@ -599,41 +600,28 @@ def test_bucketed_join_query_is_exchange_free_at_the_join(spark, sf001):
     """bucketed_copartitioned_join's whole point: both catalog reads
     carry the bucket layout, so the SortMergeJoin has NO Exchange
     below it — the only exchanges in the rollup are the per-priority
-    aggregation and the output sort (budget 2). Uses the query's own
-    writer path + exposed rollup builder (zorder_pruned_rollup
-    convention)."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
+    aggregation and the output sort (budget 2). Drives the EXACT
+    setup the registered query uses (sources/bucketed.
+    bucketed_pair_tables, ADVICE r10 #4 — two drifting copies could
+    audit a different layout than the driver query runs) plus its
+    exposed rollup builder (zorder_pruned_rollup convention)."""
     from big_datatrader_spark.queries.format_ops import _bucketed_rollup
-    from big_datatrader_spark.sources.bucketed import (drop_table,
-                                                      write_bucketed)
+    from big_datatrader_spark.sources.bucketed import bucketed_pair_tables
 
     od = table(spark, sf001, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = table(spark, sf001, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
-    tag = uuid.uuid4().hex[:8]
-    t_od, t_li = f"t_od_{tag}", f"t_li_{tag}"
-    root = tempfile.mkdtemp()
-    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        write_bucketed(od, t_od, ["o_orderkey"], n_buckets=8,
-                       path=os.path.join(root, "o"))
-        write_bucketed(li, t_li, ["o_orderkey"], n_buckets=8,
-                       path=os.path.join(root, "l"))
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    with bucketed_pair_tables(spark, od, li, ["o_orderkey"],
+                              n_buckets=8) as (t_od, t_li):
         df = _bucketed_rollup(spark, t_od, t_li)
         plan = physical_plan(df)
         assert "SortMergeJoin" in plan
         assert num_exchanges(df) <= 2, num_exchanges(df)
-        # nothing between the join and its scans may exchange
+        # nothing between the join and its scans may exchange; guard
+        # the slice (ADVICE r10 #3: find() returning -1 would silently
+        # widen the asserted region to nearly the whole plan)
         ji = plan.find("SortMergeJoin")
-        assert "Exchange" not in plan[ji:plan.find("Scan", ji)]
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-        drop_table(spark, t_od)
-        drop_table(spark, t_li)
-        shutil.rmtree(root, ignore_errors=True)
+        si = plan.find("Scan", ji)
+        assert si != -1, "no Scan below the SortMergeJoin in:\n" + plan
+        assert "Exchange" not in plan[ji:si]
