@@ -121,6 +121,84 @@ def lazy_cache(df: DataFrame, eager: bool = False) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-query shared-relation scope (VERDICT r10 ask #7, the design
+# spike): six graph queries build the IDENTICAL directed co-purchase
+# edge list, and per-query cache lifecycle — correct as a
+# no-leftover invariant — means a suite that runs the family pays the
+# edge build six times. A SharedScope is a HARNESS-owned resource
+# region: the harness (bench suite, driver session, notebook) opens
+# the scope, queries inside it lease shared relations by key (first
+# lease builds + persists eagerly, later leases reuse), and the scope
+# releases everything at exit. The no-leftover-cache invariant is
+# preserved at the scope boundary instead of the query boundary —
+# which is exactly where a shared 100 TB session wants it: the
+# operator that owns a cache is the one that knows when ALL its
+# consumers are done. With no scope active every query behaves
+# exactly as before (its own cache, its own release;
+# tests/test_scope.py pins both properties).
+
+_ACTIVE_SCOPE: "SharedScope | None" = None
+
+
+class SharedScope:
+    """Context manager owning persists that outlive single queries.
+
+    Keys should embed the dataset (e.g. f"copurchase_edges:{sf_dir}")
+    so one scope can serve suites spanning scale factors. Relations
+    are persisted SERIALIZED (MEMORY_AND_DISK — the hits ablation's
+    winner for many-scan caches, tools/measure_hits_ablation.py) and
+    materialized eagerly on first lease so the build runs once under
+    the leasing query's session confs, deterministically."""
+
+    def __init__(self):
+        self._cached: dict[str, DataFrame] = {}
+
+    def get(self, key: str, df: DataFrame) -> DataFrame:
+        if key not in self._cached:
+            from pyspark import StorageLevel
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            self._cached[key] = df
+        return self._cached[key]
+
+    def __enter__(self) -> "SharedScope":
+        global _ACTIVE_SCOPE
+        assert _ACTIVE_SCOPE is None, "SharedScope does not nest"
+        _ACTIVE_SCOPE = self
+        return self
+
+    def __exit__(self, *exc) -> None:
+        global _ACTIVE_SCOPE
+        _ACTIVE_SCOPE = None
+        for df in self._cached.values():
+            df.unpersist()
+        self._cached.clear()
+
+
+def active_scope() -> "SharedScope | None":
+    return _ACTIVE_SCOPE
+
+
+def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
+              passthrough: bool = False) -> DataFrame:
+    """Route a relation through the active SharedScope when one is
+    open, else fall back to the query-local behavior: ``cache(df,
+    eager=...)`` for relations the query persists today, or the bare
+    ``df`` (``passthrough=True``) for relations it consumes lazily
+    today (e.g. the raw edge list under pagerank's ewd cache). Called
+    INSIDE run_scoped builders so the plan-audit cache callables
+    (lazy_cache and the tests' identity lambdas) never see a new
+    keyword — with no scope open the builder's plan is bit-identical
+    to the pre-scope form."""
+    scope = _ACTIVE_SCOPE
+    if scope is not None:
+        return scope.get(key, df)
+    if passthrough:
+        return df
+    return cache(df, eager=eager)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation. The driver's correctness gate only checks the
 # FIRST 50 registry entries each round, so ordering IS the evidence
 # pipeline: the window head carries queries changed this round, then
@@ -180,6 +258,15 @@ _R11_CHANGED = (
                            # bit index), not sum(bits); write_zordered
                            # logs when it shrinks bits — same values,
                            # guard change earns fresh evidence
+    # NOT here despite touching their builders: the SharedScope
+    # wiring (ask #7 spike) is a pure fall-through with no scope
+    # open — shared_or returns exactly the old cache()/passthrough
+    # relation, so pagerank/ppr/lpa/link-pred-CN/gnn execute
+    # bit-identical plans under the driver (the bloom r9 precedent:
+    # byte-identical execution keeps its standing evidence; pinned
+    # by test_scope.py value-identity plus the unchanged plan/
+    # lifecycle suites). hits IS here, but for the serialized edge
+    # cache, which changes its executed plan.
 )
 
 _R10_CHANGED = (

@@ -1,0 +1,84 @@
+"""SharedScope suite measurement (VERDICT r10 ask #7).
+
+Runs the six-member graph family sequentially — each query fully
+materialized, caches released per query — then the same suite inside
+ONE SharedScope where the directed co-purchase edge list is leased
+(built+persisted once, released at scope exit). Values are asserted
+identical before any timing counts. Prints one JSON line per mode.
+
+Usage: python tools/measure_shared_scope.py [-n 2] [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from big_datatrader_spark.queries import (SharedScope,  # noqa: E402
+                                          load_registry)
+from big_datatrader_spark.session import get_spark  # noqa: E402
+
+FAMILY = ["pagerank_copurchase", "personalized_pagerank",
+          "label_propagation_communities", "hits_hub_authority",
+          "link_prediction_common_neighbors",
+          "gnn_feature_propagation"]
+
+
+def run_suite(spark, reg, sf_dir: str) -> dict[str, float]:
+    per = {}
+    for n in FAMILY:
+        t0 = time.perf_counter()
+        reg[n].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        per[n] = round(time.perf_counter() - t0, 2)
+    return per
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n = 2
+    if args and args[0] == "-n":
+        n = int(args[1])
+        args = args[2:]
+    sf_dirs = args or ["/root/testdata/sf0.1"]
+    reg = load_registry()
+    spark = get_spark()
+    for sf_dir in sf_dirs:
+        # value identity first — a scope that changed results would
+        # make every timing below meaningless
+        base = {q: sorted(map(tuple,
+                              reg[q].spark_fn(spark, sf_dir).collect()))
+                for q in FAMILY}
+        spark.catalog.clearCache()
+        with SharedScope():
+            got = {q: sorted(map(tuple,
+                                 reg[q].spark_fn(spark, sf_dir)
+                                 .collect()))
+                   for q in FAMILY}
+        assert got == base, "scoped values differ"
+        spark.catalog.clearCache()
+        for mode in ("per_query_caches", "shared_scope"):
+            best_total, best_per = None, None
+            for _ in range(n):
+                if mode == "shared_scope":
+                    with SharedScope():
+                        per = run_suite(spark, reg, sf_dir)
+                else:
+                    per = run_suite(spark, reg, sf_dir)
+                spark.catalog.clearCache()
+                total = round(sum(per.values()), 2)
+                if best_total is None or total < best_total:
+                    best_total, best_per = total, per
+            print(json.dumps({
+                "sf_dir": os.path.basename(sf_dir), "mode": mode,
+                "suite_total_best": best_total, "per_query": best_per,
+                "loadavg_1m": round(os.getloadavg()[0], 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
