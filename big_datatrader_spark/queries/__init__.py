@@ -258,6 +258,12 @@ _R11_CHANGED = (
                            # bit index), not sum(bits); write_zordered
                            # logs when it shrinks bits — same values,
                            # guard change earns fresh evidence
+    'scan_pruning_preflight',  # NEW: the I/O member of the pre-flight
+                               # trilogy — explicit-rule partitioned
+                               # layout, touched buckets computed from
+                               # the rule alone before the scan, hash
+                               # proves partition pruning delivered
+                               # exactly the predicted file set
     # NOT here despite touching their builders: the SharedScope
     # wiring (ask #7 spike) is a pure fall-through with no scope
     # open — shared_or returns exactly the old cache()/passthrough

@@ -626,3 +626,124 @@ def _bucketed_rollup(spark, t_od: str, t_li: str):
                        .cast("bigint")).cast("long")
                  .alias("price_cents"))
             .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Scan-cost pre-flight: the I/O member of the blow-up-audit trilogy
+# (r10 edit1 = shuffle expansion, r11 ngram = join cardinality, this
+# = files/rows a predicate will touch), VERDICT r10's pre-flight
+# discipline applied to the scan layer.
+
+_SPA_LO, _SPA_HI = "2024-01-10 00:00:00", "2024-01-19 00:00:00"
+_SPA_DAYS_PER_BUCKET = 3
+_SPA_US_PER_DAY = 86_400_000_000
+
+
+def _spa_bucket_bounds() -> tuple[int, int]:
+    """Bucket ids the window predicate touches, from the RULE alone
+    (bucket = epoch_day DIV days_per_bucket) — no data read. HI is
+    exclusive, so its last contributing day is HI's day - 1."""
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1).toordinal()
+    lo_day = _dt.datetime.fromisoformat(_SPA_LO).date().toordinal() - epoch
+    hi_day = (_dt.datetime.fromisoformat(_SPA_HI).date().toordinal()
+              - epoch - 1)
+    return (lo_day // _SPA_DAYS_PER_BUCKET,
+            hi_day // _SPA_DAYS_PER_BUCKET)
+
+
+@query(
+    "scan_pruning_preflight",
+    oracle=f"""
+    WITH b AS (
+      SELECT epoch_us(ts) // {_SPA_US_PER_DAY}
+               // {_SPA_DAYS_PER_BUCKET} AS bucket, ts, value
+      FROM events),
+    tot AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT)
+                     AS n_buckets_total
+            FROM b),
+    pr AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT)
+                    AS n_buckets_read,
+                  CAST(count(DISTINCT bucket) AS BIGINT)
+                    AS n_files_read,
+                  CAST(count(*) AS BIGINT) AS n_rows_partitions
+           FROM b
+           WHERE bucket BETWEEN {_spa_bucket_bounds()[0]}
+                            AND {_spa_bucket_bounds()[1]}),
+    w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_window,
+                 CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                      AS BIGINT) AS cents_window
+          FROM b
+          WHERE ts >= TIMESTAMP '{_SPA_LO}'
+            AND ts <  TIMESTAMP '{_SPA_HI}')
+    SELECT * FROM tot, pr, w
+    """,
+    doc=f"scan-cost pre-flight over an explicit-rule partitioned "
+        f"layout: events are written hive-partitioned by bucket = "
+        f"epoch_day DIV {_SPA_DAYS_PER_BUCKET} (one file per bucket "
+        "by construction: repartition(bucket) before the write), and "
+        f"the [{_SPA_LO}, {_SPA_HI}) window's touched bucket ids are "
+        "computed from the RULE alone — closed form, zero I/O — "
+        "before the scan runs. The audit row then records what the "
+        "partition-pruned scan ACTUALLY touched (countDistinct of "
+        "input_file_name and of the partition column, plus rows under "
+        "the partition filter and under the full predicate), while "
+        "the DuckDB oracle derives the same numbers from the bucket "
+        "rule over the ORIGINAL table — so the driver's hash equality "
+        "is the statement 'partition pruning confined this predicate "
+        "to exactly the predicted file set, which contained exactly "
+        "the predicted rows'. The plan test additionally pins the "
+        "bucket bounds into the scan's PartitionFilters. At 100 TB "
+        "this is the planner's admission check: predicted files x "
+        "file size is the scan's cost BEFORE any executor spins up, "
+        "and a layout drift (files per bucket != 1, buckets outside "
+        "the rule) breaks the hash loudly. "
+        "ref main.py:329-347 re-slices its date window per query; "
+        "this is that capability restated as a provable layout "
+        "contract",
+)
+def scan_pruning_preflight(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    ev = ev.withColumn(
+        "bucket", F.expr(f"(unix_micros(ts) div {_SPA_US_PER_DAY}) "
+                         f"div {_SPA_DAYS_PER_BUCKET}"))
+    root = tempfile.mkdtemp(prefix="bdt_spa_")
+    try:
+        path = os.path.join(root, "events_by_bucket")
+        (ev.repartition("bucket").write.partitionBy("bucket")
+         .parquet(path))
+        return (scan_preflight_audit(spark, path)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def scan_preflight_audit(spark, path: str):
+    """The audit over the partitioned layout, exposed unmaterialized
+    so the plan test can assert the bucket bounds land in the scan's
+    PartitionFilters (the range_pruned_rollup convention)."""
+    blo, bhi = _spa_bucket_bounds()
+    back = spark.read.parquet(path)
+    pruned = back.filter((F.col("bucket") >= blo)
+                         & (F.col("bucket") <= bhi))
+    tot = back.agg(F.countDistinct("bucket").cast("long")
+                   .alias("n_buckets_total"))
+    # input_file_name() is nondeterministic, so project it to a
+    # column before aggregating (Spark forbids it inside agg args)
+    pr = (pruned.withColumn("fname", F.input_file_name())
+          .agg(F.countDistinct("bucket").cast("long")
+               .alias("n_buckets_read"),
+               F.countDistinct("fname").cast("long")
+               .alias("n_files_read"),
+               F.count(F.lit(1)).cast("long")
+               .alias("n_rows_partitions")))
+    w = (pruned.filter((F.col("ts") >= _SPA_LO)
+                       & (F.col("ts") < _SPA_HI))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_rows_window"),
+              F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .cast("long").alias("cents_window")))
+    return (pr.join(F.broadcast(tot)).join(F.broadcast(w))
+            .select("n_buckets_total", "n_buckets_read",
+                    "n_files_read", "n_rows_partitions",
+                    "n_rows_window", "cents_window"))

@@ -369,3 +369,45 @@ def test_write_zordered_tolerates_empty_and_null_dims(spark, tmp_path):
     p3 = str(tmp_path / "allnull")
     write_zordered(allnull, p3, ["ts", "user_id"], n_files=2)
     assert spark.read.parquet(p3).count() == 4
+
+
+def test_scan_preflight_partition_filter_and_layout(spark):
+    """scan_pruning_preflight's two structural claims: (a) the bucket
+    bounds land in the scan's PartitionFilters (directory pruning, not
+    a per-row filter — the pre-flight's predicted file set IS what the
+    scan lists), and (b) the writer produces exactly one file per
+    bucket (repartition(bucket) before partitionBy), which is what
+    lets the audit equate files with buckets."""
+    import glob
+
+    from big_datatrader_spark.queries.format_ops import (
+        _SPA_DAYS_PER_BUCKET, _SPA_US_PER_DAY, _spa_bucket_bounds,
+        scan_preflight_audit)
+
+    ev = table(spark, SF, "events").select("ts", "value")
+    ev = ev.withColumn(
+        "bucket", F.expr(f"(unix_micros(ts) div {_SPA_US_PER_DAY}) "
+                         f"div {_SPA_DAYS_PER_BUCKET}"))
+    root = tempfile.mkdtemp(prefix="bdt_spa_t_")
+    try:
+        path = os.path.join(root, "by_bucket")
+        (ev.repartition("bucket").write.partitionBy("bucket")
+         .parquet(path))
+        blo, bhi = _spa_bucket_bounds()
+        df = scan_preflight_audit(spark, path)
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1].split("]")[0]
+        assert str(blo) in pf and str(bhi) in pf
+        # one file per bucket directory — the audit's files==buckets
+        # equation is a writer guarantee, not luck
+        for d in glob.glob(os.path.join(path, "bucket=*")):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+        # prediction == actual, the audit's own row
+        row = df.collect()[0]
+        assert row["n_files_read"] == row["n_buckets_read"]
+        assert row["n_buckets_read"] <= row["n_buckets_total"]
+        assert row["n_rows_window"] <= row["n_rows_partitions"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

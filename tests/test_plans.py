@@ -249,6 +249,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
         "t_closeness_audit",           # 5-row segment domain + 1-row N
         "edit1_pair_blowup_audit",     # two 1-row profile scalars
         "ngram_pair_blowup_audit",     # two 1-row profile scalars
+        "scan_pruning_preflight",      # two 1-row audit scalars
     }
     # these two route event-scale ranking through the two-phase
     # global_rank; their ONLY partition-less window is the per-bucket
