@@ -22,7 +22,7 @@ from ..functions.dedup import h60
 from ..functions import graph as GR
 from ..functions import similarity as SIM
 from ..sources.parquet_source import table
-from . import lazy_cache, query, run_scoped
+from . import lazy_cache, leased_copurchase_edges, query, run_scoped
 from .llm_dedup import (BANDS, NUM_HASHES, _SHINGLES, _band_struct_sql,
                         _minhash_sig_sql)
 from .analytics import _int_ratio_round6
@@ -464,6 +464,14 @@ def triangle_count_copurchase(spark, sf_dir):
 def _tri_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
+    # deliberately NOT leased from a SharedScope: this plan consumes
+    # the ordered edge set four times (two degree branches + both
+    # wedge-join sides), and the unscoped form already shares the
+    # build across consumers at shuffle-file grain (ReusedExchange) —
+    # swapping that for InMemoryRelation scans measured SLOWER both
+    # times it was tried (16.4->22.1s, then 15.5->24.9s at sf0.1 with
+    # the ordered set persisted; tools/measure_shared_scope.py), the
+    # same honest-loss class as the r9 MinHash collapse
     pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
     deg = (pairs.select(F.col("x").alias("node"))
            .unionAll(pairs.select(F.col("y").alias("node")))
@@ -1101,8 +1109,13 @@ _BFS_MAX_HOPS = 6
 def sssp_copurchase(spark, sf_dir):
     li = (table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey"))
-    edges = (GR.copurchase_pairs(li, "x", "y")
-             .localCheckpoint(eager=True))
+    edges, owned = leased_copurchase_edges(sf_dir, li, "x", "y")
+    if owned:
+        # today's unscoped path: pin the edge relation once so the
+        # BFS iterations never re-derive the build; a scope lease is
+        # already persisted+materialized, so checkpointing it again
+        # would only copy the cache
+        edges = edges.localCheckpoint(eager=True)
     spark_ = li.sparkSession
     dist = spark_.createDataFrame([( _BFS_SRC, 0)],
                                   "node long, hop_dist long")

@@ -21,17 +21,9 @@ from ..functions import text as TX
 from ..functions.dedup import h60
 from ..functions import graph as GR
 from ..sources.parquet_source import table
-from . import active_scope, lazy_cache, query, run_scoped, shared_or
-
-
-def _edges_key(sf_dir: str) -> str:
-    """SharedScope lease key for the directed co-purchase edge list —
-    the relation six graph queries (pagerank, ppr, lpa, hits,
-    link-pred-CN, gnn) build identically from one lineitem scan
-    (VERDICT r10 ask #7: under a harness-owned scope the family pays
-    the build once; with no scope open each query keeps its own
-    cache+release exactly as before)."""
-    return f"copurchase_edges_directed:{sf_dir}"
+from . import (active_scope, copurchase_edges_key as _edges_key,
+               lazy_cache, leased_copurchase_edges, query, run_scoped,
+               shared_or)
 
 _R = 6
 
@@ -3810,7 +3802,8 @@ def modularity_brand_partition(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
+    pairs, _ = leased_copurchase_edges(sf_dir, li, "x", "y",
+                                       ordered=True)
     px = F.broadcast(part.select(F.col("p_partkey").alias("x"),
                                  F.col("p_brand").alias("bx")))
     py = F.broadcast(part.select(F.col("p_partkey").alias("y"),
@@ -3901,7 +3894,8 @@ def local_clustering_coefficient(spark, sf_dir):
 def _lcc_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
-    pairs = GR.copurchase_pairs(li, "x", "y", ordered=True)
+    pairs, _ = leased_copurchase_edges(sf_dir, li, "x", "y",
+                                       ordered=True)
     deg = cache(pairs.select(F.col("x").alias("node"))
                 .unionAll(pairs.select(F.col("y").alias("node")))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))

@@ -22,7 +22,12 @@ REG = load_registry()
 FAMILY = ["pagerank_copurchase", "personalized_pagerank",
           "label_propagation_communities", "hits_hub_authority",
           "link_prediction_common_neighbors",
-          "gnn_feature_propagation"]
+          "gnn_feature_propagation",
+          # ordered / renamed consumers deriving from the same lease
+          # (leased_copurchase_edges: ordered == directed filtered to
+          # a < b, a projection away)
+          "triangle_count_copurchase", "local_clustering_coefficient",
+          "modularity_brand_partition", "sssp_copurchase"]
 
 
 def _cached_rdd_count(spark) -> int:
@@ -40,8 +45,13 @@ def test_scope_shares_one_edge_build_and_releases_it(spark, sf0001):
                                 REG[n].spark_fn(spark, sf0001)
                                 .collect()))
                   for n in FAMILY}
-        # ONE shared relation serves the whole family
-        assert len(scope._cached) == 1
+        # exactly TWO shared relations serve the whole family: the
+        # directed edge list and its ordered (a < b) derivation —
+        # never a per-query rebuild
+        assert len(scope._cached) == 2
+        assert sorted(scope._cached) == [
+            f"copurchase_edges_directed:{sf0001}",
+            f"copurchase_edges_ordered:{sf0001}"]
         assert _cached_rdd_count(spark) >= 1
     assert scoped == unscoped
     # scope exit released the lease and cleared the memo

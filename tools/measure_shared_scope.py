@@ -25,7 +25,10 @@ from big_datatrader_spark.session import get_spark  # noqa: E402
 FAMILY = ["pagerank_copurchase", "personalized_pagerank",
           "label_propagation_communities", "hits_hub_authority",
           "link_prediction_common_neighbors",
-          "gnn_feature_propagation"]
+          "gnn_feature_propagation",
+          # ordered / renamed consumers deriving from the same lease
+          "triangle_count_copurchase", "local_clustering_coefficient",
+          "modularity_brand_partition", "sssp_copurchase"]
 
 
 def run_suite(spark, reg, sf_dir: str) -> dict[str, float]:
