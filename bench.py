@@ -61,12 +61,39 @@ def dataset_fingerprint(sf_dir: str) -> dict:
 LOADAVG_CONTENTION_THRESHOLD = 2.5
 
 
+def _meminfo_cached_kb() -> int | None:
+    """Page-cache proxy (VERDICT r11 ask #5): two equally-idle sf1
+    replicates differed 9.6% total / 58% on hits with page-cache state
+    the named-but-unmeasured suspect. Recorded at start, after the
+    priming read, and after the suite, so replicate disagreement is
+    attributable to cache state instead of remaining 'host drift'."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    return int(line.split()[1])
+    except OSError:
+        return None
+    return None
+
+
 def main():
     load_at_start = os.getloadavg()[0]
+    cached_at_start = _meminfo_cached_kb()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     reg = load_registry()
     names = sorted(n for n, q in reg.items() if q.bench)
+
+    # dataset fingerprint FIRST (it reads every parquet byte for the
+    # md5), so it doubles as a DETERMINISTIC page-cache priming pass:
+    # every replicate enters the timed region with the inputs warm by
+    # construction instead of inheriting whatever the previous process
+    # left resident (VERDICT r11 ask #5 — the fixed pre-suite priming
+    # read, for free, since the fingerprint already existed)
+    dataset = dataset_fingerprint(sf_dir)
+    cached_after_prime = _meminfo_cached_kb()
+
     spark = get_spark("bdt-bench")
 
     # one warm-up pass on the smallest SF so JVM/codegen/Python-worker
@@ -147,7 +174,17 @@ def main():
         "contention_threshold_1m": LOADAVG_CONTENTION_THRESHOLD,
         "loadavg_1m_at_start": round(load_at_start, 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "dataset": dataset_fingerprint(sf_dir),
+        "dataset": dataset,
+        # page-cache proxy around the priming read and the suite
+        # (VERDICT r11 ask #5): inputs are warm by construction after
+        # the fingerprint pass; the deltas say how warm the box was
+        # BEFORE priming and how much the suite itself displaced
+        "page_cache_kb": {
+            "at_start": cached_at_start,
+            "after_prime": cached_after_prime,
+            "after_suite": _meminfo_cached_kb(),
+            "primed_by_fingerprint_read": True,
+        },
         # box/runtime identity: with the dataset fingerprint this makes
         # any round-over-round drift attributable (data vs environment)
         "env": {

@@ -108,3 +108,76 @@ def single_partition_sort_or_window(df: DataFrame) -> list[str]:
                     bad.append(f"{pop}({pid})<-SinglePartition")
                 break
     return bad
+
+
+def executed_scale_killer_bounds(df: DataFrame) -> dict[str, list[int]]:
+    """RUNTIME row counts behind the static allowlists in
+    tests/test_plans.py (VERDICT r11 ask #6): the bnlj_ok /
+    sp_window_ok entries are hand-annotated claims ("1-row scalar",
+    "#buckets rows") the sweep never checked — a wrong future
+    annotation would ride the list. This executes ``df`` to
+    completion, walks the FINAL adaptive physical plan through query
+    stages / reused exchanges / cached subplans, and harvests:
+
+    - ``bnlj_build_rows``: each BroadcastNestedLoopJoin's broadcast
+      (build) side row count — per-probe-row work is O(build side),
+      so this IS the claim "tiny broadcast scalar";
+    - ``single_partition_rows``: each SinglePartition shuffle's
+      records written — the rows funneled through ONE task.
+
+    Metrics come from the SQLMetrics of the executed plan
+    (BroadcastExchange.numOutputRows, Exchange.shuffleRecordsWritten),
+    so the numbers are what actually moved, not what the static plan
+    implies."""
+    df.collect()
+    node = df._jdf.queryExecution().executedPlan()
+
+    def kids(n):
+        out = []
+        c = n.children()
+        for i in range(c.size()):
+            out.append(c.apply(i))
+        nm = n.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            out.append(n.finalPhysicalPlan())
+        elif nm.endswith("QueryStage"):
+            out.append(n.plan())
+        elif nm == "ReusedExchange":
+            out.append(n.child())
+        elif nm == "InMemoryTableScan":
+            out.append(n.relation().cachedPlan())
+        return out
+
+    def walk(n):
+        yield n
+        for k in kids(n):
+            yield from walk(k)
+
+    def metric(n, key) -> int:
+        return int(n.metrics().apply(key).value())
+
+    out: dict[str, list[int]] = {"bnlj_build_rows": [],
+                                 "single_partition_rows": []}
+    seen: set[str] = set()  # reused subtrees report once
+    for n in walk(node):
+        nm = n.nodeName()
+        node_id = str(n.id())
+        if nm == "BroadcastNestedLoopJoin" and node_id not in seen:
+            seen.add(node_id)
+            build_idx = (1 if n.buildSide().toString() == "BuildRight"
+                         else 0)
+            build = n.children().apply(build_idx)
+            exchanges = [m for m in walk(build)
+                         if m.nodeName() == "BroadcastExchange"]
+            if not exchanges:
+                raise AssertionError(
+                    "no BroadcastExchange under the BNLJ build side — "
+                    "traversal gap, refuse to under-report")
+            out["bnlj_build_rows"].append(
+                metric(exchanges[0], "numOutputRows"))
+        elif (nm == "Exchange" and node_id not in seen
+              and n.outputPartitioning().toString() == "SinglePartition"):
+            seen.add(node_id)
+            out["single_partition_rows"].append(
+                metric(n, "shuffleRecordsWritten"))
+    return out

@@ -148,22 +148,43 @@ class SharedScope:
     are persisted SERIALIZED (MEMORY_AND_DISK — the hits ablation's
     winner for many-scan caches, tools/measure_hits_ablation.py) and
     materialized eagerly on first lease so the build runs once under
-    the leasing query's session confs, deterministically."""
+    the leasing query's session confs, deterministically.
+
+    Concurrency: a per-scope lock covers the miss-build-memoize
+    critical section, so a harness running family queries in threads
+    cannot double-build (and leak) a relation on a racing key miss
+    (ADVICE r11 #4). Builds of DIFFERENT keys serialize under the
+    same lock — acceptable: each build runs once per scope, and the
+    cached fast path stays contention-free after materialization."""
 
     def __init__(self):
         self._cached: dict[str, DataFrame] = {}
+        import threading
+        self._lock = threading.Lock()
 
     def get(self, key: str, df: DataFrame) -> DataFrame:
-        if key not in self._cached:
-            from pyspark import StorageLevel
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            df.count()
-            self._cached[key] = df
-        return self._cached[key]
+        with self._lock:
+            if key not in self._cached:
+                from pyspark import StorageLevel
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    df.count()
+                except BaseException:
+                    # A failed materialization (executor OOM, bad
+                    # data) must not leak a session-lifetime persist
+                    # that __exit__ can never see (ADVICE r11 #1).
+                    df.unpersist()
+                    raise
+                self._cached[key] = df
+            return self._cached[key]
 
     def __enter__(self) -> "SharedScope":
         global _ACTIVE_SCOPE
-        assert _ACTIVE_SCOPE is None, "SharedScope does not nest"
+        if _ACTIVE_SCOPE is not None:
+            # ValueError, not assert: nesting would silently rebind
+            # the outer scope's leases under python -O if this were
+            # stripped (ADVICE r11 #2).
+            raise ValueError("SharedScope does not nest")
         _ACTIVE_SCOPE = self
         return self
 
@@ -231,6 +252,42 @@ def leased_copurchase_edges(sf_dir: str, li: DataFrame, a_name: str,
                        F.col("dst").alias(b_name)), False)
 
 
+def copurchase_edges_dated_key(sf_dir: str) -> str:
+    """SharedScope lease key for the DATED directed co-purchase edge
+    list (src, dst, d = earliest co-order day) — the attribute-
+    carrying relation the directed lease cannot serve (VERDICT r11
+    ask #4): link_prediction_holdout_eval and
+    temporal_reachability_copurchase both rebuild it."""
+    return f"copurchase_edges_dated:{sf_dir}"
+
+
+def leased_dated_copurchase_edges(sf_dir: str, li: DataFrame,
+                                  odays: DataFrame, a_name: str,
+                                  b_name: str) -> tuple[DataFrame, bool]:
+    """Dated co-purchase edges (edge date = MIN co-order day) for the
+    temporal consumers, leased from the active SharedScope when one is
+    open. The lease is keyed canonically (src, dst, d) and consumer
+    names are projections, exactly the leased_copurchase_edges
+    convention. Returns ``(edges, owned)``: ``owned=True`` means no
+    scope was open and the caller received the direct unpersisted
+    build (it persists/releases as it always did — unscoped plans stay
+    bit-identical to the pre-lease form); ``owned=False`` means the
+    relation derives from the scope's cached lease, released at scope
+    exit."""
+    from pyspark.sql import functions as F
+
+    from ..functions import graph as GR
+
+    scope = _ACTIVE_SCOPE
+    if scope is None:
+        return (GR.copurchase_pairs(li, a_name, b_name, attrs=odays),
+                True)
+    dated = scope.get(copurchase_edges_dated_key(sf_dir),
+                      GR.copurchase_pairs(li, "src", "dst", attrs=odays))
+    return (dated.select(F.col("src").alias(a_name),
+                         F.col("dst").alias(b_name), "d"), False)
+
+
 def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
               passthrough: bool = False) -> DataFrame:
     """Route a relation through the active SharedScope when one is
@@ -258,15 +315,16 @@ def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
 # due for their 2-round re-evidence, then already-green queries
 # oldest-evidence-first so every query keeps accumulating recent
 # driver rows. Round 9 drained the r2-staleness tail completely;
-# round 10 drained 23 of the 49 r3-stale greens. Round 11's head:
-# the remaining 26 r3-stale greens, bpe_learn_merges (rows-only due
-# on its 2-round cadence, surfaced by the rows_only_due tier), and
-# up to 23 changed/new queries — the source of truth for all window
-# arithmetic is `python tools/evidence_report.py` (VERDICT r10 ask
-# #4: paste its numbers, do not hand-derive them).
+# round 10 drained 23 of the 49 r3-stale greens; round 11 drained
+# the rest. Round 12's head: the changed/new set, the four r10
+# rows-only members due on their 2-round cadence (surfaced by the
+# rows_only_due tier), then the r4-stale greens oldest-first — the
+# source of truth for all window arithmetic is `python
+# tools/evidence_report.py` (VERDICT r10 ask #4: paste its numbers,
+# do not hand-derive them).
 
 _WINDOW = 50
-_CURRENT_ROUND = 11
+_CURRENT_ROUND = 12
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
@@ -280,18 +338,43 @@ _CURRENT_ROUND = 11
 # above and pinned by test_rotation. Names are added as queries are
 # written or replanned this round; _window_order hard-fails on
 # ghosts.
-# Round 11 (VERDICT r10 asks): bpe_learn_merges hits its 2-round
-# rows-only re-evidence cadence this round (last clean rows-only row
-# r9) — the rows_only_due tier surfaces it automatically, costing no
-# _CHANGED slot. Names below are queries written or replanned this
-# round; _window_order hard-fails on ghosts.
+# Round 12 (VERDICT r11 asks): the four r10 rows-only members
+# (ann_ivf_topk, ann_lsh_topk, approx_aggregates, hll_partial_merge)
+# hit their 2-round cadence this round — the rows_only_due tier
+# surfaces them automatically, costing no _CHANGED slot. Names below
+# are queries written or replanned this round; _window_order
+# hard-fails on ghosts.
+_R12_CHANGED = (
+    'graph_family_scoped_audit',  # NEW (ask #3): driver evidence ON
+                                  # the SharedScope path — opens a
+                                  # scope, runs family members through
+                                  # their leases, returns an oracled
+                                  # deterministic summary; asserts no
+                                  # leftover cache at scope exit
+    'link_prediction_holdout_eval',  # ask #4: dated co-purchase edge
+                                     # build joins the SharedScope
+                                     # lease (copurchase_edges_dated
+                                     # key); unscoped plan unchanged
+    'temporal_reachability_copurchase',  # ask #4: same dated-edge
+                                         # lease
+    'zorder_morton_preflight',  # NEW (ask #8): predict the Morton
+                                # bucket set of the query rectangle
+                                # from the rule alone (quadrant
+                                # decomposition, zero I/O), then
+                                # hash-prove pruning touched exactly
+                                # the predicted file set
+)
+
 _R11_CHANGED = (
-    'hits_hub_authority',  # ask #2: eager edges.count() ablated —
-                           # lazy persist populated by the first
-                           # half-step (the builder's own cache-race
-                           # instrument: lazy = 1.0 lineage runs on
-                           # Spark 4.1/AQE), reversing the r10 2.3x
-                           # bench regression; values hash-identical
+    'hits_hub_authority',  # ask #2: serialized MEMORY_AND_DISK edge
+                           # cache adopted (training_ops.py:3258-72,
+                           # eager count KEPT — the lazy-persist
+                           # ablation was measured and REJECTED, see
+                           # SCALING.md "hits ablation"); the r10
+                           # 2.3x "regression" was adjudicated a
+                           # warm-edge-cache measurement artifact
+                           # (r9's finally lacked edges.unpersist);
+                           # values hash-identical, 4.45->3.61s sf0.1
     'ngram_pair_blowup_audit',  # NEW (ask #5): shingle-df profile
                                 # predicting the exact-jaccard pair
                                 # join's candidate cardinality from
@@ -591,7 +674,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R11_CHANGED
+_CHANGED = _R12_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -889,6 +972,37 @@ _R10_ROWS_ONLY = frozenset({
     'hll_partial_merge',
 })
 
+# CORRECTNESS_r11.json via tools/record_round.py (49 hash-exact,
+# 1 rows-only, 0 RED) — pasted verbatim (VERDICT r11 ask #1).
+_R11_GREEN = frozenset({
+    'atr_breakout_signals', 'benford_first_digit_audit',
+    'bucketed_copartitioned_join', 'cdc_apply_changes',
+    'chi2_independence_test', 'chunk_dedup_substrings',
+    'corpus_quality_filter', 'cross_doc_repetition',
+    'cusum_change_detection', 'deterministic_sample',
+    'embedding_kmeans_assign', 'ewma_indicator',
+    'exact_global_quantiles', 'feature_standardize',
+    'fk_integrity_checks', 'hits_hub_authority',
+    'interval_overlap_join', 'k_anonymity_audit',
+    'kelly_position_sizing', 'ks_two_sample_test',
+    'math_null_surface', 'max_drawdown', 'multimodal_frame_sample',
+    'multimodal_ppm_decode', 'ngram_pair_blowup_audit',
+    'ntile_deciles', 'pii_redaction', 'q12_priority_lines',
+    'quality_repetition_signals', 'scan_pruning_preflight',
+    'scd2_user_state', 'semdedup_embeddings', 'set_ops_bag_semantics',
+    'stem_token_frequencies', 'streaming_exactly_once_dedup',
+    'streaming_running_position', 'streaming_session_window',
+    'streaming_topk_trending', 'table_profile',
+    'temperature_mixture_sample', 'tf_idf_top_terms', 'twap_per_user',
+    'unpivot_event_metrics', 'user_spend_rank_distribution',
+    'volatility_sharpe', 'vwap_per_part', 'weekly_retention_cohorts',
+    'zorder_pruned_scan', 'zscore_anomalies',
+})
+
+_R11_ROWS_ONLY = frozenset({
+    'bpe_learn_merges',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
@@ -896,7 +1010,8 @@ _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R7_GREEN | _R7_ROWS_ONLY,
                  _R8_GREEN | _R8_ROWS_ONLY,
                  _R9_GREEN | _R9_ROWS_ONLY,
-                 _R10_GREEN | _R10_ROWS_ONLY)
+                 _R10_GREEN | _R10_ROWS_ONLY,
+                 _R11_GREEN | _R11_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
@@ -904,7 +1019,7 @@ _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
 _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
                      6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
                      8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY,
-                     10: _R10_ROWS_ONLY}
+                     10: _R10_ROWS_ONLY, 11: _R11_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 
@@ -970,6 +1085,8 @@ def load_registry() -> dict[str, Query]:
     from . import retrieval_ops  # noqa: F401
     from . import scale_ops  # noqa: F401
     from . import format_ops  # noqa: F401
+    # LAST: composes other modules' registered oracles (scoped audit)
+    from . import scoped_ops  # noqa: F401
     ordered = {n: REGISTRY[n] for n in _window_order(REGISTRY)}
     REGISTRY.clear()
     REGISTRY.update(ordered)

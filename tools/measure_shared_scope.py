@@ -28,7 +28,12 @@ FAMILY = ["pagerank_copurchase", "personalized_pagerank",
           "gnn_feature_propagation",
           # ordered / renamed consumers deriving from the same lease
           "triangle_count_copurchase", "local_clustering_coefficient",
-          "modularity_brand_partition", "sssp_copurchase"]
+          "modularity_brand_partition", "sssp_copurchase",
+          # dated-lease consumers (VERDICT r11 ask #4, r12): both
+          # rebuild the dated co-purchase edge list unscoped; inside
+          # a scope they share ONE copurchase_edges_dated build
+          "temporal_reachability_copurchase",
+          "link_prediction_holdout_eval"]
 
 
 def run_suite(spark, reg, sf_dir: str) -> dict[str, float]:
