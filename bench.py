@@ -77,8 +77,30 @@ def _meminfo_cached_kb() -> int | None:
     return None
 
 
+def _foreign_jvms() -> int:
+    """JVMs already running when bench starts (ours doesn't exist yet
+    — get_spark is called after this). Round-12 incident: a bench run
+    recorded 65.0s with hits at 15.2s on a loadavg-0.62 box; the
+    culprit was an orphaned executor JVM from a killed prior run,
+    invisible to the loadavg-at-start gate because its load had
+    decayed while its threads still woke for work. One foreign JVM at
+    start now flags the record contended regardless of loadavg."""
+    import glob as _glob
+
+    n = 0
+    for p in _glob.glob("/proc/[0-9]*/comm"):
+        try:
+            with open(p) as fh:
+                if fh.read().strip() == "java":
+                    n += 1
+        except OSError:
+            pass
+    return n
+
+
 def main():
     load_at_start = os.getloadavg()[0]
+    foreign_jvms = _foreign_jvms()
     cached_at_start = _meminfo_cached_kb()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -169,10 +191,14 @@ def main():
         # per-query 1-min loadavg at first sample (see query_load)
         "query_loadavg_1m": query_load,
         # visibly flagged contended recording (VERDICT r10 ask #3):
-        # compare rounds only between records where this is false
-        "contended": load_at_start > LOADAVG_CONTENTION_THRESHOLD,
+        # compare rounds only between records where this is false.
+        # r12: a pre-existing foreign JVM also contends (see
+        # _foreign_jvms), even at idle loadavg
+        "contended": (load_at_start > LOADAVG_CONTENTION_THRESHOLD
+                      or foreign_jvms > 0),
         "contention_threshold_1m": LOADAVG_CONTENTION_THRESHOLD,
         "loadavg_1m_at_start": round(load_at_start, 2),
+        "foreign_jvms_at_start": foreign_jvms,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "dataset": dataset,
         # page-cache proxy around the priming read and the suite

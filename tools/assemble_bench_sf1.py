@@ -21,6 +21,10 @@ import sys
 def main() -> int:
     sf01 = json.load(open(sys.argv[1]))
     sf1 = json.load(open(sys.argv[2]))
+    # optional further sf1 replicates (VERDICT r11 ask #5): each is
+    # summarized alongside its page-cache proxy so replicate
+    # agreement/disagreement is attributable in the one record
+    reps = [json.load(open(p)) for p in sys.argv[3:]]
     ratios = {
         n: round(sf1["queries"][n] / sf01["queries"][n], 2)
         for n in sf1["queries"] if sf01["queries"].get(n)
@@ -57,6 +61,21 @@ def main() -> int:
             "data is 10x; a ratio <= ~10 is at-or-below linear "
             "(fixed JVM/job overheads amortize, AQE coalesces), "
             ">> 10 flags super-linear work"),
+        # page-cache proxy of THE sf1 run above (VERDICT r11 ask #5:
+        # bench.py primes the cache with its fingerprint read and
+        # records Cached around it, so replicate deltas attribute)
+        "page_cache_kb": sf1.get("page_cache_kb"),
+        "contended": sf1.get("contended"),
+        "loadavg_1m_at_start": sf1.get("loadavg_1m_at_start"),
+        "replicates": [{
+            "value": r["value"],
+            "scale_path_total": r.get("scale_path_total"),
+            "queries": r["queries"],
+            "page_cache_kb": r.get("page_cache_kb"),
+            "contended": r.get("contended"),
+            "loadavg_1m_at_start": r.get("loadavg_1m_at_start"),
+            "foreign_jvms_at_start": r.get("foreign_jvms_at_start"),
+        } for r in reps],
     }
     print(json.dumps(out, indent=1))
     return 0
