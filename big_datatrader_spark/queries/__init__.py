@@ -363,6 +363,11 @@ _R12_CHANGED = (
                                 # decomposition, zero I/O), then
                                 # hash-prove pruning touched exactly
                                 # the predicted file set
+    'csls_margin_pair_mining',  # NEW: margin-based (CSLS) NN pair
+                                # mining (Artetxe & Schwenk) — exact
+                                # BIGINT 2K*dot - ktop_x - ktop_y
+                                # over quantized components, hub
+                                # demotion the raw-kNN miners lack
 )
 
 _R11_CHANGED = (

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..functions import similarity as SIM
 from ..functions.similarity import QUANT_SCALE
 from ..sources.parquet_source import table
 from . import query
@@ -1035,3 +1036,108 @@ def mmr_diverse_rerank(spark, sf_dir):
         out.append((rank, best[1], best[2], best[3]))
     return spark.createDataFrame(
         out, "rank long, vec_id long, rel6 long, mmr_units long")
+
+
+# ---------------------------------------------------------------------------
+# Margin-based (CSLS) nearest-neighbor pair mining — the criterion
+# behind large-scale bitext / aligned-pair extraction (Artetxe &
+# Schwenk 2019, "Margin-based Parallel Corpus Mining with Multilingual
+# Sentence Embeddings"; Conneau et al. 2018 CSLS): a raw nearest
+# neighbor is kept only if it beats BOTH endpoints' local similarity
+# neighborhoods, which suppresses hub vectors that are everyone's
+# nearest neighbor. score(x,y) = 2*sim(x,y) - r_x - r_y with
+# r_* = mean of the top-K sims — multiplied through by K here so
+# every quantity stays an exact BIGINT (margin_k = 2K*dot - sum of
+# x's top-K dots - sum of y's top-K dots).
+
+_CSLS_NQ = 8   # query batch: the 8 lowest even vec_ids (X side)
+_CSLS_K = 4    # neighborhood size K
+
+
+@query(
+    "csls_margin_pair_mining",
+    oracle=f"""
+    WITH iv AS MATERIALIZED ({{QIV}}),
+    qx AS (SELECT vec_id AS x FROM (
+             SELECT DISTINCT vec_id FROM iv WHERE vec_id % 2 = 0)
+           ORDER BY x LIMIT {_CSLS_NQ}),
+    dots AS MATERIALIZED (
+      SELECT q.x, y.vec_id AS y,
+             CAST(sum(xq.q * y.q) AS BIGINT) AS dot
+      FROM iv y
+      JOIN iv xq ON xq.i = y.i
+      JOIN qx q ON q.x = xq.vec_id
+      WHERE y.vec_id % 2 = 1
+      GROUP BY 1, 2),
+    rx AS (SELECT x, CAST(sum(dot) AS BIGINT) AS ktop_x FROM (
+             SELECT x, dot, row_number() OVER (
+               PARTITION BY x ORDER BY dot DESC, y) AS rn FROM dots)
+           WHERE rn <= {_CSLS_K} GROUP BY 1),
+    ry AS (SELECT y, CAST(sum(dot) AS BIGINT) AS ktop_y FROM (
+             SELECT y, dot, row_number() OVER (
+               PARTITION BY y ORDER BY dot DESC, x) AS rn FROM dots)
+           WHERE rn <= {_CSLS_K} GROUP BY 1),
+    m AS (SELECT d.x, d.y, d.dot, rx.ktop_x, ry.ktop_y,
+                 CAST(2 * {_CSLS_K} * d.dot - rx.ktop_x - ry.ktop_y
+                      AS BIGINT) AS margin_k
+          FROM dots d JOIN rx USING (x) JOIN ry USING (y))
+    SELECT x AS x_id, y AS y_id, dot, ktop_x, ktop_y, margin_k
+    FROM (SELECT m.*, row_number() OVER (
+            PARTITION BY x ORDER BY margin_k DESC, y) AS rn FROM m)
+    WHERE rn = 1 ORDER BY x_id
+    """.replace("{QIV}", SIM.QUANT_IV_SQL),
+    doc=f"margin-based (CSLS) pair mining: the corpus splits into an "
+        "X side (even vec_ids) and a Y side (odd vec_ids); for the "
+        f"{_CSLS_NQ} lowest-id X vectors, every Y candidate is scored "
+        f"by the K={_CSLS_K} margin criterion — 2K*dot minus the sum "
+        "of x's top-K dots minus the sum of y's top-K dots over the "
+        "query batch — and the best-margin candidate per query is "
+        "returned with its full score decomposition, all exact "
+        "BIGINTs on 1e-6-quantized components (ties broken on "
+        "candidate id). The margin demotes hub vectors that are "
+        "near-neighbors of EVERYTHING (their candidates carry a high "
+        "ktop_y penalty), the failure mode raw-kNN bitext mining "
+        "suffers at corpus scale. Plan shape: one broadcast of the "
+        "query batch's components, one (x, y) aggregate at "
+        "batch x corpus grain, two bounded top-K windows (x-grain "
+        "partitions of |Y| rows, y-grain partitions of "
+        f"{_CSLS_NQ} rows), one margin rank — never Y x Y. At "
+        "100 TB the batch side is always the broadcast and the "
+        "neighborhood sums stay at candidate grain; the scale path "
+        "for full-corpus mining is the same score over LSH/IVF "
+        "bucket candidates (ann_lsh_topk / ann_ivf_topk), with this "
+        "exact form as the per-bucket scorer",
+)
+def csls_margin_pair_mining(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id",
+                                                    "embedding")
+    iv = SIM.quantized_components(emb)
+    qx = (iv.filter(F.col("vec_id") % 2 == 0)
+          .select(F.col("vec_id").alias("x")).distinct()
+          .orderBy("x").limit(_CSLS_NQ))
+    qxc = (iv.join(F.broadcast(qx), iv["vec_id"] == F.col("x"))
+           .select("x", "i", F.col("q").alias("xq")))
+    yiv = (iv.filter(F.col("vec_id") % 2 == 1)
+           .select(F.col("vec_id").alias("y"), "i", "q"))
+    dots = (yiv.join(F.broadcast(qxc), "i")
+            .groupBy("x", "y")
+            .agg(F.sum(F.col("xq") * F.col("q")).cast("bigint")
+                 .alias("dot")))
+    wx = Window.partitionBy("x").orderBy(F.desc("dot"), "y")
+    wy = Window.partitionBy("y").orderBy(F.desc("dot"), "x")
+    d2 = (dots.withColumn("rnx", F.row_number().over(wx))
+          .withColumn("rny", F.row_number().over(wy)))
+    ktop_x = (d2.filter(F.col("rnx") <= _CSLS_K).groupBy("x")
+              .agg(F.sum("dot").cast("bigint").alias("ktop_x")))
+    ktop_y = (d2.filter(F.col("rny") <= _CSLS_K).groupBy("y")
+              .agg(F.sum("dot").cast("bigint").alias("ktop_y")))
+    m = (dots.join(F.broadcast(ktop_x), "x").join(ktop_y, "y")
+         .select("x", "y", "dot", "ktop_x", "ktop_y",
+                 (2 * _CSLS_K * F.col("dot") - F.col("ktop_x")
+                  - F.col("ktop_y")).cast("bigint").alias("margin_k")))
+    wm = Window.partitionBy("x").orderBy(F.desc("margin_k"), "y")
+    return (m.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(F.col("x").alias("x_id"), F.col("y").alias("y_id"),
+                    "dot", "ktop_x", "ktop_y", "margin_k")
+            .orderBy("x_id"))
