@@ -689,6 +689,20 @@ def test_round10_exchange_budgets(spark, sf001):
         assert n <= budget, (name, n, budget)
 
 
+def test_round12_exchange_budgets(spark, sf001):
+    """Round-12 pins: CSLS margin mining is one batch-broadcast
+    component join + one (x, y) aggregate + two top-K windows (each
+    re-keys once) + the neighborhood-sum joins + the margin rank —
+    eleven exchanges on the static plan, every one at batch- or
+    candidate-grain, never Y x Y."""
+    budgets = {
+        "csls_margin_pair_mining": 11,
+    }
+    for name, budget in budgets.items():
+        n = num_exchanges(_plan_df(name, spark, sf001))
+        assert n <= budget, (name, n, budget)
+
+
 def test_bucketed_join_query_is_exchange_free_at_the_join(spark, sf001):
     """bucketed_copartitioned_join's whole point: both catalog reads
     carry the bucket layout, so the SortMergeJoin has NO Exchange
