@@ -368,6 +368,14 @@ _R12_CHANGED = (
                                 # BIGINT 2K*dot - ktop_x - ktop_y
                                 # over quantized components, hub
                                 # demotion the raw-kNN miners lack
+    'zorder_incremental_recluster',  # NEW: incremental OPTIMIZE —
+                                     # backfill merges by rewriting
+                                     # ONLY its Z-blocks (dynamic
+                                     # partition overwrite), touched
+                                     # set predicted by the quadrant
+                                     # decomposition, untouched
+                                     # region fingerprint-proven
+                                     # original
 )
 
 _R11_CHANGED = (
