@@ -812,6 +812,27 @@ def _zmp_z_sql() -> str:
     return " | ".join(terms)
 
 
+def _with_zq(ev):
+    """The Z-block id column from the EXPLICIT rule (shared by the
+    pre-flight and the incremental recluster, so they can never audit
+    different layouts): day bucket x user bucket -> Morton cell ->
+    cell >> block_shift."""
+    from ..sources.sinks import morton_code
+
+    nb = (1 << _ZMP_BITS) - 1
+    ev = (ev
+          .withColumn("bx", F.expr(
+              f"least(greatest((unix_micros(ts) div {_ZMP_US_PER_DAY} "
+              f"- {_ZMP_DAY0}) div {_ZMP_DAYS_PER_BUCKET}, 0), {nb})"))
+          .withColumn("by", F.expr(
+              f"least(user_id div {_ZMP_USER_DIV}, {nb})")))
+    return (ev.withColumn("zq", F.shiftright(
+                morton_code([(F.col("bx"), _ZMP_BITS),
+                             (F.col("by"), _ZMP_BITS)]),
+                _ZMP_BLOCK_SHIFT))
+            .drop("bx", "by"))
+
+
 @query(
     "zorder_morton_preflight",
     oracle=f"""
@@ -871,27 +892,6 @@ def _zmp_z_sql() -> str:
         "per query; this is the multi-axis version as a provable "
         "layout contract",
 )
-def _with_zq(ev):
-    """The Z-block id column from the EXPLICIT rule (shared by the
-    pre-flight and the incremental recluster, so they can never audit
-    different layouts): day bucket x user bucket -> Morton cell ->
-    cell >> block_shift."""
-    from ..sources.sinks import morton_code
-
-    nb = (1 << _ZMP_BITS) - 1
-    ev = (ev
-          .withColumn("bx", F.expr(
-              f"least(greatest((unix_micros(ts) div {_ZMP_US_PER_DAY} "
-              f"- {_ZMP_DAY0}) div {_ZMP_DAYS_PER_BUCKET}, 0), {nb})"))
-          .withColumn("by", F.expr(
-              f"least(user_id div {_ZMP_USER_DIV}, {nb})")))
-    return (ev.withColumn("zq", F.shiftright(
-                morton_code([(F.col("bx"), _ZMP_BITS),
-                             (F.col("by"), _ZMP_BITS)]),
-                _ZMP_BLOCK_SHIFT))
-            .drop("bx", "by"))
-
-
 def zorder_morton_preflight(spark, sf_dir):
     ev = _with_zq(table(spark, sf_dir, "events")
                   .select("ts", "user_id", "value"))
