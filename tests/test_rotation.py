@@ -133,3 +133,16 @@ def test_r9_window_drains_the_r2_staleness_tail():
     stale = {n for n in REG if _last_green_round(n) == 2}
     stranded = stale - head
     assert not stranded, f"r2-stale greens evicted from window: {stranded}"
+
+
+def test_registered_fn_is_the_query_it_claims_to_be():
+    """Decorator misbinding guard (round-12 incident: a helper def
+    landed between a @query block and its query fn, so the decorator
+    registered the HELPER — spark_fn then received (spark, sf_dir)
+    and threw at gate time). Every registered spark_fn must be the
+    function named after the query (the `_q` suffix is the one
+    sanctioned alias, used where a module exposes both a query
+    wrapper and a library fn of the same name)."""
+    bad = {n: q.spark_fn.__name__ for n, q in REG.items()
+           if q.spark_fn.__name__ not in (n, n + "_q")}
+    assert not bad, f"decorator registered the wrong function: {bad}"
