@@ -376,6 +376,13 @@ _R12_CHANGED = (
                                      # decomposition, untouched
                                      # region fingerprint-proven
                                      # original
+    'streaming_state_preflight',  # NEW: state-store rows predicted
+                                  # from the batch table (distinct
+                                  # keys), proven from the engine's
+                                  # own StreamingQueryProgress
+                                  # numRowsTotal — the pre-flight
+                                  # discipline on the streaming
+                                  # engine's scarce resource
 )
 
 _R11_CHANGED = (

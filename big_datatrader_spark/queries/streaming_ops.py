@@ -706,3 +706,86 @@ def streaming_outer_join_null_emission(spark, sf_dir):
     return (out.select(F.col("p_user").alias("user_id"),
                        "purchase_id", "p_ts", "click_id")
             .orderBy("purchase_id", "click_id"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming state-size pre-flight: the pre-flight discipline (predict
+# the cost BEFORE committing the work — shuffle/join/scan/Z-footprint
+# audits on the batch side) applied to the STREAMING engine's scarce
+# resource, state-store rows. For a streaming aggregation the state
+# size is exactly the key cardinality, a number a capacity planner
+# computes from the batch table before launching the stream; this
+# query launches the stream and proves the engine agrees with the
+# prediction USING THE ENGINE'S OWN METRICS (StreamingQueryProgress
+# stateOperators numRowsTotal), not by re-deriving it from data.
+
+
+def _drain_with_state_rows(result, spark, *, output_mode="complete"):
+    """run_stream_to_memory, plus the final state-store row count from
+    the drain's progress events (max over progresses: numRowsTotal is
+    monotone for a complete-mode aggregation over a fixed input)."""
+    import uuid as _uuid
+
+    from ..streaming import pipeline as P
+
+    name = "s" + _uuid.uuid4().hex[:12]
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        # same executed-plan capture as run_stream_to_memory, so the
+        # drain-time scale audit (tests/test_streaming_plans.py)
+        # covers this query too
+        P._record_drain_plan(q)
+        state_rows = 0
+        for p in q.recentProgress:
+            for op in (p.get("stateOperators") or []):
+                state_rows = max(state_rows,
+                                 int(op.get("numRowsTotal") or 0))
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name), state_rows
+
+
+@query(
+    "streaming_state_preflight",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS state_rows_actual,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM events
+    """,
+    doc="streaming state-size pre-flight: a per-user streaming "
+        "aggregation (complete mode, availableNow drain) holds "
+        "exactly one state row per distinct key, so its state-store "
+        "cost is PREDICTABLE from the batch table as "
+        "count(DISTINCT user_id) — the number a capacity planner "
+        "computes before launching the stream. The audit row carries "
+        "the ACTUAL state rows from the engine's own "
+        "StreamingQueryProgress (stateOperators.numRowsTotal) next "
+        "to the drained aggregate's totals, while the oracle derives "
+        "every column from the batch table — so the driver's hash "
+        "equality is the statement 'the state store held exactly the "
+        "predicted rows, and the streamed aggregate lost nothing' "
+        "(rows + integer cents). Completes the pre-flight family on "
+        "the streaming engine: at 100 TB, state size is the "
+        "difference between a stream that runs forever and one that "
+        "OOMs its state store after a week",
+)
+def streaming_state_preflight(spark, sf_dir):
+    agg = (events_stream(spark, sf_dir)
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("long").alias("cents")))
+    res, state_rows = _drain_with_state_rows(agg, spark)
+    return (res.agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                    F.sum("n_events").cast("long")
+                    .alias("n_rows_total"),
+                    F.sum("cents").cast("long").alias("cents_total"))
+            .select(F.lit(state_rows).cast("long")
+                    .alias("state_rows_actual"),
+                    "n_users", "n_rows_total", "cents_total"))

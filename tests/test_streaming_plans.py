@@ -47,6 +47,7 @@ EXCHANGE_BUDGET = {
     "streaming_python_datasource": 1,
     "streaming_running_position": 1,      # groupBy before state fold
     "streaming_session_window": 1,
+    "streaming_state_preflight": 1,   # per-user complete-mode agg
     "streaming_topk_trending": 1,
     "streaming_watermark_late_drop": 1,   # windowed agg over the
                                           # staged 3-batch file source
