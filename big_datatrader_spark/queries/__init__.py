@@ -324,7 +324,7 @@ def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
 # do not hand-derive them).
 
 _WINDOW = 50
-_CURRENT_ROUND = 12
+_CURRENT_ROUND = 13
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
@@ -344,6 +344,15 @@ _CURRENT_ROUND = 12
 # surfaces them automatically, costing no _CHANGED slot. Names below
 # are queries written or replanned this round; _window_order
 # hard-fails on ghosts.
+# Round 13 (VERDICT r12 asks): bpe_learn_merges hits its 2-round
+# rows-only cadence this round; ask #2 makes the companion pairing
+# structural, so its hash-exact twin bpe_pair_counts_round1 is pulled
+# into the same window by the companion tier (no _CHANGED slot).
+# Names below are queries written or replanned this round;
+# _window_order hard-fails on ghosts.
+_R13_CHANGED = (
+)
+
 _R12_CHANGED = (
     'graph_family_scoped_audit',  # NEW (ask #3): driver evidence ON
                                   # the SharedScope path — opens a
@@ -694,7 +703,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R12_CHANGED
+_CHANGED = _R13_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -1023,6 +1032,38 @@ _R11_ROWS_ONLY = frozenset({
     'bpe_learn_merges',
 })
 
+# CORRECTNESS_r12.json via tools/record_round.py (46 hash-exact,
+# 4 rows-only, 0 RED) — pasted verbatim (VERDICT r11 ask #1).
+_R12_GREEN = frozenset({
+    'ann_dim_truncation_recall', 'ann_pq_adc_trained_topk',
+    'anova_f_oneway', 'audio_frame_features', 'bm25_more_like_this',
+    'boilerplate_chunk_removal', 'brier_logloss_calibration',
+    'char_entropy_quality', 'clickstream_paths_topk',
+    'cohort_ltv_curves', 'conformal_interval_coverage',
+    'cooccurrence_pmi', 'correlation_matrix_daily',
+    'cramers_v_effect', 'csls_margin_pair_mining',
+    'graph_family_scoped_audit', 'lang_mixture_rebalance',
+    'link_prediction_holdout_eval', 'market_basket_lift',
+    'mutual_information_features', 'negative_sampling', 'ohlc_bars',
+    'per_group_reservoir', 'precision_recall_thresholds',
+    'psi_feature_drift', 'recursive_interest_schedule',
+    'resample_forward_fill', 'roc_auc_exact',
+    'rolling_market_correlation', 'rsi_bollinger_bands',
+    'salted_hot_key_agg', 'seasonal_decompose_additive',
+    'sequence_packing_bins', 'skyline_parts_per_brand',
+    'snapshot_diff', 'spearman_value_k_corr',
+    'sql_revenue_by_priority', 'stratified_sample_events',
+    'streaming_state_preflight', 'temporal_reachability_copurchase',
+    'value_histogram', 'welch_t_test', 'winsorized_user_stats',
+    'zorder_incremental_recluster', 'zorder_locality',
+    'zorder_morton_preflight',
+})
+
+_R12_ROWS_ONLY = frozenset({
+    'ann_ivf_topk', 'ann_lsh_topk', 'approx_aggregates',
+    'hll_partial_merge',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
@@ -1031,7 +1072,8 @@ _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R8_GREEN | _R8_ROWS_ONLY,
                  _R9_GREEN | _R9_ROWS_ONLY,
                  _R10_GREEN | _R10_ROWS_ONLY,
-                 _R11_GREEN | _R11_ROWS_ONLY)
+                 _R11_GREEN | _R11_ROWS_ONLY,
+                 _R12_GREEN | _R12_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
@@ -1039,9 +1081,27 @@ _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
 _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
                      6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
                      8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY,
-                     10: _R10_ROWS_ONLY, 11: _R11_ROWS_ONLY}
+                     10: _R10_ROWS_ONLY, 11: _R11_ROWS_ONLY,
+                     12: _R12_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
+
+
+# Each rows-only-by-design query (oracle=None — bucketed-ANN / sketch /
+# merge-order results DuckDB cannot reproduce bit-for-bit) is paired
+# with a hash-exact companion that proves the same machinery under a
+# full oracle. VERDICT r12 ask #2: the pairing guarantee ("rows-only
+# ran clean AND its exactness companion is fresh") must be structural,
+# not incidental — when a rows-only member hits its re-evidence
+# cadence, _window_order pulls its companion into the same window so
+# both rows land in one CORRECTNESS file.
+_ROWS_ONLY_COMPANIONS = {
+    'ann_lsh_topk': 'lsh_vs_exact_eval',
+    'ann_ivf_topk': 'ivf_vs_exact_eval',
+    'approx_aggregates': 'approx_aggregates_error_audit',
+    'hll_partial_merge': 'hll_exact_register_sketch',
+    'bpe_learn_merges': 'bpe_pair_counts_round1',
+}
 
 
 def _window_order(names):
@@ -1049,7 +1109,8 @@ def _window_order(names):
     can't regress to hand-curation): changed-this-round first, then the
     never-driver-evidenced backlog alphabetically, then rows-only
     queries whose last clean run is >= 2 rounds old (their re-evidence
-    cadence), then evidenced queries oldest-round-first (alphabetical
+    cadence) TOGETHER WITH their hash-exact companions (VERDICT r12
+    ask #2), then evidenced queries oldest-round-first (alphabetical
     within a round). The driver checks the first _WINDOW entries;
     everything after that order is immaterial but kept deterministic."""
     names = list(names)
@@ -1070,13 +1131,30 @@ def _window_order(names):
     rows_only_due = frozenset(
         n for n, rnd in last_rows_only.items()
         if rnd <= _CURRENT_ROUND - 2)
+    # Every rows-only member must declare a companion; a companion must
+    # itself be registered. Hard-fail like the _CHANGED ghost check —
+    # a misspelled companion would silently break the pairing.
+    unpaired = sorted(last_rows_only.keys() - _ROWS_ONLY_COMPANIONS.keys())
+    if unpaired:
+        raise ValueError(
+            f"rows-only queries missing a _ROWS_ONLY_COMPANIONS entry: "
+            f"{unpaired}")
+    ghost_companions = sorted(
+        set(_ROWS_ONLY_COMPANIONS.values()) - set(names))
+    if ghost_companions:
+        raise ValueError(
+            f"_ROWS_ONLY_COMPANIONS names unregistered queries: "
+            f"{ghost_companions}")
+    companions_due = frozenset(
+        _ROWS_ONLY_COMPANIONS[n] for n in rows_only_due)
 
     def tier(n):
         last = last_evidence_round(n)
         if last == 0:
             return 0                    # backlog: never evidenced
-        if n in rows_only_due:
-            return 1                    # rows-only re-evidence due
+        if n in rows_only_due or n in companions_due:
+            return 1                    # rows-only re-evidence due,
+                                        # plus its hash-exact companion
         return 1 + last                 # greens, stalest first
 
     return sorted(names, key=lambda n: (

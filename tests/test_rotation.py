@@ -38,13 +38,15 @@ def _expected_order():
     from the recorded evidence sets (never by calling _window_order)."""
     changed = {n: i for i, n in enumerate(Q._CHANGED)}
     due = _rows_only_due()
+    companions = {Q._ROWS_ONLY_COMPANIONS[n] for n in due}
 
     def tier(n):
         last = _last_green_round(n)
         if last == 0:
             return 0                    # backlog: never evidenced
-        if n in due:
-            return 1                    # rows-only re-evidence due
+        if n in due or n in companions:
+            return 1                    # rows-only re-evidence due,
+                                        # plus its hash-exact companion
         return 1 + last                 # greens, stalest first
 
     return sorted(REG, key=lambda n: (changed.get(n, len(Q._CHANGED)),
@@ -83,7 +85,9 @@ def test_window_head_spends_slots_by_staleness():
     exceed the min evidence round outside it."""
     names = list(REG)
     head, tail = names[:Q._WINDOW], names[Q._WINDOW:]
-    special = set(Q._CHANGED) | _rows_only_due()
+    due = _rows_only_due()
+    special = (set(Q._CHANGED) | due
+               | {Q._ROWS_ONLY_COMPANIONS[n] for n in due})
     head_rounds = [_last_green_round(n) for n in head
                    if n not in special]
     tail_rounds = [_last_green_round(n) for n in tail
@@ -103,6 +107,37 @@ def test_changed_and_due_rows_only_lead_the_window():
     assert tuple(head[:len(Q._CHANGED)]) == Q._CHANGED
     for n in _rows_only_due():
         assert n in head, f"rows-only due {n} missed the window"
+
+
+def test_rows_only_companions_are_structural():
+    """VERDICT r12 ask #2: every rows-only-by-design query must declare
+    a hash-exact companion (a registered full-oracle query proving the
+    same machinery), and whenever the rows-only member is due for its
+    2-round re-evidence, its companion must ride the same window — so
+    the pairing guarantee is enforced by the rotation, not incidental
+    scheduling."""
+    rows_only = set()
+    for s in Q._ROWS_ONLY_ROUNDS.values():
+        rows_only |= s
+    missing = rows_only - Q._ROWS_ONLY_COMPANIONS.keys()
+    assert not missing, f"rows-only queries without a companion: {missing}"
+    for member, companion in Q._ROWS_ONLY_COMPANIONS.items():
+        assert member in REG, f"companion map names ghost member {member}"
+        assert companion in REG, (
+            f"companion {companion} of {member} is not registered")
+        # the companion itself must be full-oracle (hash-exact capable)
+        assert REG[companion].oracle is not None, (
+            f"companion {companion} has no oracle — it cannot provide "
+            f"hash-exact evidence for {member}")
+        # and the member must genuinely be rows-only-by-design
+        assert REG[member].oracle is None, (
+            f"{member} has a full oracle; it does not need a companion")
+    head = set(list(REG)[:Q._WINDOW])
+    for member in _rows_only_due():
+        companion = Q._ROWS_ONLY_COMPANIONS[member]
+        assert companion in head, (
+            f"{member} is due for rows-only re-evidence but its "
+            f"companion {companion} missed the window")
 
 
 def test_current_round_covers_recorded_evidence():

@@ -49,6 +49,7 @@ def main() -> int:
     print("staleness histogram (0 = never evidenced):",
           dict(sorted(hist.items())))
     changed, due = set(Q._CHANGED), rows_only_due()
+    companions = {Q._ROWS_ONLY_COMPANIONS[n] for n in due}
     tiers = Counter()
     for n in head:
         if n in changed:
@@ -57,6 +58,8 @@ def main() -> int:
             tiers["backlog"] += 1
         elif n in due:
             tiers["rows_only_due"] += 1
+        elif n in companions:
+            tiers["companion_due"] += 1
         else:
             tiers[f"green_r{last_round(n)}"] += 1
     print("window head tiers:", dict(tiers))
