@@ -979,10 +979,17 @@ _ZIR_CANON_SQL = ("CAST(event_id AS VARCHAR) || '|' || "
 
 
 def _zir_canon_spark():
-    return F.concat_ws(
-        "|", F.col("event_id").cast("string"),
-        F.unix_micros("ts").cast("string"),
-        F.col("user_id").cast("string"), F.col("event_type"),
+    # F.concat (NOT concat_ws): the oracle's '||' yields NULL when any
+    # canon field is NULL, so the Spark side must propagate NULL the
+    # same way — concat_ws silently skips NULL fields and the
+    # untouched-region fingerprints would diverge on the first NULL
+    # event_type (ADVICE r12 #3). Both sides then exclude the NULL
+    # hash from the sum while still counting the row.
+    return F.concat(
+        F.col("event_id").cast("string"), F.lit("|"),
+        F.unix_micros("ts").cast("string"), F.lit("|"),
+        F.col("user_id").cast("string"), F.lit("|"),
+        F.col("event_type"), F.lit("|"),
         F.round(F.col("value") * 100).cast("bigint").cast("string"))
 
 

@@ -6,7 +6,7 @@ Until round 12, the scoped plans executed only under tests
 standalone by design, so no CORRECTNESS row ever exercised a leased
 plan. ``graph_family_scoped_audit`` closes that gap: it is a
 REGISTERED, fully-oracled query whose body opens a SharedScope, runs
-five graph-family members through their leases (all three lease keys:
+six graph-family members through their leases (all three lease keys:
 directed, ordered, dated), and returns a deterministic per-member
 summary the DuckDB oracle recomputes from each member's own oracle
 SQL. A green driver row for this query is the statement "the scoped
@@ -66,8 +66,22 @@ def _gfa_oracle() -> str:
     gate SQL."""
     parts = []
     for name, key, val in _GFA_MEMBERS:
+        # NOTE: load_registry() imports this module LAST, after every
+        # member module has registered — importing scoped_ops directly
+        # before the member modules would KeyError here by design.
+        if name not in REGISTRY:
+            raise KeyError(
+                f"{name} not registered yet — scoped_ops must be "
+                f"imported after the member modules (load_registry "
+                f"imports it last)")
         inner = REGISTRY[name].oracle
-        assert inner is not None, f"{name} has no oracle"
+        # explicit raise, not assert: under `python -O` an assert is
+        # stripped and a None oracle would interpolate 'None' into the
+        # audited SQL (ADVICE r12 #5; same class as ADVICE r11 #2)
+        if inner is None:
+            raise ValueError(f"{name} has no oracle — the scoped "
+                             f"audit summary must be built from the "
+                             f"member's own gate SQL")
         parts.append(f"""
     SELECT '{name}' AS member,
            CAST(count(*) AS BIGINT) AS n_rows,

@@ -732,7 +732,9 @@ def _drain_with_state_rows(result, spark, *, output_mode="complete"):
     q = (result.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
     try:
-        q.awaitTermination(120)
+        # raises TimeoutError on a still-running drain instead of
+        # silently reading a partial memory table (ADVICE r12 #4)
+        P._await_drain(q, 120)
         # same executed-plan capture as run_stream_to_memory, so the
         # drain-time scale audit (tests/test_streaming_plans.py)
         # covers this query too

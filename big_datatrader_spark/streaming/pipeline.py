@@ -151,6 +151,19 @@ def running_position_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def _await_drain(q, timeout_sec: int) -> None:
+    """awaitTermination with the timeout outcome made loud:
+    ``awaitTermination(timeout)`` returns False on timeout with the
+    query STILL RUNNING, and every drain helper here reads its sink
+    right after — a silent timeout would hand a partial table to the
+    oracle gate and surface as a baffling hash mismatch instead of
+    the real failure (ADVICE r12 #4)."""
+    if not q.awaitTermination(timeout_sec):
+        raise TimeoutError(
+            f"streaming drain {q.name or q.id} still running after "
+            f"{timeout_sec}s — refusing to read a partial sink")
+
+
 def run_stream_to_memory(result: DataFrame, spark: SparkSession,
                          timeout_sec: int = 120,
                          output_mode: str = "complete",
@@ -180,7 +193,7 @@ def run_stream_to_memory(result: DataFrame, spark: SparkSession,
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            _await_drain(q, timeout_sec)
             _record_drain_plan(q)
         finally:
             if q.isActive:
@@ -300,7 +313,7 @@ def run_stream_merge_to_parquet(result: DataFrame, spark: SparkSession,
          .option("checkpointLocation", path + ".ckpt")
          .start())
     try:
-        q.awaitTermination(timeout_sec)
+        _await_drain(q, timeout_sec)
         _record_drain_plan(q)
     finally:
         if q.isActive:
@@ -359,7 +372,7 @@ def run_stream_latest_merge_to_parquet(
          .option("checkpointLocation", path + ".ckpt")
          .start())
     try:
-        q.awaitTermination(timeout_sec)
+        _await_drain(q, timeout_sec)
         _record_drain_plan(q)
     finally:
         if q.isActive:
