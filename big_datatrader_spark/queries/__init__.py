@@ -288,6 +288,45 @@ def leased_dated_copurchase_edges(sf_dir: str, li: DataFrame,
                          F.col("dst").alias(b_name), "d"), False)
 
 
+def doc_tokens_key(sf_dir: str) -> str:
+    """SharedScope lease key for the tokenized documents relation —
+    (doc_id, n_chars, t) where t is the shared whitespace-lowercase
+    token array (functions/text.py convention). The text family
+    re-derives this relation from documents.text per query
+    (VERDICT r12 ask #3); under a scope it tokenizes once."""
+    return f"doc_tokens:{sf_dir}"
+
+
+def leased_doc_tokens(spark, sf_dir: str) -> "DataFrame | None":
+    """The (doc_id, n_chars, t) token relation from the active
+    SharedScope, or None when no scope is open.
+
+    Unlike the edge leases (which return the direct build unscoped),
+    this returns None so callers keep their INLINE tokenization with
+    no scope open: routing the unscoped path through a (doc_id, t)
+    projection changes the optimized plan — Spark's
+    InferFiltersFromGenerate fires on a Generate over a plain
+    attribute (it skips expensive inline children) and inserts a
+    size(tokens(text))>0 pre-filter that re-evaluates the regex split
+    per row. Returning None keeps unscoped plans bit-identical to the
+    pre-lease form; the scoped path pays the projection once into the
+    persisted lease, where the extra filter is irrelevant (the cache
+    is already materialized)."""
+    scope = _ACTIVE_SCOPE
+    if scope is None:
+        return None
+    from pyspark.sql import functions as F
+
+    from ..functions import text as TX
+    from ..sources.parquet_source import table
+    docs = table(spark, sf_dir, "documents")
+    rel = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        TX.tokens(F.col("text")).alias("t"))
+    return scope.get(doc_tokens_key(sf_dir), rel)
+
+
 def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
               passthrough: bool = False) -> DataFrame:
     """Route a relation through the active SharedScope when one is
@@ -351,6 +390,26 @@ _CURRENT_ROUND = 13
 # Names below are queries written or replanned this round;
 # _window_order hard-fails on ghosts.
 _R13_CHANGED = (
+    'text_family_scoped_audit',  # NEW (ask #3): driver evidence ON
+                                 # the doc_tokens lease — opens a
+                                 # scope, runs the seven text-family
+                                 # members through the shared
+                                 # tokenized relation, oracles the
+                                 # per-member exact summaries, asserts
+                                 # the memo holds exactly the
+                                 # doc_tokens key and clean exit
+    # ask #3: the seven text-family members gained the scoped branch
+    # (leased_doc_tokens / _leased_gram_rows / _leased_tok_rows) —
+    # unscoped optimized plans verified bit-identical to the
+    # pre-lease forms (tests/test_round13_ops.py), but a replanned
+    # spark_fn earns fresh driver evidence by rule
+    'text_token_stats',
+    'token_frequencies',
+    'stem_token_frequencies',
+    'tf_idf_top_terms',
+    'doc_perplexity_bigram',
+    'kneser_ney_bigram_ppl',
+    'doc_perplexity_trigram_backoff',
 )
 
 _R12_CHANGED = (

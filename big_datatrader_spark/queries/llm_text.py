@@ -12,7 +12,7 @@ from pyspark.sql import Window, functions as F
 
 from ..functions import text as TX
 from ..sources.parquet_source import table
-from . import query
+from . import leased_doc_tokens, query
 
 _R = 6
 
@@ -24,6 +24,35 @@ _TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
 
 def _sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]"
+
+
+def _tok_rows(spark, sf_dir):
+    """(doc_id, tok) exploded token rows — from the doc_tokens lease
+    when a SharedScope is open (tokenize once per scope), else the
+    direct inline tokenization (the unscoped plan stays bit-identical
+    to the pre-lease form; see leased_doc_tokens on why the inline
+    build must not route through a (doc_id, t) projection)."""
+    rel = leased_doc_tokens(spark, sf_dir)
+    if rel is not None:
+        return rel.select("doc_id", F.explode("t").alias("tok"))
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+
+
+def _token_stat_cols(toks):
+    """text_token_stats derivations, shared verbatim between the
+    inline (unscoped) and leased (scoped) token sources so the two
+    paths cannot drift."""
+    return [
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long")
+         .alias("n_distinct_tokens"),
+        F.round(TX.avg_token_len(toks), _R).alias("avg_token_len"),
+        F.round(F.try_divide(
+            TX.stopword_hits(toks, "en").cast("double"),
+            F.size(toks).cast("double")), _R).alias("stopword_ratio"),
+    ]
 
 
 @query(
@@ -45,18 +74,15 @@ def _sw_list(lang: str) -> str:
     bench=True,
 )
 def text_token_stats(spark, sf_dir):
+    rel = leased_doc_tokens(spark, sf_dir)
+    if rel is not None:
+        return rel.select("doc_id", "n_chars",
+                          *_token_stat_cols(F.col("t")))
     docs = table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long")
-         .alias("n_distinct_tokens"),
-        F.round(TX.avg_token_len(toks), _R).alias("avg_token_len"),
-        F.round(F.try_divide(
-            TX.stopword_hits(toks, "en").cast("double"),
-            F.size(toks).cast("double")), _R).alias("stopword_ratio"),
+        *_token_stat_cols(TX.tokens(F.col("text"))),
     )
 
 
@@ -160,9 +186,7 @@ def doc_fingerprint(spark, sf_dir):
         "top-50): the word-count shape, plus document frequency",
 )
 def token_frequencies(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    flat = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    flat = _tok_rows(spark, sf_dir)
     return (
         flat.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_occurrences"),
@@ -225,12 +249,10 @@ def token_count_bpe_ish(spark, sf_dir):
         "pattern, no engine-specific syntax)",
 )
 def stem_token_frequencies(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    tok = F.explode(TX.tokens(F.col("text"))).alias("tok")
     stem = F.regexp_replace(F.col("tok"), r"(ing|ed|es|s)$", "")
     norm = F.when(F.length(stem) >= 3, stem).otherwise(F.col("tok"))
     return (
-        docs.select(tok)
+        _tok_rows(spark, sf_dir)
         .select("tok", norm.alias("norm"))
         .groupBy("norm")
         .agg(F.count(F.lit(1)).alias("n_occurrences"),

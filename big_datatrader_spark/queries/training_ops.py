@@ -23,8 +23,8 @@ from ..functions import graph as GR
 from ..sources.parquet_source import table
 from . import (active_scope, copurchase_edges_key as _edges_key,
                lazy_cache, leased_copurchase_edges,
-               leased_dated_copurchase_edges, query, run_scoped,
-               shared_or)
+               leased_dated_copurchase_edges, leased_doc_tokens,
+               query, run_scoped, shared_or)
 
 _R = 6
 
@@ -36,6 +36,23 @@ _TOKS = ("CASE WHEN trim(text) = '' THEN [] ELSE "
 
 def _h60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _gram_rows_from_base(base, n: int):
+    """The n-gram window core over (doc_id, pos, tok) rows — shared
+    verbatim between the inline and leased token sources so the two
+    paths cannot drift."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_all = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", i).over(w) for i in range(1, n)])
+    return (
+        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
+        .withColumn("gram", gram)
+        .filter(F.col("pos") + n <= F.col("n_tok"))
+        .select("doc_id", "gram")
+    )
 
 
 def _gram_rows(docs, n: int):
@@ -50,17 +67,40 @@ def _gram_rows(docs, n: int):
     per-doc aggregate."""
     toks = TX.tokens(F.col("text"))
     base = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    w_all = Window.partitionBy("doc_id")
-    gram = F.concat_ws(
-        " ", F.col("tok"),
-        *[F.lead("tok", i).over(w) for i in range(1, n)])
-    return (
-        base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
-        .withColumn("gram", gram)
-        .filter(F.col("pos") + n <= F.col("n_tok"))
-        .select("doc_id", "gram")
-    )
+    return _gram_rows_from_base(base, n)
+
+
+def _leased_gram_rows(spark, sf_dir, n: int, pred=None):
+    """_gram_rows sourced from the doc_tokens SharedScope lease when a
+    scope is open (tokenize once per scope; VERDICT r12 ask #3), else
+    the direct inline build — unscoped plans stay bit-identical to the
+    pre-lease form. ``pred`` filters documents by doc_id-level columns
+    (train/test splits) and applies identically to both sources."""
+    rel = leased_doc_tokens(spark, sf_dir)
+    if rel is None:
+        docs = table(spark, sf_dir, "documents")
+        if pred is not None:
+            docs = docs.filter(pred)
+        return _gram_rows(docs, n)
+    if pred is not None:
+        rel = rel.filter(pred)
+    base = rel.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    return _gram_rows_from_base(base, n)
+
+
+def _leased_tok_rows(spark, sf_dir, pred=None):
+    """(doc_id, tok) exploded token rows, leased when a scope is open
+    (the vocabulary-build counterpart of _leased_gram_rows)."""
+    rel = leased_doc_tokens(spark, sf_dir)
+    if rel is None:
+        docs = table(spark, sf_dir, "documents")
+        if pred is not None:
+            docs = docs.filter(pred)
+        return docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    if pred is not None:
+        rel = rel.filter(pred)
+    return rel.select("doc_id", F.explode("t").alias("tok"))
 
 
 def _grams_sql(n: int) -> str:
@@ -204,8 +244,7 @@ def contamination_check(spark, sf_dir):
 )
 def tf_idf_top_terms(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tk = _leased_tok_rows(spark, sf_dir)
     per = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tk.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"))
@@ -2328,15 +2367,14 @@ _PPL_SCALE = 10000  # ln terms rounded to 1e-4 units before summing
         "same count tables serve bigram_conditional_prob",
 )
 def doc_perplexity_bigram(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    sp = _gram_rows(docs, 2).select(
+    sp = _leased_gram_rows(spark, sf_dir, 2).select(
         "doc_id",
         F.split("gram", " ")[0].alias("w1"),
         F.split("gram", " ")[1].alias("w2"))
     cnt = sp.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c2"))
     tot = cnt.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
-    voc = (docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    voc = (_leased_tok_rows(spark, sf_dir).select("tok")
            .agg(F.countDistinct("tok").alias("v")))
     nll = F.round(
         F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
@@ -2415,8 +2453,7 @@ def doc_perplexity_bigram(spark, sf_dir):
         "is shared with it when both run",
 )
 def kneser_ney_bigram_ppl(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    sp = _gram_rows(docs, 2).select(
+    sp = _leased_gram_rows(spark, sf_dir, 2).select(
         "doc_id",
         F.split("gram", " ")[0].alias("w1"),
         F.split("gram", " ")[1].alias("w2"))
@@ -2723,25 +2760,24 @@ _SB_ALPHA_SQL = "0.4"   # stupid-backoff discount per level
         "model, once for scoring — the same shape KenLM jobs run",
 )
 def doc_perplexity_trigram_backoff(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 2 == 0)
-    test = docs.filter(F.col("doc_id") % 2 == 1)
-    tri = (_gram_rows(train, 3)
+    is_train = F.col("doc_id") % 2 == 0
+    is_test = F.col("doc_id") % 2 == 1
+    tri = (_leased_gram_rows(spark, sf_dir, 3, pred=is_train)
            .select(F.split("gram", " ")[0].alias("w1"),
                    F.split("gram", " ")[1].alias("w2"),
                    F.split("gram", " ")[2].alias("w3"))
            .groupBy("w1", "w2", "w3")
            .agg(F.count(F.lit(1)).alias("c3")))
-    bi = (_gram_rows(train, 2)
+    bi = (_leased_gram_rows(spark, sf_dir, 2, pred=is_train)
           .select(F.split("gram", " ")[0].alias("wa"),
                   F.split("gram", " ")[1].alias("wb"))
           .groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2")))
-    uni = (train.select(F.explode(TX.tokens(F.col("text")))
-                        .alias("tok"))
+    uni = (_leased_tok_rows(spark, sf_dir, pred=is_train)
+           .select("tok")
            .groupBy("tok").agg(F.count(F.lit(1)).alias("c1")))
     scal = uni.agg(F.sum("c1").alias("tt"),
                    F.count(F.lit(1)).alias("v"))
-    sp = (_gram_rows(test, 3)
+    sp = (_leased_gram_rows(spark, sf_dir, 3, pred=is_test)
           .select("doc_id",
                   F.split("gram", " ")[0].alias("w1"),
                   F.split("gram", " ")[1].alias("w2"),

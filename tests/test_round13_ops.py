@@ -1,0 +1,120 @@
+"""Round-13 operator tests.
+
+- the doc_tokens SharedScope lease (VERDICT r12 ask #3): scoped and
+  unscoped values identical for all seven text-family members, ONE
+  tokenized relation per scope, release at exit; unscoped the lease
+  helper returns None so consumers keep their inline tokenization
+  (the mechanism that keeps unscoped plans bit-identical — routing
+  the unscoped path through a (doc_id, t) projection would trip
+  Spark's InferFiltersFromGenerate into a plan that re-evaluates the
+  regex split per row).
+- unscoped plan bit-identity, pinned durably: the refactored
+  unscoped spark_fns must produce the same optimized plan (modulo
+  expression ids) as inline twins built directly in this test from
+  the pre-lease expressions.
+- text_family_scoped_audit: the registered scoped-path query's
+  summary must equal the standalone members' summaries computed with
+  no scope open.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from big_datatrader_spark.queries import (SharedScope, doc_tokens_key,
+                                          leased_doc_tokens,
+                                          load_registry)
+
+REG = load_registry()
+
+# AFTER load_registry: scoped_ops composes member oracles at import
+# time and raises if imported before the member modules register
+from big_datatrader_spark.queries.scoped_ops import _TFA_MEMBERS  # noqa: E402
+
+TEXT_FAMILY = ["text_token_stats", "token_frequencies",
+               "stem_token_frequencies", "tf_idf_top_terms",
+               "doc_perplexity_bigram", "kneser_ney_bigram_ppl",
+               "doc_perplexity_trigram_backoff"]
+
+
+def _norm_plan(df) -> str:
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)           # expression ids
+    return re.sub(r"_\d+#", "_#", s)      # session-global lambda ids
+
+
+def test_leased_doc_tokens_is_none_without_scope(spark):
+    assert leased_doc_tokens(spark, "/nonexistent") is None
+
+
+def test_doc_tokens_lease_values_identical_and_built_once(spark,
+                                                          sf0001):
+    unscoped = {n: sorted(map(tuple,
+                              REG[n].spark_fn(spark, sf0001).collect()))
+                for n in TEXT_FAMILY}
+    spark.catalog.clearCache()
+    with SharedScope() as scope:
+        scoped = {n: sorted(map(tuple,
+                                REG[n].spark_fn(spark, sf0001)
+                                .collect()))
+                  for n in TEXT_FAMILY}
+        # exactly ONE shared relation serves the whole family
+        assert sorted(scope._cached) == [doc_tokens_key(sf0001)]
+    assert scoped == unscoped
+    assert scope._cached == {}
+    spark.catalog.clearCache()
+
+
+def test_unscoped_plans_bit_identical_to_inline_twins(spark, sf0001):
+    """The refactor contract: with no scope open, the leased
+    consumers' optimized plans equal the pre-lease inline forms,
+    rebuilt here verbatim from documents.text."""
+    from big_datatrader_spark.functions import text as TX
+    from big_datatrader_spark.sources.parquet_source import table
+
+    docs = table(spark, sf0001, "documents")
+
+    # token_frequencies' source rows (the _tok_rows shape)
+    inline = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    got = (REG["token_frequencies"].spark_fn(spark, sf0001))
+    twin = (inline.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), "tok").limit(50))
+    assert _norm_plan(got) == _norm_plan(twin)
+
+    # text_token_stats: inline tokens expression repeated per column
+    toks = TX.tokens(F.col("text"))
+    twin2 = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long")
+         .alias("n_distinct_tokens"),
+        F.round(TX.avg_token_len(toks), 6).alias("avg_token_len"),
+        F.round(F.try_divide(
+            TX.stopword_hits(toks, "en").cast("double"),
+            F.size(toks).cast("double")), 6).alias("stopword_ratio"))
+    got2 = REG["text_token_stats"].spark_fn(spark, sf0001)
+    assert _norm_plan(got2) == _norm_plan(twin2)
+
+
+def test_scoped_text_audit_matches_standalone_summaries(spark, sf0001):
+    """text_family_scoped_audit's rows must equal the member
+    summaries computed standalone (no scope open), using the same
+    summary expressions."""
+    audit = sorted(map(tuple, REG["text_family_scoped_audit"]
+                       .spark_fn(spark, sf0001).collect()))
+    standalone = []
+    for name, key, val in _TFA_MEMBERS:
+        res = REG[name].spark_fn(spark, sf0001)
+        row = (res.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                       F.sum(F.expr(key)).cast("long").alias("key_sum"),
+                       F.sum(F.expr(val)).cast("long").alias("val_sum"))
+               .collect()[0])
+        standalone.append((name, row.n_rows, row.key_sum, row.val_sum))
+    assert audit == sorted(standalone)
+    spark.catalog.clearCache()

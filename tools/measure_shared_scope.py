@@ -6,7 +6,7 @@ ONE SharedScope where the directed co-purchase edge list is leased
 (built+persisted once, released at scope exit). Values are asserted
 identical before any timing counts. Prints one JSON line per mode.
 
-Usage: python tools/measure_shared_scope.py [-n 2] [sf_dir ...]
+Usage: python tools/measure_shared_scope.py [-n 2] [--family graph|text] [sf_dir ...]
 """
 
 from __future__ import annotations
@@ -22,18 +22,31 @@ from big_datatrader_spark.queries import (SharedScope,  # noqa: E402
                                           load_registry)
 from big_datatrader_spark.session import get_spark  # noqa: E402
 
-FAMILY = ["pagerank_copurchase", "personalized_pagerank",
-          "label_propagation_communities", "hits_hub_authority",
-          "link_prediction_common_neighbors",
-          "gnn_feature_propagation",
-          # ordered / renamed consumers deriving from the same lease
-          "triangle_count_copurchase", "local_clustering_coefficient",
-          "modularity_brand_partition", "sssp_copurchase",
-          # dated-lease consumers (VERDICT r11 ask #4, r12): both
-          # rebuild the dated co-purchase edge list unscoped; inside
-          # a scope they share ONE copurchase_edges_dated build
-          "temporal_reachability_copurchase",
-          "link_prediction_holdout_eval"]
+FAMILIES = {
+    "graph": ["pagerank_copurchase", "personalized_pagerank",
+              "label_propagation_communities", "hits_hub_authority",
+              "link_prediction_common_neighbors",
+              "gnn_feature_propagation",
+              # ordered / renamed consumers deriving from the same
+              # lease
+              "triangle_count_copurchase",
+              "local_clustering_coefficient",
+              "modularity_brand_partition", "sssp_copurchase",
+              # dated-lease consumers (VERDICT r11 ask #4, r12): both
+              # rebuild the dated co-purchase edge list unscoped;
+              # inside a scope they share ONE copurchase_edges_dated
+              # build
+              "temporal_reachability_copurchase",
+              "link_prediction_holdout_eval"],
+    # doc_tokens lease (VERDICT r12 ask #3): every member re-tokenizes
+    # documents.text unscoped; inside a scope they share ONE tokenized
+    # (doc_id, n_chars, t) relation
+    "text": ["text_token_stats", "token_frequencies",
+             "stem_token_frequencies", "tf_idf_top_terms",
+             "doc_perplexity_bigram", "kneser_ney_bigram_ppl",
+             "doc_perplexity_trigram_backoff"],
+}
+FAMILY = FAMILIES["graph"]
 
 
 def run_suite(spark, reg, sf_dir: str) -> dict[str, float]:
@@ -47,11 +60,17 @@ def run_suite(spark, reg, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> int:
+    global FAMILY
     args = sys.argv[1:]
     n = 2
-    if args and args[0] == "-n":
-        n = int(args[1])
+    fam = "graph"
+    while args and args[0] in ("-n", "--family"):
+        if args[0] == "-n":
+            n = int(args[1])
+        else:
+            fam = args[1]
         args = args[2:]
+    FAMILY = FAMILIES[fam]
     sf_dirs = args or ["/root/testdata/sf0.1"]
     reg = load_registry()
     spark = get_spark()
@@ -82,7 +101,8 @@ def main() -> int:
                 if best_total is None or total < best_total:
                     best_total, best_per = total, per
             print(json.dumps({
-                "sf_dir": os.path.basename(sf_dir), "mode": mode,
+                "sf_dir": os.path.basename(sf_dir), "family": fam,
+                "mode": mode,
                 "suite_total_best": best_total, "per_query": best_per,
                 "loadavg_1m": round(os.getloadavg()[0], 2)}))
     return 0
