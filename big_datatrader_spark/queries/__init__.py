@@ -410,6 +410,14 @@ _R13_CHANGED = (
     'doc_perplexity_bigram',
     'kneser_ney_bigram_ppl',
     'doc_perplexity_trigram_backoff',
+    # ask #4: the three checkpoint-opaque allowlist entries now expose
+    # pre-checkpoint builders as Query.plan_fn (runtime-verified BNLJ
+    # bounds like every other entry; _BNLJ_RUNTIME_OPAQUE is empty) —
+    # spark_fn moved to run_scoped, values identical, replanned code
+    # earns fresh evidence by rule
+    'join_cardinality_profile',
+    'max_concurrent_sessions',
+    'scan_pruning_preflight',
 )
 
 _R12_CHANGED = (

@@ -707,12 +707,11 @@ def _spa_bucket_bounds() -> tuple[int, int]:
         "ref main.py:329-347 re-slices its date window per query; "
         "this is that capability restated as a provable layout "
         "contract",
+    plan_fn=lambda spark, sf_dir, cache: scan_preflight_audit(
+        spark, _spa_plan_layout(spark, sf_dir)),
 )
 def scan_pruning_preflight(spark, sf_dir):
-    ev = table(spark, sf_dir, "events").select("ts", "value")
-    ev = ev.withColumn(
-        "bucket", F.expr(f"(unix_micros(ts) div {_SPA_US_PER_DAY}) "
-                         f"div {_SPA_DAYS_PER_BUCKET}"))
+    ev = _spa_bucketed_events(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="bdt_spa_")
     try:
         path = os.path.join(root, "events_by_bucket")
@@ -722,6 +721,38 @@ def scan_pruning_preflight(spark, sf_dir):
                 .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _spa_bucketed_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("ts", "value")
+    return ev.withColumn(
+        "bucket", F.expr(f"(unix_micros(ts) div {_SPA_US_PER_DAY}) "
+                         f"div {_SPA_DAYS_PER_BUCKET}"))
+
+
+# Plan-audit layouts, written once per (process, sf_dir) and removed
+# at interpreter exit: scan_pruning_preflight's spark_fn writes its
+# layout into a per-call tempdir it deletes before returning, so its
+# checkpointed result is Scan ExistingRDD — un-auditable. Exposing
+# the audit over a process-lifetime layout as Query.plan_fn (VERDICT
+# r12 ask #4) lets the runtime allowlist harvest execute the REAL
+# pre-checkpoint plan; the layout is identical to the per-call one
+# (same rule, same writer).
+_SPA_PLAN_LAYOUTS: dict[str, str] = {}
+
+
+def _spa_plan_layout(spark, sf_dir: str) -> str:
+    if sf_dir not in _SPA_PLAN_LAYOUTS:
+        import atexit
+
+        root = tempfile.mkdtemp(prefix="bdt_spa_plan_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = os.path.join(root, "events_by_bucket")
+        (_spa_bucketed_events(spark, sf_dir)
+         .repartition("bucket").write.partitionBy("bucket")
+         .parquet(path))
+        _SPA_PLAN_LAYOUTS[sf_dir] = path
+    return _SPA_PLAN_LAYOUTS[sf_dir]
 
 
 def scan_preflight_audit(spark, path: str):

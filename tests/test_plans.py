@@ -319,12 +319,13 @@ _BNLJ_RUNTIME_MAX = {
                                    # bins*(bins+1)/2 = 210 exactly
 }
 _BNLJ_RUNTIME_DEFAULT = 8          # 1-row scalars / 5-row vector sets
-# spark_fn materializes internally and returns a checkpoint (no
-# replayable lazy plan), so the harvest sees Scan ExistingRDD — their
-# BNLJ claims stay static-only and absence is expected, not staleness
-_BNLJ_RUNTIME_OPAQUE = {"join_cardinality_profile",
-                        "max_concurrent_sessions",
-                        "scan_pruning_preflight"}
+# Closed in round 13 (VERDICT r12 ask #4): the three checkpoint-opaque
+# entries (join_cardinality_profile, max_concurrent_sessions,
+# scan_pruning_preflight) now expose their pre-checkpoint builders as
+# Query.plan_fn, so the harvest executes their real plans like every
+# other entry. Kept as an (empty) set so a future opaque query must
+# appear here explicitly with its justification.
+_BNLJ_RUNTIME_OPAQUE: set[str] = set()
 _SP_RUNTIME_MAX = {
     "conformal_interval_coverage": 10_001,  # residual-domain CDF:
                                             # |cents| in 0..10000
