@@ -418,6 +418,17 @@ _R13_CHANGED = (
     'join_cardinality_profile',
     'max_concurrent_sessions',
     'scan_pruning_preflight',
+    # ask #5: the HITS oracle's accumulators typed down from HUGEINT
+    # to BIGINT (engine-checked overflow; halves DuckDB aggregate
+    # state — the sf1 spill fix); the scoped audit's composed oracle
+    # changes transitively, so both earn fresh evidence
+    'hits_hub_authority',
+    'graph_family_scoped_audit',
+    # ask #6: new surface — Common-Crawl-style URL curation and the
+    # Lee-et-al suffix-window pair dedup
+    'url_canonicalization',
+    'domain_dedup_rate_profile',
+    'suffix_window_pair_dedup',
 )
 
 _R12_CHANGED = (

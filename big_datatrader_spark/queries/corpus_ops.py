@@ -1976,3 +1976,348 @@ def _kml_body(spark, iv):
             .select(F.col("cid").alias("cluster"), "n_vectors",
                     "sum_sq_dist_u", "centroid_dim1_q")
             .orderBy("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-domain dedup-rate profiling (VERDICT r12
+# ask #6: the Common-Crawl curation op the corpus family lacked). The
+# documents table carries no URL column, so a deterministic raw URL is
+# synthesized per doc from doc_id ALONE — identically on both engines,
+# so the oracle gate checks the CANONICALIZATION, not the synthesis:
+# page identity pid = doc_id // 16 fixes host/path/query values, and
+# the per-doc variant v (0..15, modulo a per-page variant count so
+# dedup rates differ across domains) scrambles exactly the
+# presentation dimensions canonicalization must undo — scheme case,
+# www. prefix, host case, explicit default port :443, query-param
+# order, utm_* tracking params, #fragment.
+
+_URL_RAW_SQL = """
+p AS (
+  SELECT doc_id, doc_id // 16 AS pid,
+         (doc_id % 16) % (1 + ((doc_id // 16) % 16)) AS v
+  FROM documents),
+parts AS (
+  SELECT doc_id, pid, v,
+         CASE WHEN v % 2 = 1 THEN 'HTTPS' ELSE 'https' END AS scheme,
+         (CASE WHEN (v // 2) % 2 = 1 THEN 'www.' ELSE '' END
+          || 'sub' || (pid % 3) || '.site' || (pid % 50) || '.com')
+             AS host0,
+         CASE WHEN (v // 8) % 2 = 1 THEN ':443' ELSE '' END AS port,
+         '/a/' || pid AS path,
+         'p=' || (pid % 10) AS p1, 'q=' || (pid % 7) AS p2,
+         'utm_c=' || v AS utm,
+         CASE WHEN (v // 4) % 2 = 1 THEN '#s' || v ELSE '' END AS frag
+  FROM p),
+raw AS (
+  SELECT doc_id,
+         scheme || '://'
+         || (CASE WHEN (v // 4) % 2 = 1 THEN upper(host0)
+                  ELSE host0 END)
+         || port || path || '?'
+         || (CASE WHEN (v // 2) % 2 = 1
+             THEN utm || '&' || (CASE WHEN v % 2 = 1
+                                 THEN p2 || '&' || p1
+                                 ELSE p1 || '&' || p2 END)
+             ELSE (CASE WHEN v % 2 = 1 THEN p2 || '&' || p1
+                        ELSE p1 || '&' || p2 END) || '&' || utm END)
+         || frag AS url_raw
+  FROM parts)"""
+
+# canonicalization parses url_raw ONLY (never the synthesis columns):
+# lowercase scheme+host, strip www., strip the https default port,
+# drop the fragment, drop utm_* params, sort the remaining params.
+# Every derivation references its input exactly ONCE (regexp_replace
+# for the www strip, regexp_extract for the path split, nullif for
+# the empty-query case): Catalyst's CollapseProject inlines derived
+# columns into every reference, so a multiply-referencing chain
+# duplicates the whole upstream expression tree per reference —
+# the first cut of this query spent 35s in codegen on 500 rows.
+_URL_CANON_SQL = """
+c2 AS (
+  SELECT doc_id, url_raw,
+         split_part(split_part(url_raw, '://', 2), '#', 1) AS nofrag
+  FROM raw),
+c3 AS (
+  SELECT doc_id, url_raw,
+         regexp_replace(
+             split_part(lower(split_part(nofrag, '/', 1)), ':', 1),
+             '^www\\.', '') AS host_c,
+         regexp_extract(nofrag, '^[^/]*(/.*)$', 1) AS pathq
+  FROM c2),
+c4 AS (
+  SELECT doc_id, url_raw, host_c,
+         split_part(pathq, '?', 1) AS path_c,
+         array_to_string(list_sort(list_filter(
+             string_split(split_part(pathq, '?', 2), '&'),
+             x -> NOT starts_with(x, 'utm_'))), '&') AS qs_c
+  FROM c3),
+canon AS (
+  SELECT doc_id, url_raw,
+         'https://' || host_c || path_c
+         || coalesce('?' || nullif(qs_c, ''), '') AS url_canon,
+         regexp_extract(host_c, '([^.]+\\.[^.]+)$', 1)
+             AS registered_domain
+  FROM c4)"""
+
+
+def _url_canon_df(spark, sf_dir):
+    """(doc_id, url_raw, url_canon, registered_domain): the Spark
+    side of the synthesis + canonicalization above, every step a
+    JVM-side string expression (split_part/lower/substr for parsing;
+    filter+array_sort+concat_ws for the query-param normalization)."""
+    d = (table(spark, sf_dir, "documents").select("doc_id")
+         .withColumn("pid", F.expr("doc_id div 16"))
+         .withColumn("v", F.expr(
+             "(doc_id % 16) % (1 + ((doc_id div 16) % 16))"))
+         .withColumn("host0", F.expr(
+             "concat(CASE WHEN (v div 2) % 2 = 1 THEN 'www.' "
+             "ELSE '' END, 'sub', pid % 3, '.site', pid % 50, "
+             "'.com')"))
+         .withColumn("qs0", F.expr(
+             "CASE WHEN v % 2 = 1 "
+             "THEN concat('q=', pid % 7, '&p=', pid % 10) "
+             "ELSE concat('p=', pid % 10, '&q=', pid % 7) END")))
+    d = d.withColumn("url_raw", F.expr(
+        "concat(CASE WHEN v % 2 = 1 THEN 'HTTPS' ELSE 'https' END, "
+        "'://', "
+        "CASE WHEN (v div 4) % 2 = 1 THEN upper(host0) "
+        "ELSE host0 END, "
+        "CASE WHEN (v div 8) % 2 = 1 THEN ':443' ELSE '' END, "
+        "'/a/', pid, '?', "
+        "CASE WHEN (v div 2) % 2 = 1 "
+        "THEN concat('utm_c=', v, '&', qs0) "
+        "ELSE concat(qs0, '&utm_c=', v) END, "
+        "CASE WHEN (v div 4) % 2 = 1 THEN concat('#s', v) "
+        "ELSE '' END)"))
+    return canonicalize_urls(d).select(
+        "doc_id", "url_raw", "url_canon", "registered_domain")
+
+
+def canonicalize_urls(d):
+    """Add url_canon + registered_domain derived from a url_raw
+    column. Single-reference derivations, mirroring _URL_CANON_SQL:
+    every intermediate is consumed exactly once so CollapseProject
+    cannot duplicate the upstream expression tree (the first cut of
+    this chain multiply-referenced its intermediates and spent 35s in
+    codegen on 500 rows). Exposed for the idempotence property test
+    (canon of a canonical URL is itself)."""
+    return (d.withColumn("nofrag", F.expr(
+                "split_part(split_part(url_raw, '://', 2), '#', 1)"))
+            .withColumn("host_c", F.expr(
+                "regexp_replace(split_part(lower(split_part(nofrag, "
+                "'/', 1)), ':', 1), '^www\\\\.', '')"))
+            .withColumn("pathq", F.expr(
+                "regexp_extract(nofrag, '^[^/]*(/.*)$', 1)"))
+            .withColumn("qs_c", F.expr(
+                "concat_ws('&', array_sort(filter("
+                "split(split_part(pathq, '?', 2), '&'), "
+                "x -> NOT startswith(x, 'utm_'))))"))
+            .withColumn("url_canon", F.expr(
+                "concat('https://', host_c, split_part(pathq, '?', 1), "
+                "coalesce(concat('?', nullif(qs_c, '')), ''))"))
+            .withColumn("registered_domain", F.expr(
+                "regexp_extract(host_c, '([^.]+\\\\.[^.]+)$', 1)")))
+
+
+@query(
+    "url_canonicalization",
+    oracle=f"""
+    WITH {_URL_RAW_SQL},
+    {_URL_CANON_SQL}
+    SELECT doc_id, url_raw, url_canon, registered_domain
+    FROM canon ORDER BY doc_id
+    """,
+    doc="URL canonicalization at row grain (the Common-Crawl curation "
+        "primitive): parse the raw URL string and normalize scheme "
+        "case, strip www., strip the https default port :443, drop "
+        "the #fragment, drop utm_* tracking params, SORT the "
+        "remaining query params, and extract the registered domain "
+        "(last two host labels) — all JVM-side string expressions "
+        "(split_part/substring/lower; filter+array_sort+concat_ws "
+        "for the param normalization), one narrow projection, no "
+        "shuffle before the output sort. The raw URL is synthesized "
+        "deterministically from doc_id on BOTH engines (documents "
+        "has no URL column), so hash equality checks the "
+        "canonicalization itself. At 100 TB this runs as a "
+        "map-only stage ahead of the per-domain dedup profile",
+)
+def url_canonicalization(spark, sf_dir):
+    return _url_canon_df(spark, sf_dir).orderBy("doc_id")
+
+
+@query(
+    "domain_dedup_rate_profile",
+    oracle=f"""
+    WITH {_URL_RAW_SQL},
+    {_URL_CANON_SQL}
+    SELECT registered_domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url_raw) AS BIGINT) AS n_distinct_raw,
+           CAST(count(DISTINCT url_canon) AS BIGINT)
+               AS n_distinct_canon,
+           CAST((2 * CAST(count(DISTINCT url_raw)
+                          - count(DISTINCT url_canon) AS HUGEINT)
+                 * 1000000 + count(DISTINCT url_raw))
+                // (2 * CAST(count(DISTINCT url_raw) AS HUGEINT))
+                AS DOUBLE) / 1000000.0 AS dedup_rate6
+    FROM canon GROUP BY 1 ORDER BY 1
+    """,
+    doc="per-domain dedup-rate profile over canonicalized URLs: "
+        "group at registered-domain grain and report how many "
+        "distinct raw URLs collapse after canonicalization — "
+        "dedup_rate6 = (n_distinct_raw - n_distinct_canon) / "
+        "n_distinct_raw as the exact round-half-up 6dp integer "
+        "ratio (the _int_ratio_round6 convention). The curation "
+        "dashboard number that decides which domains get crawled "
+        "less: one groupBy at domain grain (map-side combinable "
+        "distincts via partial aggregation), output rows = #domains "
+        "— a broadcast-sized profile at any corpus size",
+)
+def domain_dedup_rate_profile(spark, sf_dir):
+    c = _url_canon_df(spark, sf_dir)
+    agg = (c.groupBy("registered_domain")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                F.countDistinct("url_raw").cast("long")
+                .alias("n_distinct_raw"),
+                F.countDistinct("url_canon").cast("long")
+                .alias("n_distinct_canon")))
+    return (agg.select(
+        "registered_domain", "n_urls", "n_distinct_raw",
+        "n_distinct_canon",
+        _int_ratio_round6(
+            F.col("n_distinct_raw") - F.col("n_distinct_canon"),
+            F.col("n_distinct_raw")).alias("dedup_rate6"))
+        .orderBy("registered_domain"))
+
+
+# ---------------------------------------------------------------------------
+# Suffix-window exact substring dedup at DOCUMENT-PAIR grain (VERDICT
+# r12 ask #6, extending chunk_dedup_substrings): chunk dedup sees
+# non-overlapping chunks and per-doc keep rates; this op slides a
+# window over EVERY token position (the suffix-array view of Lee et
+# al. 2022), joins matching windows across documents, and recovers
+# for each document pair (a) how many window positions they share and
+# (b) their LONGEST shared exact substring — a run of L consecutive
+# matching windows at a constant position offset is a shared
+# substring of L + W - 1 tokens (the island trick: group matches by
+# (pair, delta), island id = pos - row_number ordered by pos).
+
+_SWP_W = 8     # window length (tokens)
+_SWP_CAP = 16  # document-frequency cap: windows in > CAP docs are
+               # boilerplate — excluded from pairing, the df-capped
+               # twin discipline of dedup_ngram_jaccard
+_SWP_K = 3     # report pairs sharing >= K window positions
+
+
+@query(
+    "suffix_window_pair_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest(generate_series(1, len(t) - {_SWP_W - 1}))
+                      AS pos, t
+           FROM toks WHERE len(t) >= {_SWP_W}),
+    g AS (SELECT doc_id, pos,
+                 array_to_string(t[pos : pos + {_SWP_W - 1}], ' ')
+                     AS gram
+          FROM g0),
+    df AS (SELECT gram, count(DISTINCT doc_id) AS df
+           FROM g GROUP BY 1),
+    gk AS (SELECT g.* FROM g JOIN df USING (gram)
+           WHERE df.df BETWEEN 2 AND {_SWP_CAP}),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos - a.pos AS delta
+      FROM gk a JOIN gk b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, delta, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+                                     ORDER BY pa) AS island
+      FROM m),
+    runs AS (
+      SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, delta, island),
+    best AS (SELECT doc_a, doc_b, max(run_len) AS max_run
+             FROM runs GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(count(DISTINCT pa) AS BIGINT) AS n_shared_windows
+      FROM m GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_shared_windows,
+           CAST(b.max_run + {_SWP_W - 1} AS BIGINT)
+               AS max_shared_tokens
+    FROM pairs p JOIN best b USING (doc_a, doc_b)
+    WHERE p.n_shared_windows >= {_SWP_K}
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    doc=f"suffix-window exact substring dedup at document-pair "
+        f"grain: {_SWP_W}-token windows at EVERY position (codegen "
+        "posexplode+lead, the _gram_rows pipeline plus positions), "
+        f"document-frequency-capped (2..{_SWP_CAP} docs — boilerplate "
+        "windows are excluded from pairing, and candidate rows are "
+        "bounded by CAP * sum(df), the dedup_ngram_jaccard df-cap "
+        "discipline) and self-joined on the window text; per pair, "
+        "n_shared_windows counts matching positions and the island "
+        "trick (group matches by (pair, delta = pos_b - pos_a), "
+        "island = pos - row_number) recovers the LONGEST shared "
+        f"exact substring as max_run + {_SWP_W - 1} tokens — the "
+        "number the Lee-et-al suffix-array pass reports, computed "
+        "relationally. The window-build exchange (doc_id) and the "
+        "pair aggregates (doc_a, doc_b[, delta]) are the only "
+        "shuffles; nothing is all-pairs. Pairs sharing >= "
+        f"{_SWP_K} windows are reported",
+    plan_fn=lambda spark, sf_dir, cache: _swp_plan(spark, sf_dir,
+                                                   cache),
+)
+def suffix_window_pair_dedup(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _swp_plan)
+
+
+def _swp_plan(spark, sf_dir, cache=lazy_cache):
+    docs = table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    base = docs.select("doc_id",
+                       F.posexplode(toks).alias("pos0", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    w_all = Window.partitionBy("doc_id")
+    gram = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", j).over(w) for j in range(1, _SWP_W)])
+    g = (base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
+         .withColumn("gram", gram)
+         .filter(F.col("pos0") + _SWP_W <= F.col("n_tok"))
+         .select("doc_id", (F.col("pos0") + 1).cast("long")
+                 .alias("pos"), "gram"))
+    dfr = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("df"))
+    # gk feeds both sides of the pair join: one build, one cache
+    gk = cache(g.join(dfr.filter((F.col("df") >= 2)
+                                 & (F.col("df") <= _SWP_CAP)),
+                      "gram")
+               .select("doc_id", "pos", "gram"))
+    a = gk.select(F.col("doc_id").alias("doc_a"),
+                  F.col("pos").alias("pa"), "gram")
+    b = gk.select(F.col("doc_id").alias("doc_b"),
+                  F.col("pos").alias("pb"), "gram")
+    # m feeds the island decomposition AND the per-pair counts
+    m = cache(a.join(b, "gram")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b", "pa",
+                      (F.col("pb") - F.col("pa")).alias("delta")))
+    iw = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+    isl = m.withColumn("island",
+                       F.col("pa") - F.row_number().over(iw))
+    runs = (isl.groupBy("doc_a", "doc_b", "delta", "island")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    best = (runs.groupBy("doc_a", "doc_b")
+            .agg(F.max("run_len").alias("max_run")))
+    pairs = (m.groupBy("doc_a", "doc_b")
+             .agg(F.countDistinct("pa").cast("long")
+                  .alias("n_shared_windows")))
+    return (pairs.join(best, ["doc_a", "doc_b"])
+            .filter(F.col("n_shared_windows") >= _SWP_K)
+            .select("doc_a", "doc_b", "n_shared_windows",
+                    (F.col("max_run") + _SWP_W - 1).cast("long")
+                    .alias("max_shared_tokens"))
+            .orderBy("doc_a", "doc_b"))

@@ -118,3 +118,70 @@ def test_scoped_text_audit_matches_standalone_summaries(spark, sf0001):
         standalone.append((name, row.n_rows, row.key_sum, row.val_sum))
     assert audit == sorted(standalone)
     spark.catalog.clearCache()
+
+
+def test_url_canonicalization_is_idempotent(spark, sf0001):
+    """canon(canon(url)) == canon(url): feeding every canonical URL
+    back through the parser as url_raw must be a fixpoint — the
+    property that makes incremental re-crawls safe (already-canonical
+    URLs never churn)."""
+    from big_datatrader_spark.queries.corpus_ops import (
+        _url_canon_df, canonicalize_urls)
+
+    c = _url_canon_df(spark, sf0001).select(
+        "doc_id", F.col("url_canon").alias("url_raw"),
+        F.col("url_canon").alias("expected"),
+        F.col("registered_domain").alias("dom_expected"))
+    again = canonicalize_urls(c)
+    bad = again.filter(
+        (F.col("url_canon") != F.col("expected"))
+        | (F.col("registered_domain") != F.col("dom_expected")))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_suffix_window_pairs_are_sound(spark, sf0001):
+    """Every reported pair's max_shared_tokens must not exceed the
+    true longest common token substring (brute force over the two
+    docs), and must be >= the window length by construction. The
+    df-cap can only SHORTEN a reported run (windows shared by > CAP
+    docs are excluded), never lengthen it."""
+    from big_datatrader_spark.queries.corpus_ops import (_SWP_K,
+                                                         _SWP_W)
+    from big_datatrader_spark.sources.parquet_source import table
+
+    REG13 = REG  # registry loaded at module import
+    rows = (REG13["suffix_window_pair_dedup"]
+            .spark_fn(spark, sf0001).collect())
+    assert rows, "expected shared-substring pairs in the corpus"
+    wanted = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+    toks = {r.doc_id: r.text.strip().lower().split()
+            for r in table(spark, sf0001, "documents")
+            .filter(F.col("doc_id").isin(list(wanted)))
+            .select("doc_id", "text").collect()}
+
+    def lcs_tokens(a, b):
+        # O(len(a)*len(b)) DP on token sequences — fine at sf0.001
+        best, prev = 0, [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    exact_hits = 0
+    for r in rows:
+        true_lcs = lcs_tokens(toks[r.doc_a], toks[r.doc_b])
+        assert r.max_shared_tokens >= _SWP_W
+        assert r.n_shared_windows >= _SWP_K
+        assert r.max_shared_tokens <= true_lcs, (
+            f"pair ({r.doc_a},{r.doc_b}) claims "
+            f"{r.max_shared_tokens} shared tokens but true LCS is "
+            f"{true_lcs}")
+        if r.max_shared_tokens == true_lcs:
+            exact_hits += 1
+    # the cap rarely bites at this scale: most pairs' reported run
+    # IS the true longest common substring
+    assert exact_hits >= len(rows) // 2, (exact_hits, len(rows))
