@@ -2175,10 +2175,20 @@ def url_canonicalization(spark, sf_dir):
 )
 def domain_dedup_rate_profile(spark, sf_dir):
     c = _url_canon_df(spark, sf_dir)
-    agg = (c.groupBy("registered_domain")
-           .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
-                F.countDistinct("url_raw").cast("long")
-                .alias("n_distinct_raw"),
+    # two-level aggregation instead of two countDistincts over raw
+    # rows: a double-distinct plans as an Expand (x3 the input) whose
+    # distinct keys all funnel through the grouping key — a hot
+    # domain would own the whole expanded partition at 100 TB. Level
+    # 1 reduces to (domain, url_raw) grain (url_canon is functionally
+    # dependent on url_raw, so max() is exact), map-side combinable
+    # and spread across raw URLs; level 2 aggregates the reduced
+    # relation, where the single remaining distinct is domain-sized.
+    per_raw = (c.groupBy("registered_domain", "url_raw")
+               .agg(F.count(F.lit(1)).alias("n_dup"),
+                    F.max("url_canon").alias("url_canon")))
+    agg = (per_raw.groupBy("registered_domain")
+           .agg(F.sum("n_dup").cast("long").alias("n_urls"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_raw"),
                 F.countDistinct("url_canon").cast("long")
                 .alias("n_distinct_canon")))
     return (agg.select(
