@@ -429,6 +429,12 @@ _R13_CHANGED = (
     'url_canonicalization',
     'domain_dedup_rate_profile',
     'suffix_window_pair_dedup',
+    # ADVICE r12 #3's class swept repo-wide: the canon concat under
+    # this fingerprint was the one other silent-divergence site
+    # (concat_ws skips NULLs, the oracle's '||' propagates) — fixed
+    # like _zir_canon_spark; values unchanged on non-null data but
+    # changed code earns fresh evidence by rule
+    'dataset_content_fingerprint',
 )
 
 _R12_CHANGED = (

@@ -550,13 +550,16 @@ def compacted_scan_equivalence(spark, sf_dir):
 )
 def dataset_content_fingerprint(spark, sf_dir):
     od = table(spark, sf_dir, "orders")
-    canon = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("long").cast("string"),
-        F.col("o_custkey").cast("long").cast("string"),
+    # F.concat, NOT concat_ws: the oracle's '||' yields NULL on a NULL
+    # canon field (row excluded from the hash sum on both engines);
+    # concat_ws silently skips NULL fields and would fingerprint a
+    # different string (the ADVICE r12 #3 class, fixed here too)
+    canon = F.concat(
+        F.col("o_orderkey").cast("long").cast("string"), F.lit("|"),
+        F.col("o_custkey").cast("long").cast("string"), F.lit("|"),
         F.round(F.col("o_totalprice") * 100).cast("bigint")
-        .cast("string"),
-        F.unix_micros("o_orderdate").cast("string"),
+        .cast("string"), F.lit("|"),
+        F.unix_micros("o_orderdate").cast("string"), F.lit("|"),
         F.col("o_orderpriority"))
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return (od.select(h.alias("h"))
