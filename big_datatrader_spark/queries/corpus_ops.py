@@ -2040,8 +2040,9 @@ c2 AS (
 c3 AS (
   SELECT doc_id, url_raw,
          regexp_replace(
-             split_part(lower(split_part(nofrag, '/', 1)), ':', 1),
-             '^www\\.', '') AS host_c,
+             regexp_replace(lower(split_part(nofrag, '/', 1)),
+                            ':443$', ''),
+             '^www\\.(.+\\..+)$', '\\1') AS host_c,
          regexp_extract(nofrag, '^[^/]*(/.*)$', 1) AS pathq
   FROM c2),
 c4 AS (
@@ -2055,7 +2056,8 @@ canon AS (
   SELECT doc_id, url_raw,
          'https://' || host_c || path_c
          || coalesce('?' || nullif(qs_c, ''), '') AS url_canon,
-         regexp_extract(host_c, '([^.]+\\.[^.]+)$', 1)
+         regexp_extract(host_c,
+                        '([^.:]+\\.[^.:]+)(:[0-9]+)?$', 1)
              AS registered_domain
   FROM c4)"""
 
@@ -2101,11 +2103,18 @@ def canonicalize_urls(d):
     this chain multiply-referenced its intermediates and spent 35s in
     codegen on 500 rows). Exposed for the idempotence property test
     (canon of a canonical URL is itself)."""
+    # port handling is honest to the doc: ONLY the https default
+    # :443 is stripped (an explicit :8080 survives into the canon);
+    # the www. prefix is stripped only when at least two host labels
+    # remain (a bare www.com is a registered domain, not a prefix) —
+    # no lookaheads, so the same pattern runs under Java regex and
+    # DuckDB's RE2 (backreference spelled $1 vs \\1)
     return (d.withColumn("nofrag", F.expr(
                 "split_part(split_part(url_raw, '://', 2), '#', 1)"))
             .withColumn("host_c", F.expr(
-                "regexp_replace(split_part(lower(split_part(nofrag, "
-                "'/', 1)), ':', 1), '^www\\\\.', '')"))
+                "regexp_replace(regexp_replace(lower(split_part("
+                "nofrag, '/', 1)), ':443$', ''), "
+                "'^www\\\\.(.+\\\\..+)$', '$1')"))
             .withColumn("pathq", F.expr(
                 "regexp_extract(nofrag, '^[^/]*(/.*)$', 1)"))
             .withColumn("qs_c", F.expr(
@@ -2116,7 +2125,8 @@ def canonicalize_urls(d):
                 "concat('https://', host_c, split_part(pathq, '?', 1), "
                 "coalesce(concat('?', nullif(qs_c, '')), ''))"))
             .withColumn("registered_domain", F.expr(
-                "regexp_extract(host_c, '([^.]+\\\\.[^.]+)$', 1)")))
+                "regexp_extract(host_c, "
+                "'([^.:]+\\\\.[^.:]+)(:[0-9]+)?$', 1)")))
 
 
 @query(

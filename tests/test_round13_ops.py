@@ -185,3 +185,47 @@ def test_suffix_window_pairs_are_sound(spark, sf0001):
     # the cap rarely bites at this scale: most pairs' reported run
     # IS the true longest common substring
     assert exact_hits >= len(rows) // 2, (exact_hits, len(rows))
+
+
+def test_url_canonicalizer_cross_engine_on_tricky_urls(spark):
+    """Differential test beyond the synthesized corpus: handcrafted
+    well-formed https URLs (empty query, utm-only query, non-default
+    port kept, :443 stripped, www-only host kept, repeated params,
+    case-sensitive utm prefix, second '?' swallowed) must
+    canonicalize IDENTICALLY in Spark and DuckDB — the two dialect
+    spellings of the same operator cannot be allowed to drift on
+    inputs the corpus never produces."""
+    import duckdb
+
+    from big_datatrader_spark.queries.corpus_ops import (
+        _URL_CANON_SQL, canonicalize_urls)
+
+    urls = [
+        "https://www.Example.COM:443/a/1?b=2&a=1&utm_x=9#frag",
+        "https://a.b.c/p",
+        "https://x.y/p?",
+        "https://x.y/p?utm_a=1",
+        "https://x.y:8080/p?a=1",
+        "https://www.com/p",
+        "https://www.x.y:443/p#f",
+        "https://x.y/p?b=1&a=2&a=1",
+        "https://x.y/p?UTM_a=1&b=2",
+        "https://x.y/p?a=1?b=2",
+    ]
+    rows = [(i, u) for i, u in enumerate(urls)]
+    got = {r.doc_id: (r.url_canon, r.registered_domain)
+           for r in canonicalize_urls(
+               spark.createDataFrame(rows, "doc_id long, url_raw "
+                                     "string")).collect()}
+    values = ", ".join(f"({i}, '{u}')" for i, u in rows)
+    q = (f"WITH raw(doc_id, url_raw) AS (VALUES {values}),"
+         f"{_URL_CANON_SQL.lstrip()} "
+         "SELECT doc_id, url_canon, registered_domain FROM canon")
+    want = {d: (c, dom) for d, c, dom in
+            duckdb.connect().execute(q).fetchall()}
+    assert got == want
+    # spot-pin the semantics themselves, not just engine agreement
+    assert got[0] == ("https://example.com/a/1?a=1&b=2", "example.com")
+    assert got[4] == ("https://x.y:8080/p?a=1", "x.y")
+    assert got[5] == ("https://www.com/p", "www.com")
+    assert got[6] == ("https://x.y/p", "x.y")
