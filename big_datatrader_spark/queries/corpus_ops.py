@@ -2295,7 +2295,15 @@ def suffix_window_pair_dedup(spark, sf_dir):
 
 
 def _swp_plan(spark, sf_dir, cache=lazy_cache):
-    docs = table(spark, sf_dir, "documents")
+    return _swp_core(table(spark, sf_dir, "documents"), cache)
+
+
+def _swp_core(docs, cache=lazy_cache, *, win=_SWP_W, cap=_SWP_CAP,
+              k=_SWP_K):
+    """The pair-dedup core over any (doc_id, text) relation, with the
+    window/cap/threshold parameterized so the golden-reference test
+    can drive it densely on tiny random corpora (the registered query
+    binds the module constants)."""
     toks = TX.tokens(F.col("text"))
     base = docs.select("doc_id",
                        F.posexplode(toks).alias("pos0", "tok"))
@@ -2303,17 +2311,17 @@ def _swp_plan(spark, sf_dir, cache=lazy_cache):
     w_all = Window.partitionBy("doc_id")
     gram = F.concat_ws(
         " ", F.col("tok"),
-        *[F.lead("tok", j).over(w) for j in range(1, _SWP_W)])
+        *[F.lead("tok", j).over(w) for j in range(1, win)])
     g = (base.withColumn("n_tok", F.count(F.lit(1)).over(w_all))
          .withColumn("gram", gram)
-         .filter(F.col("pos0") + _SWP_W <= F.col("n_tok"))
+         .filter(F.col("pos0") + win <= F.col("n_tok"))
          .select("doc_id", (F.col("pos0") + 1).cast("long")
                  .alias("pos"), "gram"))
     dfr = g.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("df"))
     # gk feeds both sides of the pair join: one build, one cache
     gk = cache(g.join(dfr.filter((F.col("df") >= 2)
-                                 & (F.col("df") <= _SWP_CAP)),
+                                 & (F.col("df") <= cap)),
                       "gram")
                .select("doc_id", "pos", "gram"))
     a = gk.select(F.col("doc_id").alias("doc_a"),
@@ -2336,8 +2344,8 @@ def _swp_plan(spark, sf_dir, cache=lazy_cache):
              .agg(F.countDistinct("pa").cast("long")
                   .alias("n_shared_windows")))
     return (pairs.join(best, ["doc_a", "doc_b"])
-            .filter(F.col("n_shared_windows") >= _SWP_K)
+            .filter(F.col("n_shared_windows") >= k)
             .select("doc_a", "doc_b", "n_shared_windows",
-                    (F.col("max_run") + _SWP_W - 1).cast("long")
+                    (F.col("max_run") + win - 1).cast("long")
                     .alias("max_shared_tokens"))
             .orderBy("doc_a", "doc_b"))

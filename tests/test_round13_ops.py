@@ -229,3 +229,71 @@ def test_url_canonicalizer_cross_engine_on_tricky_urls(spark):
     assert got[4] == ("https://x.y:8080/p?a=1", "x.y")
     assert got[5] == ("https://www.com/p", "www.com")
     assert got[6] == ("https://x.y/p", "x.y")
+
+
+def _swp_reference(texts, win, cap, k):
+    """Independent pure-Python restatement of the suffix-window
+    pair-dedup spec: windows at every position, df-cap on distinct
+    docs per window, per-pair distinct matched a-positions, and the
+    longest constant-delta run of consecutive positions."""
+    from collections import defaultdict
+
+    grams = defaultdict(list)
+    for d, t in texts.items():
+        for i in range(len(t) - win + 1):
+            grams[" ".join(t[i:i + win])].append((d, i + 1))
+    matches = defaultdict(set)
+    for occ in grams.values():
+        docs = {d for d, _ in occ}
+        if not (2 <= len(docs) <= cap):
+            continue
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches[(da, db)].add((pa, pb - pa))
+    out = {}
+    for pair, s in matches.items():
+        n_shared = len({pa for pa, _ in s})
+        if n_shared < k:
+            continue
+        by_delta = defaultdict(list)
+        for pa, delta in s:
+            by_delta[delta].append(pa)
+        best = 0
+        for pas in by_delta.values():
+            pas.sort()
+            run = longest = 1
+            for x, y in zip(pas, pas[1:]):
+                run = run + 1 if y == x + 1 else 1
+                longest = max(longest, run)
+            best = max(best, longest)
+        out[pair] = (n_shared, best + win - 1)
+    return out
+
+
+def test_suffix_window_core_matches_pure_python_reference(spark):
+    """Golden-reference differential test on dense random corpora
+    (2-symbol alphabet, window 3, cap 4, threshold 2 — parameters
+    chosen so matches, cap exclusions, and multi-delta runs all occur
+    naturally): the Spark island pipeline must equal an independent
+    pure-Python restatement of the spec, pair for pair."""
+    import random
+
+    from big_datatrader_spark.queries.corpus_ops import _swp_core
+
+    rng = random.Random(1307)
+    for trial in range(4):
+        texts = {d: [rng.choice("ab") for _ in range(rng.randint(0, 22))]
+                 for d in range(rng.randint(3, 7))}
+        # plant one long shared run so max_shared_tokens > window
+        if len(texts) >= 2:
+            planted = [rng.choice("ab") for _ in range(6)]
+            texts[0] = planted + texts[0]
+            texts[1] = texts[1] + planted
+        rows = [(d, " ".join(t)) for d, t in texts.items()]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b): (r.n_shared_windows,
+                                    r.max_shared_tokens)
+               for r in _swp_core(docs, win=3, cap=4, k=2).collect()}
+        want = _swp_reference(texts, win=3, cap=4, k=2)
+        assert got == want, (trial, got, want)
