@@ -19,9 +19,22 @@ import sys
 
 def load(path: str) -> dict:
     rec = json.load(open(path))
-    if "queries" not in rec and "tail" in rec:
-        rec = json.loads(rec["tail"].strip().splitlines()[-1])
-    return rec
+    if "queries" in rec:
+        return rec
+    # driver wrapper: prefer the pre-parsed record; the tail can be
+    # TRUNCATED mid-line (observed BENCH_r12.json), so scanning for
+    # the last parseable JSON line is the fallback, not the default
+    if isinstance(rec.get("parsed"), dict) and "queries" in rec["parsed"]:
+        return rec["parsed"]
+    for line in reversed(rec.get("tail", "").strip().splitlines()):
+        try:
+            cand = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(cand, dict) and "queries" in cand:
+            return cand
+    raise SystemExit(f"{path}: no bench record found (truncated tail, "
+                     f"no parsed field)")
 
 
 def main() -> int:
