@@ -363,7 +363,7 @@ def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
 # do not hand-derive them).
 
 _WINDOW = 50
-_CURRENT_ROUND = 13
+_CURRENT_ROUND = 14
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
@@ -389,6 +389,27 @@ _CURRENT_ROUND = 13
 # into the same window by the companion tier (no _CHANGED slot).
 # Names below are queries written or replanned this round;
 # _window_order hard-fails on ghosts.
+# Round 14 (OPTIMIZATION round 1): queries whose physical plan changed
+# this round (same declared results — every replan is oracle-proven
+# before it lands). A replanned spark_fn earns fresh driver evidence
+# by rule; names are added as plans change, _window_order hard-fails
+# on ghosts.
+_R14_CHANGED = (
+    # replanned for performance (guide §2.3/§3.2): anti-join / test-set
+    # relations pre-filtered to the broadcast query-node set — the
+    # full-train sort-merge shuffle is gone; values oracle-identical
+    'link_prediction_holdout_eval',
+    'link_prediction_common_neighbors',
+    # replanned (guide §2.4): query-private ewd=edges⋈outdeg cache
+    # dropped for the family edge lease + node-sized outdeg; values
+    # oracle-identical
+    'personalized_pagerank',
+    # replanned (guide §2.4): pre-sort result persisted so the output
+    # sort's range-bounds sampling job no longer re-runs the
+    # levenshtein verify chain a second time; values oracle-identical
+    'edit1_deletion_neighborhood_pairs',
+)
+
 _R13_CHANGED = (
     'text_family_scoped_audit',  # NEW (ask #3): driver evidence ON
                                  # the doc_tokens lease — opens a
@@ -787,7 +808,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R13_CHANGED
+_CHANGED = _R14_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -1148,6 +1169,38 @@ _R12_ROWS_ONLY = frozenset({
     'hll_partial_merge',
 })
 
+# CORRECTNESS_r13.json via tools/record_round.py (49 hash-exact,
+# 1 rows-only, 0 RED) — pasted verbatim.
+_R13_GREEN = frozenset({
+    'bpe_pair_counts_round1', 'cuped_adjusted_lift',
+    'dataset_content_fingerprint', 'doc_perplexity_bigram',
+    'doc_perplexity_trigram_backoff', 'domain_cap_sample',
+    'domain_dedup_rate_profile', 'dsir_importance_weights',
+    'embedding_pq_trained_codes', 'equidepth_histogram',
+    'event_markov_transitions', 'feature_hashing_vectors',
+    'gini_spend_concentration', 'graph_family_scoped_audit',
+    'haar_wavelet_coeffs', 'hard_negative_mining',
+    'hits_hub_authority', 'holt_linear_smoothing',
+    'holt_winters_seasonal', 'hybrid_rrf_retrieval', 'image_patchify',
+    'incremental_agg_maintenance', 'interarrival_burstiness',
+    'isotonic_calibration', 'item_item_similarity',
+    'jl_random_projection', 'join_cardinality_profile',
+    'js_divergence_lang_tokens', 'k_core_membership',
+    'kaplan_meier_survival', 'kmv_distinct_sketch',
+    'kneser_ney_bigram_ppl', 'kruskal_wallis_h', 'lag_feature_matrix',
+    'lsh_vs_exact_eval', 'macd_histogram', 'mann_whitney_u',
+    'max_concurrent_sessions', 'multimodal_feature_extract',
+    'scan_pruning_preflight', 'stem_token_frequencies',
+    'suffix_window_pair_dedup', 'text_family_scoped_audit',
+    'text_token_stats', 'tf_idf_top_terms', 'token_frequencies',
+    'url_canonicalization', 'variant_props_stats',
+    'window_funnel_depth',
+})
+
+_R13_ROWS_ONLY = frozenset({
+    'bpe_learn_merges',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
@@ -1157,7 +1210,8 @@ _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R9_GREEN | _R9_ROWS_ONLY,
                  _R10_GREEN | _R10_ROWS_ONLY,
                  _R11_GREEN | _R11_ROWS_ONLY,
-                 _R12_GREEN | _R12_ROWS_ONLY)
+                 _R12_GREEN | _R12_ROWS_ONLY,
+                 _R13_GREEN | _R13_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
@@ -1166,7 +1220,7 @@ _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
                      6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
                      8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY,
                      10: _R10_ROWS_ONLY, 11: _R11_ROWS_ONLY,
-                     12: _R12_ROWS_ONLY}
+                     12: _R12_ROWS_ONLY, 13: _R13_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 

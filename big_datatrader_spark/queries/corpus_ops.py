@@ -1287,8 +1287,13 @@ def _edit1_verified_name_pairs(names):
         "records shuffled once; per-key collision groups are bounded "
         "by how many records actually share a deletion — the "
         "blocking guarantee, same discipline as the MinHash bands",
+    plan_fn=lambda spark, sf_dir, cache: _e1_plan(spark, sf_dir, cache),
 )
 def edit1_deletion_neighborhood_pairs(spark, sf_dir):
+    return run_scoped(spark, sf_dir, _e1_plan)
+
+
+def _e1_plan(spark, sf_dir, cache=lazy_cache):
     # Replan (round 9, measured): the original id-grain candidate
     # join ran 5.7s at sf0.1 but 497s at sf1 — 87x for 10x data —
     # because corpus duplication deepens every deletion-key bucket
@@ -1318,7 +1323,16 @@ def edit1_deletion_neighborhood_pairs(spark, sf_dir):
             .select(F.col("ia").alias("id_a"),
                     F.col("ib").alias("id_b"),
                     F.lit(0).cast("long").alias("dist")))
-    return diff.unionByName(same).orderBy("id_a", "id_b")
+    # r14 replan (guide §2.4): the output sort's rangepartitioning
+    # runs a SEPARATE range-bounds sampling job over its child before
+    # the shuffle writes — with an uncached child that re-ran the
+    # whole post-exchange narrow chain (the 262k-candidate
+    # levenshtein verify + both expansion joins at sf0.1) a second
+    # time. Measured: union alone 5.0s, union+sort 10.0s at sf0.1.
+    # Persisting the pre-sort relation makes the sampling pass
+    # materialize it once and the sort shuffle read it back; rows
+    # identical, one exchange count unchanged.
+    return cache(diff.unionByName(same)).orderBy("id_a", "id_b")
 
 
 # Blow-up audit (VERDICT r9 ask #7): the expansion join above is
@@ -2102,7 +2116,17 @@ def canonicalize_urls(d):
     cannot duplicate the upstream expression tree (the first cut of
     this chain multiply-referenced its intermediates and spent 35s in
     codegen on 500 rows). Exposed for the idempotence property test
-    (canon of a canonical URL is itself)."""
+    (canon of a canonical URL is itself).
+
+    PRECONDITION (ADVICE r13 #1): the authority must be followed by a
+    '/' — i.e. the URL has a path. On a host-only URL such as
+    ``https://x.y?a=1`` the parser keeps the query string embedded in
+    host_c (lowercased wholesale, utm_* kept, params unsorted) and
+    registered_domain captures the tail including the query. Both
+    engines agree on that degenerate output (pinned by the host-only
+    row in tests/test_round13_ops.py's cross-engine differential
+    test), but callers feeding arbitrary external URLs should ensure
+    a path (append '/' before '?' when absent) first."""
     # port handling is honest to the doc: ONLY the https default
     # :443 is stripped (an explicit :8080 survives into the canon);
     # the www. prefix is stripped only when at least two host labels

@@ -1157,15 +1157,26 @@ def personalized_pagerank(spark, sf_dir):
 def _ppr_plan(spark, sf_dir, cache=lazy_cache):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                  "l_partkey")
+    # r14 replan (guide §2.4 "remove shuffles outright"): the previous
+    # plan materialized a query-PRIVATE ewd = edges ⋈ outdeg cache
+    # (2.4M x 3-col rows at sf0.1) on top of the edge build. The
+    # degree lookup is node-sized, so cache the plain edge list (the
+    # graph family's shared lease key — under a SharedScope this query
+    # now materializes NOTHING edge-scale itself) plus a node-sized
+    # outdeg, and attach deg to the frontier BEFORE the edge join:
+    # pr ⋈ outdeg is frontier x node-sized (AQE broadcasts the small
+    # side at runtime — scale-adaptive, no forced node-sized hint),
+    # and the edge join streams the cached edge list against the tiny
+    # (node, c) frontier exactly as it streamed ewd before. Same
+    # rows, same arithmetic; the ewd join+persist materialization is
+    # gone.
     edges = shared_or(cache, _edges_key(sf_dir),
-                      GR.copurchase_pairs(li, "src", "dst"),
-                      passthrough=True)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ewd = cache(edges.join(outdeg, "src"), eager=True)  # src,dst,deg
-    # seed set from the CACHED relation (ewd's src domain == edges'
-    # src domain): deriving it from raw edges would re-run the
-    # one-scan build once more for the seed broadcast job
-    seeds = cache(ewd.select(F.col("src").alias("node")).distinct()
+                      GR.copurchase_pairs(li, "src", "dst"))
+    outdeg = cache(edges.groupBy("src")
+                   .agg(F.count(F.lit(1)).alias("deg")))
+    # seed set from the CACHED relation: deriving it from raw edges
+    # would re-run the one-scan build once more for the seed broadcast
+    seeds = cache(edges.select(F.col("src").alias("node")).distinct()
                   .orderBy("node").limit(_PPR_SEEDS)
                   .select("node"))
     restart = F.lit(round(0.15 * 1e9 / _PPR_SEEDS)).cast("bigint")
@@ -1173,9 +1184,12 @@ def _ppr_plan(spark, sf_dir, cache=lazy_cache):
         "node",
         F.lit(round(1e9 / _PPR_SEEDS)).cast("bigint").alias("pr_mu"))
     for _ in range(_PPR_ITERS):
+        frontier = (pr.join(outdeg, pr["node"] == outdeg["src"])
+                    .select("node",
+                            F.expr("pr_mu DIV deg").alias("c")))
         contrib = (
-            pr.join(ewd, pr["node"] == ewd["src"])
-            .select("dst", F.expr("pr_mu DIV deg").alias("c"))
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("dst", "c")
             .groupBy("dst").agg(F.sum("c").alias("s")))
         is_seed = F.col("seed_node").isNotNull()
         pr = (
@@ -4483,6 +4497,9 @@ def _lnk_plan(spark, sf_dir, cache=lazy_cache):
     edges = shared_or(cache, _edges_key(sf_dir),
                       GR.copurchase_pairs(li, "src", "dst"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # q stays UNcached here (unlike _lph_plan's five-consumer q): its
+    # two consumers share the deg subtree inline, so caching would
+    # only break exchange dedup in the audited plan for no runtime win
     q = (deg.orderBy(F.desc("deg"), "src").limit(_LNK_QUERIES)
          .select(F.col("src").alias("u")))
     e1 = (edges.join(deg, "src")
@@ -4496,8 +4513,14 @@ def _lnk_plan(spark, sf_dir, cache=lazy_cache):
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
                  F.sum(F.expr(f"{_LNK_RA_SCALE} DIV deg"))
                  .cast("long").alias("ra_score")))
+    # r14 replan (guide §2.3/§3.2, the _lph_plan pre-filter): cand.u
+    # is always a query node, so the anti join needs only edges whose
+    # src ∈ q — broadcast-filter the edge list down to the query
+    # nodes' out-neighborhoods instead of shuffling it whole.
     pred = cand.join(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        edges.join(F.broadcast(q.select(F.col("u").alias("src"))),
+                   "src")
+        .select(F.col("src").alias("u"), F.col("dst").alias("v")),
         ["u", "v"], "left_anti")
     return (pred.orderBy(F.desc("ra_score"), "u", "v")
             .limit(_LNK_TOPK)
@@ -4621,8 +4644,11 @@ def _lph_plan(spark, sf_dir, cache=lazy_cache):
     testn = (dedges.filter(F.col("d") >= _LPH_CUTOFF_DAY)
              .select("src", "dst"))
     deg = train.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    q = (deg.orderBy(F.desc("deg"), "src").limit(_LPH_QUERIES)
-         .select(F.col("src").alias("u")))
+    # q feeds five consumers below (e1's gate, the three query-keyed
+    # pre-filters, the final left joins) — lazy-persist so each one
+    # scans 50 cached rows instead of re-running the deg TakeOrdered
+    q = cache(deg.orderBy(F.desc("deg"), "src").limit(_LPH_QUERIES)
+              .select(F.col("src").alias("u")))
     e1 = (train.join(deg, "src")
           .select(F.col("src").alias("w"), F.col("dst").alias("u"),
                   "deg")
@@ -4634,20 +4660,36 @@ def _lph_plan(spark, sf_dir, cache=lazy_cache):
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
                  F.sum(F.expr(f"{_LNK_RA_SCALE} DIV deg"))
                  .cast("long").alias("ra_score")))
+    # r14 replan (guide §2.3 "shuffle fewer bytes" / §3.2 semi-join
+    # pre-filter): cand.u is ALWAYS a query node (e1 inner-joins the
+    # broadcast q on u), so the anti join, the hit probe and the
+    # new-partner counts can only ever match train/test rows whose
+    # src is one of the 50 query nodes. Filter those relations to the
+    # broadcast query set BEFORE any exchange: the anti join's build
+    # side drops from edge-scale (2M rows at sf0.1 — past the
+    # broadcast threshold, so it sort-merge-shuffled BOTH sides) to
+    # the query nodes' out-neighborhoods, and testn aggregates only
+    # rows that can survive their final query-keyed joins. Results
+    # identical by construction; oracle unchanged.
+    qsrc = F.broadcast(q.select(F.col("u").alias("src")))
+    train_q = train.join(qsrc, "src")
+    testn_q = testn.join(qsrc, "src")
     pred = cand.join(
-        train.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        train_q.select(F.col("src").alias("u"),
+                       F.col("dst").alias("v")),
         ["u", "v"], "left_anti")
     wq = Window.partitionBy("u").orderBy(F.desc("ra_score"), "v")
     topk = (pred.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= _LPH_TOPK).select("u", "v"))
     hits = (topk.join(
-        testn.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                     F.lit(1).alias("hit")), ["u", "v"], "left")
+        testn_q.select(F.col("src").alias("u"),
+                       F.col("dst").alias("v"),
+                       F.lit(1).alias("hit")), ["u", "v"], "left")
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("n_preds"),
              F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("bigint"))
              .cast("long").alias("n_hits")))
-    np_ = (testn.groupBy(F.col("src").alias("u"))
+    np_ = (testn_q.groupBy(F.col("src").alias("u"))
            .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
     return (q.join(hits, "u", "left").join(np_, "u", "left")
             .select(F.col("u").alias("part_u"),

@@ -618,8 +618,14 @@ def test_round8_exchange_budgets(spark, sf001):
     budgets = {
         # +1 exchange vs the unscoped form: the query-set top-k
         # (TakeOrdered over deg) feeding the broadcast — the trade
-        # that cut the wedge join from 265M rows to query-bounded
-        "link_prediction_common_neighbors": 5,
+        # that cut the wedge join from 265M rows to query-bounded.
+        # +1 more in r14: the anti-join pre-filter embeds q a second
+        # time (DeduplicateRelations re-aliases the copy, so its deg
+        # exchange is counted separately here — at runtime it is a
+        # ReusedExchange over the identical child), the trade that
+        # dropped the anti-join's right side from the full edge list
+        # to the query nodes' out-neighborhoods
+        "link_prediction_common_neighbors": 6,
         "gnn_feature_propagation": 10,
         "universe_sample_join": 3,
         "kmeans_lloyd_refinement": 4,
@@ -653,10 +659,23 @@ def test_round9_exchange_budgets(spark, sf001):
     query side."""
     budgets = {
         "approx_aggregates_error_audit": 6,
-        "link_prediction_holdout_eval": 10,
+        # r14: +2 static counts for the query-set pre-filters — the
+        # anti-join / test-probe sides embed the cached q twice more,
+        # and DeduplicateRelations re-aliases each copy so its deg
+        # exchange counts separately here; at runtime q is ONE cached
+        # 50-row relation and the embeddings are cache reads. The
+        # trade removed the full-train SortMergeJoin LeftAnti.
+        # (12 on a fresh session, 13 under the suite's cache state —
+        # the static count moves with which subtrees other tests left
+        # cached; the pin is the ceiling, not the exact number.)
+        "link_prediction_holdout_eval": 14,
         "t_closeness_audit": 6,
-        "personalized_pagerank": 10,
-        "edit1_deletion_neighborhood_pairs": 4,
+        # r14: tightened 10 -> 7 — the query-private ewd=edges⋈outdeg
+        # materialization is gone (deg attaches to the frontier)
+        "personalized_pagerank": 7,
+        # r14: tightened 4 -> 3 — pre-sort union persisted (the sort
+        # samples the cache, not a recomputed verify chain)
+        "edit1_deletion_neighborhood_pairs": 3,
         "ann_hamming_sign_topk": 5,
         "golden_record_survivorship": 6,
     }

@@ -211,6 +211,11 @@ def test_url_canonicalizer_cross_engine_on_tricky_urls(spark):
         "https://x.y/p?b=1&a=2&a=1",
         "https://x.y/p?UTM_a=1&b=2",
         "https://x.y/p?a=1?b=2",
+        # host-only URL (no path): OUTSIDE the canonicalizer's
+        # documented precondition (ADVICE r13 #1) — the query string
+        # stays embedded in the host. Pinned so the degenerate
+        # semantics at least cannot DRIFT between the engines.
+        "https://x.y?a=1",
     ]
     rows = [(i, u) for i, u in enumerate(urls)]
     got = {r.doc_id: (r.url_canon, r.registered_domain)
@@ -229,6 +234,9 @@ def test_url_canonicalizer_cross_engine_on_tricky_urls(spark):
     assert got[4] == ("https://x.y:8080/p?a=1", "x.y")
     assert got[5] == ("https://www.com/p", "www.com")
     assert got[6] == ("https://x.y/p", "x.y")
+    # the documented host-only degenerate form: lowercased wholesale,
+    # query kept in host, utm_* NOT stripped, params NOT sorted
+    assert got[10] == ("https://x.y?a=1", "x.y?a=1")
 
 
 def _swp_reference(texts, win, cap, k):

@@ -96,10 +96,17 @@ def main() -> int:
         # 7% WORSE under loadavg 12->19 while the recorded -n 2 run
         # had it 14% better). Alternating modes gives both the same
         # load profile; best-of-n then compares like with like.
-        best = {m: (None, None)
+        best = {m: (None, None, None)
                 for m in ("per_query_caches", "shared_scope")}
         for _ in range(n):
             for mode in best:
+                # loadavg sampled WITH each timed replicate (ADVICE
+                # r13 #2): a single sample at print time reports
+                # near-identical post-run load for both modes and
+                # says nothing about the load each mode actually ran
+                # under — the winning replicate's own sample is the
+                # attribution record the interleaving exists for.
+                load = round(os.getloadavg()[0], 2)
                 if mode == "shared_scope":
                     with SharedScope():
                         per = run_suite(spark, reg, sf_dir)
@@ -108,13 +115,13 @@ def main() -> int:
                 spark.catalog.clearCache()
                 total = round(sum(per.values()), 2)
                 if best[mode][0] is None or total < best[mode][0]:
-                    best[mode] = (total, per)
-        for mode, (best_total, best_per) in best.items():
+                    best[mode] = (total, per, load)
+        for mode, (best_total, best_per, best_load) in best.items():
             print(json.dumps({
                 "sf_dir": os.path.basename(sf_dir), "family": fam,
                 "mode": mode,
                 "suite_total_best": best_total, "per_query": best_per,
-                "loadavg_1m": round(os.getloadavg()[0], 2)}))
+                "loadavg_1m_at_best_replicate": best_load}))
     return 0
 
 
