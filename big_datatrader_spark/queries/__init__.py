@@ -363,7 +363,7 @@ def shared_or(cache, key: str, df: DataFrame, *, eager: bool = True,
 # do not hand-derive them).
 
 _WINDOW = 50
-_CURRENT_ROUND = 14
+_CURRENT_ROUND = 15
 
 # Queries whose code or oracle changed (or are new) this round — they
 # need fresh driver evidence regardless of prior greens, so they lead
@@ -389,6 +389,24 @@ _CURRENT_ROUND = 14
 # into the same window by the companion tier (no _CHANGED slot).
 # Names below are queries written or replanned this round;
 # _window_order hard-fails on ghosts.
+# Round 15 (OPTIMIZATION round 2): queries whose physical plan changes
+# this round (same declared results — every replan is oracle-proven
+# before it lands). Names are added as plans change, _window_order
+# hard-fails on ghosts.
+_R15_CHANGED = (
+    # replanned (guide §2.4/§4, VERDICT r14 ask #5 — the edit1
+    # persist-before-sort recipe): the six queries whose final
+    # orderBy's range-bounds sampling job re-ran a mapInPandas kernel
+    # (decode/fold) a second time now persist the pre-sort relation
+    # via run_scoped; values oracle-identical
+    'multimodal_feature_extract',
+    'multimodal_frame_sample',
+    'multimodal_ppm_decode',
+    'multimodal_wav_decode',
+    'macd_histogram',
+    'time_decay_ewma',
+)
+
 # Round 14 (OPTIMIZATION round 1): queries whose physical plan changed
 # this round (same declared results — every replan is oracle-proven
 # before it lands). A replanned spark_fn earns fresh driver evidence
@@ -808,7 +826,7 @@ _R7_CHANGED = (
 )
 # Round-agnostic alias: tests and tools reference _CHANGED so a round
 # bump is one constant rename that cannot break them (VERDICT r6 #1).
-_CHANGED = _R14_CHANGED
+_CHANGED = _R15_CHANGED
 
 # Driver-green per round (CORRECTNESS_r0N.json, hash-exact rows).
 _R1_GREEN = frozenset({
@@ -1201,6 +1219,38 @@ _R13_ROWS_ONLY = frozenset({
     'bpe_learn_merges',
 })
 
+# CORRECTNESS_r14.json via tools/record_round.py (46 hash-exact,
+# 4 rows-only, 0 RED) — pasted verbatim.
+_R14_GREEN = frozenset({
+    'anti_join_parts_no_bulk_orders', 'approx_aggregates_error_audit',
+    'asof_join_purchase_to_click', 'crossover_signals',
+    'cube_order_stats', 'date_range_filter',
+    'edit1_deletion_neighborhood_pairs', 'evenly_spaced_backtest',
+    'evenly_spaced_backtest_maxtrades', 'hll_exact_register_sketch',
+    'ivf_vs_exact_eval', 'link_prediction_common_neighbors',
+    'link_prediction_holdout_eval', 'lsh_vs_exact_eval',
+    'multimodal_wav_decode', 'naive_bayes_lang_score',
+    'nb_calibration_curve', 'ngram_containment_pairs',
+    'obv_indicator', 'percentile_interpolated_per_type',
+    'personalized_pagerank', 'phrase_search_positional',
+    'pit_dimension_lookup', 'poisson_bootstrap_ci',
+    'python_datasource_ticks', 'quadratic_trend_fit',
+    'rec_hitrate_popularity', 'rec_ndcg_popularity',
+    'repeated_ngram_span_mask', 'rfm_segmentation',
+    'rollup_cascade_reuse', 'sorted_neighborhood_pairs',
+    'sortino_downside_ratio', 'sprt_sequential_test',
+    'stochastic_oscillator', 'streaming_cdc_upsert',
+    'streaming_enriched_rollup', 'streaming_python_datasource',
+    'target_encoding_oof', 'theil_sen_slope', 'time_decay_ewma',
+    'token_drift_movers', 'udaf_median_cents', 'udtf_sentence_spans',
+    'wasserstein_distance_drift', 'weighted_median_price',
+})
+
+_R14_ROWS_ONLY = frozenset({
+    'ann_ivf_topk', 'ann_lsh_topk', 'approx_aggregates',
+    'hll_partial_merge',
+})
+
 _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R4_GREEN | _R4_ROWS_ONLY,
                  _R5_GREEN | _R5_ROWS_ONLY,
@@ -1211,7 +1261,8 @@ _ROUND_GREENS = (_R1_GREEN, _R2_GREEN, _R3_GREEN,
                  _R10_GREEN | _R10_ROWS_ONLY,
                  _R11_GREEN | _R11_ROWS_ONLY,
                  _R12_GREEN | _R12_ROWS_ONLY,
-                 _R13_GREEN | _R13_ROWS_ONLY)
+                 _R13_GREEN | _R13_ROWS_ONLY,
+                 _R14_GREEN | _R14_ROWS_ONLY)
 
 # Rows-only-by-design queries (oracle=None) re-evidence on a 2-round
 # cadence: membership here per round records WHICH round last produced
@@ -1220,7 +1271,8 @@ _ROWS_ONLY_ROUNDS = {4: _R4_ROWS_ONLY - _R5_GREEN, 5: _R5_ROWS_ONLY,
                      6: _R6_ROWS_ONLY, 7: _R7_ROWS_ONLY,
                      8: _R8_ROWS_ONLY, 9: _R9_ROWS_ONLY,
                      10: _R10_ROWS_ONLY, 11: _R11_ROWS_ONLY,
-                     12: _R12_ROWS_ONLY, 13: _R13_ROWS_ONLY}
+                     12: _R12_ROWS_ONLY, 13: _R13_ROWS_ONLY,
+                     14: _R14_ROWS_ONLY}
 
 _DRIVER_VERIFIED = frozenset().union(*_ROUND_GREENS)
 
