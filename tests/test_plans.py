@@ -289,10 +289,11 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
     bnlj_ok, sp_window_ok = _BNLJ_OK, _SP_WINDOW_OK
     from big_datatrader_spark.plans.explain import (
         single_partition_sort_or_window)
+    from conftest import pool_unsafe, run_query_pool
     offenders = {}
-    for name, q in sorted(REG.items()):
-        if name.startswith("streaming_"):
-            continue  # plans materialize at drain; audited separately
+
+    def audit(item):
+        name, q = item
         df = plan_of(q, spark, sf001)
         plan = physical_plan(df)
         flags = []
@@ -307,6 +308,20 @@ def test_no_scale_killers_in_any_registered_plan(spark, sf001):
             flags.append("unexpected-bnlj")
         if flags:
             offenders[name] = flags
+
+    items = [(n, q) for n, q in sorted(REG.items())
+             if not n.startswith("streaming_")]
+    # pooled (guide §2.6, VERDICT r14 ask #1): most entries only PLAN
+    # (fast but latency-bound over 339 queries); the plan_fn-less
+    # eager queries execute their sf0.01 jobs concurrently. Session-
+    # global mutators (conftest.SERIAL_QUERIES) audit serially after
+    # the pool drains.
+    errors = run_query_pool(
+        [it for it in items if not pool_unsafe(it[0])], audit)
+    assert not errors, errors
+    for it in items:
+        if pool_unsafe(it[0]):
+            audit(it)
     assert not offenders, offenders
 
 
@@ -370,9 +385,11 @@ def test_allowlist_annotations_hold_at_runtime(spark, sf001):
     cannot pass."""
     from big_datatrader_spark.plans.explain import (
         executed_scale_killer_bounds)
+    from conftest import pool_unsafe, run_query_pool
 
     offenders = {}
-    for name in sorted(_BNLJ_OK | _SP_WINDOW_OK):
+
+    def audit(name):
         df = _plan_df(name, spark, sf001)
         bounds = executed_scale_killer_bounds(df)
         flags = []
@@ -393,7 +410,21 @@ def test_allowlist_annotations_hold_at_runtime(spark, sf001):
                 flags.append(f"single_partition_rows>{cap}: {too_big}")
         if flags:
             offenders[name] = flags
-        spark.catalog.clearCache()
+
+    # pooled sf0.01 executions (guide §2.6, VERDICT r14 ask #1); the
+    # per-entry clearCache moved to ONE post-pool clear — a mid-pool
+    # clear would drop peers' in-flight persists (recompute, no
+    # wrong answers, but the serial form's isolation is preserved
+    # more cheaply by clearing once after the pool drains).
+    names = sorted(_BNLJ_OK | _SP_WINDOW_OK)
+    errors = run_query_pool(
+        [n for n in names if not pool_unsafe(n)], audit)
+    assert not errors, errors
+    spark.catalog.clearCache()
+    for n in names:
+        if pool_unsafe(n):
+            audit(n)
+            spark.catalog.clearCache()
     assert not offenders, offenders
 
 
