@@ -453,6 +453,14 @@ _R15_CHANGED = (
     # with it; values oracle-identical.
     'text_token_stats',
     'text_family_scoped_audit',
+    # replanned (same §2.5 floor): the shared BM25 tokenize+explode
+    # (_bm25_parts) fed its tf exchange from the single scan task;
+    # parallel_text_input moves it onto every core (tf stage
+    # 1.98 -> 0.47s at sf1) — one extra real exchange on starved
+    # layouts only, values oracle-identical for all three consumers
+    'hybrid_rrf_retrieval',
+    'bm25_more_like_this',
+    'hard_negative_mining',
 )
 
 # Round 14 (OPTIMIZATION round 1): queries whose physical plan changed

@@ -87,8 +87,15 @@ _BM25_CTES = f"""
 def _bm25_parts(spark, sf_dir):
     """Shared BM25 pipeline pieces: (tk token stream, sc 1-row stats,
     total per-doc scores) — used by both the plain more-like-this
-    ranking and the RRF hybrid fusion below."""
-    docs = table(spark, sf_dir, "documents")
+    ranking and the RRF hybrid fusion below.
+
+    r15 (guide §2/§2.5): the tokenize+explode feeding the tf
+    exchange ran in the SCAN stage — one task on the one-row-group
+    driver parquet at any sf. parallel_text_input repartitions by
+    doc_id when the layout starves the cores: the tf stage measured
+    1.98 -> 0.47s at sf1 (interleaved min-of-3, disjoint spreads);
+    inert on multi-row-group inputs."""
+    docs = TX.parallel_text_input(table(spark, sf_dir, "documents"))
     tk = docs.select("doc_id",
                      F.explode(TX.tokens(F.col("text"))).alias("tok"))
     tf = tk.groupBy("doc_id", "tok").agg(
